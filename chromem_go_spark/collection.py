@@ -1,0 +1,284 @@
+"""Collection: a document table + a bound embedding function.
+
+Maps the reference's ``Collection`` (reference collection.go:16-29) onto a
+Spark table: documents live in a Parquet-backed (or in-memory) DataFrame
+with the fixed schema of document.py, and every operation is a DataFrame
+transformation. The reference's RWMutex snapshot semantics (SURVEY §1.4)
+come for free from immutable DataFrames.
+
+Scale notes (the part that matters at 100 TB):
+- Upsert-by-id (reference collection.go:280) is expressed as
+  union + last-writer-wins window. On a lakehouse deployment this is a
+  Delta/Iceberg MERGE; the plain-Parquet implementation here rewrites the
+  table, which is the correct semantics, just not the incremental commit.
+- Queries never collect the corpus: filter -> score -> TakeOrderedAndProject
+  (single query) or block-matrix partial top-k (batch).
+- The pre-filter runs below the similarity projection, so Parquet row-group
+  skipping and column pruning apply before any vector math.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Mapping, Sequence
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import errors as E
+from .document import DOCUMENT_SCHEMA, Document
+from .functions import vector as V
+from .operators import knn as knn_ops
+from .operators.filters import combined_predicate, validate_where_document
+
+EmbeddingFunc = Callable[[str], Sequence[float]]
+
+
+class Collection:
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        metadata: Mapping[str, str] | None = None,
+        embedding_func: EmbeddingFunc | None = None,
+        persist_dir: str | None = None,
+        compress: bool = False,
+    ):
+        self.spark = spark
+        self.name = name
+        self.metadata = dict(metadata or {})
+        self.embedding_func = embedding_func
+        self.persist_dir = persist_dir
+        self.compress = compress
+        self._df: DataFrame | None = None
+        if persist_dir and os.path.exists(self._data_path()):
+            self._df = spark.read.schema(DOCUMENT_SCHEMA).parquet(self._data_path())
+
+    # ---------------- storage ----------------
+
+    def _data_path(self) -> str:
+        assert self.persist_dir
+        return os.path.join(self.persist_dir, "data.parquet")
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
+
+    @property
+    def df(self) -> DataFrame:
+        """The collection as a DataFrame (snapshot semantics)."""
+        return self._df if self._df is not None else self._empty()
+
+    def _write(self, df: DataFrame) -> None:
+        """Persist + re-read so the in-memory handle is the durable table.
+
+        Parquet-overwrite stands in for a Delta MERGE commit; compression
+        maps the reference's gzip option (persistence.go:44-56) to a
+        Parquet codec.
+        """
+        self._df = df
+        if self.persist_dir:
+            codec = "gzip" if self.compress else "snappy"
+            path = self._data_path()
+            tmp = path + ".tmp"
+            df.write.mode("overwrite").option("compression", codec).parquet(tmp)
+            final = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(tmp)
+            final.write.mode("overwrite").option("compression", codec).parquet(path)
+            _rmtree(tmp)
+            self._df = self.spark.read.schema(DOCUMENT_SCHEMA).parquet(path)
+            self._write_meta()
+
+    def _write_meta(self) -> None:
+        if not self.persist_dir:
+            return
+        os.makedirs(self.persist_dir, exist_ok=True)
+        with open(os.path.join(self.persist_dir, "collection.json"), "w") as f:
+            json.dump({"name": self.name, "metadata": self.metadata}, f)
+
+    # ---------------- ingest (reference collection.go:131-293) ----------------
+
+    def _prepare(self, docs: Sequence[Document]) -> DataFrame:
+        rows = []
+        for d in docs:
+            if not d.id:
+                raise ValueError("id is empty")
+            emb = list(d.embedding or [])
+            if not emb:
+                if not d.content:
+                    raise ValueError("either embedding or content must be filled")
+                if self.embedding_func is None:
+                    raise ValueError("no embedding function configured")
+                emb = [float(x) for x in self.embedding_func(d.content)]
+            rows.append((d.id, dict(d.metadata or {}), emb, d.content))
+        df = self.spark.createDataFrame(rows, DOCUMENT_SCHEMA)
+        # Normalize-at-insert invariant (reference collection.go:266-276):
+        # makes query-time cosine a plain dot product.
+        return df.withColumn(
+            "embedding", V.normalize_if_needed("embedding").cast("array<float>")
+        )
+
+    def add_documents(self, docs: Sequence[Document]) -> None:
+        """Bulk upsert (reference AddDocuments collection.go:193-245).
+
+        Spark's task parallelism replaces the reference's semaphore;
+        fail-fast comes from job abort on task failure. Last-writer-wins
+        per id (reference collection.go:280: map assignment overwrites).
+        """
+        if not docs:
+            raise ValueError("documents are empty")
+        new = self._prepare(docs).withColumn("__src", F.lit(1))
+        base = self.df.withColumn("__src", F.lit(0))
+        w = Window.partitionBy("id").orderBy(F.desc("__src"))
+        merged = (
+            base.unionByName(new)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*DOCUMENT_SCHEMA.fieldNames())
+        )
+        self._write(merged)
+
+    def add_document(self, doc: Document) -> None:
+        self.add_documents([doc])
+
+    def add(self, ids, embeddings=None, metadatas=None, contents=None) -> None:
+        """Chroma-style columnar-args insert (reference collection.go:131-187):
+        validates equal lengths, zips into Documents."""
+        if not ids:
+            raise ValueError("ids are empty")
+        if not embeddings and not contents:
+            raise ValueError("either embeddings or contents must be filled")
+        for other, label in ((embeddings, "embeddings"), (metadatas, "metadatas"), (contents, "contents")):
+            if other and len(other) != len(ids):
+                raise ValueError(
+                    f"ids, {label} must have the same length"
+                )
+        docs = []
+        for i, id_ in enumerate(ids):
+            docs.append(
+                Document(
+                    id=id_,
+                    metadata=(metadatas[i] if metadatas else {}),
+                    embedding=(embeddings[i] if embeddings else []),
+                    content=(contents[i] if contents else ""),
+                )
+            )
+        self.add_documents(docs)
+
+    def add_df(self, df: DataFrame, normalize: bool = True) -> None:
+        """DataFrame-native bulk upsert — the path a 100 TB ingest uses
+        (no driver-side rows)."""
+        cols = df
+        if normalize:
+            cols = df.withColumn(
+                "embedding", V.normalize_if_needed("embedding").cast("array<float>")
+            )
+        new = cols.select(*DOCUMENT_SCHEMA.fieldNames()).withColumn("__src", F.lit(1))
+        base = self.df.withColumn("__src", F.lit(0))
+        w = Window.partitionBy("id").orderBy(F.desc("__src"))
+        merged = (
+            base.unionByName(new)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*DOCUMENT_SCHEMA.fieldNames())
+        )
+        self._write(merged)
+
+    # ---------------- point ops (reference collection.go:296-395) ----------------
+
+    def get_by_id(self, id: str) -> Document:
+        if not id:
+            raise ValueError("id is empty")
+        rows = self.df.filter(F.col("id") == F.lit(id)).collect()
+        if not rows:
+            raise KeyError(f"document with ID '{id}' not found")
+        r = rows[0]
+        return Document(
+            id=r["id"],
+            metadata=dict(r["metadata"] or {}),
+            embedding=list(r["embedding"] or []),
+            content=r["content"],
+        )
+
+    def list_ids(self) -> list[str]:
+        return [r["id"] for r in self.df.select("id").collect()]
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def delete(self, where=None, where_document=None, ids: Sequence[str] | None = None) -> None:
+        """Delete by ids OR by metadata/content predicate (reference
+        collection.go:338-388). Expressed as an anti-filter; on Delta this
+        is ``DELETE FROM ... WHERE``."""
+        if not where and not where_document and not ids:
+            raise ValueError("must provide either where, whereDocument or ids")
+        validate_where_document(where_document)
+        victim = combined_predicate(where, where_document)
+        if ids:
+            victim = victim & F.col("id").isin([str(i) for i in ids])
+        self._write(self.df.filter(~F.coalesce(victim, F.lit(False))))
+
+    # ---------------- query (reference collection.go:410-559) ----------------
+
+    def query(
+        self,
+        query_text: str,
+        n_results: int,
+        where=None,
+        where_document=None,
+    ) -> DataFrame:
+        """Text entry point (reference collection.go:418-429): embed the
+        query text, then vector search."""
+        if not query_text:
+            raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
+        if self.embedding_func is None:
+            raise ValueError("no embedding function configured")
+        qv = self.embedding_func(query_text)
+        return self.query_embedding(qv, n_results, where, where_document)
+
+    def query_embedding(
+        self,
+        query_embedding: Sequence[float],
+        n_results: int,
+        where=None,
+        where_document=None,
+        negative_embedding: Sequence[float] | None = None,
+        negative_mode: str | None = None,
+        negative_filter_threshold: float = knn_ops.DEFAULT_NEGATIVE_FILTER_THRESHOLD,
+    ) -> DataFrame:
+        """Vector entry point with validations and golden errors
+        (reference collection.go:491-559). Returns a DataFrame of result
+        rows (document columns + ``similarity``), highest first.
+        """
+        if query_embedding is None or len(query_embedding) == 0:
+            raise ValueError(E.ERR_QUERY_EMBEDDING_EMPTY)
+        if n_results <= 0:
+            raise ValueError(E.ERR_NRESULTS_POSITIVE)
+        n_docs = self.count()
+        if n_results > n_docs:
+            raise ValueError(E.ERR_NRESULTS_TOO_LARGE)
+        validate_where_document(where_document)
+
+        qv = [float(x) for x in query_embedding]
+        if negative_embedding is not None and negative_mode == "subtract":
+            qv = knn_ops.negative_subtract_query(qv, negative_embedding)
+
+        # Pre-filter BELOW the similarity projection (reference
+        # collection.go:521; Catalyst keeps it pushed down).
+        filtered = self.df.filter(combined_predicate(where, where_document))
+
+        if negative_embedding is not None and negative_mode == "filter":
+            return knn_ops.knn_negative_filter(
+                filtered,
+                qv,
+                negative_embedding,
+                n_results,
+                threshold=negative_filter_threshold,
+            )
+        return knn_ops.knn_single(filtered, qv, n_results)
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,190 @@
+"""DB: the catalog of collections (reference db.go:29-38).
+
+One directory per persisted collection (parquet data + a JSON metadata
+file standing in for the reference's ``00000000.gob`` metadata record,
+persistence layout reference persistence.go:20-28). Unlike the reference,
+collection directories are named by the (sanitized) collection name so
+the layout is human- and Spark-readable; a name-hash subdir scheme
+(reference hash2hex persistence.go:22-28) adds nothing on a lakehouse.
+
+Export/import (reference db.go:208-490): the whole DB — or a selected
+subset of collections — round-trips through a single tar archive of
+parquet tables + manifest, optionally gzip-compressed. AES-GCM
+encryption is intentionally NOT reimplemented (no vetted crypto
+primitive in the stdlib); storage-layer encryption owns that concern at
+scale. Passing an encryption key raises NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import tarfile
+import tempfile
+from collections.abc import Mapping
+
+from pyspark.sql import SparkSession
+
+from .collection import Collection, EmbeddingFunc
+
+_SAFE_NAME = re.compile(r"[^A-Za-z0-9._-]")
+
+
+def _dirname_for(name: str) -> str:
+    return _SAFE_NAME.sub("_", name)
+
+
+class DB:
+    """In-memory catalog (reference NewDB db.go:44-48) or persistent
+    catalog (reference NewPersistentDB db.go:68-181)."""
+
+    def __init__(self, spark: SparkSession, persist_dir: str | None = None, compress: bool = False):
+        self.spark = spark
+        self.persist_dir = persist_dir
+        self.compress = compress
+        self._collections: dict[str, Collection] = {}
+        if persist_dir:
+            os.makedirs(persist_dir, exist_ok=True)
+            self._load_persistent()
+
+    @classmethod
+    def new_persistent(cls, spark: SparkSession, path: str, compress: bool = False) -> "DB":
+        return cls(spark, persist_dir=path, compress=compress)
+
+    def _load_persistent(self) -> None:
+        """Directory scan on open (reference db.go:104-178): every subdir
+        with a collection.json is a collection; foreign files are skipped.
+        Embedding funcs are not serializable and get re-bound at
+        get_collection time (reference db.go:536-558)."""
+        assert self.persist_dir
+        for entry in sorted(os.listdir(self.persist_dir)):
+            sub = os.path.join(self.persist_dir, entry)
+            meta_path = os.path.join(sub, "collection.json")
+            if not os.path.isdir(sub) or not os.path.exists(meta_path):
+                continue
+            with open(meta_path) as f:
+                meta = json.load(f)
+            c = Collection(
+                self.spark,
+                meta["name"],
+                metadata=meta.get("metadata", {}),
+                embedding_func=None,
+                persist_dir=sub,
+                compress=self.compress,
+            )
+            self._collections[meta["name"]] = c
+
+    # ---------------- catalog ops (reference db.go:498-629) ----------------
+
+    def create_collection(
+        self, name: str, metadata: Mapping[str, str] | None = None, embedding_func: EmbeddingFunc | None = None
+    ) -> Collection:
+        if not name:
+            raise ValueError("collection name is empty")
+        sub = os.path.join(self.persist_dir, _dirname_for(name)) if self.persist_dir else None
+        c = Collection(
+            self.spark,
+            name,
+            metadata=metadata,
+            embedding_func=embedding_func,
+            persist_dir=sub,
+            compress=self.compress,
+        )
+        if sub:
+            c._write_meta()
+        self._collections[name] = c
+        return c
+
+    def get_collection(self, name: str, embedding_func: EmbeddingFunc | None = None) -> Collection | None:
+        c = self._collections.get(name)
+        if c is not None and c.embedding_func is None and embedding_func is not None:
+            c.embedding_func = embedding_func
+        return c
+
+    def get_or_create_collection(
+        self, name: str, metadata=None, embedding_func: EmbeddingFunc | None = None
+    ) -> Collection:
+        c = self.get_collection(name, embedding_func)
+        if c is None:
+            c = self.create_collection(name, metadata, embedding_func)
+        return c
+
+    def list_collections(self) -> dict[str, Collection]:
+        return dict(self._collections)
+
+    def delete_collection(self, name: str) -> None:
+        if not name:
+            raise ValueError("collection name is empty")
+        c = self._collections.pop(name, None)
+        if c is not None and c.persist_dir:
+            shutil.rmtree(c.persist_dir, ignore_errors=True)
+
+    def reset(self) -> None:
+        """Drop everything (reference db.go:610-629)."""
+        for name in list(self._collections):
+            self.delete_collection(name)
+        if self.persist_dir:
+            shutil.rmtree(self.persist_dir, ignore_errors=True)
+            os.makedirs(self.persist_dir, exist_ok=True)
+
+    # ---------------- export / import (reference db.go:208-490) ----------------
+
+    def export_to_file(
+        self, file_path: str, compress: bool = False, encryption_key: str = "", collections: list[str] | None = None
+    ) -> None:
+        if not file_path:
+            raise ValueError("file path is empty")
+        if encryption_key:
+            raise NotImplementedError(
+                "AES-GCM export encryption is not reimplemented; use storage-layer encryption"
+            )
+        names = collections if collections else list(self._collections)
+        for n in names:
+            if n not in self._collections:
+                raise ValueError(f"unknown collection: {n}")
+        mode = "w:gz" if compress else "w"
+        with tempfile.TemporaryDirectory() as tmp:
+            manifest = []
+            for n in names:
+                c = self._collections[n]
+                sub = _dirname_for(n)
+                out = os.path.join(tmp, sub)
+                c.df.coalesce(1).write.mode("overwrite").parquet(out)
+                manifest.append({"name": n, "dir": sub, "metadata": c.metadata})
+            with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                json.dump(manifest, f)
+            with tarfile.open(file_path, mode) as tar:
+                tar.add(os.path.join(tmp, "manifest.json"), arcname="manifest.json")
+                for m in manifest:
+                    tar.add(os.path.join(tmp, m["dir"]), arcname=m["dir"])
+
+    def import_from_file(
+        self, file_path: str, encryption_key: str = "", collections: list[str] | None = None
+    ) -> None:
+        """Overwrites existing collections of the same name (reference
+        db.go:251-277); optional name filter imports a subset."""
+        if not file_path:
+            raise ValueError("file path is empty")
+        if encryption_key:
+            raise NotImplementedError(
+                "AES-GCM import decryption is not reimplemented; use storage-layer encryption"
+            )
+        if not os.path.exists(file_path):
+            raise FileNotFoundError(f"file doesn't exist: {file_path}")
+        with tempfile.TemporaryDirectory() as tmp:
+            with tarfile.open(file_path, "r:*") as tar:
+                tar.extractall(tmp, filter="data")
+            with open(os.path.join(tmp, "manifest.json")) as f:
+                manifest = json.load(f)
+            for m in manifest:
+                if collections and m["name"] not in collections:
+                    continue
+                # localCheckpoint pins the rows before the extracted temp
+                # dir disappears (DataFrames are lazy).
+                df = self.spark.read.parquet(os.path.join(tmp, m["dir"])).localCheckpoint(
+                    eager=True
+                )
+                c = self.create_collection(m["name"], metadata=m.get("metadata", {}))
+                c.add_df(df, normalize=False)

@@ -1,0 +1,121 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Catalyst expressions (regexp/md5/array higher-order functions)
+so they run inside whole-stage codegen over 100 TB of documents with no
+Python in the loop — and every one of them has a 1:1 ANSI-SQL rendering
+for the DuckDB oracle.
+
+These go beyond the reference (chromem-go stores text but never analyzes
+it, SURVEY §2.4); they are the document-quality layer an LLM-data
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(_col(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_tokens(text: Column | str) -> Column:
+    """Lowercased word tokens — a BPE-ish regex tokenizer stand-in:
+    letter runs, digit runs, or single non-space symbols."""
+    return F.regexp_extract_all(
+        F.lower(_col(text)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Character k-gram shingle array over the normalized text (lowercase,
+    whitespace collapsed). Empty array for text shorter than k."""
+    norm = normalized_text(text)
+    n = F.length(norm)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - F.lit(k) + 1), lambda i: norm.substr(i, F.lit(k)))
+    )
+
+
+def normalized_text(text: Column | str) -> Column:
+    """lower + collapse whitespace + trim: the canonical form used by
+    fingerprinting and shingling."""
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (md5 exists verbatim in DuckDB, so the oracle matches bit-for-bit.)"""
+    return F.md5(normalized_text(text))
+
+
+# Small per-language stopword regexes for the n-gram language-ID
+# heuristic. Word-boundary matches on lowercased text.
+LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|in|is|that|it|was|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "fr": r"\b(le|la|les|et|est|une|que|pour|dans|avec)\b",
+    "es": r"\b(el|los|las|es|una|que|por|para|con|del)\b",
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    lowered = F.lower(_col(text))
+    return {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_PATTERNS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax of stopword-hit counts; 'und' (undetermined) when no
+    language scores a single hit. Ties break by the fixed language order
+    en > de > fr > es (strictly-greater comparisons)."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in ["es", "fr", "de", "en"]:  # reversed so earlier langs win ties
+        s = scores[lang]
+        best_lang = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, s)
+    return best_lang
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    t = _col(text)
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.length(t)
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _col(text)
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]-]", "")) / F.length(t)
+    )
+
+
+def mean_token_len(text: Column | str) -> Column:
+    t = F.trim(_col(text))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(t, r"\s+", "")) / token_count(t)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Gopher-style cheap quality heuristic in [0, 1]: rewards alpha-heavy
+    text with sane token lengths, penalizes punctuation soup. Deliberately
+    simple arithmetic so the oracle SQL is identical."""
+    a = alpha_ratio(text)
+    p = punct_ratio(text)
+    m = mean_token_len(text)
+    len_ok = F.when((m >= 3) & (m <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    raw = a * len_ok - p
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))

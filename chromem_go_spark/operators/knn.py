@@ -1,0 +1,236 @@
+"""Brute-force (FLAT) top-k cosine kNN, Spark-first.
+
+The reference's one real query operator (reference collection.go:410-559,
+query.go:165-245): pre-filter -> dot-product scoring -> bounded-heap
+top-k. Re-architected for batch throughput:
+
+- **Single query** -> ``orderBy(desc).limit(k)``: Catalyst compiles this
+  to ``TakeOrderedAndProject`` — a per-partition bounded heap + driver
+  merge, which is exactly the reference's ``maxDocSims`` heap
+  (query.go:16-83) distributed.
+- **Batch of queries** (the 100 TB shape): broadcast the small queries
+  side, score every (doc, query) pair map-side, and take per-query top-k.
+  Two implementations:
+    * ``knn_expr`` — pure Catalyst expressions (zip_with/aggregate dot +
+      window row_number). Fully codegen'd, oracle-friendly.
+    * ``knn_block`` — ``mapInPandas`` NumPy kernel: per Arrow batch, one
+      f64 matrix multiply scores all queries at once and a local
+      argpartition keeps only k rows per query **before any shuffle**.
+      The post-map shuffle carries at most (partitions x queries x k)
+      rows instead of (docs x queries) — this is what survives a 100x
+      scale-up.
+
+Negative queries (reference collection.go:434-480):
+- subtract mode: q' = normalize(q - neg), then normal search.
+- filter mode: drop docs with sim(neg, doc) > threshold (default 0.5,
+  reference collection.go:47).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+# reference collection.go:47
+DEFAULT_NEGATIVE_FILTER_THRESHOLD = 0.5
+
+
+def _score(docs: DataFrame, qvec: Column, vec_col: str) -> Column:
+    # Normalize-at-insert invariant (SURVEY §4 #7) means dot == cosine.
+    return V.dot(F.col(vec_col), qvec)
+
+
+def knn_single(
+    docs: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    sim_col: str = "similarity",
+    assume_normalized: bool = True,
+) -> DataFrame:
+    """Top-k most similar docs to ONE query vector.
+
+    Compiles to TakeOrderedAndProject: no full sort, no wide shuffle —
+    each partition keeps a k-heap, the driver merges. Ties broken by id
+    for determinism.
+    """
+    if len(query_vec) == 0:
+        raise ValueError("queryEmbedding is empty")
+    if k <= 0:
+        raise ValueError("nResults must be > 0")
+    qv = V.normalize_vec(query_vec)
+    qlit = V.query_vector_lit(qv)
+    sim = _score(docs, qlit, vec_col)
+    if not assume_normalized:
+        sim = sim / V.norm(vec_col)
+    scored = docs.withColumn(sim_col, sim)
+    return scored.orderBy(F.desc(sim_col), F.col(id_col)).limit(int(k))
+
+
+def topk_per_query(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "id",
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """Per-query top-k via window row_number (the distributed analog of the
+    reference's per-query heap when many queries run at once)."""
+    w = Window.partitionBy(query_id_col).orderBy(F.desc(sim_col), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+
+
+def knn_expr(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """Batch kNN, pure-Catalyst: broadcast-cross-join docs x queries,
+    score with a codegen'd dot product, window top-k per query.
+
+    The queries side is broadcast (it is always the small side), so the
+    only shuffle is the per-query top-k — and that input is already just
+    scored pairs, not payload columns.
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = (
+        docs.select(id_col, vec_col)
+        .crossJoin(q)
+        .withColumn(sim_col, V.dot(F.col(vec_col), F.col(query_vec_col)))
+        .select(query_id_col, id_col, sim_col)
+    )
+    return topk_per_query(scored, k, query_id_col, id_col, sim_col)
+
+
+def knn_block(
+    docs: DataFrame,
+    query_ids: Sequence,
+    query_vecs: Sequence[Sequence[float]],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    sim_col: str = "similarity",
+    negative_vec: Sequence[float] | None = None,
+    negative_threshold: float = DEFAULT_NEGATIVE_FILTER_THRESHOLD,
+    normalize_queries: bool = True,
+) -> DataFrame:
+    """Batch kNN, block-matrix kernel (the scale path).
+
+    Each Arrow batch of docs is scored against ALL queries with one
+    float64 GEMM; a local argpartition keeps k rows per query, so the
+    shuffle that feeds the final per-query top-k is tiny and independent
+    of corpus size. Optional negative-filter mode drops docs whose
+    similarity to ``negative_vec`` exceeds the threshold *before* top-k
+    (reference query.go:221-231).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k <= 0:
+        raise ValueError("nResults must be > 0")
+    qmat = np.asarray(query_vecs, dtype=np.float64)
+    if qmat.ndim != 2 or qmat.shape[0] == 0:
+        raise ValueError("queryEmbedding is empty")
+    if normalize_queries:
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        qmat = qmat / norms
+    qids = list(query_ids)
+    neg = None
+    if negative_vec is not None:
+        neg = np.asarray(negative_vec, dtype=np.float64)
+        nn = np.linalg.norm(neg)
+        if nn > 0:
+            neg = neg / nn
+
+    id_field = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} string, {id_col} {id_field}, {sim_col} double"
+    kk = int(k)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            if neg is not None:
+                keep = mat @ neg <= negative_threshold
+                if not keep.any():
+                    continue
+                mat = mat[keep]
+                ids = ids[keep]
+            sims = mat @ qmat.T  # (n_docs, n_queries)
+            n = sims.shape[0]
+            take = min(kk, n)
+            if take < n:
+                part = np.argpartition(-sims, take - 1, axis=0)[:take]
+            else:
+                part = np.tile(np.arange(n)[:, None], (1, sims.shape[1]))
+            frames = []
+            for j, qid in enumerate(qids):
+                rows = part[:, j]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: str(qid),
+                            id_col: ids[rows],
+                            sim_col: sims[rows, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = docs.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)
+    return topk_per_query(partial, kk, query_id_col, id_col, sim_col)
+
+
+def negative_subtract_query(
+    query_vec: Sequence[float], negative_vec: Sequence[float]
+) -> list[float]:
+    """Subtract mode: q' = normalize(q - neg) (reference
+    collection.go:457-464, vector.go:44-52). Driver-side scalar math."""
+    q = V.normalize_vec(query_vec)
+    n = V.normalize_vec(negative_vec)
+    return V.normalize_vec(V.subtract_vec(q, n))
+
+
+def knn_negative_filter(
+    docs: DataFrame,
+    query_vec: Sequence[float],
+    negative_vec: Sequence[float],
+    k: int,
+    threshold: float = DEFAULT_NEGATIVE_FILTER_THRESHOLD,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """Filter mode: drop docs with sim(neg, doc) > threshold, then top-k
+    (reference collection.go:465-472, query.go:221-231). The negative
+    similarity is a second codegen'd column; the filter runs before the
+    top-k heap, exactly like the reference."""
+    if len(query_vec) == 0:
+        raise ValueError("queryEmbedding is empty")
+    if k <= 0:
+        raise ValueError("nResults must be > 0")
+    qlit = V.query_vector_lit(V.normalize_vec(query_vec))
+    nlit = V.query_vector_lit(V.normalize_vec(negative_vec))
+    scored = docs.withColumn("__neg_sim", V.dot(F.col(vec_col), nlit)).filter(
+        F.col("__neg_sim") <= F.lit(float(threshold))
+    )
+    scored = scored.withColumn(sim_col, V.dot(F.col(vec_col), qlit)).drop("__neg_sim")
+    return scored.orderBy(F.desc(sim_col), F.col(id_col)).limit(int(k))

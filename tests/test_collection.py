@@ -1,0 +1,155 @@
+import pytest
+
+from chromem_go_spark import DB, Collection, Document
+from chromem_go_spark.embeddings.stub import const_embedding, make_hash_embedding_func
+
+
+@pytest.fixture()
+def db(spark):
+    return DB(spark)
+
+
+def two_docs():
+    # Canonical tiny instance (reference query_test.go:10-28).
+    return [
+        Document("1", {"language": "en"}, [0.1, 0.2, 0.3], "hello world"),
+        Document("2", {"language": "de"}, [0.2, 0.3, 0.4], "hallo welt"),
+    ]
+
+
+def test_add_and_count(db):
+    c = db.create_collection("t", embedding_func=const_embedding)
+    c.add_documents(two_docs())
+    assert c.count() == 2
+    assert sorted(c.list_ids()) == ["1", "2"]
+
+
+def test_upsert_overwrites(db):
+    c = db.create_collection("t", embedding_func=const_embedding)
+    c.add_documents(two_docs())
+    c.add_document(Document("1", {"language": "fr"}, [0.3, 0.2, 0.1], "bonjour"))
+    assert c.count() == 2
+    got = c.get_by_id("1")
+    assert got.metadata == {"language": "fr"}
+    assert got.content == "bonjour"
+
+
+def test_embedding_computed_and_normalized(db):
+    c = db.create_collection("t", embedding_func=const_embedding)
+    c.add_document(Document("x", content="anything"))
+    got = c.get_by_id("x")
+    assert got.embedding == pytest.approx([-0.40824828, 0.40824828, 0.81649655], abs=1e-6)
+    # supplied non-normalized embeddings get normalized at insert
+    c.add_document(Document("y", embedding=[3.0, 4.0, 0.0], content="c"))
+    assert c.get_by_id("y").embedding == pytest.approx([0.6, 0.8, 0.0], abs=1e-6)
+
+
+def test_add_columnar_validation(db):
+    c = db.create_collection("t", embedding_func=const_embedding)
+    with pytest.raises(ValueError, match="ids are empty"):
+        c.add([], contents=["a"])
+    with pytest.raises(ValueError, match="same length"):
+        c.add(["1", "2"], contents=["a"])
+    c.add(["1", "2"], metadatas=[{"a": "b"}, {"c": "d"}], contents=["hello", "world"])
+    assert c.count() == 2
+
+
+def test_query_filters_and_ranking(db):
+    c = db.create_collection("t", embedding_func=make_hash_embedding_func(16))
+    c.add_documents(two_docs())
+    # metadata filter narrows to the German doc
+    res = c.query_embedding([0.2, 0.3, 0.4], 1, where={"language": "de"}).collect()
+    assert [r["id"] for r in res] == ["2"]
+    # $contains
+    res = c.query_embedding([0.1, 0.2, 0.3], 1, where_document={"$contains": "hello"}).collect()
+    assert [r["id"] for r in res] == ["1"]
+    # $not_contains
+    res = c.query_embedding([0.1, 0.2, 0.3], 1, where_document={"$not_contains": "hello"}).collect()
+    assert [r["id"] for r in res] == ["2"]
+    # exact-match ranking: query == doc2's vector
+    res = c.query_embedding([0.2, 0.3, 0.4], 2).collect()
+    assert [r["id"] for r in res] == ["2", "1"]
+    assert res[0]["similarity"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_query_validation_golden_errors(db):
+    c = db.create_collection("t", embedding_func=const_embedding)
+    c.add_documents(two_docs())
+    with pytest.raises(ValueError, match="queryText is empty"):
+        c.query("", 1)
+    with pytest.raises(ValueError, match="queryEmbedding is empty"):
+        c.query_embedding([], 1)
+    with pytest.raises(ValueError, match="nResults must be > 0"):
+        c.query_embedding([0.1], 0)
+    with pytest.raises(ValueError, match="nResults must be <= the number of documents"):
+        c.query_embedding([0.1, 0.2, 0.3], 5)
+    with pytest.raises(ValueError, match="unsupported operator"):
+        c.query_embedding([0.1, 0.2, 0.3], 1, where_document={"$bogus": "x"})
+
+
+def test_delete_matrix(db):
+    # Delete-test instance (reference collection_test.go:555-614).
+    c = db.create_collection("t", embedding_func=const_embedding)
+    c.add_documents(
+        [
+            Document("1", {"foo": "bar"}, [], "hello world"),
+            Document("2", {"a": "b"}, [], "hallo welt"),
+            Document("3", {"foo": "bar"}, [], "bonjour le monde"),
+            Document("4", {"e": "f"}, [], "hola mundo"),
+        ]
+    )
+    with pytest.raises(ValueError, match="must provide either"):
+        c.delete()
+    c.delete(ids=["4"])
+    assert sorted(c.list_ids()) == ["1", "2", "3"]
+    c.delete(where={"foo": "bar"}, where_document={"$contains": "bonjour"})
+    assert sorted(c.list_ids()) == ["1", "2"]
+    c.delete(where={"foo": "bar"})
+    assert sorted(c.list_ids()) == ["2"]
+
+
+def test_catalog_ops(db):
+    db.create_collection("a")
+    db.get_or_create_collection("b")
+    assert set(db.list_collections()) == {"a", "b"}
+    assert db.get_collection("a") is not None
+    assert db.get_collection("missing") is None
+    db.delete_collection("a")
+    assert set(db.list_collections()) == {"b"}
+    db.reset()
+    assert db.list_collections() == {}
+
+
+def test_persistence_roundtrip(spark, tmp_path):
+    d1 = DB.new_persistent(spark, str(tmp_path / "db"))
+    c = d1.create_collection("col a", metadata={"k": "v"}, embedding_func=const_embedding)
+    c.add_documents(two_docs())
+    # re-open from disk
+    d2 = DB.new_persistent(spark, str(tmp_path / "db"))
+    c2 = d2.get_collection("col a", embedding_func=const_embedding)
+    assert c2 is not None
+    assert c2.metadata == {"k": "v"}
+    assert c2.count() == 2
+    assert c2.get_by_id("1").content == "hello world"
+    # deletes persist
+    c2.delete(ids=["1"])
+    d3 = DB.new_persistent(spark, str(tmp_path / "db"))
+    assert d3.get_collection("col a").list_ids() == ["2"]
+
+
+def test_export_import(spark, tmp_path, db):
+    c = db.create_collection("exp", embedding_func=const_embedding)
+    c.add_documents(two_docs())
+    db.create_collection("other", embedding_func=const_embedding).add_document(
+        Document("9", {}, [1.0, 0.0, 0.0], "x")
+    )
+    path = str(tmp_path / "export.tar")
+    db.export_to_file(path, compress=True)
+    d2 = DB(spark)
+    d2.import_from_file(path, collections=["exp"])
+    assert set(d2.list_collections()) == {"exp"}
+    got = d2.get_collection("exp")
+    assert got.count() == 2
+    assert got.get_by_id("2").metadata == {"language": "de"}
+    with pytest.raises(NotImplementedError):
+        db.export_to_file(str(tmp_path / "e2.tar"), encryption_key="0123456789abcdef0123456789abcdef")

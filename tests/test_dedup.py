@@ -1,0 +1,81 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chromem_go_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1 (modulo nothing)
+            (3, base.replace("lazy", "sleepy")),  # near dup
+            (4, "completely different content about spark engines and parquet files"),
+            (5, "THE  Quick Brown   fox jumps over the lazy dog again and again"),  # normalized dup
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["dup_count"] for r in D.exact_dedup(docs).collect()}
+    # 1, 2, 5 collapse (normalized); survivors keyed by min id
+    assert out[1] == 3
+    assert out[3] == 1
+    assert out[4] == 1
+    assert set(out) == {1, 3, 4}
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert pairs[(1, 5)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got
+    assert (1, 5) in got
+    assert (1, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_pairs(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_pairs(docs, max_hamming=6).collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 5)] == 0  # same tokens after lowering
+    assert not any(4 in p for p in got)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.standard_normal(16)
+    for i in range(20):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # 100 and 101: near-identical pair
+    b = base / np.linalg.norm(base)
+    rows.append((100, [float(x) for x in b]))
+    jit = base + 0.01 * rng.standard_normal(16)
+    jit = jit / np.linalg.norm(jit)
+    rows.append((101, [float(x) for x in jit]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup_exact(vecs):
+    got = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(vecs, 0.95).collect()}
+    assert got == {(100, 101)}
+
+
+def test_embedding_neardup_lsh(vecs):
+    got = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs_lsh(vecs, 0.95, dim=16).collect()}
+    assert (100, 101) in got
