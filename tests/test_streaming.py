@@ -1,0 +1,184 @@
+"""Structured Streaming tests: file-source stream of the driver's events
+table, drained with availableNow into memory sinks, compared against the
+identical batch computation (streaming/batch parity is the correctness
+oracle here)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chromem_go_spark.collection import Collection
+from chromem_go_spark.streaming import ingest as S
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory, sf_dir):
+    # File streams want a directory of files. The driver's events table
+    # stores TIMESTAMP(NANOS), which Spark can't map to TimestampType;
+    # stage through pyarrow with a cast to microseconds, split in two so
+    # multiple micro-batches happen.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_stream")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(
+        idx, "ts", t.column("ts").cast(pa.timestamp("us"), safe=False)
+    )
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "events-000.parquet")
+    pq.write_table(t.slice(half), d / "events-001.parquet")
+    return str(d)
+
+
+@pytest.fixture()
+def events_batch(spark, events_dir):
+    return spark.read.schema(S.EVENTS_SCHEMA).parquet(events_dir)
+
+
+def _drain_to_memory(spark, df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir, events_batch):
+    stream = S.read_events_stream(spark, events_dir)
+    out = _drain_to_memory(
+        spark,
+        S.windowed_event_counts(stream),
+        "win_counts",
+        "append",
+    )
+    expected = S.windowed_event_counts(events_batch).collect()
+    got = out.collect()
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    got_set = {(key(r), r["n"], round(r["total"], 6)) for r in got}
+    exp_map = {key(r): (r["n"], round(r["total"], 6)) for r in expected}
+    # Every emitted window matches the batch result exactly.
+    assert got_set <= {(k, n, t) for k, (n, t) in exp_map.items()}
+    # Append mode holds back windows still inside the watermark horizon
+    # when the stream drains; anything older MUST have been emitted.
+    max_ts = max(r["ts"] for r in events_batch.select("ts").collect())
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=2)
+    emitted_keys = {k for k, _, _ in got_set}
+    for r in expected:
+        if r["window_end"] <= horizon:
+            assert key(r) in emitted_keys, f"window {key(r)} missing"
+
+
+def test_sessionize_stream_matches_batch(spark, events_dir, events_batch):
+    stream = S.read_events_stream(spark, events_dir)
+    out = _drain_to_memory(
+        spark,
+        S.sessionize_events(stream, gap="30 minutes"),
+        "sessions",
+        "append",
+    )
+    expected = S.sessionize_events(events_batch, gap="30 minutes").collect()
+    key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
+    got = {(key(r), r["n_events"]) for r in out.collect()}
+    exp = {(key(r), r["n_events"]) for r in expected}
+    # emitted sessions match batch exactly; trailing sessions inside the
+    # watermark horizon may be held back in state at drain time
+    assert got <= exp
+    import datetime
+
+    max_ts = max(r["ts"] for r in events_batch.select("ts").collect())
+    horizon = max_ts - datetime.timedelta(hours=2)
+    emitted = {k for k, _ in got}
+    for r in expected:
+        if r["session_end"] <= horizon:
+            assert key(r) in emitted
+
+
+def test_session_count_agrees_with_lag_formulation(spark, events_batch):
+    """session_window sessions == the lag-gap sessionization used by the
+    oracle query (same 30-min gap)."""
+    from pyspark.sql import Window
+
+    sess = (
+        S.sessionize_events(events_batch, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    lag = (
+        events_batch.select("user_id", F.col("ts").cast("double").alias("s"))
+        .withColumn("gap", F.col("s") - F.lag("s").over(w))
+        .withColumn(
+            "is_new",
+            F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"))
+    )
+    assert sorted(map(tuple, sess.collect())) == sorted(map(tuple, lag.collect()))
+
+
+def test_running_user_stats_stateful(spark, events_dir, events_batch):
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = _drain_to_memory(
+        spark,
+        S.running_user_stats(stream),
+        "user_stats",
+        "update",
+    )
+    # final state per user (last emitted row) must equal the batch totals
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    expected = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
+    exp = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in expected.collect()}
+    assert got == exp
+
+
+def test_stream_upsert_to_collection(spark, tmp_path, events_dir):
+    """Streaming ingest: events become documents, upserted per batch."""
+    stream = S.read_events_stream(spark, events_dir)
+    docs = stream.select(
+        F.concat(F.lit("ev-"), F.col("event_id").cast("string")).alias("id"),
+        F.create_map(F.lit("type"), F.col("event_type")).alias("metadata"),
+        F.array(
+            F.col("value").cast("float"),
+            F.lit(0.0).cast("float"),
+            F.lit(1.0).cast("float"),
+        ).alias("embedding"),
+        F.coalesce(F.col("props"), F.lit("")).alias("content"),
+    )
+    col = Collection(spark, "events_ingest")
+    writer = S.stream_upsert_to_collection(
+        docs, col, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    S.run_available_now(writer)
+    n_events = spark.read.schema(S.EVENTS_SCHEMA).parquet(events_dir).count()
+    assert col.count() == n_events
+    # embeddings were normalized on ingest (the invariant)
+    row = col.df.select("embedding").head()
+    import math
+
+    assert math.isclose(
+        sum(x * x for x in row[0]), 1.0, abs_tol=1e-5
+    )
