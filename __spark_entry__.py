@@ -278,8 +278,52 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH cosine near-dup (rows-only; candidates only)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = D.embedding_neardup_pairs_lsh(emb, threshold=0.45, num_planes=8, num_tables=8)
+    # 4 planes x 16 tables: collision prob for cosine>=0.45 is ~0.96
+    # (p_plane = 1 - acos(0.45)/pi = 0.65, 1-(1-0.65^4)^16), vs ~0.23
+    # for 8x8 — recall needs few planes per table at low thresholds.
+    out = D.embedding_neardup_pairs_lsh(emb, threshold=0.45, num_planes=4, num_tables=16)
     return out.select("id_a", "id_b", _r4("cosine"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing end-to-end: synthesize one fake image
+    per document (dims derived from n_chars), then decode width/height/
+    byte-size with the mapInPandas media kernel. Oracle recomputes the
+    header arithmetic in SQL."""
+    import pandas as pd
+
+    from chromem_go_spark.multimodal.ops import encode_fake_image, image_metadata
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def make(batches):
+        for pdf in batches:
+            w = (pdf["n_chars"] % 16 + 1).astype(int)
+            h = (pdf["n_chars"] // 16 % 16 + 1).astype(int)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "media_type": "image",
+                    "data": [
+                        encode_fake_image(int(a), int(b), seed=int(i))
+                        for a, b, i in zip(w, h, pdf["doc_id"])
+                    ],
+                    "source_uri": None,
+                    "doc_id": pdf["doc_id"],
+                }
+            )
+            yield out
+
+    media = docs.mapInPandas(
+        make,
+        "media_id string, media_type string, data binary, source_uri string, doc_id bigint",
+    )
+    return image_metadata(media).select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "n_bytes",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -314,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -507,5 +552,12 @@ SELECT event_type,
        ROUND(SUM(value), 2) AS total
 FROM events
 GROUP BY 1, 2
+""",
+        "multimodal_meta": """
+SELECT doc_id,
+       n_chars % 16 + 1 AS width,
+       n_chars // 16 % 16 + 1 AS height,
+       16 + (n_chars % 16 + 1) * (n_chars // 16 % 16 + 1) AS n_bytes
+FROM documents
 """,
     }

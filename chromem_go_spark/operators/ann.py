@@ -50,6 +50,32 @@ def _kmeans(sample: np.ndarray, n_clusters: int, seed: int = 42, n_iter: int = 2
     return cents
 
 
+def _assign_clusters(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment as one GEMM-argmax per Arrow batch
+    (``mapInPandas``). Rendering the centroid matrix as Catalyst literal
+    arrays (n_clusters x dim literal nodes) generates code that blows out
+    the JVM code cache and degrades the whole session; the kernel keeps
+    the plan a single node and the math one ``mat @ cents.T``."""
+    import pandas as pd
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{fields}, cluster_id int"
+    cmat = cents.T.copy()  # (dim, n_clusters)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["cluster_id"] = np.argmax(mat @ cmat, axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
 class IVFIndex:
     def __init__(self, centroids: np.ndarray, assigned: DataFrame, vec_col: str, id_col: str):
         self.centroids = centroids
@@ -74,18 +100,7 @@ class IVFIndex:
         norms = np.linalg.norm(sample, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cents = _kmeans(sample / norms, n_clusters, seed)
-        # JVM-side assignment: argmax over per-centroid dot products —
-        # a greatest() chain over codegen'd expressions, no Python per row.
-        sims = [
-            V.dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cents[c]]))
-            for c in range(cents.shape[0])
-        ]
-        best = F.lit(0)
-        best_sim = sims[0]
-        for c in range(1, len(sims)):
-            best = F.when(sims[c] > best_sim, F.lit(c)).otherwise(best)
-            best_sim = F.greatest(best_sim, sims[c])
-        assigned = df.withColumn("cluster_id", best)
+        assigned = _assign_clusters(df, cents, vec_col)
         return cls(cents, assigned, vec_col, id_col)
 
     def save(self, path: str) -> None:

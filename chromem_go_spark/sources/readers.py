@@ -1,0 +1,108 @@
+"""Document sources: load external data into the collection schema.
+
+The reference's examples ingest JSONL (optionally gzipped) — e.g.
+reference examples/rag-wikipedia-ollama/main.go:63-95 reads a .jsonl.gz
+of {text, category}; examples/semantic-search-arxiv-openai/main.go:43-75
+reads arXiv JSON. Spark's readers handle JSONL/CSV/Parquet (and their
+compressed forms) natively with predicate pushdown and schema pruning;
+these helpers only map arbitrary source columns onto the fixed document
+schema (id, metadata map, embedding, content — SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..document import DOCUMENT_SCHEMA
+
+
+def to_document_df(
+    df: DataFrame,
+    id_col: str | None = None,
+    content_col: str = "text",
+    metadata_cols: Sequence[str] | None = None,
+    embedding_col: str | None = None,
+) -> DataFrame:
+    """Project any DataFrame onto the document schema.
+
+    - ``id_col=None`` derives a stable id from the content hash (md5) —
+      re-ingesting identical rows upserts instead of duplicating.
+    - ``metadata_cols`` become entries of the string->string map column.
+    - ``embedding_col=None`` leaves embeddings empty (ingest computes
+      them via the collection's embedding func / pandas UDF).
+    """
+    id_expr = (
+        F.col(id_col).cast("string")
+        if id_col
+        else F.md5(F.coalesce(F.col(content_col).cast("string"), F.lit("")))
+    )
+    meta_cols = list(metadata_cols or [])
+    if meta_cols:
+        pairs = []
+        for c in meta_cols:
+            pairs.append(F.lit(c))
+            pairs.append(F.col(c).cast("string"))
+        meta_expr = F.create_map(*pairs)
+    else:
+        meta_expr = F.create_map().cast("map<string,string>")
+    emb_expr = (
+        F.col(embedding_col).cast("array<float>")
+        if embedding_col
+        else F.array().cast("array<float>")
+    )
+    return df.select(
+        id_expr.alias("id"),
+        meta_expr.alias("metadata"),
+        emb_expr.alias("embedding"),
+        F.coalesce(F.col(content_col).cast("string"), F.lit("")).alias("content"),
+    )
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    id_col: str | None = None,
+    content_col: str = "text",
+    metadata_cols: Sequence[str] | None = None,
+    embedding_col: str | None = None,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-lines (plain or .gz — Spark decompresses by extension)."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return to_document_df(
+        reader.json(path), id_col, content_col, metadata_cols, embedding_col
+    )
+
+
+def read_documents_csv(
+    spark: SparkSession,
+    path: str,
+    id_col: str | None = None,
+    content_col: str = "text",
+    metadata_cols: Sequence[str] | None = None,
+    header: bool = True,
+) -> DataFrame:
+    return to_document_df(
+        spark.read.option("header", str(header).lower()).csv(path),
+        id_col,
+        content_col,
+        metadata_cols,
+    )
+
+
+def read_documents_parquet(
+    spark: SparkSession,
+    path: str,
+    id_col: str | None = None,
+    content_col: str = "text",
+    metadata_cols: Sequence[str] | None = None,
+    embedding_col: str | None = None,
+) -> DataFrame:
+    return to_document_df(
+        spark.read.parquet(path), id_col, content_col, metadata_cols, embedding_col
+    )

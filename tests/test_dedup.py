@@ -79,3 +79,48 @@ def test_embedding_neardup_exact(vecs):
 def test_embedding_neardup_lsh(vecs):
     got = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs_lsh(vecs, 0.95, dim=16).collect()}
     assert (100, 101) in got
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark):
+    """PPJoin-style prefix filtering must be EXACT — verified against a
+    per-pair brute-force Jaccard, including asymmetric doc sizes (the
+    case where a wrong suffix bound silently drops true pairs)."""
+    import itertools
+    import random
+
+    from chromem_go_spark.operators import dedup as D
+
+    rnd = random.Random(7)
+    words = [f"w{i:03d}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        # sizes vary 6..60 words; heavy shared vocabulary -> many
+        # mid-similarity pairs around the threshold
+        n = rnd.choice([6, 10, 20, 40, 60])
+        docs.append((i, " ".join(rnd.choice(words) for _ in range(n))))
+    # plus exact containment pairs (subset-of relationships, the
+    # asymmetric-size stress case)
+    base = " ".join(rnd.choice(words) for _ in range(24))
+    docs.append((100, base))
+    docs.append((101, base + " " + " ".join(rnd.choice(words) for _ in range(24))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(t, k=5):
+        t = " ".join(t.lower().split())
+        return {t[i : i + k] for i in range(len(t) - k + 1)} if len(t) >= k else set()
+
+    sh = {i: shingles(t) for i, t in docs}
+    for thr in (0.3, 0.5, 0.8):
+        expected = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            A, B = sh[ia], sh[ib]
+            if not A or not B:
+                continue
+            j = len(A & B) / len(A | B)
+            if j >= thr:
+                expected.add((min(ia, ib), max(ia, ib), round(j, 6)))
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in D.ngram_jaccard_pairs(df, threshold=thr, k=5).collect()
+        }
+        assert got == expected, f"threshold {thr}: {got ^ expected}"

@@ -1,0 +1,142 @@
+"""Multimodal plumbing tests (fake codec, real Spark mechanics) and
+document-source readers."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chromem_go_spark.multimodal import ops as M
+from chromem_go_spark.sources import readers as R
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("img-1", "image", M.encode_fake_image(8, 6, seed=1), "s3://x/1"),
+        ("img-2", "image", M.encode_fake_image(16, 16, seed=2), "s3://x/2"),
+        ("img-3", "image", M.encode_fake_image(4, 4, seed=3), None),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_image_metadata(media_df):
+    out = {r["media_id"]: r for r in M.image_metadata(media_df).collect()}
+    assert out["img-1"]["width"] == 8 and out["img-1"]["height"] == 6
+    assert out["img-2"]["width"] == 16
+    assert out["img-1"]["format"] == "fakeimg"
+    assert out["img-1"]["n_bytes"] == 16 + 8 * 6
+    # passthrough columns intact
+    assert out["img-2"]["source_uri"] == "s3://x/2"
+
+
+def test_resize_images(media_df):
+    resized = M.resize_images(media_df, 4, 3)
+    meta = {r["media_id"]: r for r in M.image_metadata(resized).collect()}
+    assert all(m["width"] == 4 and m["height"] == 3 for m in meta.values())
+    # deterministic: same input -> same bytes
+    again = {
+        r["media_id"]: bytes(r["data"])
+        for r in M.resize_images(media_df, 4, 3).collect()
+    }
+    first = {r["media_id"]: bytes(r["data"]) for r in resized.collect()}
+    assert again == first
+
+
+def test_video_frame_sampling(spark):
+    frames = [M.encode_fake_image(4, 4, seed=i) for i in range(7)]
+    vid = spark.createDataFrame(
+        [("vid-1", "video", M.encode_fake_video(frames), None)], M.MEDIA_SCHEMA
+    )
+    out = M.sample_video_frames(vid, every_n=3).collect()
+    assert [r["frame_idx"] for r in out] == [0, 3, 6]
+    assert bytes(out[1]["frame"]) == frames[3]
+
+
+def test_image_features_feed_knn(spark, media_df):
+    """Features are normalized array<float> — directly usable by the kNN
+    engine (media similarity search via the vector path)."""
+    from chromem_go_spark.operators import knn as K
+
+    feats = M.image_features(media_df, dim=32)
+    row = feats.collect()[0]
+    assert len(row["embedding"]) == 32
+    assert math.isclose(
+        sum(x * x for x in row["embedding"]), 1.0, rel_tol=1e-5
+    )
+    q = [float(x) for x in row["embedding"]]
+    top = K.knn_single(feats, q, 1, vec_col="embedding", id_col="media_id").collect()
+    assert top[0]["media_id"] == row["media_id"]
+    assert top[0]["similarity"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_real_format_raises_stub_error(spark):
+    df = spark.createDataFrame(
+        [("bad", "image", b"\x89PNG\r\n\x1a\nxxxx", None)], M.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="STUB: real image decoding"):
+        M.resize_images(df, 2, 2).collect()
+
+
+# ---------------------------------------------------------------- sources
+
+
+def test_read_documents_jsonl_gz(spark, tmp_path):
+    """Gzipped JSONL like the reference's wikipedia example
+    (examples/rag-wikipedia-ollama/main.go:63-95)."""
+    p = tmp_path / "docs.jsonl.gz"
+    rows = [
+        {"text": "the first doc", "category": "a", "rank": 1},
+        {"text": "the second doc", "category": "b", "rank": 2},
+    ]
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    df = R.read_documents_jsonl(
+        spark, str(p), content_col="text", metadata_cols=["category", "rank"]
+    )
+    got = {r["content"]: r for r in df.collect()}
+    assert set(got) == {"the first doc", "the second doc"}
+    assert got["the first doc"]["metadata"] == {"category": "a", "rank": "1"}
+    # derived id is the content md5 (stable re-ingest)
+    import hashlib
+
+    assert got["the first doc"]["id"] == hashlib.md5(b"the first doc").hexdigest()
+    assert df.schema.fieldNames() == ["id", "metadata", "embedding", "content"]
+
+
+def test_read_documents_csv(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text("doc_id,text,lang\n1,hello,en\n2,welt,de\n")
+    df = R.read_documents_csv(
+        spark, str(p), id_col="doc_id", content_col="text", metadata_cols=["lang"]
+    )
+    got = {r["id"]: r for r in df.collect()}
+    assert got["1"]["content"] == "hello"
+    assert got["2"]["metadata"] == {"lang": "de"}
+
+
+def test_to_document_df_ingests_into_collection(spark, tmp_path):
+    """Full path: external parquet -> document df -> collection upsert ->
+    query."""
+    from chromem_go_spark.collection import Collection
+
+    src = spark.createDataFrame(
+        [(1, "spark engines", 0.1), (2, "vector search", 0.9)],
+        "doc_id long, body string, score double",
+    )
+    docs = R.to_document_df(
+        src, id_col="doc_id", content_col="body", metadata_cols=["score"]
+    ).withColumn(
+        "embedding",
+        F.array(F.lit(0.6).cast("float"), F.lit(0.8).cast("float")),
+    )
+    c = Collection(spark, "ingested")
+    c.add_df(docs)
+    assert c.count() == 2
+    res = c.query_embedding([0.6, 0.8], 1).collect()
+    assert res[0]["similarity"] == pytest.approx(1.0, abs=1e-5)

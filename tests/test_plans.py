@@ -1,0 +1,78 @@
+"""Plan-quality gates: the optimizations SURVEY §4 promises must be
+visible in the physical plan, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chromem_go_spark.operators import knn as K
+from chromem_go_spark.plans import explain as X
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_knn_single_compiles_to_take_ordered(emb):
+    df = K.knn_single(emb, [0.1] * 256, 10, vec_col="embedding", id_col="vec_id")
+    flags = X.plan_flags(df)
+    # orderBy(desc).limit(k) must become per-partition-heap + merge,
+    # not a full sort (reference's bounded heap, query.go:16-83).
+    assert flags["has_take_ordered"]
+
+
+def test_metadata_filter_pushed_to_scan(emb):
+    df = K.knn_single(
+        emb.filter(F.col("label") == 1), [0.1] * 256, 5,
+        vec_col="embedding", id_col="vec_id",
+    )
+    # pre-filter must reach the Parquet reader (row-group skipping),
+    # below the similarity projection.
+    X.assert_filter_pushed(df, "label")
+
+
+def test_projection_prunes_scan_columns(docs):
+    df = docs.filter(F.col("lang") == "en").select("doc_id")
+    # 2 columns read (doc_id + lang), not all 5.
+    X.assert_schema_pruned(df, 2, "documents")
+
+
+def test_batch_knn_broadcasts_queries(emb):
+    queries = emb.limit(4).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    df = K.knn_expr(emb, queries, 3, vec_col="embedding", id_col="vec_id")
+    flags = X.plan_flags(df)
+    # the queries side must broadcast: no shuffle of the big docs side
+    # for the join itself (the only hash shuffle is the per-query top-k
+    # window).
+    assert flags["has_broadcast_join"]
+    assert not flags["has_sort_merge_join"]
+
+
+def test_knn_block_shuffles_only_topk_rows(emb):
+    df = K.knn_block(
+        emb, ["q0"], [[0.1] * 256], 5, vec_col="embedding", id_col="vec_id"
+    )
+    flags = X.plan_flags(df)
+    # one MapInPandas node; the post-kernel shuffle input is the
+    # partial top-k rows only (partitions x queries x k), not the corpus.
+    assert flags["has_python_eval"]
+    assert flags["n_shuffles"] <= 1
+
+
+def test_where_filters_stay_jvm_side(docs):
+    df = docs.filter(
+        (F.col("lang") == "en") & F.col("text").contains("spark")
+    )
+    flags = X.plan_flags(df.select("doc_id"))
+    assert flags["has_whole_stage_codegen"]
+    assert not flags["has_python_eval"]
