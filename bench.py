@@ -58,6 +58,31 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
+    # --- reference-comparable throughput (BASELINE.md harness shape) ---
+    # chromem-go: 100k docs x d=1536, k=10, one query in ~40 ms
+    # (README.md:278) => ~2.5M doc-scores/sec. Spark is a batch engine,
+    # so the comparable number is batch scoring throughput on the SAME
+    # corpus shape: 64 queries x 100k docs via the block-matrix kernel.
+    n_docs, dim, n_q, k = 100_000, 1536, 64, 10
+    corpus = _synth_corpus(spark, n_docs, dim).localCheckpoint(eager=True)
+    qvecs = [r["embedding"] for r in corpus.limit(n_q).collect()]
+    from chromem_go_spark.operators import knn as K
+
+    t0 = time.time()
+    nres = K.knn_block(
+        corpus, [str(i) for i in range(n_q)], qvecs, k,
+        vec_col="embedding", id_col="id",
+    ).count()
+    knn_wall = time.time() - t0
+    assert nres == n_q * k, nres
+    scores_per_sec = int(n_q * n_docs / knn_wall)
+    print(
+        f"# knn_100k_1536: {n_q} queries x {n_docs} docs in {knn_wall:.2f}s "
+        f"= {scores_per_sec:,} doc-scores/sec (reference single-query rate: "
+        f"~2.5M/sec)",
+        file=sys.stderr,
+    )
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -67,8 +92,40 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "knn_batch_100k_1536": {
+                    "n_docs": n_docs,
+                    "dim": dim,
+                    "n_queries": n_q,
+                    "k": k,
+                    "wall_sec": round(knn_wall, 3),
+                    "doc_scores_per_sec": scores_per_sec,
+                    "baseline_doc_scores_per_sec": 2_500_000,
+                },
             }
         )
+    )
+
+
+def _synth_corpus(spark, n_docs: int, dim: int, seed: int = 42):
+    """Deterministic synthetic corpus matching the reference benchmark
+    (seeded rand, d=1536, normalized vectors — reference
+    collection_test.go:665-674), generated distributed."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(seed + int(ids[0]))
+            mat = rng.standard_normal((len(ids), dim))
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"id": ids, "embedding": list(mat.astype(np.float32))}
+            )
+
+    return (
+        spark.range(n_docs, numPartitions=32)
+        .mapInPandas(gen, "id long, embedding array<float>")
     )
 
 

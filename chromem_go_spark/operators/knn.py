@@ -161,13 +161,27 @@ def knn_block(
     id_field = docs.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id_col} string, {id_col} {id_field}, {sim_col} double"
     kk = int(k)
+    qid_strs = [str(q) for q in qids]
 
-    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def score_batches(batches):
+        # mapInArrow: the embedding column's Arrow buffer is reshaped
+        # zero-copy into the (n, dim) matrix — no per-row vstack (which
+        # dominated wall time: ~6x slower end-to-end via pandas).
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            ids = pdf[id_col].to_numpy()
+            col = rb.column(1)
+            flat = col.flatten()
+            if flat.null_count == 0 and col.null_count == 0:
+                mat = flat.to_numpy(zero_copy_only=False).reshape(n, -1).astype(
+                    np.float64, copy=False
+                )
+            else:
+                mat = np.vstack(col.to_pylist()).astype(np.float64)
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
             if neg is not None:
                 keep = mat @ neg <= negative_threshold
                 if not keep.any():
@@ -181,21 +195,19 @@ def knn_block(
                 part = np.argpartition(-sims, take - 1, axis=0)[:take]
             else:
                 part = np.tile(np.arange(n)[:, None], (1, sims.shape[1]))
-            frames = []
-            for j, qid in enumerate(qids):
-                rows = part[:, j]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id_col: str(qid),
-                            id_col: ids[rows],
-                            sim_col: sims[rows, j],
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
+            nq = len(qid_strs)
+            out_qid = np.repeat(np.arange(nq), take)
+            rows = part.T.ravel()  # query-major
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([qid_strs[j] for j in out_qid], type=pa.string()),
+                    pa.array(ids[rows]),
+                    pa.array(sims[rows, out_qid], type=pa.float64()),
+                ],
+                names=[query_id_col, id_col, sim_col],
+            )
 
-    partial = docs.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)
+    partial = docs.select(id_col, vec_col).mapInArrow(score_batches, schema=out_schema)
     return topk_per_query(partial, kk, query_id_col, id_col, sim_col)
 
 
