@@ -260,6 +260,24 @@ def q_events_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (the same operator the
+    streaming path uses), batch-mode so the oracle can replay it: a new
+    session starts when the gap since the previous event is >= 30 min
+    (session windows are half-open intervals)."""
+    from chromem_go_spark.streaming.ingest import sessionize_events
+
+    ev = _events(spark, sf_dir)
+    out = sessionize_events(ev, gap="30 minutes", watermark=None)
+    return out.select(
+        "user_id",
+        F.floor(F.col("session_start").cast("double")).cast("bigint").alias(
+            "session_start_epoch"
+        ),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (scale path; LSH-candidates verified by
     exact Jaccard). Rows-only check: banding internals aren't ANSI SQL."""
@@ -354,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "events_sessionize": q_events_sessionize,
+        "events_session_window": q_events_session_window,
         "events_window_hourly": q_events_window_hourly,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -544,6 +563,25 @@ SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
     FROM (SELECT user_id, epoch(ts) AS s FROM events)
   )
 ) GROUP BY user_id
+""",
+        "events_session_window": """
+WITH g AS (
+  SELECT user_id, epoch(ts) AS s,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+                   OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+se AS (
+  SELECT user_id, s,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id,
+       CAST(floor(MIN(s)) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS n_events
+FROM se GROUP BY user_id, sess
 """,
         "events_window_hourly": """
 SELECT event_type,

@@ -226,15 +226,28 @@ class Collection:
         n_results: int,
         where=None,
         where_document=None,
+        negative_text: str | None = None,
+        negative_mode: str | None = None,
+        negative_filter_threshold: float = knn_ops.DEFAULT_NEGATIVE_FILTER_THRESHOLD,
     ) -> DataFrame:
         """Text entry point (reference collection.go:418-429): embed the
-        query text, then vector search."""
+        query text (and the negative text, if any — reference
+        QueryWithOptions collection.go:434-480), then vector search."""
         if not query_text:
             raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
         if self.embedding_func is None:
             raise ValueError("no embedding function configured")
         qv = self.embedding_func(query_text)
-        return self.query_embedding(qv, n_results, where, where_document)
+        neg = self.embedding_func(negative_text) if negative_text else None
+        return self.query_embedding(
+            qv,
+            n_results,
+            where,
+            where_document,
+            negative_embedding=neg,
+            negative_mode=negative_mode,
+            negative_filter_threshold=negative_filter_threshold,
+        )
 
     def query_embedding(
         self,
