@@ -165,12 +165,30 @@ class Collection:
             )
         self.add_documents(docs)
 
-    def add_df(self, df: DataFrame, normalize: bool = True) -> None:
+    def add_df(self, df: DataFrame, normalize: bool = True, embedder=None) -> None:
         """DataFrame-native bulk upsert — the path a 100 TB ingest uses
-        (no driver-side rows)."""
+        (no driver-side rows).
+
+        ``embedder`` (an ``embeddings.providers.Embedder``) fills missing
+        embeddings with its batched Arrow UDF: rows whose embedding is
+        null/empty get embedded from ``content`` in provider-batched API
+        calls on the executors (the scaled-up version of the reference's
+        per-document embed call, collection.go:266-271; concurrency is
+        bounded by running tasks like the reference's semaphore,
+        collection.go:203-242)."""
         cols = df
+        if embedder is not None:
+            # split-union, NOT when(): a when() branch would still run
+            # the UDF (and its API calls) over every row.
+            udf = embedder.pandas_udf_factory()
+            need = F.col("embedding").isNull() | (F.size("embedding") == 0)
+            cols = df.filter(~F.coalesce(need, F.lit(True))).unionByName(
+                df.filter(F.coalesce(need, F.lit(True))).withColumn(
+                    "embedding", udf(F.col("content"))
+                )
+            )
         if normalize:
-            cols = df.withColumn(
+            cols = cols.withColumn(
                 "embedding", V.normalize_if_needed("embedding").cast("array<float>")
             )
         new = cols.select(*DOCUMENT_SCHEMA.fieldNames()).withColumn("__src", F.lit(1))

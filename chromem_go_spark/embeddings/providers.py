@@ -156,18 +156,9 @@ class Embedder:
         Iterator-of-series form so per-executor setup (autodetect) runs
         once per task, not once per batch.
         """
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
+        from ._udf import make_embed_series_udf
 
-        emb = self
-
-        @pandas_udf("array<float>")
-        def embed_series(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            for s in it:
-                vecs = emb.embed_batch(s.fillna("").tolist())
-                yield pd.Series(vecs)
-
-        return embed_series
+        return make_embed_series_udf(self)
 
 
 @dataclass

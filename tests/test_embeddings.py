@@ -251,3 +251,42 @@ def test_embedder_is_picklable():
     emb = P.new_embedding_func_openai_compat("http://x", "k", "m", None)
     emb2 = pickle.loads(pickle.dumps(emb))
     assert emb2.base_url == "http://x"
+
+
+def test_pandas_udf_ingest_fills_missing_embeddings(spark, mock_server):
+    """DataFrame-scale ingest: rows without embeddings get filled by the
+    provider's batched Arrow UDF (executors call the mock server);
+    pre-embedded rows are left untouched and never hit the API."""
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.collection import Collection
+    from chromem_go_spark.document import DOCUMENT_SCHEMA
+
+    def respond(req):
+        texts = req["body"]["input"]
+        # deterministic per-text vector: [len, 1, 0] (normalized later)
+        return 200, {
+            "data": [
+                {"index": i, "embedding": [float(len(t)), 1.0, 0.0]}
+                for i, t in enumerate(texts)
+            ]
+        }
+
+    base, state = mock_server(respond)
+    emb = P.new_embedding_func_openai_compat(base, "k", "m", False)
+
+    rows = [
+        ("pre", {"s": "y"}, [0.0, 0.0, 1.0], "already embedded"),
+        ("a", {}, [], "xx"),
+        ("b", {}, [], "xxxx"),
+    ]
+    df = spark.createDataFrame(rows, DOCUMENT_SCHEMA)
+    c = Collection(spark, "udf_ingest")
+    c.add_df(df, embedder=emb)
+    got = {r["id"]: list(r["embedding"]) for r in c.df.collect()}
+    assert got["pre"] == pytest.approx([0.0, 0.0, 1.0])
+    # [2,1,0] and [4,1,0] normalized
+    assert got["a"] == pytest.approx([0.894427, 0.447214, 0.0], abs=1e-5)
+    assert got["b"] == pytest.approx([0.970143, 0.242536, 0.0], abs=1e-5)
+    sent = [t for r in state.requests for t in r["body"]["input"]]
+    assert sorted(sent) == ["xx", "xxxx"]  # pre-embedded row never sent
