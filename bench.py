@@ -43,7 +43,9 @@ def main() -> None:
         "text_stats",
         "lang_id",
         "events_sessionize",
+        "events_session_window",
         "events_window_hourly",
+        "multimodal_meta",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying startup.

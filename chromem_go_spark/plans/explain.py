@@ -43,7 +43,8 @@ def plan_flags(df: DataFrame) -> dict:
         "has_whole_stage_codegen": "WholeStageCodegen" in plan
         or "codegen id" in plan,
         "has_python_eval": "ArrowEvalPython" in plan or "BatchEvalPython" in plan
-        or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan,
+        or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+        or "MapInArrow" in plan or "PythonMapInArrow" in plan,
         "scans": scan_info(df),
     }
 
