@@ -303,6 +303,77 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r4("cosine"))
 
 
+def q_knn_batch_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN via the pure-Catalyst path (broadcast cross join +
+    codegen dot + window top-k) — the alternate physical strategy to the
+    knn_batch GEMM kernel; identical semantics and oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        V.normalize_if_needed("embedding").alias("query_vec"),
+    )
+    out = K.knn_expr(emb, queries, 5, vec_col="embedding", id_col="vec_id")
+    return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection: keep documents whose quality score
+    clears 0.5 (the filter stage of an LLM data pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(T.quality_score("text") >= 0.5).select(
+        "doc_id", F.round(T.quality_score("text"), 4).alias("quality")
+    )
+
+
+def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total event value: groupBy agg (map-side partial)
+    + TakeOrderedAndProject."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .orderBy(F.desc("total"), F.col("user_id"))
+        .limit(10)
+    )
+
+
+def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: orders x customer (broadcast dim) rolled up to
+    market segment — the general-analytics shape on the TPC-H tables."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.py): events fact x per-type
+    dim; row-identical to the plain join the oracle runs."""
+    from chromem_go_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("signup", 5.0),
+         ("share", 2.0), ("like", 0.5), ("comment", 1.5), ("logout", 0.0),
+         ("login", 0.2), ("search", 0.3)],
+        "event_type string, weight double",
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
+        )
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing end-to-end: synthesize one fake image
     per document (dims derived from n_chars), then decode width/height/
@@ -378,6 +449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_meta": q_multimodal_meta,
+        "knn_batch_expr": q_knn_batch_expr,
+        "quality_filter": q_quality_filter,
+        "events_topk_users": q_events_topk_users,
+        "orders_by_segment": q_orders_by_segment,
+        "salted_join_events": q_salted_join_events,
     }
 
 
@@ -590,6 +666,60 @@ SELECT event_type,
        ROUND(SUM(value), 2) AS total
 FROM events
 GROUP BY 1, 2
+""",
+        "knn_batch_expr": f"""
+WITH qs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id,
+         list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id < 8
+)
+SELECT query_id, vec_id, sim FROM (
+  SELECT qs.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], qs.v), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY qs.query_id
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], qs.v) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e, qs
+) WHERE rn <= 5
+""",
+        "quality_filter": """
+WITH q AS (
+  SELECT doc_id,
+         GREATEST(0.0, LEAST(1.0,
+           (CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END)
+           * (CASE WHEN
+                (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                      ELSE length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0
+                           / len(string_split_regex(trim(text), '\\s+')) END) BETWEEN 3 AND 10
+              THEN 1.0 ELSE 0.5 END)
+           - (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0 / length(text) END)
+         )) AS quality
+  FROM documents
+)
+SELECT doc_id, ROUND(quality, 4) AS quality FROM q WHERE quality >= 0.5
+""",
+        "events_topk_users": """
+SELECT user_id, total FROM (
+  SELECT user_id, ROUND(SUM(value), 2) AS total FROM events GROUP BY user_id
+) ORDER BY total DESC, user_id LIMIT 10
+""",
+        "orders_by_segment": """
+SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "salted_join_events": """
+WITH dim AS (
+  SELECT * FROM (VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0),
+    ('signup', 5.0), ('share', 2.0), ('like', 0.5), ('comment', 1.5),
+    ('logout', 0.0), ('login', 0.2), ('search', 0.3)) AS t(event_type, weight)
+)
+SELECT e.event_type, COUNT(*) AS n, ROUND(SUM(e.value * d.weight), 2) AS weighted
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
 """,
         "multimodal_meta": """
 SELECT doc_id,
