@@ -210,6 +210,40 @@ def sample_video_frames(
     return df.select(id_col, data_col).mapInPandas(gen, out_schema)
 
 
+def audio_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Decode fake-audio headers: sample_rate, n_samples, duration_s.
+    Real audio formats would need soundfile/librosa (absent here) — the
+    kernel shape is what a real decoder plugs into."""
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, sample_rate int, n_samples bigint, duration_s double"
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sr_l, ns_l, dur_l = [], [], []
+            for blob in pdf[data_col]:
+                b = bytes(blob)
+                if b[:8] != _AUD_MAGIC:
+                    raise NotImplementedError(
+                        "STUB: real audio decoding needs soundfile/librosa, "
+                        "absent in this container; only FAKEAUD decodes"
+                    )
+                sr, ns = struct.unpack(">II", b[8:16])
+                sr_l.append(sr)
+                ns_l.append(ns)
+                dur_l.append(ns / sr if sr else 0.0)
+            out = pdf.copy()
+            out["sample_rate"] = sr_l
+            out["n_samples"] = ns_l
+            out["duration_s"] = dur_l
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def image_features(
     df: DataFrame, dim: int = 64, data_col: str = "data", id_col: str = "media_id"
 ) -> DataFrame:

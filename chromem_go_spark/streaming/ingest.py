@@ -149,6 +149,24 @@ def running_user_stats(events: DataFrame, timeout: str = "NoTimeout") -> DataFra
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event id
+    within the watermark horizon (``dropDuplicates`` keeps per-key state;
+    the watermark bounds it — without one, state grows forever). Batch
+    DataFrames pass through the same dropDuplicates semantics."""
+    keys = key_cols or ["event_id"]
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+        return src.dropDuplicatesWithinWatermark(keys)
+    return src.dropDuplicates(keys)
+
+
 def stream_upsert_to_collection(
     stream_df: DataFrame,
     collection,

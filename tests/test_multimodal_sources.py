@@ -140,3 +140,16 @@ def test_to_document_df_ingests_into_collection(spark, tmp_path):
     assert c.count() == 2
     res = c.query_embedding([0.6, 0.8], 1).collect()
     assert res[0]["similarity"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_audio_metadata(spark):
+    rows = [
+        ("au-1", "audio", M.encode_fake_audio(16000, 48000, seed=1), None),
+        ("au-2", "audio", M.encode_fake_audio(8000, 4000, seed=2), None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in M.audio_metadata(df).collect()}
+    assert got["au-1"]["sample_rate"] == 16000
+    assert got["au-1"]["duration_s"] == pytest.approx(3.0)
+    assert got["au-2"]["n_samples"] == 4000
+    assert got["au-2"]["duration_s"] == pytest.approx(0.5)

@@ -182,3 +182,25 @@ def test_stream_upsert_to_collection(spark, tmp_path, events_dir):
     assert math.isclose(
         sum(x * x for x in row[0]), 1.0, abs_tol=1e-5
     )
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path, sf_dir):
+    """dropDuplicatesWithinWatermark: duplicated event_ids across files
+    collapse to one row each."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(idx, "ts", t.column("ts").cast(pa.timestamp("us"), safe=False))
+    sl = t.slice(0, 200)
+    pq.write_table(sl, d / "a.parquet")
+    pq.write_table(sl.slice(0, 120), d / "b.parquet")  # redelivery of 120 rows
+    stream = S.read_events_stream(spark, str(d))
+    deduped = S.dedup_events_stream(stream)
+    out = _drain_to_memory(spark, deduped, "dedup_stream", "append")
+    ids = [r["event_id"] for r in out.collect()]
+    assert len(ids) == 200
+    assert len(set(ids)) == 200
