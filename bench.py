@@ -45,7 +45,12 @@ def main() -> None:
         "events_sessionize",
         "events_session_window",
         "events_window_hourly",
+        "events_topk_users",
         "multimodal_meta",
+        "knn_batch_expr",
+        "quality_filter",
+        "orders_by_segment",
+        "salted_join_events",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying startup.

@@ -308,6 +308,38 @@ class Collection:
             )
         return knn_ops.knn_single(filtered, qv, n_results)
 
+    def query_batch(
+        self,
+        query_texts: Sequence[str] | None = None,
+        query_embeddings: Sequence[Sequence[float]] | None = None,
+        n_results: int = 10,
+        where=None,
+        where_document=None,
+    ) -> DataFrame:
+        """Batch query — the shape the reference cannot express (it runs
+        ONE query vector at a time, SURVEY §2.4 note): all queries are
+        scored against the corpus in one pass via the block-matrix
+        kernel; result has a ``query_id`` column (the query's index as a
+        string). Texts are embedded with the bound embedding func."""
+        if query_embeddings is None:
+            if not query_texts:
+                raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
+            if self.embedding_func is None:
+                raise ValueError("no embedding function configured")
+            query_embeddings = [self.embedding_func(t) for t in query_texts]
+        if len(query_embeddings) == 0:
+            raise ValueError(E.ERR_QUERY_EMBEDDING_EMPTY)
+        if n_results <= 0:
+            raise ValueError(E.ERR_NRESULTS_POSITIVE)
+        validate_where_document(where_document)
+        filtered = self.df.filter(combined_predicate(where, where_document))
+        return knn_ops.knn_block(
+            filtered,
+            [str(i) for i in range(len(query_embeddings))],
+            [[float(x) for x in q] for q in query_embeddings],
+            int(n_results),
+        )
+
 
 def _rmtree(path: str) -> None:
     import shutil

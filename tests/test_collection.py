@@ -153,3 +153,29 @@ def test_export_import(spark, tmp_path, db):
     assert got.get_by_id("2").metadata == {"language": "de"}
     with pytest.raises(NotImplementedError):
         db.export_to_file(str(tmp_path / "e2.tar"), encryption_key="0123456789abcdef0123456789abcdef")
+
+
+def test_query_batch(db):
+    c = db.create_collection("batch", embedding_func=make_hash_embedding_func(16))
+    c.add_documents(
+        [
+            Document(str(i), {"lang": "en" if i % 2 == 0 else "de"}, [], f"document number {i}")
+            for i in range(12)
+        ]
+    )
+    res = c.query_batch(
+        query_texts=["document number 3", "document number 8"], n_results=2
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    assert set(by_q) == {"0", "1"}
+    # each query's own document is its top hit (hash embeddings are
+    # deterministic per text)
+    assert by_q["0"][0] == "3"
+    assert by_q["1"][0] == "8"
+    # filters apply below the batch scoring
+    only_en = c.query_batch(
+        query_texts=["document number 3"], n_results=2, where={"lang": "en"}
+    ).collect()
+    assert all(int(r["id"]) % 2 == 0 for r in only_en)
