@@ -303,6 +303,14 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r4("cosine"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact Jaccard pairs -> connected components
+    (iterative min-label propagation) -> cluster representative per doc.
+    Oracle replays it with a recursive reachability CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, threshold=0.5)
+
+
 def q_knn_batch_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN via the pure-Catalyst path (broadcast cross join +
     codegen dot + window top-k) — the alternate physical strategy to the
@@ -449,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_meta": q_multimodal_meta,
+        "dedup_clusters": q_dedup_clusters,
         "knn_batch_expr": q_knn_batch_expr,
         "quality_filter": q_quality_filter,
         "events_topk_users": q_events_topk_users,
@@ -666,6 +675,37 @@ SELECT event_type,
        ROUND(SUM(value), 2) AS total
 FROM events
 GROUP BY 1, 2
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE sh AS ({_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """,
         "knn_batch_expr": f"""
 WITH qs AS (

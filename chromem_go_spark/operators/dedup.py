@@ -280,6 +280,88 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Returns (node, component) where component is the minimum node id
+    reachable from ``node``. Each iteration: every node takes the min
+    label among itself and its neighbors; terminates when no label
+    changes (near-dup clusters have small diameters, so convergence is
+    fast — iterations ~ graph diameter). Per iteration: one join + one
+    groupBy, lineage cut with localCheckpoint so the plan stays flat.
+
+    This is the clustering step a dedup pipeline runs on top of the
+    pair-finding operators: pairs -> clusters -> one representative.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(int(max_iter)):
+        neighbor_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Cluster near-duplicate documents: exact n-gram Jaccard pairs ->
+    connected components -> every doc mapped to its cluster
+    representative (min id; docs with no near-dup represent themselves).
+    The keep-one-per-cluster selection is then ``cluster_rep == id``."""
+    pairs = ngram_jaccard_pairs(df, threshold, text_col, id_col, k)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        df.select(id_col)
+        .join(comp, df[id_col] == comp.node, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

@@ -124,3 +124,37 @@ def test_ngram_jaccard_exact_vs_bruteforce(spark):
             for r in D.ngram_jaccard_pairs(df, threshold=thr, k=5).collect()
         }
         assert got == expected, f"threshold {thr}: {got ^ expected}"
+
+
+def test_connected_components_crafted_graph(spark):
+    """Chain, triangle, isolated pair — min-label propagation must find
+    the exact components (chain diameter forces multiple iterations)."""
+    from chromem_go_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dedup_clusters_representatives(spark):
+    """Exact duplicates + a unique doc: dups share the min-id rep, the
+    unique doc represents itself."""
+    from chromem_go_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (5, base + " extra tail"), (9, "完全 another unrelated text entirely different")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(df, threshold=0.5).collect()}
+    assert got[1] == 1 and got[2] == 1
+    assert got[5] == 1  # high-overlap near-dup joins the cluster
+    assert got[9] == 9
