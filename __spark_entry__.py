@@ -311,6 +311,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs, threshold=0.5)
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate -> language
+    gate -> near-dup cluster representatives only -> per-language token
+    accounting. One declarative plan; Catalyst fuses the filters below
+    the joins."""
+    docs = _t(spark, sf_dir, "documents")
+    reps = D.dedup_clusters(docs, threshold=0.5)
+    survivors = (
+        docs.join(reps, "doc_id")
+        .filter(F.col("cluster_rep") == F.col("doc_id"))
+        .filter(T.quality_score("text") >= 0.3)
+        .filter(T.lang_id("text").isin("en", "de", "fr", "es"))
+    )
+    return survivors.groupBy(T.lang_id("text").alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
+    )
+
+
 def q_knn_batch_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN via the pure-Catalyst path (broadcast cross join +
     codegen dot + window top-k) — the alternate physical strategy to the
@@ -458,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_meta": q_multimodal_meta,
         "dedup_clusters": q_dedup_clusters,
+        "training_pipeline": q_training_pipeline,
         "knn_batch_expr": q_knn_batch_expr,
         "quality_filter": q_quality_filter,
         "events_topk_users": q_events_topk_users,
@@ -706,6 +726,69 @@ reach AS (
 comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
 SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+""",
+        "training_pipeline": f"""
+WITH RECURSIVE sh AS ({_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  SELECT a, b FROM und
+  UNION SELECT a, a FROM und
+  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+rep AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+scored AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|que|pour|dans|avec)\\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que|por|para|con|del)\\b')) AS s_es,
+    GREATEST(0.0, LEAST(1.0,
+      (CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END)
+      * (CASE WHEN
+           (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                 ELSE length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0
+                      / len(string_split_regex(trim(text), '\\s+')) END) BETWEEN 3 AND 10
+         THEN 1.0 ELSE 0.5 END)
+      - (CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0 / length(text) END)
+    )) AS quality,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, quality, n_tokens,
+    CASE
+      WHEN s_en >= GREATEST(s_de, s_fr, s_es, 1) THEN 'en'
+      WHEN s_de >= GREATEST(s_fr, s_es, 1) THEN 'de'
+      WHEN s_fr >= GREATEST(s_es, 1) THEN 'fr'
+      WHEN s_es >= 1 THEN 'es'
+      ELSE 'und'
+    END AS lang_pred
+  FROM scored
+)
+SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM feat JOIN rep USING (doc_id)
+WHERE cluster_rep = doc_id AND quality >= 0.3
+  AND lang_pred IN ('en', 'de', 'fr', 'es')
+GROUP BY lang_pred
 """,
         "knn_batch_expr": f"""
 WITH qs AS (

@@ -73,13 +73,18 @@ class DB:
                 embedding_func=None,
                 persist_dir=sub,
                 compress=self.compress,
+                n_buckets=meta.get("n_buckets"),
             )
             self._collections[meta["name"]] = c
 
     # ---------------- catalog ops (reference db.go:498-629) ----------------
 
     def create_collection(
-        self, name: str, metadata: Mapping[str, str] | None = None, embedding_func: EmbeddingFunc | None = None
+        self,
+        name: str,
+        metadata: Mapping[str, str] | None = None,
+        embedding_func: EmbeddingFunc | None = None,
+        n_buckets: int | None = None,
     ) -> Collection:
         if not name:
             raise ValueError("collection name is empty")
@@ -91,6 +96,7 @@ class DB:
             embedding_func=embedding_func,
             persist_dir=sub,
             compress=self.compress,
+            n_buckets=n_buckets,
         )
         if sub:
             c._write_meta()
