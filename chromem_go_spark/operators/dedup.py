@@ -134,7 +134,13 @@ def ngram_jaccard_pairs(
     surviving candidates — nothing quadratic in corpus size.
     """
     t = float(threshold)
-    g = _doc_token_arrays(df, text_col, id_col, k)
+    # Materialize the token arrays ONCE: this subtree feeds four plan
+    # branches (both prefix sides + both verify sides) and Catalyst does
+    # not reuse the exchange across them (measured: 16 scans / 4x the
+    # shingle build without this). localCheckpoint trades lineage for a
+    # single computation — the standard move for reused expensive
+    # intermediates.
+    g = _doc_token_arrays(df, text_col, id_col, k).localCheckpoint(eager=True)
     prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
     pref = g.select(
         id_col, "sz", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("p")
@@ -243,8 +249,14 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    buckets = sig.select(id_col, F.explode(band_structs).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # Materialized once: the bucket table is both sides of the self-join,
+    # and recomputing it would re-run the whole signature build.
+    buckets = (
+        sig.select(id_col, F.explode(band_structs).alias("bb"))
+        .select(
+            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        .localCheckpoint(eager=True)
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -261,7 +273,8 @@ def minhash_lsh_pairs(
     # Verify ONLY the LSH candidates: join each side's shingle-hash array
     # and compute exact Jaccard via array_intersect. (Never computes the
     # full exact similarity join — candidates are the whole point.)
-    g = _doc_token_arrays(df, text_col, id_col, k)
+    # Materialized once: the arrays feed both join sides.
+    g = _doc_token_arrays(df, text_col, id_col, k).localCheckpoint(eager=True)
     hs = g.select(
         id_col, F.transform("toks", lambda x: x["h"]).alias("hs"), "sz"
     )
@@ -410,8 +423,12 @@ def simhash_pairs(
             for i in range(4)
         ]
     )
-    ix = sh.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
-        id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    ix = (
+        sh.select(id_col, "simhash", F.explode(chunks).alias("c"))
+        .select(
+            id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+        )
+        .localCheckpoint(eager=True)  # both sides of the self-join
     )
     a = ix.alias("a")
     b = ix.alias("b")
@@ -524,7 +541,7 @@ def embedding_neardup_pairs_lsh(
     """
     bucketed = lsh_hyperplane_signatures(
         df, vec_col, id_col, num_planes, num_tables, seed, dim
-    )
+    ).localCheckpoint(eager=True)  # both sides of the self-join
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cand = (
