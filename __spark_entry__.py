@@ -311,6 +311,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs, threshold=0.5)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (RAG / training-data splitter): fixed 500-char
+    chunks with 100-char overlap via posexplode — all codegen, no
+    Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(T.chunk_starts("text", 500, 100)).alias("chunk_idx", "start"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("start").cast("bigint").alias("start"),
+            F.substring(F.col("text"), F.col("start"), F.lit(500)).alias("chunk"),
+        )
+    )
+
+
+def q_ivf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF search with nprobe == n_clusters (exact): the probe
+    table joins the cluster-partitioned corpus once for all 8 queries;
+    oracle is the brute-force batch kNN."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ANN.IVFIndex.build(emb, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    qrows = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    out = idx.search_batch(
+        [str(r["vec_id"]) for r in qrows],
+        [list(r["embedding"]) for r in qrows],
+        5,
+        nprobe=8,
+    )
+    return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: quality gate -> language
     gate -> near-dup cluster representatives only -> per-language token
@@ -478,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "dedup_clusters": q_dedup_clusters,
         "training_pipeline": q_training_pipeline,
+        "chunk_documents": q_chunk_documents,
+        "ivf_search_batch": q_ivf_search_batch,
         "knn_batch_expr": q_knn_batch_expr,
         "quality_filter": q_quality_filter,
         "events_topk_users": q_events_topk_users,
@@ -726,6 +764,32 @@ reach AS (
 comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
 SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+""",
+        "chunk_documents": """
+SELECT doc_id,
+       CAST((s - 1) // 400 AS INT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start,
+       substr(text, CAST(s AS INT), 500) AS chunk
+FROM (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1, 400)) AS s
+  FROM documents WHERE length(text) > 0
+)
+""",
+        "ivf_search_batch": f"""
+WITH qs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id,
+         list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id < 8
+)
+SELECT query_id, vec_id, sim FROM (
+  SELECT qs.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], qs.v), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY qs.query_id
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], qs.v) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e, qs
+) WHERE rn <= 5
 """,
         "training_pipeline": f"""
 WITH RECURSIVE sh AS ({_SHINGLES}),

@@ -109,6 +109,18 @@ def mean_token_len(text: Column | str) -> Column:
     )
 
 
+def chunk_starts(text: Column | str, chunk_size: int = 500, overlap: int = 100) -> Column:
+    """1-based start offsets for fixed-size overlapping chunks (stride =
+    chunk_size - overlap). Empty array for empty text."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    n = F.length(_col(text))
+    return F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n, F.lit(stride)).cast("array<int>")
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Gopher-style cheap quality heuristic in [0, 1]: rewards alpha-heavy
     text with sane token lengths, penalizes punctuation soup. Deliberately

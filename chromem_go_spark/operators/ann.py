@@ -135,3 +135,46 @@ class IVFIndex:
         return knn_ops.knn_single(
             cand, list(query_vec), k, vec_col=self.vec_col, id_col=self.id_col
         ).drop("cluster_id")
+
+    def search_batch(
+        self,
+        query_ids: Sequence,
+        query_vecs: Sequence[Sequence[float]],
+        k: int,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Batch IVF search: every query is routed to its ``nprobe``
+        nearest clusters on the driver (centroids are MB-scale), the
+        (query, cluster) probe table is broadcast-joined against the
+        cluster-partitioned corpus, and scoring+top-k runs per query.
+
+        The corpus is scanned ONCE for all queries; only rows whose
+        cluster is probed by at least one query are touched (semi-join
+        pruning), and each (doc, query) pair scored is restricted to
+        probed clusters — versus the full docs x queries cross product
+        of brute force."""
+        import pandas as pd
+
+        spark = self.assigned.sparkSession
+        rows = []
+        for qid, qv in zip(query_ids, query_vecs):
+            q = np.asarray(qv, dtype=np.float64)
+            nrm = np.linalg.norm(q)
+            if nrm > 0:
+                q = q / nrm
+            for c in self.probe_clusters(q, nprobe):
+                rows.append((str(qid), int(c), [float(x) for x in q]))
+        probe_df = spark.createDataFrame(
+            rows, "query_id string, cluster_id int, query_vec array<double>"
+        )
+        from ..functions import vector as V
+
+        scored = (
+            self.assigned.join(F.broadcast(probe_df), "cluster_id")
+            .withColumn(
+                "similarity",
+                V.dot(F.col(self.vec_col).cast("array<double>"), F.col("query_vec")),
+            )
+            .select("query_id", self.id_col, "similarity")
+        )
+        return knn_ops.topk_per_query(scored, k, "query_id", self.id_col)
