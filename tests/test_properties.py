@@ -23,7 +23,7 @@ VEC = st.lists(
 )
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=20, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(st.lists(VEC.filter(lambda v: sum(x * x for x in v) > 1e-9), min_size=1, max_size=8))
 def test_normalize_gives_unit_norm(spark, vecs):
     dim = len(vecs[0])
@@ -39,7 +39,7 @@ def test_normalize_gives_unit_norm(spark, vecs):
         )
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=20, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.tuples(VEC, VEC), min_size=1, max_size=8))
 def test_dot_matches_numpy(spark, pairs):
     pairs = [(a[: len(b)], b[: len(a)]) for a, b in pairs]
@@ -59,7 +59,7 @@ TEXT = st.text(
 )
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=15, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(st.lists(TEXT, min_size=1, max_size=10))
 def test_text_invariants(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
@@ -90,7 +90,7 @@ def test_text_invariants(spark, texts):
             assert r["n_tok"] == 0
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(st.lists(TEXT, min_size=2, max_size=6))
 def test_fingerprint_equality_iff_normalized_equality(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
