@@ -78,13 +78,8 @@ def _doc_token_arrays(
     """
     # Hash shingles to longs FIRST: every downstream shuffle (frequency
     # count, doc groupBy, prefix join) keys on 8-byte longs, never on
-    # shingle strings. Repartition before the explode — document tables
-    # are often few large files, and the shingle explode multiplies rows
-    # ~1000x, so input parallelism must be set BEFORE the blow-up.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = shingle_table(df.repartition(par), text_col, id_col, k).select(
-        id_col, F.xxhash64("shingle").alias("h")
-    )
+    # shingle strings.
+    sh = hashed_shingle_table(df, text_col, id_col, k)
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfq"))
     withf = sh.join(dfreq, "h")
     return withf.groupBy(id_col).agg(
@@ -186,6 +181,19 @@ def ngram_jaccard_pairs(
     )
 
 
+def hashed_shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, h) with h = xxhash64(shingle): the shared input of signature
+    building and exact verification (8-byte keys, strings dropped at the
+    source). Repartitions before the ~1000x explode so parallelism is
+    set ahead of the blow-up."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return shingle_table(df.repartition(par), text_col, id_col, k).select(
+        id_col, F.xxhash64("shingle").alias("h")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -193,12 +201,14 @@ def minhash_signatures(
     k: int = 5,
     num_hashes: int = 64,
     seed: int = 42,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc as ``num_hashes`` min-aggregates.
 
     Base shingle hash is JVM xxhash64; the hash family is the classic
     (a*x + b) mod p permutation over it. One explode + one groupBy with
     map-side combine — the signature build is a single shuffle.
+    ``hashed_shingles`` reuses a precomputed (id, h) table.
     """
     import random
 
@@ -206,8 +216,12 @@ def minhash_signatures(
     # 2^31-1 keeps a*x + b < 2^62: no long overflow under ANSI mode.
     p = (1 << 31) - 1  # Mersenne prime
     coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
-    sh = shingle_table(df, text_col, id_col, k)
-    x = F.pmod(F.xxhash64("shingle"), F.lit(p))
+    sh = (
+        hashed_shingles
+        if hashed_shingles is not None
+        else hashed_shingle_table(df, text_col, id_col, k)
+    )
+    x = F.pmod(F.col("h"), F.lit(p))
     aggs = [
         F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(p))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -237,7 +251,12 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    # One shingle build feeds BOTH the signature aggregation and the
+    # exact-verification arrays below.
+    hsh = hashed_shingle_table(df, text_col, id_col, k).localCheckpoint(eager=True)
+    sig = minhash_signatures(
+        df, text_col, id_col, k, num_hashes, seed, hashed_shingles=hsh
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -273,10 +292,13 @@ def minhash_lsh_pairs(
     # Verify ONLY the LSH candidates: join each side's shingle-hash array
     # and compute exact Jaccard via array_intersect. (Never computes the
     # full exact similarity join — candidates are the whole point.)
-    # Materialized once: the arrays feed both join sides.
-    g = _doc_token_arrays(df, text_col, id_col, k).localCheckpoint(eager=True)
-    hs = g.select(
-        id_col, F.transform("toks", lambda x: x["h"]).alias("hs"), "sz"
+    # No rarity ordering needed here (that's the prefix filter's concern
+    # in ngram_jaccard_pairs) — plain hash arrays from the shared
+    # shingle table, materialized once for both join sides.
+    hs = (
+        hsh.groupBy(id_col)
+        .agg(F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("sz"))
+        .localCheckpoint(eager=True)
     )
     ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
     hb = hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
