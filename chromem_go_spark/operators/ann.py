@@ -93,9 +93,18 @@ class IVFIndex:
         seed: int = 42,
         sample_size: int = 50_000,
     ) -> "IVFIndex":
-        sample_rows = (
-            df.select(vec_col).limit(sample_size).collect()
-        )
+        # Deterministic hash-sample spread across ALL partitions: a bare
+        # limit() would take rows from the first partitions only, biasing
+        # the k-means sample at scale (clustered storage => clustered
+        # sample). xxhash64(id) % 997 < p keeps ~sample_size rows
+        # uniformly wherever they live.
+        n_rows = df.count()
+        if n_rows > sample_size:
+            p = max(1, int(997 * sample_size / n_rows))
+            cand = df.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(997)) < p)
+        else:
+            cand = df
+        sample_rows = cand.select(vec_col).limit(sample_size).collect()
         sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
         norms = np.linalg.norm(sample, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

@@ -204,3 +204,36 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path, sf_dir):
     ids = [r["event_id"] for r in out.collect()]
     assert len(ids) == 200
     assert len(set(ids)) == 200
+
+
+def test_transform_with_state_high_water_mark(spark, events_dir, events_batch):
+    """transformWithStateInPandas: the last emitted high-water mark per
+    user equals the batch max(value). The API's state protocol needs
+    protobuf, which this container lacks — skip when absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from chromem_go_spark.streaming import stateful as ST
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    ST.rocksdb_conf(spark)
+    try:
+        stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        out = _drain_to_memory(
+            spark, ST.user_high_water_mark(stream), "hwm_stream", "update"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("hwm"))
+        final = (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "hwm")
+        )
+        expected = events_batch.groupBy("user_id").agg(F.max("value").alias("hwm"))
+        got = {r["user_id"]: round(r["hwm"], 6) for r in final.collect()}
+        exp = {r["user_id"]: round(r["hwm"], 6) for r in expected.collect()}
+        assert got == exp
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
