@@ -311,6 +311,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs, threshold=0.5)
 
 
+def q_knn_batch_per_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN with a PER-QUERY metadata filter: each of 8 queries is
+    restricted to docs sharing its own label (the filter is part of the
+    broadcast-join condition, so mismatching pairs are never scored)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        V.normalize_if_needed("embedding").alias("query_vec"),
+        F.col("label").alias("query_filter"),
+    )
+    out = K.knn_expr_filtered(
+        emb, queries, 5, filter_col="label", vec_col="embedding", id_col="vec_id"
+    )
+    return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking (RAG / training-data splitter): fixed 500-char
     chunks with 100-char overlap via posexplode — all codegen, no
@@ -516,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "chunk_documents": q_chunk_documents,
         "ivf_search_batch": q_ivf_search_batch,
+        "knn_batch_per_filter": q_knn_batch_per_filter,
         "knn_batch_expr": q_knn_batch_expr,
         "quality_filter": q_quality_filter,
         "events_topk_users": q_events_topk_users,
@@ -764,6 +781,22 @@ reach AS (
 comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
 SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+""",
+        "knn_batch_per_filter": """
+WITH qs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, label,
+         list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id < 8
+)
+SELECT query_id, vec_id, sim FROM (
+  SELECT qs.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], qs.v), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY qs.query_id
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], qs.v) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e JOIN qs ON e.label = qs.label
+) WHERE rn <= 5
 """,
         "chunk_documents": """
 SELECT doc_id,

@@ -266,7 +266,17 @@ class Collection:
     def get_by_id(self, id: str) -> Document:
         if not id:
             raise ValueError("id is empty")
-        rows = self.df.filter(F.col("id") == F.lit(id)).collect()
+        src = self.df
+        if self.n_buckets and self.persist_dir and os.path.exists(self._data_path()):
+            # bucketed layout: the id's bucket is known up front, so the
+            # scan prunes to ONE partition directory
+            b = F.pmod(F.xxhash64(F.lit(str(id))), F.lit(self.n_buckets)).cast("int")
+            src = (
+                self.spark.read.parquet(self._data_path())
+                .filter(F.col("bucket") == b)
+                .drop("bucket")
+            )
+        rows = src.filter(F.col("id") == F.lit(id)).collect()
         if not rows:
             raise KeyError(f"document with ID '{id}' not found")
         r = rows[0]

@@ -116,6 +116,40 @@ def knn_expr(
     return topk_per_query(scored, k, query_id_col, id_col, sim_col)
 
 
+def knn_expr_filtered(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    filter_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_filter_col: str = "query_filter",
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """Batch kNN where EACH query carries its own equality pre-filter:
+    query rows hold (id, vector, filter-value); a doc is scored for a
+    query only when ``docs[filter_col] == query_filter`` (NULL filter =
+    match everything). The filter is part of the broadcast-join
+    condition, so non-matching (doc, query) pairs are never scored —
+    batched filtered search, which the reference can only do one query
+    at a time (collection.go:521)."""
+    q = F.broadcast(
+        queries.select(query_id_col, query_vec_col, query_filter_col)
+    )
+    cond = q[query_filter_col].isNull() | (
+        docs[filter_col] == q[query_filter_col]
+    )
+    scored = (
+        docs.select(id_col, vec_col, filter_col)
+        .join(q, cond)
+        .withColumn(sim_col, V.dot(F.col(vec_col), F.col(query_vec_col)))
+        .select(query_id_col, id_col, sim_col)
+    )
+    return topk_per_query(scored, k, query_id_col, id_col, sim_col)
+
+
 def knn_block(
     docs: DataFrame,
     query_ids: Sequence,
