@@ -48,13 +48,21 @@ def main() -> None:
         "events_topk_users",
         "multimodal_meta",
         "knn_batch_expr",
+        "knn_batch_per_filter",
+        "ivf_search_batch",
         "quality_filter",
+        "chunk_documents",
+        "dedup_clusters",
+        "training_pipeline",
         "orders_by_segment",
         "salted_join_events",
     ]
 
-    # Warm the JVM/session so the first measured query isn't paying startup.
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    # Warm the JVM/session so the first measured query isn't paying
+    # startup: one scan + one shuffle + one python-worker round trip.
+    warm = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    warm.groupBy("lang").count().count()
+    warm.limit(64).mapInPandas(lambda it: it, warm.schema).count()
 
     # Two runs per query, report the min: the first run pays plan
     # compilation + any transient JVM/OS contention; the min is the
@@ -71,13 +79,14 @@ def main() -> None:
     from chromem_go_spark.operators import knn as K
 
     knn_wall = float("inf")
-    for _ in range(3):
+    for i in range(4):
         t0 = time.time()
         nres = K.knn_block(
             corpus, [str(i) for i in range(n_q)], qvecs, k,
             vec_col="embedding", id_col="id",
         ).count()
-        knn_wall = min(knn_wall, time.time() - t0)
+        if i > 0:  # first pass warms codegen + python workers, untimed
+            knn_wall = min(knn_wall, time.time() - t0)
         assert nres == n_q * k, nres
     scores_per_sec = int(n_q * n_docs / knn_wall)
     print(
@@ -87,16 +96,25 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    corpus.unpersist() if hasattr(corpus, 'unpersist') else None
     del corpus
 
     import gc
+
+    # Heavy similarity-join queries run FIRST (fresh block manager —
+    # measured: the same query is 2-4x slower late in a loaded session);
+    # every query is min-of-2 steady-state.
+    heavy = ["ngram_jaccard", "dedup_clusters", "training_pipeline", "minhash_lsh"]
+    bench_names = heavy + [n for n in bench_names if n not in heavy]
 
     times: dict[str, float] = {}
     for name in bench_names:
         fn = qs[name]
         best, n = float("inf"), 0
         for _ in range(2):
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -106,10 +124,6 @@ def main() -> None:
             # run and degrade later queries.
             del df
             gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
