@@ -296,13 +296,56 @@ class Collection:
     def delete(self, where=None, where_document=None, ids: Sequence[str] | None = None) -> None:
         """Delete by ids OR by metadata/content predicate (reference
         collection.go:338-388). Expressed as an anti-filter; on Delta this
-        is ``DELETE FROM ... WHERE``."""
+        is ``DELETE FROM ... WHERE``.
+
+        On a bucketed layout, ids-only deletes rewrite ONLY the buckets
+        holding those ids (dynamic partition overwrite) — predicate
+        deletes must scan everything and rewrite the table."""
         if not where and not where_document and not ids:
             raise ValueError("must provide either where, whereDocument or ids")
         validate_where_document(where_document)
         victim = combined_predicate(where, where_document)
         if ids:
             victim = victim & F.col("id").isin([str(i) for i in ids])
+        ids_only = bool(ids) and not where and not where_document
+        if (
+            ids_only
+            and self.n_buckets
+            and self.persist_dir
+            and os.path.exists(self._data_path())
+        ):
+            path = self._data_path()
+            codec = "gzip" if self.compress else "snappy"
+            # bucket ids via Spark's own xxhash64 (no Python equivalent
+            # matches the JVM implementation bit-for-bit)
+            id_df = self.spark.createDataFrame(
+                [(str(i),) for i in ids], "id string"
+            )
+            touched = sorted(
+                r["b"]
+                for r in id_df.select(self._bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            )
+            existing = self.spark.read.parquet(path).filter(
+                F.col("bucket").isin(touched)
+            )
+            kept = existing.filter(
+                ~F.col("id").isin([str(i) for i in ids])
+            ).localCheckpoint(eager=True)
+            kept.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).option("compression", codec).partitionBy("bucket").parquet(path)
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # output: a bucket whose every row was deleted must be
+            # dropped explicitly or its rows would survive
+            surviving = {r["bucket"] for r in kept.select("bucket").distinct().collect()}
+            for b in touched:
+                if b not in surviving:
+                    _rmtree(os.path.join(path, f"bucket={b}"))
+            self._df = self._read_table()
+            self._write_meta()
+            return
         self._write(self.df.filter(~F.coalesce(victim, F.lit(False))))
 
     # ---------------- query (reference collection.go:410-559) ----------------

@@ -84,3 +84,37 @@ def test_bucketed_point_lookup_prunes_partitions(spark, tmp_path):
     ).filter(F.col("id") == "7")
     plan = formatted_plan(pruned)
     assert "PartitionFilters" in plan
+
+
+def test_bucketed_delete_by_ids_rewrites_only_touched(spark, tmp_path):
+    db = DB.new_persistent(spark, str(tmp_path / "db4"))
+    c = db.create_collection("kb", n_buckets=8)
+    c.add_documents(
+        [Document(str(i), {}, [1.0, 0.0], f"doc {i}") for i in range(64)]
+    )
+    before = _bucket_files(c._data_path())
+    c.delete(ids=["3"])
+    after = _bucket_files(c._data_path())
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1
+    assert c.count() == 63
+    with pytest.raises(KeyError):
+        c.get_by_id("3")
+
+
+def test_bucketed_delete_empties_whole_bucket(spark, tmp_path):
+    """Deleting EVERY id in a bucket must remove the bucket dir — dynamic
+    overwrite alone would leave the old files (and rows) behind."""
+    db = DB.new_persistent(spark, str(tmp_path / "db5"))
+    c = db.create_collection("kb", n_buckets=4)
+    c.add_documents(
+        [Document(str(i), {}, [1.0, 0.0], f"doc {i}") for i in range(40)]
+    )
+    # find all ids in one bucket via the stored layout
+    raw = spark.read.parquet(c._data_path())
+    some_bucket = raw.select("bucket").head()["bucket"]
+    bucket_ids = [r["id"] for r in raw.filter(F.col("bucket") == some_bucket).collect()]
+    assert bucket_ids
+    c.delete(ids=bucket_ids)
+    assert c.count() == 40 - len(bucket_ids)
+    assert set(c.list_ids()) == {str(i) for i in range(40)} - set(bucket_ids)
