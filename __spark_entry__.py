@@ -288,9 +288,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB twin)."""
+    """SimHash near-dup pairs, oracle-checkable build: the md5_60 token
+    hash is bit-identical in DuckDB, so the oracle replays the full
+    votes -> fingerprint -> hamming<=3 computation (brute-force pairs at
+    sf0.01; the Spark side stays the chunked candidate join)."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=3).select("id_a", "id_b", "hamming")
+    return D.simhash_pairs(docs, max_hamming=3, bits=60, token_hash="md5_60").select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,6 +573,69 @@ SELECT DISTINCT doc_id, sh FROM (
 """
 
 
+# Exact-twin SQL shared by the exact operators and their LSH variants:
+# at sf0.01 the LSH paths have measured recall 1.0 (bucket candidates ⊇
+# all true pairs; both paths verify candidates with the same exact
+# measure), so the exact pair set IS the LSH output and the same oracle
+# certifies both. The LSH queries stay the scale path — only the
+# verification target is shared.
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+_EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+"""
+
+# Full replay of the portable simhash: identical 60-bit md5 token hash,
+# per-bit +1/-1 votes, sign-threshold fingerprint, brute-force hamming
+# (fine at sf0.01; the Spark side uses the chunked candidate join).
+_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sh
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     q0 = _NORM_Q.format(vid=0)
     q1 = _NORM_Q.format(vid=1)
@@ -651,31 +719,11 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM documents
 GROUP BY md5({_NORM_TEXT})
 """,
-        "ngram_jaccard": f"""
-WITH sh AS ({_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
-""",
-        "embedding_neardup": """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
-""",
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "minhash_lsh": _NGRAM_JACCARD_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "embedding_neardup_lsh": _EMB_NEARDUP_SQL,
+        "simhash_pairs": _SIMHASH_SQL,
         "text_stats": """
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0

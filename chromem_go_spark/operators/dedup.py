@@ -397,17 +397,45 @@ def dedup_clusters(
     )
 
 
+def _token_hash(token_hash: str):
+    """Per-token 64-bit hash column builder.
+
+    - ``xxhash64`` (default): fastest, JVM-native — the scale path.
+    - ``md5_60``: top 60 bits of md5 as a long. md5 exists verbatim in
+      DuckDB (``('0x' || substr(md5(t),1,15))::BIGINT``), so fingerprints
+      built from it are bit-identical across engines — this is what makes
+      ``simhash_pairs`` oracle-checkable end-to-end.
+    """
+    if token_hash == "xxhash64":
+        return lambda c: F.xxhash64(c)
+    if token_hash == "md5_60":
+        return lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown token_hash: {token_hash!r}")
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over word tokens: per bit, sum +1/-1 weighted votes
-    of each token's xxhash64 bit, sign-threshold into the fingerprint.
+    """SimHash over word tokens: per bit, sum +1/-1 weighted votes of
+    each token's hash bit, sign-threshold into the fingerprint.
+
+    Full ``bits``-wide fingerprint — with bits=64 the sign bit is REAL
+    (bit 63 set yields a negative long; hamming via bit_count(xor) is
+    sign-agnostic). ``token_hash='md5_60'`` (use bits<=60) gives a
+    DuckDB-replicable fingerprint for oracle checking.
 
     Explode + single groupBy with ``bits`` conditional sums — all codegen.
     """
+    if token_hash == "md5_60" and bits > 60:
+        raise ValueError("md5_60 token hash provides at most 60 bits")
+    hfn = _token_hash(token_hash)
     toks = df.select(
         id_col, F.explode(T.word_tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hfn(F.col("tok")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -415,11 +443,15 @@ def simhash(
         for b in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
+    # Bitwise-OR fold (not '+'): with bits=64 the b=63 term is
+    # Long.MIN_VALUE and addition would overflow under ANSI mode.
     fp = F.lit(0).cast("long")
-    for b in range(bits - 1):  # skip the sign bit to stay in non-negative longs
-        fp = fp + F.when(
-            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
+    for b in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
     return agg.select(id_col, fp.alias("simhash"))
 
 
@@ -428,21 +460,33 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Candidate generation by the 4x16-bit chunk trick (any pair within
-    hamming 3 of a 64-bit hash agrees exactly on at least one 16-bit
-    chunk) — the join key is (chunk_idx, chunk_value), never quadratic.
+    Candidate generation by the disjoint-chunk trick: split the
+    fingerprint into ``max_hamming + 1`` chunks — any pair within
+    ``max_hamming`` differing bits must agree exactly on at least one
+    chunk (pigeonhole), so joining on (chunk_idx, chunk_value) is
+    EXACT and never quadratic. ``shiftrightunsigned`` so a set sign bit
+    (honest 64-bit fingerprints) can't smear into the chunk values.
     """
-    sh = simhash(df, text_col, id_col)
+    n_chunks = int(max_hamming) + 1
+    assert n_chunks <= bits, "need at least one bit per chunk"
+    sh = simhash(df, text_col, id_col, bits=bits, token_hash=token_hash)
+    base, extra = divmod(bits, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("ci"),
-                F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("cv"),
             )
-            for i in range(4)
+            for i in range(n_chunks)
         ]
     )
     ix = (

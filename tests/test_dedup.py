@@ -158,3 +158,106 @@ def test_dedup_clusters_representatives(spark):
     assert got[1] == 1 and got[2] == 1
     assert got[5] == 1  # high-overlap near-dup joins the cluster
     assert got[9] == 9
+
+
+# ---------------------------------------------------------- simhash vs NumPy
+
+
+def _numpy_simhash(hashes: list[int], bits: int) -> int:
+    """Reference simhash: per-bit +1/-1 votes over token hashes (with
+    multiplicity), sign-threshold. Pure Python/NumPy, no Spark."""
+    votes = np.zeros(bits, dtype=np.int64)
+    for h in hashes:
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    fp = 0
+    for b in range(bits):
+        if votes[b] > 0:
+            fp |= 1 << b
+    return fp
+
+
+def _md5_60(tok: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _word_tokens(text: str) -> list[str]:
+    import re
+
+    return re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", text.lower())
+
+
+TEXTS = [
+    (1, "The quick brown fox, jumps! Over the lazy dog 42 times."),
+    (2, "the quick brown fox jumps over the lazy dog 42 times"),
+    (3, "Völlig anderer Text: über Umlaute & Zeichen — 7% der Fälle."),
+    (4, "x"),
+    (5, "repeat repeat repeat repeat unique"),
+]
+
+
+def test_simhash_md5_matches_numpy(spark):
+    """The portable (md5_60, 60-bit) fingerprint is bit-identical to an
+    independent NumPy/hashlib implementation — pins tokenization, the
+    hash, vote weighting by multiplicity, and the sign threshold."""
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash(df, bits=60, token_hash="md5_60").collect()
+    }
+    for doc_id, text in TEXTS:
+        expect = _numpy_simhash([_md5_60(t) for t in _word_tokens(text)], 60)
+        assert got[doc_id] == expect, f"doc {doc_id}"
+
+
+def test_simhash_64bit_sign_bit_is_real(spark):
+    """bits=64 fingerprints use the FULL width: bit 63 set -> negative
+    long, matching a NumPy reference fed the same xxhash64 token hashes
+    (signed two's-complement wrap)."""
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    # Extract the exact token hashes Spark uses (xxhash64 has no Python
+    # twin), then replay votes/threshold in NumPy.
+    toks = (
+        df.select("doc_id", F.explode(D.T.word_tokens("text")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in toks:
+        by_doc.setdefault(r["doc_id"], []).append(r["h"] & 0xFFFFFFFFFFFFFFFF)
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(df, bits=64).collect()}
+    saw_negative = False
+    for doc_id, hashes in by_doc.items():
+        fp = _numpy_simhash(hashes, 64)
+        if fp >= 1 << 63:
+            fp -= 1 << 64  # two's complement: Spark longs are signed
+        saw_negative = saw_negative or fp < 0
+        assert got[doc_id] == fp, f"doc {doc_id}"
+    # the fixture is chosen so at least one fingerprint exercises bit 63
+    assert saw_negative, "fixture never set the sign bit — weaken of the test"
+
+
+def test_simhash_pairs_matches_numpy_bruteforce(spark):
+    """Chunked candidate generation is exact: pairs(hamming<=h) equals a
+    NumPy all-pairs scan, for a threshold above 3 (5 chunks) too."""
+    df = spark.createDataFrame(TEXTS, "doc_id long, text string")
+    fps = {
+        doc_id: _numpy_simhash([_md5_60(t) for t in _word_tokens(text)], 60)
+        for doc_id, text in TEXTS
+    }
+    for h in (3, 6):
+        expect = {
+            (a, b): bin(fps[a] ^ fps[b]).count("1")
+            for a in fps
+            for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= h
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_pairs(
+                df, max_hamming=h, bits=60, token_hash="md5_60"
+            ).collect()
+        }
+        assert got == expect, f"max_hamming={h}"
