@@ -29,11 +29,21 @@ from pyspark.sql import functions as F
 
 from . import errors as E
 from .document import DOCUMENT_SCHEMA, Document
+from .materialize import materialize
 from .functions import vector as V
 from .operators import knn as knn_ops
 from .operators.filters import combined_predicate, validate_where_document
 
 EmbeddingFunc = Callable[[str], Sequence[float]]
+
+# Default hash-bucket count for persistent collections: makes O(batch)
+# upserts/deletes (dynamic partition overwrite of touched buckets only)
+# the DEFAULT behavior rather than opt-in — at 100 TB a full-table
+# rewrite per ingest batch is the wrong default. 64 buckets keeps tiny
+# local collections cheap while bounding the rewrite unit at scale;
+# pass n_buckets explicitly to size for the deployment, or 0 to opt out
+# (flat single-directory layout).
+DEFAULT_N_BUCKETS = 64
 
 
 class Collection:
@@ -104,7 +114,7 @@ class Collection:
                 # pin rows before overwriting the path they may be read from
                 out = (
                     out.withColumn("bucket", self._bucket_expr())
-                    .localCheckpoint(eager=True)
+                    .transform(materialize)
                 )
                 out.write.mode("overwrite").option("compression", codec).partitionBy(
                     "bucket"
@@ -141,7 +151,7 @@ class Collection:
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .select(*DOCUMENT_SCHEMA.fieldNames(), "bucket")
-                .localCheckpoint(eager=True)  # pin before self-overwrite
+                .transform(materialize)  # pin before self-overwrite
             )
             merged.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
@@ -332,7 +342,7 @@ class Collection:
             )
             kept = existing.filter(
                 ~F.col("id").isin([str(i) for i in ids])
-            ).localCheckpoint(eager=True)
+            ).transform(materialize)
             kept.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).option("compression", codec).partitionBy("bucket").parquet(path)

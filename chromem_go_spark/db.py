@@ -27,7 +27,8 @@ from collections.abc import Mapping
 
 from pyspark.sql import SparkSession
 
-from .collection import Collection, EmbeddingFunc
+from .collection import DEFAULT_N_BUCKETS, Collection, EmbeddingFunc
+from .materialize import materialize
 
 _SAFE_NAME = re.compile(r"[^A-Za-z0-9._-]")
 
@@ -86,9 +87,15 @@ class DB:
         embedding_func: EmbeddingFunc | None = None,
         n_buckets: int | None = None,
     ) -> Collection:
+        """``n_buckets``: hash-bucket count for the persistent layout.
+        Defaults to ``DEFAULT_N_BUCKETS`` for persistent collections so
+        upserts/deletes rewrite only touched buckets (O(batch), not
+        O(table)); pass 0 for the flat single-directory layout."""
         if not name:
             raise ValueError("collection name is empty")
         sub = os.path.join(self.persist_dir, _dirname_for(name)) if self.persist_dir else None
+        if sub and n_buckets is None:
+            n_buckets = DEFAULT_N_BUCKETS
         c = Collection(
             self.spark,
             name,
@@ -110,11 +117,18 @@ class DB:
         return c
 
     def get_or_create_collection(
-        self, name: str, metadata=None, embedding_func: EmbeddingFunc | None = None
+        self,
+        name: str,
+        metadata=None,
+        embedding_func: EmbeddingFunc | None = None,
+        n_buckets: int | None = None,
     ) -> Collection:
+        """Reference GetOrCreateCollection (db.go:576-592). ``n_buckets``
+        reaches the bucketed layout from the convenience path too; it
+        only applies when the collection is newly created."""
         c = self.get_collection(name, embedding_func)
         if c is None:
-            c = self.create_collection(name, metadata, embedding_func)
+            c = self.create_collection(name, metadata, embedding_func, n_buckets=n_buckets)
         return c
 
     def list_collections(self) -> dict[str, Collection]:
@@ -137,11 +151,21 @@ class DB:
 
     # ---------------- export / import (reference db.go:208-490) ----------------
 
-    def export_to_file(
-        self, file_path: str, compress: bool = False, encryption_key: str = "", collections: list[str] | None = None
+    def export_to_writer(
+        self,
+        writer,
+        compress: bool = False,
+        encryption_key: str = "",
+        collections: list[str] | None = None,
     ) -> None:
-        if not file_path:
-            raise ValueError("file path is empty")
+        """Stream export (reference ExportToWriter db.go:450-490): the
+        same tar+manifest payload as :meth:`export_to_file`, written to
+        any binary file-like object — an S3 multipart upload body, an
+        HTTP response, an ``io.BytesIO``. Tar STREAM mode (``w|``), so
+        the writer never needs to seek (reference's ``io.Writer``
+        contract; S3 example examples/s3-export-import/main.go:54-70)."""
+        if writer is None or not hasattr(writer, "write"):
+            raise ValueError("writer is nil or not a binary writer")
         if encryption_key:
             raise NotImplementedError(
                 "AES-GCM export encryption is not reimplemented; use storage-layer encryption"
@@ -150,7 +174,7 @@ class DB:
         for n in names:
             if n not in self._collections:
                 raise ValueError(f"unknown collection: {n}")
-        mode = "w:gz" if compress else "w"
+        mode = "w|gz" if compress else "w|"
         with tempfile.TemporaryDirectory() as tmp:
             manifest = []
             for n in names:
@@ -161,26 +185,37 @@ class DB:
                 manifest.append({"name": n, "dir": sub, "metadata": c.metadata})
             with open(os.path.join(tmp, "manifest.json"), "w") as f:
                 json.dump(manifest, f)
-            with tarfile.open(file_path, mode) as tar:
+            # manifest first: a streaming importer can read it before any
+            # table payload arrives.
+            with tarfile.open(fileobj=writer, mode=mode) as tar:
                 tar.add(os.path.join(tmp, "manifest.json"), arcname="manifest.json")
                 for m in manifest:
                     tar.add(os.path.join(tmp, m["dir"]), arcname=m["dir"])
 
-    def import_from_file(
-        self, file_path: str, encryption_key: str = "", collections: list[str] | None = None
+    def export_to_file(
+        self, file_path: str, compress: bool = False, encryption_key: str = "", collections: list[str] | None = None
     ) -> None:
-        """Overwrites existing collections of the same name (reference
-        db.go:251-277); optional name filter imports a subset."""
         if not file_path:
             raise ValueError("file path is empty")
+        with open(file_path, "wb") as f:
+            self.export_to_writer(f, compress, encryption_key, collections)
+
+    def import_from_reader(
+        self, reader, encryption_key: str = "", collections: list[str] | None = None
+    ) -> None:
+        """Stream import (reference ImportFromReader db.go:297-355):
+        reads the tar(.gz) export payload from any binary file-like
+        object. ``r|*`` stream mode — gzip is autodetected and the
+        reader never needs to seek. Overwrites existing collections of
+        the same name; optional name filter imports a subset."""
+        if reader is None or not hasattr(reader, "read"):
+            raise ValueError("reader is nil or not a binary reader")
         if encryption_key:
             raise NotImplementedError(
                 "AES-GCM import decryption is not reimplemented; use storage-layer encryption"
             )
-        if not os.path.exists(file_path):
-            raise FileNotFoundError(f"file doesn't exist: {file_path}")
         with tempfile.TemporaryDirectory() as tmp:
-            with tarfile.open(file_path, "r:*") as tar:
+            with tarfile.open(fileobj=reader, mode="r|*") as tar:
                 tar.extractall(tmp, filter="data")
             with open(os.path.join(tmp, "manifest.json")) as f:
                 manifest = json.load(f)
@@ -189,8 +224,18 @@ class DB:
                     continue
                 # localCheckpoint pins the rows before the extracted temp
                 # dir disappears (DataFrames are lazy).
-                df = self.spark.read.parquet(os.path.join(tmp, m["dir"])).localCheckpoint(
-                    eager=True
-                )
+                df = materialize(self.spark.read.parquet(os.path.join(tmp, m["dir"])))
                 c = self.create_collection(m["name"], metadata=m.get("metadata", {}))
                 c.add_df(df, normalize=False)
+
+    def import_from_file(
+        self, file_path: str, encryption_key: str = "", collections: list[str] | None = None
+    ) -> None:
+        """Overwrites existing collections of the same name (reference
+        db.go:251-277); optional name filter imports a subset."""
+        if not file_path:
+            raise ValueError("file path is empty")
+        if not os.path.exists(file_path):
+            raise FileNotFoundError(f"file doesn't exist: {file_path}")
+        with open(file_path, "rb") as f:
+            self.import_from_reader(f, encryption_key, collections)

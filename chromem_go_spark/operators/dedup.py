@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..materialize import materialize
+
 from ..functions import text as T
 from ..functions import vector as V
 
@@ -135,7 +137,7 @@ def ngram_jaccard_pairs(
     # shingle build without this). localCheckpoint trades lineage for a
     # single computation — the standard move for reused expensive
     # intermediates.
-    g = _doc_token_arrays(df, text_col, id_col, k).localCheckpoint(eager=True)
+    g = _doc_token_arrays(df, text_col, id_col, k).transform(materialize)
     prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
     pref = g.select(
         id_col, "sz", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("p")
@@ -253,7 +255,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # One shingle build feeds BOTH the signature aggregation and the
     # exact-verification arrays below.
-    hsh = hashed_shingle_table(df, text_col, id_col, k).localCheckpoint(eager=True)
+    hsh = hashed_shingle_table(df, text_col, id_col, k).transform(materialize)
     sig = minhash_signatures(
         df, text_col, id_col, k, num_hashes, seed, hashed_shingles=hsh
     )
@@ -275,7 +277,7 @@ def minhash_lsh_pairs(
         .select(
             id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -298,7 +300,7 @@ def minhash_lsh_pairs(
     hs = (
         hsh.groupBy(id_col)
         .agg(F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("sz"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
     hb = hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
@@ -337,13 +339,13 @@ def connected_components(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(int(max_iter)):
         neighbor_min = (
@@ -359,7 +361,7 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")
@@ -494,7 +496,7 @@ def simhash_pairs(
         .select(
             id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
         )
-        .localCheckpoint(eager=True)  # both sides of the self-join
+        .transform(materialize)  # both sides of the self-join
     )
     a = ix.alias("a")
     b = ix.alias("b")
@@ -607,7 +609,7 @@ def embedding_neardup_pairs_lsh(
     """
     bucketed = lsh_hyperplane_signatures(
         df, vec_col, id_col, num_planes, num_tables, seed, dim
-    ).localCheckpoint(eager=True)  # both sides of the self-join
+    ).transform(materialize)  # both sides of the self-join
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cand = (

@@ -26,8 +26,11 @@ def _bucket_files(data_path):
 
 
 def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """No layout args: the DEFAULT persistent layout is bucketed, so
+    O(batch) upserts don't require opting in."""
     db = DB.new_persistent(spark, str(tmp_path / "db"))
-    c = db.create_collection("kb", n_buckets=8)
+    c = db.create_collection("kb")
+    assert c.n_buckets  # bucketed by default
     c.add_documents(
         [Document(str(i), {"k": str(i)}, [1.0, 0.0], f"doc {i}") for i in range(64)]
     )

@@ -1,3 +1,5 @@
+import os
+
 import pytest
 
 from chromem_go_spark import DB, Collection, Document
@@ -179,3 +181,81 @@ def test_query_batch(db):
         query_texts=["document number 3"], n_results=2, where={"lang": "en"}
     ).collect()
     assert all(int(r["id"]) % 2 == 0 for r in only_en)
+
+
+def test_export_import_via_stream(spark, db):
+    """Writer/reader round-trip (reference ExportToWriter db.go:450-490,
+    ImportFromReader db.go:297-355; S3 example s3-export-import/main.go):
+    the payload goes through an in-memory BytesIO, never a named file,
+    including selective collections and gzip, mirroring db_test.go:166-280."""
+    import io
+
+    c = db.create_collection("exp", embedding_func=const_embedding)
+    c.add_documents(two_docs())
+    db.create_collection("other", embedding_func=const_embedding).add_document(
+        Document("9", {}, [1.0, 0.0, 0.0], "x")
+    )
+
+    buf = io.BytesIO()
+    db.export_to_writer(buf, compress=True)
+    buf.seek(0)
+    d2 = DB(spark)
+    d2.import_from_reader(buf, collections=["exp"])
+    assert set(d2.list_collections()) == {"exp"}
+    got = d2.get_collection("exp")
+    assert got.count() == 2
+    assert got.get_by_id("2").metadata == {"language": "de"}
+
+    # selective EXPORT, uncompressed, full import on the other side
+    buf2 = io.BytesIO()
+    db.export_to_writer(buf2, collections=["other"])
+    buf2.seek(0)
+    d3 = DB(spark)
+    d3.import_from_reader(buf2)
+    assert set(d3.list_collections()) == {"other"}
+    assert d3.get_collection("other").count() == 1
+
+    # golden validations (reference db.go:455-462, 306-313)
+    with pytest.raises(ValueError):
+        db.export_to_writer(None)
+    with pytest.raises(ValueError):
+        db.import_from_reader(None)
+    with pytest.raises(ValueError):
+        db.export_to_writer(io.BytesIO(), collections=["missing"])
+    with pytest.raises(NotImplementedError):
+        db.export_to_writer(io.BytesIO(), encryption_key="0123456789abcdef0123456789abcdef")
+    with pytest.raises(NotImplementedError):
+        db.import_from_reader(io.BytesIO(), encryption_key="0123456789abcdef0123456789abcdef")
+
+
+def test_default_bucketed_layout_and_get_or_create(spark, tmp_path):
+    """Persistent collections are hash-bucketed BY DEFAULT (O(batch)
+    upserts without any layout args); n_buckets=0 opts out; the
+    convenience get_or_create path accepts n_buckets too."""
+    from chromem_go_spark.collection import DEFAULT_N_BUCKETS
+
+    db = DB.new_persistent(spark, str(tmp_path / "dbd"))
+    c = db.create_collection("plain", embedding_func=const_embedding)
+    assert c.n_buckets == DEFAULT_N_BUCKETS
+
+    flat = db.create_collection("flat", embedding_func=const_embedding, n_buckets=0)
+    assert flat.n_buckets is None
+    flat.add_documents(two_docs())
+    assert not any(
+        d.startswith("bucket=") for d in os.listdir(flat._data_path())
+    )
+
+    via_goc = db.get_or_create_collection("sized", n_buckets=16)
+    assert via_goc.n_buckets == 16
+    # re-fetch returns the existing collection, n_buckets untouched
+    again = db.get_or_create_collection("sized", n_buckets=4)
+    assert again is via_goc and again.n_buckets == 16
+    # reload from disk: bucket counts persisted in metadata
+    db2 = DB.new_persistent(spark, str(tmp_path / "dbd"))
+    assert db2.get_collection("sized").n_buckets == 16
+    assert db2.get_collection("plain").n_buckets == DEFAULT_N_BUCKETS
+    assert db2.get_collection("flat").n_buckets is None
+
+    # in-memory DBs have no persistent layout -> no bucketing
+    mem = DB(spark).create_collection("m", embedding_func=const_embedding)
+    assert mem.n_buckets is None

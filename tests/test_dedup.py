@@ -261,3 +261,46 @@ def test_simhash_pairs_matches_numpy_bruteforce(spark):
             ).collect()
         }
         assert got == expect, f"max_hamming={h}"
+
+
+def test_reliable_checkpointing_identical_output(spark, docs, tmp_path):
+    """Cluster mode: with reliable checkpoints enabled (fault-tolerant
+    df.checkpoint into a shared dir), every lineage-cutting operator
+    produces identical output to the localCheckpoint default."""
+    from chromem_go_spark.materialize import (
+        disable_reliable_checkpoints,
+        enable_reliable_checkpoints,
+        reliable_checkpoint_dir,
+    )
+
+    expect_pairs = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in D.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    expect_comp = {
+        r["node"]: r["component"]
+        for r in D.connected_components(
+            D.ngram_jaccard_pairs(docs, 0.5), "id_a", "id_b"
+        ).collect()
+    }
+    enable_reliable_checkpoints(spark, str(tmp_path / "ckpt"))
+    try:
+        assert reliable_checkpoint_dir() is not None
+        got_pairs = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+            for r in D.ngram_jaccard_pairs(docs, 0.5).collect()
+        }
+        got_comp = {
+            r["node"]: r["component"]
+            for r in D.connected_components(
+                D.ngram_jaccard_pairs(docs, 0.5), "id_a", "id_b"
+            ).collect()
+        }
+    finally:
+        disable_reliable_checkpoints()
+    assert got_pairs == expect_pairs
+    assert got_comp == expect_comp
+    # the reliable dir was actually used
+    import os
+
+    assert any(os.scandir(str(tmp_path / "ckpt")))
