@@ -332,6 +332,98 @@ def q_knn_batch_per_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
 
 
+# Per-query filter specs for knn_batch_per_filter2: (query vec_id,
+# where-equality map, must-contain substrings, must-not-contain
+# substrings). ONE spec drives both the Spark query and the DuckDB
+# oracle, so the two sides cannot drift.
+_PF2_SPECS = [
+    ("0", {"label": "1"}, [], []),
+    ("1", {"lang": "en"}, [], []),
+    ("2", {}, ["the"], []),
+    ("3", {"label": "2", "lang": "de"}, [], []),
+    ("4", {"label": "0"}, [], ["spark"]),
+    ("5", {}, [], []),
+]
+
+# where-key -> DuckDB column expression (string-compared, matching the
+# reference's map[string]string metadata model and the Spark side's
+# cast-to-string equality)
+_PF2_SQL_COLS = {"label": "CAST(e.label AS VARCHAR)", "lang": "d.lang"}
+
+
+def q_knn_batch_per_filter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN with the FULL per-query filter DSL: each query carries
+    its own metadata-equality map plus $contains / $not_contains content
+    predicates (reference query.go:135-155, batched). Corpus = embeddings
+    joined with documents so metadata and content filters mix."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "label", "lang", "text"
+    )
+    spec_df = spark.createDataFrame(
+        [(int(qid), w, c, nc) for qid, w, c, nc in _PF2_SPECS],
+        "qid long, q_where map<string,string>, q_contains array<string>, "
+        "q_not_contains array<string>",
+    )
+    queries = (
+        emb.join(spec_df, emb.vec_id == spec_df.qid)
+        .select(
+            F.col("vec_id").cast("string").alias("query_id"),
+            V.normalize_if_needed("embedding").alias("query_vec"),
+            "q_where",
+            "q_contains",
+            "q_not_contains",
+        )
+    )
+    out = K.knn_expr_filtered_dsl(
+        corpus,
+        queries,
+        5,
+        filterable_cols=["label", "lang"],
+        text_col="text",
+        vec_col="embedding",
+        id_col="vec_id",
+    )
+    return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
+
+
+def _pf2_oracle_sql() -> str:
+    blocks = []
+    for qid, where, contains, not_contains in _PF2_SPECS:
+        preds = ["TRUE"]
+        for key, val in where.items():
+            preds.append(f"{_PF2_SQL_COLS[key]} = '{val}'")
+        for s in contains:
+            preds.append(f"contains(d.text, '{s}')")
+        for s in not_contains:
+            preds.append(f"NOT contains(d.text, '{s}')")
+        cond = " AND ".join(preds)
+        blocks.append(
+            f"""
+SELECT query_id, vec_id, sim FROM (
+  SELECT '{qid}' AS query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 4) AS sim,
+         row_number() OVER (
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id
+  CROSS JOIN ({_NORM_Q.format(vid=qid)}) q
+  WHERE {cond}
+) WHERE rn <= 5"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters on the diameter-proof large-star/small-star
+    connected-components path (O(log n) rounds on adversarial chains);
+    identical semantics and oracle to the label-propagation variant."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, threshold=0.5, algorithm="star")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking (RAG / training-data splitter): fixed 500-char
     chunks with 100-char overlap via posexplode — all codegen, no
@@ -538,7 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "ivf_search_batch": q_ivf_search_batch,
         "knn_batch_per_filter": q_knn_batch_per_filter,
+        "knn_batch_per_filter2": q_knn_batch_per_filter2,
         "knn_batch_expr": q_knn_batch_expr,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "quality_filter": q_quality_filter,
         "events_topk_users": q_events_topk_users,
         "orders_by_segment": q_orders_by_segment,
@@ -633,6 +727,39 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
@@ -799,37 +926,8 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """,
-        "dedup_clusters": f"""
-WITH RECURSIVE sh AS ({_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-edges AS (
-  SELECT id_a, id_b
-  FROM inter
-  JOIN sizes sa ON id_a = sa.doc_id
-  JOIN sizes sb ON id_b = sb.doc_id
-  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
-),
-und AS (
-  SELECT id_a AS a, id_b AS b FROM edges
-  UNION
-  SELECT id_b, id_a FROM edges
-),
-reach AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT a, a FROM und
-  UNION
-  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
-SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-""",
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_clusters_star": _DEDUP_CLUSTERS_SQL,
         "knn_batch_per_filter": """
 WITH qs AS (
   SELECT CAST(vec_id AS VARCHAR) AS query_id, label,
@@ -935,6 +1033,7 @@ WHERE cluster_rep = doc_id AND quality >= 0.3
   AND lang_pred IN ('en', 'de', 'fr', 'es')
 GROUP BY lang_pred
 """,
+        "knn_batch_per_filter2": _pf2_oracle_sql(),
         "knn_batch_expr": f"""
 WITH qs AS (
   SELECT CAST(vec_id AS VARCHAR) AS query_id,

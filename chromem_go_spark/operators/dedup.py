@@ -376,19 +376,122 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm).
+
+    Plain min-label propagation (:func:`connected_components`) needs
+    O(diameter) rounds: fine for near-dup clusters (tiny diameters),
+    pathological on chain-shaped components at 100 TB. The alternating
+    star algorithm contracts the graph toward stars in O(log^2 n) rounds
+    worst-case (O(log n) in practice) regardless of diameter:
+
+    - large-star: every node's larger neighbors re-attach to the min of
+      its neighborhood (including itself);
+    - small-star: every node and its smaller neighbors attach to the
+      smallest neighbor.
+
+    Each phase is one groupBy + one join over the edge set; edges stay
+    directed big->small between phases. Convergence = edge set is a
+    fixed point (checked by count + order-insensitive hash sum — two
+    cheap aggregates). Returns (node, component = min id reachable).
+    ``rounds_out``: appends the number of alternation rounds (for tests).
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("n"))
+        .unionByName(edges.select(F.col(dst_col).alias("n")))
+        .distinct()
+        .transform(materialize)
+    )
+    # canonical big->small direction; self-loops dropped
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .transform(materialize)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        # bit_xor, not sum: order-insensitive AND overflow-free under
+        # ANSI mode (summing 64-bit hashes overflows longs). Edges are
+        # distinct, so xor can't cancel duplicates.
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).head()
+        return (row["c"], row["h"])
+
+    sig = _sig(e)
+    rounds = 0
+    for _ in range(int(max_iter)):
+        rounds += 1
+        # -------- large-star: symmetrize, larger neighbors -> nbhd min
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # -------- small-star: node + smaller neighbors -> min neighbor
+        mn2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mn2, "u")
+            .select(F.col("v").alias("x"), "m")
+            .unionByName(mn2.select(F.col("u").alias("x"), "m"))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .transform(materialize)
+        )
+        new_sig = _sig(ss)
+        e = ss
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    return (
+        nodes.join(e, nodes.n == e.u, "left")
+        .select(
+            F.col("n").alias("node"),
+            F.coalesce(F.col("v"), F.col("n")).alias("component"),
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Cluster near-duplicate documents: exact n-gram Jaccard pairs ->
     connected components -> every doc mapped to its cluster
     representative (min id; docs with no near-dup represent themselves).
-    The keep-one-per-cluster selection is then ``cluster_rep == id``."""
+    The keep-one-per-cluster selection is then ``cluster_rep == id``.
+
+    ``algorithm``: 'label' (min-label propagation, O(diameter) rounds —
+    near-dup clusters have tiny diameters) or 'star' (large-star/
+    small-star, O(log n) rounds — diameter-proof)."""
     pairs = ngram_jaccard_pairs(df, threshold, text_col, id_col, k)
-    comp = connected_components(pairs, "id_a", "id_b")
+    cc = connected_components if algorithm == "label" else connected_components_star
+    comp = cc(pairs, "id_a", "id_b")
     return (
         df.select(id_col)
         .join(comp, df[id_col] == comp.node, "left")

@@ -150,6 +150,99 @@ def knn_expr_filtered(
     return topk_per_query(scored, k, query_id_col, id_col, sim_col)
 
 
+def knn_expr_filtered_dsl(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    where_col: str = "q_where",
+    contains_col: str = "q_contains",
+    not_contains_col: str = "q_not_contains",
+    metadata_col: str | None = None,
+    filterable_cols: Sequence[str] | None = None,
+    text_col: str | None = None,
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """Batch kNN where EACH query row carries the full where /
+    where_document DSL (reference query.go:135-155, applied per query):
+
+    - ``q_where``: map<string,string> of metadata equality pairs — ALL
+      must match; a missing metadata key is a non-match (reference
+      documentMatchesFilters query.go:135-141). Keys resolve against the
+      ``metadata_col`` map or against flat ``filterable_cols`` columns
+      (values compared as strings, matching the reference's
+      map[string]string metadata model).
+    - ``q_contains`` / ``q_not_contains``: arrays of substrings over
+      ``text_col`` — every ``q_contains`` entry must appear, no
+      ``q_not_contains`` entry may (reference query.go:147-155).
+
+    NULL (or empty) filter columns match everything. The entire DSL is
+    part of the broadcast-join condition, so non-matching (doc, query)
+    pairs are never scored — this generalizes :func:`knn_expr_filtered`
+    from one equality column to the reference's whole filter surface,
+    batched (the reference runs one query at a time, collection.go:521).
+    """
+    q = F.broadcast(
+        queries.select(
+            query_id_col, query_vec_col, where_col, contains_col, not_contains_col
+        )
+    )
+    conds = []
+    w = q[where_col]
+    if metadata_col is not None:
+        conds.append(
+            w.isNull()
+            | F.forall(
+                F.map_entries(w),
+                lambda e: F.coalesce(
+                    F.element_at(docs[metadata_col], e["key"]) == e["value"],
+                    F.lit(False),
+                ),
+            )
+        )
+    if filterable_cols:
+        # a where-key outside the filterable set must FAIL the match
+        # (silently ignoring a filter would return wrong rows)
+        combined = F.forall(F.map_keys(w), lambda kk: kk.isin(*filterable_cols))
+        for c in filterable_cols:
+            combined = combined & (
+                ~F.map_contains_key(w, c)
+                | F.coalesce(
+                    docs[c].cast("string") == F.element_at(w, F.lit(c)), F.lit(False)
+                )
+            )
+        conds.append(w.isNull() | combined)
+    if text_col is not None:
+        t = docs[text_col]
+        c_arr = q[contains_col]
+        nc_arr = q[not_contains_col]
+        # forall([]) is True and exists([]) is False — empty arrays
+        # match everything, like the reference's absent filters
+        conds.append(c_arr.isNull() | F.forall(c_arr, lambda s: t.contains(s)))
+        conds.append(nc_arr.isNull() | ~F.exists(nc_arr, lambda s: t.contains(s)))
+    cond = F.lit(True)
+    for c in conds:
+        cond = cond & c
+    keep = list(
+        dict.fromkeys(
+            [id_col, vec_col]
+            + ([metadata_col] if metadata_col else [])
+            + list(filterable_cols or [])
+            + ([text_col] if text_col else [])
+        )
+    )
+    scored = (
+        docs.select(*keep)
+        .join(q, cond)
+        .withColumn(sim_col, V.dot(F.col(vec_col), F.col(query_vec_col)))
+        .select(query_id_col, id_col, sim_col)
+    )
+    return topk_per_query(scored, k, query_id_col, id_col, sim_col)
+
+
 def knn_block(
     docs: DataFrame,
     query_ids: Sequence,

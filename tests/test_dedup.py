@@ -304,3 +304,58 @@ def test_reliable_checkpointing_identical_output(spark, docs, tmp_path):
     import os
 
     assert any(os.scandir(str(tmp_path / "ckpt")))
+
+
+def test_connected_components_star_chain(spark):
+    """Adversarial diameter: a 1024-node chain is ONE component. Plain
+    label propagation needs ~1024 rounds; large-star/small-star must
+    finish in O(log n) — assert <= 2*log2(n) alternation rounds and the
+    exact component labeling."""
+    n = 1024
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    rounds = []
+    got = {
+        r["node"]: r["component"]
+        for r in D.connected_components_star(edges, rounds_out=rounds).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert rounds[0] <= 20, f"took {rounds[0]} rounds"
+
+
+def test_connected_components_star_matches_unionfind(spark):
+    """Random graph vs a Python union-find oracle."""
+    import random
+
+    rnd = random.Random(11)
+    n = 200
+    es = {(rnd.randrange(n), rnd.randrange(n)) for _ in range(150)}
+    es = [(a, b) for a, b in es if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in es:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in es for x in e}
+    expect = {x: find(x) for x in touched}
+    # canonicalize: component label = min member
+    comp_min = {}
+    for x, r in expect.items():
+        comp_min.setdefault(r, set()).add(x)
+    expect = {x: min(comp_min[find(x)]) for x in touched}
+
+    edges = spark.createDataFrame(es, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in D.connected_components_star(edges).collect()
+    }
+    assert got == expect
