@@ -49,6 +49,8 @@ def main() -> None:
         "multimodal_meta",
         "knn_batch_expr",
         "knn_batch_per_filter",
+        "knn_batch_per_filter2",
+        "dedup_clusters_star",
         "ivf_search_batch",
         "quality_filter",
         "chunk_documents",
@@ -73,28 +75,39 @@ def main() -> None:
     # (README.md:278) => ~2.5M doc-scores/sec. Spark is a batch engine,
     # so the comparable number is batch scoring throughput on the SAME
     # corpus shape: 64 queries x 100k docs via the block-matrix kernel.
-    n_docs, dim, n_q, k = 100_000, 1536, 64, 10
+    n_docs, dim, k = 100_000, 1536, 10
     corpus = _synth_corpus(spark, n_docs, dim).localCheckpoint(eager=True)
-    qvecs = [r["embedding"] for r in corpus.limit(n_q).collect()]
+    all_qvecs = [r["embedding"] for r in corpus.limit(256).collect()]
     from chromem_go_spark.operators import knn as K
 
-    knn_wall = float("inf")
-    for i in range(4):
-        t0 = time.time()
-        nres = K.knn_block(
-            corpus, [str(i) for i in range(n_q)], qvecs, k,
-            vec_col="embedding", id_col="id",
-        ).count()
-        if i > 0:  # first pass warms codegen + python workers, untimed
-            knn_wall = min(knn_wall, time.time() - t0)
-        assert nres == n_q * k, nres
-    scores_per_sec = int(n_q * n_docs / knn_wall)
-    print(
-        f"# knn_100k_1536: {n_q} queries x {n_docs} docs in {knn_wall:.2f}s "
-        f"= {scores_per_sec:,} doc-scores/sec (reference single-query rate: "
-        f"~2.5M/sec)",
-        file=sys.stderr,
-    )
+    def _throughput(n_q: int, warm_rounds: int) -> dict:
+        qvecs = all_qvecs[:n_q]
+        wall = float("inf")
+        for i in range(warm_rounds + 2):
+            t0 = time.time()
+            nres = K.knn_block(
+                corpus, [str(j) for j in range(n_q)], qvecs, k,
+                vec_col="embedding", id_col="id",
+            ).count()
+            if i >= warm_rounds:  # early passes warm codegen + py workers
+                wall = min(wall, time.time() - t0)
+            assert nres == n_q * k, nres
+        sps = int(n_q * n_docs / wall)
+        print(
+            f"# knn_100k_1536 q={n_q}: {wall:.2f}s = {sps:,} doc-scores/sec "
+            f"(reference single-query rate: ~2.5M/sec)",
+            file=sys.stderr,
+        )
+        return {
+            "n_docs": n_docs, "dim": dim, "n_queries": n_q, "k": k,
+            "wall_sec": round(wall, 3), "doc_scores_per_sec": sps,
+            "baseline_doc_scores_per_sec": 2_500_000,
+        }
+
+    # two query-count points: 64 (the r01 headline) and 256 (shows the
+    # per-job overhead amortizing — scoring work x4, wall far less than x4)
+    point64 = _throughput(64, warm_rounds=2)
+    point256 = _throughput(256, warm_rounds=0)
 
     del corpus
 
@@ -127,6 +140,37 @@ def main() -> None:
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
+    # training_pipeline with the dedup-pairs subtree MATERIALIZED (how a
+    # real pipeline runs it — the pair graph is an intermediate, not
+    # recomputed): isolates the pipeline's own cost from dedup_clusters',
+    # which the plain entry re-pays in full.
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.functions import text as T
+    from chromem_go_spark.materialize import materialize
+    from chromem_go_spark.operators import dedup as D
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = materialize(D.dedup_clusters(docs_tbl, threshold=0.5))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        (
+            docs_tbl.join(reps, "doc_id")
+            .filter(F.col("cluster_rep") == F.col("doc_id"))
+            .filter(T.quality_score("text") >= 0.3)
+            .filter(T.lang_id("text").isin("en", "de", "fr", "es"))
+            .groupBy(T.lang_id("text").alias("lang_pred"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
+            )
+            .count()
+        )
+        best = min(best, time.time() - t0)
+    times["training_pipeline_cached"] = round(best, 3)
+    print(f"# training_pipeline_cached: {times['training_pipeline_cached']}s", file=sys.stderr)
+
 
     total = round(sum(times.values()), 3)
     print(
@@ -137,15 +181,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "knn_batch_100k_1536": {
-                    "n_docs": n_docs,
-                    "dim": dim,
-                    "n_queries": n_q,
-                    "k": k,
-                    "wall_sec": round(knn_wall, 3),
-                    "doc_scores_per_sec": scores_per_sec,
-                    "baseline_doc_scores_per_sec": 2_500_000,
-                },
+                "knn_batch_100k_1536": point64,
+                "knn_batch_100k_1536_q256": point256,
             }
         )
     )

@@ -76,12 +76,128 @@ def encode_fake_video(frames: list[bytes]) -> bytes:
     return b"".join(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from IHDR — cheap header-only parse."""
+    if data[:8] != _PNG_SIG or data[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    return struct.unpack(">II", data[16:24])
+
+
+def _decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Minimal pure-stdlib PNG decoder (public spec / RFC 2083): 8-bit
+    greyscale / RGB / RGBA, non-interlaced, all five scanline filters.
+    Color converts to greyscale with ITU-R 601-2 luma (the same formula
+    PIL's ``convert("L")`` uses, so results agree when PIL is present).
+
+    This makes one REAL image format decodable with nothing but the
+    stdlib — the smoke path for the real-codec plumbing; a production
+    deployment swaps in PIL/turbojpeg for breadth and speed.
+    """
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = ctype = None
+    idat = []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    "PNG subset: 8-bit grey/RGB/RGBA, non-interlaced"
+                )
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        out += line
+        prev = line
+    if ch == 1:
+        px = bytes(out)
+    else:
+        px = bytes(
+            (out[i] * 299 + out[i + 1] * 587 + out[i + 2] * 114) // 1000
+            for i in range(0, len(out), ch)
+        )
+    return w, h, px
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Write an 8-bit greyscale non-interlaced PNG (filter 0 scanlines).
+    Stdlib-only; used by tests and as a real-format fixture generator."""
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_image_bytes(data: bytes) -> tuple[int, int, bytes]:
-    """(width, height, pixels). Fake format decodes directly; real image
-    formats require PIL (import-try) and otherwise raise the stub error."""
+    """(width, height, greyscale pixels). FAKEIMG and PNG decode with no
+    dependencies; other real formats require PIL (import-try) and
+    otherwise raise the stub error."""
     if data[:8] == _IMG_MAGIC:
         w, h = struct.unpack(">II", data[8:16])
         return w, h, data[16 : 16 + w * h]
+    if data[:8] == _PNG_SIG:
+        return _decode_png(data)
     try:
         import io
 
@@ -91,8 +207,8 @@ def _decode_image_bytes(data: bytes) -> tuple[int, int, bytes]:
         return img.width, img.height, img.tobytes()
     except ImportError as e:
         raise NotImplementedError(
-            "STUB: real image decoding needs PIL/pillow, which is not in "
-            "this container; only the FAKEIMG test format is decodable"
+            "STUB: real image decoding beyond PNG needs PIL/pillow, which "
+            "is not in this container; FAKEIMG and 8-bit PNG are decodable"
         ) from e
 
 
@@ -119,6 +235,9 @@ def image_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
                 if b[:8] == _IMG_MAGIC:
                     w, h = struct.unpack(">II", b[8:16])
                     fmt = "fakeimg"
+                elif b[:8] == _PNG_SIG:
+                    w, h = _png_header(b)
+                    fmt = "png"
                 elif b[:8] == _AUD_MAGIC:
                     w, h, fmt = 0, 0, "fakeaud"
                 elif b[:8] == b"FAKEVID1":
