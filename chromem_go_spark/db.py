@@ -9,10 +9,13 @@ the layout is human- and Spark-readable; a name-hash subdir scheme
 
 Export/import (reference db.go:208-490): the whole DB — or a selected
 subset of collections — round-trips through a single tar archive of
-parquet tables + manifest, optionally gzip-compressed. AES-GCM
-encryption is intentionally NOT reimplemented (no vetted crypto
-primitive in the stdlib); storage-layer encryption owns that concern at
-scale. Passing an encryption key raises NotImplementedError.
+parquet tables + manifest, optionally gzip-compressed, optionally
+AES-256-GCM encrypted with a 32-byte key (reference
+persistence.go:76-149; nonce-prepended layout, compress-then-encrypt
+order). Encryption uses the ``cryptography`` package's vetted AESGCM
+primitive — if that package is absent, passing a key raises a
+documented NotImplementedError and storage-layer encryption owns the
+concern.
 """
 
 from __future__ import annotations
@@ -31,6 +34,30 @@ from .collection import DEFAULT_N_BUCKETS, Collection, EmbeddingFunc
 from .materialize import materialize
 
 _SAFE_NAME = re.compile(r"[^A-Za-z0-9._-]")
+
+
+def _check_encryption_key(encryption_key: str):
+    """Validate the export/import encryption key and return the AES-GCM
+    cipher, or None when no key is given.
+
+    Mirrors the reference exactly (persistence.go:38-43, db.go:213-216):
+    AES-256 requires a 32-byte key, golden error string included. The
+    cipher comes from the ``cryptography`` package (a vetted primitive —
+    never hand-rolled); if that package is absent this stays a
+    documented stub."""
+    if not encryption_key:
+        return None
+    key = encryption_key.encode("utf-8")
+    if len(key) != 32:
+        raise ValueError("encryption key must be 32 bytes long")
+    try:
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    except ImportError as e:
+        raise NotImplementedError(
+            "STUB: AES-GCM export encryption needs the 'cryptography' "
+            "package, which is not installed; use storage-layer encryption"
+        ) from e
+    return AESGCM(key)
 
 
 def _dirname_for(name: str) -> str:
@@ -163,17 +190,35 @@ class DB:
         any binary file-like object — an S3 multipart upload body, an
         HTTP response, an ``io.BytesIO``. Tar STREAM mode (``w|``), so
         the writer never needs to seek (reference's ``io.Writer``
-        contract; S3 example examples/s3-export-import/main.go:54-70)."""
+        contract; S3 example examples/s3-export-import/main.go:54-70).
+
+        ``encryption_key`` (32 bytes, reference persistence.go:76-149):
+        AES-256-GCM over the whole payload, random 12-byte nonce
+        prepended (the reference's ``gcm.Seal(nonce, nonce, ...)``
+        layout). Compression happens BEFORE encryption, like the
+        reference's gob->flate->AES chain. Requires the ``cryptography``
+        package (vetted primitive, import-gated)."""
         if writer is None or not hasattr(writer, "write"):
             raise ValueError("writer is nil or not a binary writer")
-        if encryption_key:
-            raise NotImplementedError(
-                "AES-GCM export encryption is not reimplemented; use storage-layer encryption"
-            )
+        aesgcm = _check_encryption_key(encryption_key)
         names = collections if collections else list(self._collections)
         for n in names:
             if n not in self._collections:
                 raise ValueError(f"unknown collection: {n}")
+        if aesgcm is not None:
+            # GCM authenticates the whole message: buffer, seal, write
+            # (the reference likewise buffers before Seal,
+            # persistence.go:108-143)
+            import io
+
+            buf = io.BytesIO()
+            self._write_tar(buf, compress, names)
+            nonce = os.urandom(12)  # GCM standard nonce size
+            writer.write(nonce + aesgcm.encrypt(nonce, buf.getvalue(), None))
+            return
+        self._write_tar(writer, compress, names)
+
+    def _write_tar(self, fileobj, compress: bool, names: list[str]) -> None:
         mode = "w|gz" if compress else "w|"
         with tempfile.TemporaryDirectory() as tmp:
             manifest = []
@@ -187,7 +232,7 @@ class DB:
                 json.dump(manifest, f)
             # manifest first: a streaming importer can read it before any
             # table payload arrives.
-            with tarfile.open(fileobj=writer, mode=mode) as tar:
+            with tarfile.open(fileobj=fileobj, mode=mode) as tar:
                 tar.add(os.path.join(tmp, "manifest.json"), arcname="manifest.json")
                 for m in manifest:
                     tar.add(os.path.join(tmp, m["dir"]), arcname=m["dir"])
@@ -210,10 +255,17 @@ class DB:
         the same name; optional name filter imports a subset."""
         if reader is None or not hasattr(reader, "read"):
             raise ValueError("reader is nil or not a binary reader")
-        if encryption_key:
-            raise NotImplementedError(
-                "AES-GCM import decryption is not reimplemented; use storage-layer encryption"
-            )
+        aesgcm = _check_encryption_key(encryption_key)
+        if aesgcm is not None:
+            import io
+
+            blob = reader.read()
+            if len(blob) < 12:
+                raise ValueError("encrypted data too short")
+            # raises InvalidTag on a wrong key / tampered payload — the
+            # reference surfaces gcm.Open's error the same way
+            # (persistence.go:216-219)
+            reader = io.BytesIO(aesgcm.decrypt(blob[:12], blob[12:], None))
         with tempfile.TemporaryDirectory() as tmp:
             with tarfile.open(fileobj=reader, mode="r|*") as tar:
                 tar.extractall(tmp, filter="data")

@@ -153,8 +153,6 @@ def test_export_import(spark, tmp_path, db):
     got = d2.get_collection("exp")
     assert got.count() == 2
     assert got.get_by_id("2").metadata == {"language": "de"}
-    with pytest.raises(NotImplementedError):
-        db.export_to_file(str(tmp_path / "e2.tar"), encryption_key="0123456789abcdef0123456789abcdef")
 
 
 def test_query_batch(db):
@@ -222,10 +220,48 @@ def test_export_import_via_stream(spark, db):
         db.import_from_reader(None)
     with pytest.raises(ValueError):
         db.export_to_writer(io.BytesIO(), collections=["missing"])
-    with pytest.raises(NotImplementedError):
-        db.export_to_writer(io.BytesIO(), encryption_key="0123456789abcdef0123456789abcdef")
-    with pytest.raises(NotImplementedError):
-        db.import_from_reader(io.BytesIO(), encryption_key="0123456789abcdef0123456789abcdef")
+    with pytest.raises(ValueError, match="encryption key must be 32 bytes long"):
+        db.export_to_writer(io.BytesIO(), encryption_key="short")
+    with pytest.raises(ValueError, match="encryption key must be 32 bytes long"):
+        db.import_from_reader(io.BytesIO(), encryption_key="short")
+
+
+def test_export_import_encrypted(spark, tmp_path, db):
+    """AES-256-GCM encrypted export/import (reference persistence.go:76-149,
+    db_test.go encrypted round-trips): 32-byte key, nonce-prepended,
+    wrong key fails authentication, ciphertext is not a readable tar."""
+    import io
+    import tarfile as tf
+
+    key = "0123456789abcdef0123456789abcdef"
+    c = db.create_collection("enc", embedding_func=const_embedding)
+    c.add_documents(two_docs())
+
+    buf = io.BytesIO()
+    db.export_to_writer(buf, compress=True, encryption_key=key)
+    payload = buf.getvalue()
+    # ciphertext: no tar/gzip magic anywhere at the front
+    with pytest.raises(tf.ReadError):
+        tf.open(fileobj=io.BytesIO(payload), mode="r:*")
+
+    d2 = DB(spark)
+    d2.import_from_reader(io.BytesIO(payload), encryption_key=key)
+    got = d2.get_collection("enc")
+    assert got.count() == 2
+    assert got.get_by_id("2").metadata == {"language": "de"}
+
+    # wrong key -> GCM authentication failure
+    with pytest.raises(Exception):
+        DB(spark).import_from_reader(
+            io.BytesIO(payload), encryption_key="x" * 32
+        )
+
+    # file-path variant round-trips too
+    p = str(tmp_path / "enc.tar.aes")
+    db.export_to_file(p, encryption_key=key)
+    d3 = DB(spark)
+    d3.import_from_file(p, encryption_key=key, collections=["enc"])
+    assert d3.get_collection("enc").count() == 2
 
 
 def test_default_bucketed_layout_and_get_or_create(spark, tmp_path):
