@@ -528,6 +528,28 @@ def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary rollup over the biggest test table (TPC-H Q1
+    shape): predicate pushed to the parquet scan, map-side partial agg,
+    one shuffle on the 4-group key — the canonical columnar-scan
+    aggregation the engine must also serve at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted join (operators/skew.py): events fact x per-type
     dim; row-identical to the plain join the oracle runs."""
@@ -636,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "events_topk_users": q_events_topk_users,
         "orders_by_segment": q_orders_by_segment,
+        "lineitem_pricing": q_lineitem_pricing,
         "salted_join_events": q_salted_join_events,
     }
 
@@ -1077,6 +1100,19 @@ SELECT user_id, total FROM (
 SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
 """,
         "salted_join_events": """
 WITH dim AS (

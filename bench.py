@@ -57,6 +57,7 @@ def main() -> None:
         "dedup_clusters",
         "training_pipeline",
         "orders_by_segment",
+        "lineitem_pricing",
         "salted_join_events",
     ]
 

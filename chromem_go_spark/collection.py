@@ -437,12 +437,22 @@ class Collection:
         n_results: int = 10,
         where=None,
         where_document=None,
+        per_query_filters: Sequence[Mapping] | None = None,
     ) -> DataFrame:
         """Batch query — the shape the reference cannot express (it runs
         ONE query vector at a time, SURVEY §2.4 note): all queries are
-        scored against the corpus in one pass via the block-matrix
-        kernel; result has a ``query_id`` column (the query's index as a
-        string). Texts are embedded with the bound embedding func."""
+        scored against the corpus in one pass; result has a ``query_id``
+        column (the query's index as a string). Texts are embedded with
+        the bound embedding func.
+
+        ``per_query_filters``: optional list (one entry per query, None
+        entries allowed) of ``{"where": {...}, "where_document":
+        {"$contains": ..., "$not_contains": ...}}`` — EACH query gets
+        its own filter, folded into the broadcast-join condition
+        (knn_ops.knn_expr_filtered_dsl), so non-matching pairs are never
+        scored. ``where``/``where_document`` still apply globally.
+        Without per-query filters the block-matrix GEMM kernel runs
+        instead (fastest path)."""
         if query_embeddings is None:
             if not query_texts:
                 raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
@@ -455,11 +465,46 @@ class Collection:
             raise ValueError(E.ERR_NRESULTS_POSITIVE)
         validate_where_document(where_document)
         filtered = self.df.filter(combined_predicate(where, where_document))
-        return knn_ops.knn_block(
+        if per_query_filters is None:
+            return knn_ops.knn_block(
+                filtered,
+                [str(i) for i in range(len(query_embeddings))],
+                [[float(x) for x in q] for q in query_embeddings],
+                int(n_results),
+            )
+        if len(per_query_filters) != len(query_embeddings):
+            raise ValueError(
+                "per_query_filters must have one entry per query"
+            )
+        rows = []
+        for i, (q, f) in enumerate(zip(query_embeddings, per_query_filters)):
+            f = dict(f or {})
+            wd = dict(f.get("where_document") or {})
+            validate_where_document(wd)
+            c = wd.get("$contains")
+            nc = wd.get("$not_contains")
+            rows.append(
+                (
+                    str(i),
+                    V.normalize_vec([float(x) for x in q]),
+                    {str(k): str(v) for k, v in (f.get("where") or {}).items()},
+                    [c] if isinstance(c, str) else list(c or []),
+                    [nc] if isinstance(nc, str) else list(nc or []),
+                )
+            )
+        qdf = self.spark.createDataFrame(
+            rows,
+            "query_id string, query_vec array<double>, "
+            "q_where map<string,string>, q_contains array<string>, "
+            "q_not_contains array<string>",
+        )
+        return knn_ops.knn_expr_filtered_dsl(
             filtered,
-            [str(i) for i in range(len(query_embeddings))],
-            [[float(x) for x in q] for q in query_embeddings],
+            qdf,
             int(n_results),
+            metadata_col="metadata",
+            text_col="content",
+            id_col="id",
         )
 
 

@@ -295,3 +295,44 @@ def test_default_bucketed_layout_and_get_or_create(spark, tmp_path):
     # in-memory DBs have no persistent layout -> no bucketing
     mem = DB(spark).create_collection("m", embedding_func=const_embedding)
     assert mem.n_buckets is None
+
+
+def test_query_batch_per_query_filters(spark, db):
+    """Public-API batch query where each query carries its own
+    where / where_document filter (the reference can only filter one
+    query at a time)."""
+    c = db.create_collection("pqf", embedding_func=const_embedding)
+    c.add_documents(
+        [
+            Document("1", {"lang": "en"}, [1.0, 0.0, 0.0], "alpha spark text"),
+            Document("2", {"lang": "en"}, [0.9, 0.1, 0.0], "beta plain text"),
+            Document("3", {"lang": "de"}, [0.0, 1.0, 0.0], "gamma spark text"),
+            Document("4", {"lang": "de"}, [0.1, 0.9, 0.0], "delta plain text"),
+        ]
+    )
+    out = c.query_batch(
+        query_embeddings=[[1.0, 0.0, 0.0]] * 4,
+        n_results=4,
+        per_query_filters=[
+            None,                                                # match all
+            {"where": {"lang": "en"}},
+            {"where_document": {"$contains": "spark"}},
+            {"where": {"lang": "de"}, "where_document": {"$not_contains": "spark"}},
+        ],
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["id"])
+    assert got["0"] == {"1", "2", "3", "4"}
+    assert got["1"] == {"1", "2"}
+    assert got["2"] == {"1", "3"}
+    assert got["3"] == {"4"}
+    # filter count mismatch is a validation error
+    with pytest.raises(ValueError, match="one entry per query"):
+        c.query_batch(query_embeddings=[[1.0, 0.0, 0.0]], per_query_filters=[None, None])
+    # unknown operator surfaces the golden error
+    with pytest.raises(ValueError):
+        c.query_batch(
+            query_embeddings=[[1.0, 0.0, 0.0]],
+            per_query_filters=[{"where_document": {"$regex": "x"}}],
+        )
