@@ -76,3 +76,37 @@ def test_where_filters_stay_jvm_side(docs):
     flags = X.plan_flags(df.select("doc_id"))
     assert flags["has_whole_stage_codegen"]
     assert not flags["has_python_eval"]
+
+
+def test_filter_dsl_join_broadcasts_never_cartesian(emb, docs, spark):
+    """The per-query filter DSL produces a non-equi join condition; the
+    tiny queries side must broadcast (nested-loop is fine) — a
+    CartesianProduct would shuffle the corpus."""
+    queries = spark.createDataFrame(
+        [("q0", [0.1] * 256, {"lang": "en"}, None, None)],
+        "query_id string, query_vec array<double>, q_where map<string,string>, "
+        "q_contains array<string>, q_not_contains array<string>",
+    )
+    corpus = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang", "text"
+    )
+    df = K.knn_expr_filtered_dsl(
+        corpus, queries, 3,
+        filterable_cols=["lang"], text_col="text",
+        vec_col="embedding", id_col="vec_id",
+    )
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lineitem_pricing_pushdown_and_partial_agg(spark, sf_dir):
+    """The big-table rollup must push the date predicate to the parquet
+    scan and aggregate map-side before its one shuffle."""
+    import __spark_entry__ as entry
+
+    df = entry.q_lineitem_pricing(spark, sf_dir)
+    X.assert_filter_pushed(df, "l_shipdate")
+    plan = X.formatted_plan(df)
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan  # no join at all, just scan+agg
