@@ -123,6 +123,19 @@ def q_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: product-quantized codes (16 bytes/vector) + ADC candidate
+    generation + exact re-rank by id join. nprobe=all and generous
+    rerank make the result equal to FLAT, which the oracle checks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ANN.IVFPQIndex.build(
+        emb, n_clusters=8, m=16, vec_col="embedding", id_col="vec_id"
+    )
+    qv = _qvec(spark, sf_dir, 3)
+    out = idx.search_batch(["3"], [qv], 10, nprobe=8, rerank=200)
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_where_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata equality filter (reference query.go:135-141), on the
     flattened documents table."""
@@ -627,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_negative_subtract": q_knn_negative_subtract,
         "knn_negative_filter": q_knn_negative_filter,
         "ivf_search_exact": q_ivf_search_exact,
+        "ivf_pq_search": q_ivf_pq_search,
         "where_eq": q_where_eq,
         "where_contains": q_where_contains,
         "where_not_contains": q_where_not_contains,
@@ -839,6 +853,7 @@ ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
 LIMIT 10
 """,
         "ivf_search_exact": _KNN_TOPK_SQL.format(q=q7),
+        "ivf_pq_search": _KNN_TOPK_SQL.format(q=_NORM_Q.format(vid=3)),
         "where_eq": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
         "where_contains": "SELECT doc_id FROM documents WHERE contains(text, 'spark')",
         "where_not_contains": (

@@ -52,6 +52,7 @@ def main() -> None:
         "knn_batch_per_filter2",
         "dedup_clusters_star",
         "ivf_search_batch",
+        "ivf_pq_search",
         "quality_filter",
         "chunk_documents",
         "dedup_clusters",

@@ -76,6 +76,230 @@ def _assign_clusters(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFram
     return df.mapInPandas(gen, out_schema)
 
 
+def _kmeans_l2(sample: np.ndarray, k: int, seed: int = 42, n_iter: int = 15) -> np.ndarray:
+    """Deterministic Lloyd's k-means under Euclidean distance — the PQ
+    codebook trainer (subspace quantizers minimize L2 error)."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    k = min(k, n)
+    cents = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = (
+            (sample**2).sum(axis=1, keepdims=True)
+            - 2.0 * sample @ cents.T
+            + (cents**2).sum(axis=1)
+        )
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+class IVFPQIndex:
+    """IVF + Product Quantization (Jegou, Douze, Schmid: "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    method). The 100 TB memory story:
+
+    - each vector is stored as ``m`` uint8 codes (one per subspace)
+      in a BINARY column instead of dim float32s — 256-dim vectors
+      compress 1024 bytes -> 16 bytes (m=16), so the scan that feeds
+      candidate generation reads ~64x less data;
+    - search is ADC (asymmetric distance computation): per query, an
+      (m x n_codes) lookup table of subspace dot products is built
+      once on the driver; candidate scores are table-lookups + sums
+      over the codes — one NumPy gather per Arrow batch, no vector
+      math on the corpus;
+    - the top ``rerank`` candidates per query are then re-ranked
+      EXACTLY by joining the original vectors back by id — so
+      precision loss is bounded by candidate recall, not code
+      resolution, and with generous rerank the result equals FLAT
+      (which is how the DuckDB oracle validates it).
+
+    Coarse routing reuses the IVF layout: codes live alongside
+    cluster_id, so probing remains partition pruning.
+    """
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        codebooks: np.ndarray,
+        coded: DataFrame,
+        vectors: DataFrame,
+        vec_col: str,
+        id_col: str,
+    ):
+        self.centroids = centroids  # (n_clusters, dim) coarse
+        self.codebooks = codebooks  # (m, n_codes, sub_dim)
+        self.coded = coded  # id, cluster_id, codes binary
+        self.vectors = vectors  # id -> original vector (re-rank source)
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        n_clusters: int = 16,
+        m: int = 16,
+        n_codes: int = 256,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+        sample_size: int = 50_000,
+    ) -> "IVFPQIndex":
+        base = IVFIndex.build(
+            df, n_clusters, vec_col, id_col, seed, sample_size
+        )
+        # train subspace codebooks on the same bounded sample
+        sample_rows = (
+            df.select(vec_col).limit(min(sample_size, 100_000)).collect()
+        )
+        sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+        dim = sample.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        s = dim // m
+        codebooks = np.stack(
+            [
+                _kmeans_l2(sample[:, j * s : (j + 1) * s], n_codes, seed + j)
+                for j in range(m)
+            ]
+        )  # (m, k_j<=n_codes, s) — all k_j equal since same sample size
+
+        cb = codebooks
+        mm = m
+
+        def encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                n = mat.shape[0]
+                codes = np.empty((n, mm), dtype=np.uint8)
+                for j in range(mm):
+                    sub = mat[:, j * s : (j + 1) * s]
+                    d2 = -2.0 * sub @ cb[j].T + (cb[j] ** 2).sum(axis=1)
+                    codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cluster_id": pdf["cluster_id"],
+                        "codes": [c.tobytes() for c in codes],
+                    }
+                )
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        coded = base.assigned.mapInPandas(
+            encode, f"{id_col} {id_type}, cluster_id int, codes binary"
+        )
+        vectors = df.select(id_col, vec_col)
+        return cls(base.centroids, codebooks, coded, vectors, vec_col, id_col)
+
+    def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
+        q = np.asarray(query_vec, dtype=np.float64)
+        nrm = np.linalg.norm(q)
+        if nrm > 0:
+            q = q / nrm
+        sims = self.centroids @ q
+        return [int(c) for c in np.argsort(-sims)[: int(nprobe)]]
+
+    def search_batch(
+        self,
+        query_ids: Sequence,
+        query_vecs: Sequence[Sequence[float]],
+        k: int,
+        nprobe: int = 4,
+        rerank: int = 128,
+    ) -> DataFrame:
+        """ADC candidate generation over the code column, then exact
+        re-rank of the top ``rerank`` per query.
+
+        Shuffle profile: the candidate shuffle carries at most
+        (partitions x queries x rerank) tiny rows; the re-rank join
+        touches only (queries x rerank) vectors by id. The corpus-wide
+        scan reads (id, cluster_id, 16-byte codes) — never the vectors.
+        """
+        qmat = np.asarray(query_vecs, dtype=np.float64)
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        qmat = qmat / norms
+        nq, dim = qmat.shape
+        mcount, ncodes, s = self.codebooks.shape
+        # per-query LUT: luts[q, j, c] = <q_sub_j, codebook_j[c]>
+        luts = np.einsum(
+            "qjs,jcs->qjc", qmat.reshape(nq, mcount, s), self.codebooks
+        )  # (nq, m, n_codes)
+        qid_strs = [str(q) for q in query_ids]
+        probes = set()
+        for row in qmat:
+            probes.update(self.probe_clusters(row, nprobe))
+        probes = sorted(probes)
+        rr = int(rerank)
+        id_col = self.id_col
+        id_type = self.coded.schema[id_col].dataType.simpleString()
+        out_schema = f"query_id string, {id_col} {id_type}, approx double"
+
+        def adc(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
+                    continue
+                ids = rb.column(0).to_numpy(zero_copy_only=False)
+                blob = b"".join(rb.column(1).to_pylist())
+                codes = np.frombuffer(blob, dtype=np.uint8).reshape(n, mcount)
+                # scores[q, i] = sum_j luts[q, j, codes[i, j]]
+                scores = np.zeros((nq, n))
+                for j in range(mcount):
+                    scores += luts[:, j, codes[:, j]]
+                take = min(rr, n)
+                if take < n:
+                    part = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+                else:
+                    part = np.tile(np.arange(n), (nq, 1))
+                out_q = np.repeat(np.arange(nq), part.shape[1])
+                rows = part.ravel()
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([qid_strs[i] for i in out_q], type=pa.string()),
+                        pa.array(ids[rows]),
+                        pa.array(scores[out_q, rows], type=pa.float64()),
+                    ],
+                    names=["query_id", id_col, "approx"],
+                )
+
+        cand = (
+            self.coded.filter(F.col("cluster_id").isin(probes))
+            .select(id_col, "codes")
+            .mapInArrow(adc, schema=out_schema)
+        )
+        shortlist = knn_ops.topk_per_query(
+            cand, rr, "query_id", id_col, "approx"
+        )
+        # exact re-rank: join original vectors by id (rerank rows per query)
+        qdf_rows = [
+            (qid_strs[i], [float(x) for x in qmat[i]]) for i in range(nq)
+        ]
+        qdf = self.coded.sparkSession.createDataFrame(
+            qdf_rows, "query_id string, query_vec array<double>"
+        )
+        exact = (
+            shortlist.join(self.vectors, id_col)
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn(
+                "similarity",
+                V.dot(F.col(self.vec_col).cast("array<double>"), F.col("query_vec")),
+            )
+            .select("query_id", id_col, "similarity")
+        )
+        return knn_ops.topk_per_query(exact, int(k), "query_id", id_col)
+
+
 class IVFIndex:
     def __init__(self, centroids: np.ndarray, assigned: DataFrame, vec_col: str, id_col: str):
         self.centroids = centroids

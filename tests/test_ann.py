@@ -66,3 +66,73 @@ def test_save_load_partition_pruning(spark, emb, index, tmp_path):
 
     plan = formatted_plan(loaded.search(q, 5, nprobe=2))
     assert "PartitionFilters" in plan and "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+# ----------------------------------------------------------------- IVF-PQ
+
+
+@pytest.fixture(scope="module")
+def pq_index(emb):
+    return A.IVFPQIndex.build(
+        emb, n_clusters=8, m=16, vec_col="embedding", id_col="vec_id"
+    )
+
+
+def test_pq_codes_are_m_bytes(pq_index):
+    """The scan-side representation really is 16 bytes per vector (vs
+    1024 for 256 float32s) — the whole point of PQ at 100 TB."""
+    row = pq_index.coded.select("codes").head()
+    assert len(bytes(row["codes"])) == 16
+    assert pq_index.codebooks.shape[0] == 16  # m subspaces
+
+
+def test_pq_full_probe_generous_rerank_is_exact(emb, pq_index):
+    """nprobe=all + rerank >> k: the exact re-rank makes IVF-PQ equal to
+    brute force (ADC only selects candidates)."""
+    q = _qvec(emb, 5)
+    exact = [
+        r["vec_id"]
+        for r in K.knn_single(
+            emb, q, 10, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in pq_index.search_batch(["q"], [q], 10, nprobe=8, rerank=200).collect()
+    ]
+    assert got == exact
+
+
+def test_pq_batch_multi_query(emb, pq_index):
+    """Several queries in one pass; each query's own vector is its top
+    hit (similarity ~1 after re-rank)."""
+    qids = [0, 7, 11]
+    qvecs = [_qvec(emb, i) for i in qids]
+    out = pq_index.search_batch(
+        [str(i) for i in qids], qvecs, 5, nprobe=8, rerank=100
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["similarity"]))
+    assert set(by_q) == {str(i) for i in qids}
+    for i in qids:
+        top_id, top_sim = by_q[str(i)][0]
+        assert top_id == i
+        assert top_sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pq_moderate_rerank_recall(emb, pq_index):
+    """With tight rerank (2k) the ADC shortlist still recalls most of
+    the true top-k — quantization error is small at this resolution."""
+    q = _qvec(emb, 2)
+    exact = {
+        r["vec_id"]
+        for r in K.knn_single(
+            emb, q, 10, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in pq_index.search_batch(["q"], [q], 10, nprobe=8, rerank=20).collect()
+    }
+    assert len(got & exact) >= 8  # recall@10 >= 0.8 with rerank=2k
