@@ -541,6 +541,21 @@ def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_standing_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming standing-queries matcher (stream-static
+    broadcast join + threshold): static alert rules scored against the
+    corpus; the streaming path runs this exact plan per micro-batch."""
+    from chromem_go_spark.streaming.ingest import match_standing_queries
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 9)).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        V.normalize_if_needed("embedding").cast("array<double>").alias("query_vec"),
+    )
+    out = match_standing_queries(emb, queries, threshold=0.6, id_col="vec_id")
+    return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing-summary rollup over the biggest test table (TPC-H Q1
     shape): predicate pushed to the parquet scan, map-side partial agg,
@@ -673,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_users": q_events_topk_users,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
+        "standing_queries": q_standing_queries,
         "salted_join_events": q_salted_join_events,
     }
 
@@ -1115,6 +1131,17 @@ SELECT user_id, total FROM (
 SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+""",
+        "standing_queries": """
+WITH qs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id,
+         list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id IN (0, 9)
+)
+SELECT qs.query_id, e.vec_id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], qs.v), 4) AS sim
+FROM embeddings e, qs
+WHERE list_dot_product(e.embedding::DOUBLE[], qs.v) >= 0.6
 """,
         "lineitem_pricing": """
 SELECT l_returnflag, l_linestatus,

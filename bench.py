@@ -59,6 +59,7 @@ def main() -> None:
         "training_pipeline",
         "orders_by_segment",
         "lineitem_pricing",
+        "standing_queries",
         "salted_join_events",
     ]
 

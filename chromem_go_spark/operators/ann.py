@@ -199,6 +199,44 @@ class IVFPQIndex:
         vectors = df.select(id_col, vec_col)
         return cls(base.centroids, codebooks, coded, vectors, vec_col, id_col)
 
+    def save(self, path: str) -> None:
+        """Persist: codes partitioned by cluster_id (probe = partition
+        pruning over a 16-byte-per-row table), original vectors
+        alongside for the re-rank join, centroids+codebooks as JSON."""
+        import json
+        import os
+
+        self.coded.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(path, "codes")
+        )
+        self.vectors.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+        with open(os.path.join(path, "_pq_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "codebooks": self.codebooks.tolist(),
+                    "vec_col": self.vec_col,
+                    "id_col": self.id_col,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFPQIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "_pq_meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            np.asarray(meta["centroids"], dtype=np.float64),
+            np.asarray(meta["codebooks"], dtype=np.float64),
+            spark.read.parquet(os.path.join(path, "codes")),
+            spark.read.parquet(os.path.join(path, "vectors")),
+            meta["vec_col"],
+            meta["id_col"],
+        )
+
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)
         nrm = np.linalg.norm(q)

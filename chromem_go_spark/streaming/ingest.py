@@ -167,6 +167,43 @@ def dedup_events_stream(
     return src.dropDuplicates(keys)
 
 
+def match_standing_queries(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    threshold: float = 0.75,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Continuous similarity alerting: every arriving document is scored
+    against a STATIC table of standing queries (saved searches / alert
+    rules), emitting (query_id, doc_id, similarity) for matches above
+    ``threshold``.
+
+    This is a stream-static broadcast join + codegen dot product —
+    completely STATELESS, so it needs no watermark and adds no state
+    store; each micro-batch is scored and forgotten. The reference can
+    only run ad-hoc queries against a static corpus; this is the inverse
+    shape (static queries, streaming corpus) a 100 TB ingest pipeline
+    uses for routing/alerting. Batch DataFrames run the identical plan,
+    which is how the parity test validates it.
+    """
+    from ..functions import vector as V
+
+    q = F.broadcast(queries_df.select(query_id_col, query_vec_col))
+    return (
+        docs.select(id_col, vec_col)
+        .join(q)  # cross join against the tiny broadcast side
+        .withColumn(
+            "similarity",
+            V.dot(F.col(vec_col).cast("array<double>"), F.col(query_vec_col)),
+        )
+        .filter(F.col("similarity") >= F.lit(float(threshold)))
+        .select(query_id_col, id_col, "similarity")
+    )
+
+
 def stream_upsert_to_collection(
     stream_df: DataFrame,
     collection,

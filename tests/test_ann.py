@@ -136,3 +136,23 @@ def test_pq_moderate_rerank_recall(emb, pq_index):
         for r in pq_index.search_batch(["q"], [q], 10, nprobe=8, rerank=20).collect()
     }
     assert len(got & exact) >= 8  # recall@10 >= 0.8 with rerank=2k
+
+
+def test_pq_save_load_roundtrip(spark, emb, pq_index, tmp_path):
+    """Save/load round-trip: codes land partitioned by cluster_id (probe
+    is partition pruning) and the reloaded index returns identical
+    results."""
+    import os
+
+    path = str(tmp_path / "pqidx")
+    pq_index.save(path)
+    assert any(
+        d.startswith("cluster_id=") for d in os.listdir(os.path.join(path, "codes"))
+    )
+    loaded = A.IVFPQIndex.load(spark, path)
+    q = _qvec(emb, 4)
+    a = [(r["vec_id"], round(r["similarity"], 6))
+         for r in pq_index.search_batch(["q"], [q], 10, nprobe=8, rerank=200).collect()]
+    b = [(r["vec_id"], round(r["similarity"], 6))
+         for r in loaded.search_batch(["q"], [q], 10, nprobe=8, rerank=200).collect()]
+    assert a == b

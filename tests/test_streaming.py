@@ -237,3 +237,46 @@ def test_transform_with_state_high_water_mark(spark, events_dir, events_batch):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_standing_queries_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-static similarity alerting: documents arrive as a file
+    stream and are scored against broadcast standing queries; the
+    streaming result equals the identical batch plan (stateless op)."""
+    import shutil
+
+    src = f"{sf_dir}/embeddings.parquet"
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    shutil.copy(src, d / "part-000.parquet")
+
+    emb_batch = spark.read.parquet(str(d))
+    # two standing queries: vectors of vec_id 0 and 9, normalized
+    from chromem_go_spark.functions import vector as V
+
+    qrows = emb_batch.filter(F.col("vec_id").isin(0, 9)).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        V.normalize_if_needed("embedding").cast("array<double>").alias("query_vec"),
+    )
+    queries = spark.createDataFrame(qrows.collect(), qrows.schema)
+
+    expect = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in S.match_standing_queries(
+            emb_batch, queries, threshold=0.6, id_col="vec_id"
+        ).collect()
+    }
+    assert expect  # the query vectors match themselves at sim 1.0
+
+    stream = (
+        spark.readStream.schema(emb_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = S.match_standing_queries(stream, queries, threshold=0.6, id_col="vec_id")
+    got_df = _drain_to_memory(spark, out, "standing_q", "append")
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in got_df.collect()
+    }
+    assert got == expect
