@@ -541,6 +541,25 @@ def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 trending event types per hour: windowed count + rank — the
+    rank-over-aggregated-window shape dashboards run continuously (the
+    streaming variant is the same plan on windowed_event_counts)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(
+        "event_type",
+        F.window("ts", "1 hour").start.cast("double").cast("bigint").alias("hour_start"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour_start").orderBy(F.desc("n"), F.col("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("hour_start", "event_type", "n", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 def q_standing_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming standing-queries matcher (stream-static
     broadcast join + threshold): static alert rules scored against the
@@ -689,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "standing_queries": q_standing_queries,
+        "events_trending": q_events_trending,
         "salted_join_events": q_salted_join_events,
     }
 
@@ -1131,6 +1151,18 @@ SELECT user_id, total FROM (
 SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+""",
+        "events_trending": """
+SELECT hour_start, event_type, n, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT hour_start, event_type, n,
+         row_number() OVER (PARTITION BY hour_start ORDER BY n DESC, event_type) AS rank
+  FROM (
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rank <= 3
 """,
         "standing_queries": """
 WITH qs AS (

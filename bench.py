@@ -46,6 +46,7 @@ def main() -> None:
         "events_session_window",
         "events_window_hourly",
         "events_topk_users",
+        "events_trending",
         "multimodal_meta",
         "knn_batch_expr",
         "knn_batch_per_filter",
