@@ -228,6 +228,143 @@ def stream_upsert_to_collection(
     )
 
 
+def incremental_neardup_batch(
+    batch_docs: DataFrame,
+    state_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """One micro-batch of incremental near-duplicate detection.
+
+    The batch's MinHash bucket table is joined against the ACCUMULATED
+    bucket state (parquet under ``state_dir``) so each arriving document
+    is checked against all history without recomputing it: work per
+    batch is O(batch x colliding-buckets), never O(corpus). Candidates
+    (cross-batch and within-batch) are verified with exact n-gram
+    Jaccard using stored shingle-hash arrays; surviving pairs append to
+    ``<state_dir>/pairs``; the batch's buckets and shingles append to
+    the state tables. This is the streaming shape of a corpus dedup
+    pipeline: state grows by exactly the new documents, and the pair
+    log is the same (id_a, id_b, jaccard) contract as
+    ``minhash_lsh_pairs`` over the union of all batches.
+    """
+    import os
+
+    from ..materialize import materialize
+    from ..operators import dedup as D
+
+    spark = batch_docs.sparkSession
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    hsh = materialize(D.hashed_shingle_table(batch_docs, text_col, id_col, k))
+    sig = D.minhash_signatures(
+        batch_docs, text_col, id_col, k, num_hashes, seed, hashed_shingles=hsh
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    new_buckets = materialize(
+        sig.select(id_col, F.explode(band_structs).alias("bb")).select(
+            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+    )
+    new_shingles = materialize(
+        hsh.groupBy(id_col).agg(
+            F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("sz")
+        )
+    )
+
+    buckets_path = os.path.join(state_dir, "buckets")
+    shingles_path = os.path.join(state_dir, "shingles")
+    pairs_path = os.path.join(state_dir, "pairs")
+    have_state = os.path.exists(buckets_path)
+
+    # candidates: new-vs-history (join against state) + new-vs-new
+    a = new_buckets.alias("a")
+    cands = [
+        a.join(new_buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    ]
+    if have_state:
+        old_buckets = spark.read.parquet(buckets_path).alias("o")
+        cands.append(
+            a.join(old_buckets, ["band", "bucket"])
+            .select(
+                F.least(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    cand = cand.distinct()
+
+    all_shingles = new_shingles
+    if have_state:
+        all_shingles = new_shingles.unionByName(spark.read.parquet(shingles_path))
+    ha = all_shingles.select(
+        F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")
+    )
+    hb = all_shingles.select(
+        F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b")
+    )
+    pairs = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+    pairs.write.mode("append").parquet(pairs_path)
+    new_buckets.write.mode("append").parquet(buckets_path)
+    new_shingles.write.mode("append").parquet(shingles_path)
+
+
+def incremental_neardup_sink(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    query_name: str = "neardup_ingest",
+    **kwargs,
+):
+    """foreachBatch sink wrapping :func:`incremental_neardup_batch` —
+    continuous near-duplicate detection over a document stream."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_neardup_batch(batch_df, state_dir, threshold, **kwargs)
+
+    return (
+        stream_docs.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
 def run_available_now(writer, timeout_s: float = 300.0) -> None:
     """Drain everything currently available, then stop (test/backfill
     helper)."""

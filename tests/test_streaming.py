@@ -280,3 +280,66 @@ def test_standing_queries_stream_matches_batch(spark, tmp_path, sf_dir):
         for r in got_df.collect()
     }
     assert got == expect
+
+
+def test_incremental_neardup_matches_batch(spark, tmp_path, sf_dir):
+    """Incremental (streaming-shaped) near-dup detection: documents
+    arrive in two batches; the accumulated pair log equals one-shot
+    minhash_lsh_pairs over the full corpus (same signatures, banding,
+    and exact verification — candidates against history come from the
+    bucket state, not a recompute)."""
+    from chromem_go_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expect = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert expect
+
+    state = str(tmp_path / "neardup_state")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    S.incremental_neardup_batch(b1, state, threshold=0.5)
+    S.incremental_neardup_batch(b2, state, threshold=0.5)
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in spark.read.parquet(f"{state}/pairs").collect()
+    }
+    assert got == expect
+
+
+def test_incremental_neardup_stream_sink(spark, tmp_path, sf_dir):
+    """The foreachBatch wrapper drives the same incremental state from a
+    file stream (one file per micro-batch)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "docs-000.parquet")
+    pq.write_table(t.slice(half), d / "docs-001.parquet")
+
+    docs_batch = spark.read.parquet(str(d))
+    from chromem_go_spark.operators import dedup as D
+
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(docs_batch, threshold=0.5).collect()
+    }
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    state = str(tmp_path / "sink_state")
+    writer = S.incremental_neardup_sink(
+        stream, state, str(tmp_path / "ckpt"), threshold=0.5
+    )
+    S.run_available_now(writer)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(f"{state}/pairs").collect()
+    }
+    assert got == expect
