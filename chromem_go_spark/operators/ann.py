@@ -30,13 +30,28 @@ from ..functions import vector as V
 from . import knn as knn_ops
 
 
+def _kmeanspp_init(sample: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii, SODA'07 — public
+    method): each next center is drawn proportional to squared distance
+    from the chosen set. Balanced initial centers -> balanced IVF cells,
+    which matters because probe cost follows the largest cells."""
+    n = sample.shape[0]
+    k = min(k, n)
+    centers = [sample[rng.integers(n)]]
+    d2 = ((sample - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers.append(sample[rng.choice(n, p=probs)])
+        d2 = np.minimum(d2, ((sample - centers[-1]) ** 2).sum(axis=1))
+    return np.stack(centers)
+
+
 def _kmeans(sample: np.ndarray, n_clusters: int, seed: int = 42, n_iter: int = 20) -> np.ndarray:
     """Deterministic Lloyd's k-means on normalized vectors (spherical-ish:
-    centroids re-normalized each step so assignment is by cosine)."""
+    centroids re-normalized each step so assignment is by cosine);
+    k-means++ seeded."""
     rng = np.random.default_rng(seed)
-    n = sample.shape[0]
-    idx = rng.choice(n, size=min(n_clusters, n), replace=False)
-    cents = sample[idx].copy()
+    cents = _kmeanspp_init(sample, n_clusters, rng)
     for _ in range(n_iter):
         sims = sample @ cents.T
         assign = np.argmax(sims, axis=1)
@@ -80,9 +95,7 @@ def _kmeans_l2(sample: np.ndarray, k: int, seed: int = 42, n_iter: int = 15) -> 
     """Deterministic Lloyd's k-means under Euclidean distance — the PQ
     codebook trainer (subspace quantizers minimize L2 error)."""
     rng = np.random.default_rng(seed)
-    n = sample.shape[0]
-    k = min(k, n)
-    cents = sample[rng.choice(n, size=k, replace=False)].copy()
+    cents = _kmeanspp_init(sample, k, rng).copy()
     for _ in range(n_iter):
         d2 = (
             (sample**2).sum(axis=1, keepdims=True)

@@ -1,0 +1,63 @@
+"""Training-data pipeline tour over the driver test tables: quality
+gate -> language gate -> near-dup clustering -> token accounting, plus
+ANN index build/search. The beyond-reference operator families a 100 TB
+LLM data pipeline runs.
+
+Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python examples/training_data_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from chromem_go_spark.functions import text as T
+from chromem_go_spark.operators import ann as ANN
+from chromem_go_spark.operators import dedup as D
+from chromem_go_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    spark = get_spark("example-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    print("== near-duplicate clusters (exact Jaccard -> connected components)")
+    reps = D.dedup_clusters(docs, threshold=0.5, algorithm="star")
+    n_docs = docs.count()
+    n_reps = reps.filter(F.col("cluster_rep") == F.col("doc_id")).count()
+    print(f"{n_docs} docs -> {n_reps} cluster representatives")
+
+    print("\n== selection: dedup reps + quality >= 0.3 + target languages")
+    survivors = (
+        docs.join(reps, "doc_id")
+        .filter(F.col("cluster_rep") == F.col("doc_id"))
+        .filter(T.quality_score("text") >= 0.3)
+        .filter(T.lang_id("text").isin("en", "de", "fr", "es"))
+    )
+    survivors.groupBy(T.lang_id("text").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("tokens"),
+    ).show()
+
+    print("== ANN: IVF-PQ index (16-byte codes) + batch search w/ exact re-rank")
+    idx = ANN.IVFPQIndex.build(emb, n_clusters=8, m=16, vec_col="embedding", id_col="vec_id")
+    qrows = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    idx.search_batch(
+        [str(r["vec_id"]) for r in qrows],
+        [list(r["embedding"]) for r in qrows],
+        k=3,
+        nprobe=4,
+        rerank=64,
+    ).show()
+
+
+if __name__ == "__main__":
+    main()
