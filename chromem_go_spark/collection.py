@@ -430,6 +430,60 @@ class Collection:
             )
         return knn_ops.knn_single(filtered, qv, n_results)
 
+    def build_ann_index(
+        self,
+        n_clusters: int = 16,
+        pq: bool = False,
+        m: int = 16,
+        seed: int = 42,
+    ):
+        """Build an ANN index over the collection's current snapshot
+        (the reference lists HNSW/IVFFlat as roadmap, README.md:176-178;
+        this is the Spark-native realization — see operators/ann.py).
+
+        Returns an ``IVFIndex`` (or ``IVFPQIndex`` with ``pq=True`` —
+        product-quantized codes for the memory-bound regime). The index
+        is a SNAPSHOT: rebuild after bulk ingest (at scale, index builds
+        are scheduled jobs, not per-write maintenance)."""
+        from .operators.ann import IVFIndex, IVFPQIndex
+
+        if pq:
+            return IVFPQIndex.build(
+                self.df, n_clusters=n_clusters, m=m,
+                vec_col="embedding", id_col="id", seed=seed,
+            )
+        return IVFIndex.build(
+            self.df, n_clusters=n_clusters,
+            vec_col="embedding", id_col="id", seed=seed,
+        )
+
+    def query_embedding_ann(
+        self,
+        query_embedding: Sequence[float],
+        n_results: int,
+        index=None,
+        nprobe: int = 4,
+        **index_kwargs,
+    ) -> DataFrame:
+        """ANN-backed query: probe ``nprobe`` IVF cells instead of
+        scanning the corpus. ``index`` is a previously built
+        ``build_ann_index`` result (built on the fly if omitted — only
+        sensible for experimentation). With ``nprobe >= n_clusters`` the
+        result is exact."""
+        if query_embedding is None or len(query_embedding) == 0:
+            raise ValueError(E.ERR_QUERY_EMBEDDING_EMPTY)
+        if n_results <= 0:
+            raise ValueError(E.ERR_NRESULTS_POSITIVE)
+        if index is None:
+            index = self.build_ann_index(**index_kwargs)
+        from .operators.ann import IVFPQIndex
+
+        if isinstance(index, IVFPQIndex):
+            return index.search_batch(
+                ["0"], [list(query_embedding)], int(n_results), nprobe=nprobe
+            ).drop("query_id")
+        return index.search(list(query_embedding), int(n_results), nprobe=nprobe)
+
     def query_batch(
         self,
         query_texts: Sequence[str] | None = None,

@@ -336,3 +336,30 @@ def test_query_batch_per_query_filters(spark, db):
             query_embeddings=[[1.0, 0.0, 0.0]],
             per_query_filters=[{"where_document": {"$regex": "x"}}],
         )
+
+
+def test_collection_ann_index(spark, db):
+    """ANN through the public Collection API: full probe equals the
+    brute-force query; PQ variant agrees after exact re-rank."""
+    import numpy as np
+
+    c = db.create_collection("annc", embedding_func=const_embedding)
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((60, 32))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    c.add_documents(
+        [Document(str(i), {}, [float(x) for x in mat[i]], f"d{i}") for i in range(60)]
+    )
+    q = [float(x) for x in mat[7]]
+    exact = [r["id"] for r in c.query_embedding(q, 5).collect()]
+
+    idx = c.build_ann_index(n_clusters=4)
+    got = [r["id"] for r in c.query_embedding_ann(q, 5, index=idx, nprobe=4).collect()]
+    assert got == exact
+
+    pq_idx = c.build_ann_index(n_clusters=4, pq=True, m=16)
+    got_pq = [
+        r["id"]
+        for r in c.query_embedding_ann(q, 5, index=pq_idx, nprobe=4, ).collect()
+    ]
+    assert got_pq == exact
