@@ -597,6 +597,56 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join: customer (broadcast dim) x orders x
+    lineitem with date predicates pushed to both fact scans, revenue
+    rollup, top-10 — the multi-join analytics shape at 100 TB (the two
+    facts co-shuffle on orderkey; dims broadcast)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            # parquet reads TIMESTAMP_NTZ; epoch via timestamp (session UTC)
+            F.col("o_orderdate").cast("timestamp").cast("double").cast("bigint").alias("o_date_epoch"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets family): per (segment,
+    priority), per segment, and grand total in ONE pass — map-side
+    partial aggs feed a single shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return (
+        joined.rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted join (operators/skew.py): events fact x per-type
     dim; row-identical to the plain join the oracle runs."""
@@ -707,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_users": q_events_topk_users,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
+        "shipping_priority": q_shipping_priority,
+        "orders_rollup": q_orders_rollup,
         "standing_queries": q_standing_queries,
         "events_trending": q_events_trending,
         "salted_join_events": q_salted_join_events,
@@ -1163,6 +1215,27 @@ SELECT hour_start, event_type, n, CAST(rank AS BIGINT) AS rank FROM (
     FROM events GROUP BY 1, 2
   )
 ) WHERE rank <= 3
+""",
+        "shipping_priority": """
+SELECT l_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_date_epoch,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "orders_rollup": """
+SELECT c_mktsegment, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
 """,
         "standing_queries": """
 WITH qs AS (

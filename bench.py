@@ -60,6 +60,8 @@ def main() -> None:
         "training_pipeline",
         "orders_by_segment",
         "lineitem_pricing",
+        "shipping_priority",
+        "orders_rollup",
         "standing_queries",
         "salted_join_events",
     ]
