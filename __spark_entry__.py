@@ -560,6 +560,20 @@ def q_events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`, both linear-interpolation): the SLA/
+    latency-distribution analytics shape. Exact percentiles shuffle the
+    group's values; at 100 TB swap in percentile_approx (t-digest) —
+    same plan shape, bounded state."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 def q_standing_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming standing-queries matcher (stream-static
     broadcast join + threshold): static alert rules scored against the
@@ -761,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": q_orders_rollup,
         "standing_queries": q_standing_queries,
         "events_trending": q_events_trending,
+        "events_percentiles": q_events_percentiles,
         "salted_join_events": q_salted_join_events,
     }
 
@@ -1203,6 +1218,13 @@ SELECT user_id, total FROM (
 SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+""",
+        "events_percentiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
 """,
         "events_trending": """
 SELECT hour_start, event_type, n, CAST(rank AS BIGINT) AS rank FROM (

@@ -47,6 +47,7 @@ def main() -> None:
         "events_window_hourly",
         "events_topk_users",
         "events_trending",
+        "events_percentiles",
         "multimodal_meta",
         "knn_batch_expr",
         "knn_batch_per_filter",
