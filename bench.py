@@ -123,7 +123,13 @@ def main() -> None:
     # Heavy similarity-join queries run FIRST (fresh block manager —
     # measured: the same query is 2-4x slower late in a loaded session);
     # every query is min-of-2 steady-state.
-    heavy = ["ngram_jaccard", "dedup_clusters", "training_pipeline", "minhash_lsh"]
+    heavy = [
+        "ngram_jaccard",
+        "dedup_clusters",
+        "dedup_clusters_star",
+        "training_pipeline",
+        "minhash_lsh",
+    ]
     bench_names = heavy + [n for n in bench_names if n not in heavy]
 
     times: dict[str, float] = {}
