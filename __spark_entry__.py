@@ -216,6 +216,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r4("jaccard"))
 
 
+def q_word_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 5-gram Jaccard near-dup pairs (the Gopher-style word-shingle
+    dedup unit) via the same prefix-filtered exact join."""
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, threshold=0.5, k=5, unit="word")
+    return out.select("id_a", "id_b", _r4("jaccard"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs over the embedding column."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -749,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_last_wins": q_upsert_last_wins,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -988,6 +997,30 @@ FROM documents
 GROUP BY md5({_NORM_TEXT})
 """,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "word_ngram_jaccard": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 4, 0) + 1),
+                               i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS sh
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+""",
         "minhash_lsh": _NGRAM_JACCARD_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "embedding_neardup_lsh": _EMB_NEARDUP_SQL,

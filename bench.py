@@ -37,6 +37,7 @@ def main() -> None:
         "ivf_search_exact",
         "dedup_exact",
         "ngram_jaccard",
+        "word_ngram_jaccard",
         "minhash_lsh",
         "simhash_pairs",
         "embedding_neardup_lsh",

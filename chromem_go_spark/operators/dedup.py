@@ -70,7 +70,7 @@ def shingle_table(
 
 
 def _doc_token_arrays(
-    df: DataFrame, text_col: str, id_col: str, k: int
+    df: DataFrame, text_col: str, id_col: str, k: int, unit: str = "char"
 ) -> DataFrame:
     """Per doc: shingles as (global_rarity_order, hash) structs, sorted
     rarest-first, plus the plain hash array for set intersection.
@@ -81,7 +81,8 @@ def _doc_token_arrays(
     # Hash shingles to longs FIRST: every downstream shuffle (frequency
     # count, doc groupBy, prefix join) keys on 8-byte longs, never on
     # shingle strings.
-    sh = hashed_shingle_table(df, text_col, id_col, k)
+    builder = hashed_shingle_table if unit == "char" else hashed_word_shingle_table
+    sh = builder(df, text_col, id_col, k)
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfq"))
     withf = sh.join(dfreq, "h")
     return withf.groupBy(id_col).agg(
@@ -96,6 +97,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    unit: str = "char",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join, prefix-filtered (PPJoin-lite).
 
@@ -137,7 +139,9 @@ def ngram_jaccard_pairs(
     # shingle build without this). localCheckpoint trades lineage for a
     # single computation — the standard move for reused expensive
     # intermediates.
-    g = _doc_token_arrays(df, text_col, id_col, k).transform(materialize)
+    # ``unit='word'`` switches to word n-grams (the Gopher-style 13-gram
+    # document dedup unit for LLM corpora) — same prefix-filter plan.
+    g = _doc_token_arrays(df, text_col, id_col, k, unit).transform(materialize)
     prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
     pref = g.select(
         id_col, "sz", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("p")
@@ -208,6 +212,31 @@ def hashed_shingle_table(
     return (
         normed.select(id_col, F.explode(shingles).alias("__s"))
         .select(id_col, F.xxhash64("__s").alias("h"))
+        .distinct()
+    )
+
+
+def hashed_word_shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """(id, h) with h = xxhash64 of each n-token word shingle — the
+    word-level dedup unit (production LLM corpus dedup typically uses
+    13-gram word shingles; char k-grams catch finer-grained edits).
+    Same hash-before-distinct shuffle shape as the char variant."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
+        id_col, T.word_tokens(text_col).alias("__w")
+    )
+    sh = F.when(
+        F.size("__w") < n, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - F.lit(n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__w", i, n))),
+        )
+    )
+    return (
+        toks.select(id_col, F.explode(sh).alias("h"))
         .distinct()
     )
 

@@ -359,3 +359,34 @@ def test_connected_components_star_matches_unionfind(spark):
         for r in D.connected_components_star(edges).collect()
     }
     assert got == expect
+
+
+def test_word_ngram_jaccard_pairs(spark):
+    """Word-shingle variant: rearranged words break word-grams but barely
+    change char-grams — the two units disagree exactly where they
+    should."""
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, a),
+            (2, a),  # identical -> word-gram jaccard 1.0
+            (3, a.replace("lazy dog", "dog lazy")),  # local reorder
+            (4, "totally different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, 0.4, k=3, unit="word").collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+    # brute-force verification of the word-gram sets
+    def wgrams(text, n=3):
+        import re
+        toks = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", text.lower())
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    g1, g3 = wgrams(a), wgrams(a.replace("lazy dog", "dog lazy"))
+    expect13 = len(g1 & g3) / len(g1 | g3)
+    assert pairs[(1, 3)] == pytest.approx(expect13, abs=1e-9)
