@@ -7,9 +7,10 @@ Reference citations throughout point into the read-only snapshot at
 /root/reference (philippgille/chromem-go).
 """
 
-from .collection import Collection
+from .collection import DEFAULT_N_BUCKETS, Collection
 from .db import DB
 from .document import DOCUMENT_SCHEMA, Document, new_document
+from .materialize import disable_reliable_checkpoints, enable_reliable_checkpoints
 from .session import get_spark
 
 __all__ = [
@@ -17,6 +18,9 @@ __all__ = [
     "Collection",
     "Document",
     "DOCUMENT_SCHEMA",
+    "DEFAULT_N_BUCKETS",
     "new_document",
     "get_spark",
+    "enable_reliable_checkpoints",
+    "disable_reliable_checkpoints",
 ]
