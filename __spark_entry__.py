@@ -216,6 +216,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r4("jaccard"))
 
 
+def q_cdc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk fingerprints per document (rolling-hash
+    cutpoints): the content-addressable dedup unit robust to shifted
+    text. Portable md5 window hash — DuckDB replays the whole
+    boundary + chunk computation."""
+    docs = _t(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", T.normalized_text("text").alias("__t"))
+    return normed.select(
+        "doc_id",
+        F.posexplode(T.cdc_chunk_exprs("__t")).alias("chunk_idx", "chunk_hash"),
+    ).select("doc_id", F.col("chunk_idx").cast("bigint").alias("chunk_idx"), "chunk_hash")
+
+
 def q_word_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 5-gram Jaccard near-dup pairs (the Gopher-style word-shingle
     dedup unit) via the same prefix-filtered exact join."""
@@ -758,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "word_ngram_jaccard": q_word_ngram_jaccard,
+        "cdc_fingerprints": q_cdc_fingerprints,
         "embedding_neardup": q_embedding_neardup,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -997,6 +1011,43 @@ FROM documents
 GROUP BY md5({_NORM_TEXT})
 """,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "cdc_fingerprints": r"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, t,
+         list_sort(list_distinct(list_concat(
+           [1]::BIGINT[],
+           list_filter(
+             CASE WHEN length(t) >= 16
+                  THEN range(1, length(t) - 16 + 2)
+                  ELSE []::BIGINT[] END,
+             i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), 16)), 1, 15))::BIGINT % 64 = 0
+           )
+         ))) AS starts
+  FROM t
+),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(starts) + 1),
+           j -> struct_pack(
+             chunk_idx := j - 1,
+             chunk_hash := md5(substr(
+               t,
+               CAST(starts[CAST(j AS INT)] AS INT),
+               CAST(COALESCE(starts[CAST(j + 1 AS INT)], length(t) + 1)
+                    - starts[CAST(j AS INT)] AS INT)
+             ))
+           )
+         )) AS ch
+  FROM b
+)
+SELECT doc_id, CAST(ch.chunk_idx AS BIGINT) AS chunk_idx, ch.chunk_hash
+FROM c
+""",
         "word_ngram_jaccard": r"""
 WITH toks AS (
   SELECT doc_id,

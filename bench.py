@@ -38,6 +38,7 @@ def main() -> None:
         "dedup_exact",
         "ngram_jaccard",
         "word_ngram_jaccard",
+        "cdc_fingerprints",
         "minhash_lsh",
         "simhash_pairs",
         "embedding_neardup_lsh",

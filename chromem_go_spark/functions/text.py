@@ -121,6 +121,42 @@ def chunk_starts(text: Column | str, chunk_size: int = 500, overlap: int = 100) 
     )
 
 
+def cdc_chunk_exprs(
+    text_plain_col: str, window: int = 16, divisor: int = 64
+) -> Column:
+    """Content-defined chunking fingerprints: md5 of each chunk, where
+    chunk boundaries sit at positions whose ``window``-char hash is
+    ``0 mod divisor`` (Rabin-style rolling-hash cutpoints). Unlike fixed
+    chunks, an insertion/deletion only moves boundaries LOCALLY, so
+    shifted near-duplicate documents still share most chunk hashes —
+    the content-addressable dedup unit (average chunk ~``divisor``
+    chars).
+
+    ``text_plain_col`` MUST name a materialized plain column (the
+    expression is used inside array lambdas, where embedded regexps
+    re-evaluate per element — the measured 10x trap). The window hash is
+    the portable md5 60-bit form, so DuckDB replays it bit-for-bit.
+    """
+    t = F.col(text_plain_col)
+    n = F.length(t)
+    pos = F.when(
+        n < window, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), n - F.lit(window) + 1))
+
+    def whash(i: Column) -> Column:
+        return F.conv(
+            F.substring(F.md5(t.substr(i, F.lit(window))), 1, 15), 16, 10
+        ).cast("long")
+
+    bounds = F.filter(pos, lambda i: F.pmod(whash(i), F.lit(divisor)) == 0)
+    starts = F.array_sort(F.array_union(F.array(F.lit(1)), bounds))
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    return F.zip_with(starts, ends, lambda s, e: F.md5(t.substr(s, e - s)))
+
+
 def quality_score(text: Column | str) -> Column:
     """Gopher-style cheap quality heuristic in [0, 1]: rewards alpha-heavy
     text with sane token lengths, penalizes punctuation soup. Deliberately
