@@ -449,6 +449,11 @@ def connected_components_star(
     cheap aggregates). Returns (node, component = min id reachable).
     ``rounds_out``: appends the number of alternation rounds (for tests).
     """
+    # Materialize the edge input ONCE: nodes and the canonical edge set
+    # both derive from it, and `edges` is typically an expensive subtree
+    # (a similarity join) — two separate materializations would compute
+    # it twice (measured: +5-6 s on dedup_clusters_star at sf0.1).
+    edges = edges.select(src_col, dst_col).transform(materialize)
     nodes = (
         edges.select(F.col(src_col).alias("n"))
         .unionByName(edges.select(F.col(dst_col).alias("n")))
