@@ -106,3 +106,32 @@ def test_cdc_chunks_survive_shifts(spark):
     assert fx < 0.2
     # chunks reassemble the document: verified implicitly by the oracle
     # (chunk hashes are hashes of a partition of the normalized text)
+
+
+def test_cdc_fast_path_same_property(spark):
+    """portable=False (xxhash64 window hash — the scale path) chunks
+    differently but preserves the shift-survival property."""
+    import random
+
+    from chromem_go_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(9)
+    body = " ".join(
+        "".join(rnd.choice("klmnopqrst") for _ in range(rnd.randint(3, 8)))
+        for _ in range(300)
+    )
+    df = spark.createDataFrame(
+        [(1, body), (2, "SHIFT " + body)], "doc_id long, text string"
+    )
+    normed = df.select("doc_id", T.normalized_text("text").alias("__t"))
+    out = normed.select(
+        "doc_id",
+        F.explode(T.cdc_chunk_exprs("__t", portable=False)).alias("h"),
+    ).collect()
+    chunks = {}
+    for r in out:
+        chunks.setdefault(r["doc_id"], set()).add(r["h"])
+    shared = len(chunks[1] & chunks[2]) / len(chunks[1])
+    assert len(chunks[1]) > 5
+    assert shared >= 0.7
