@@ -497,20 +497,12 @@ def q_ivf_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline: quality gate -> language
     gate -> near-dup cluster representatives only -> per-language token
-    accounting. One declarative plan; Catalyst fuses the filters below
-    the joins."""
+    accounting — via the library API (chromem_go_spark.pipeline); one
+    declarative plan, Catalyst fuses the filters below the joins."""
+    from chromem_go_spark.pipeline import PipelineConfig, training_corpus_stats
+
     docs = _t(spark, sf_dir, "documents")
-    reps = D.dedup_clusters(docs, threshold=0.5)
-    survivors = (
-        docs.join(reps, "doc_id")
-        .filter(F.col("cluster_rep") == F.col("doc_id"))
-        .filter(T.quality_score("text") >= 0.3)
-        .filter(T.lang_id("text").isin("en", "de", "fr", "es"))
-    )
-    return survivors.groupBy(T.lang_id("text").alias("lang_pred")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
-    )
+    return training_corpus_stats(docs, PipelineConfig())
 
 
 def q_knn_batch_expr(spark: SparkSession, sf_dir: str) -> DataFrame:

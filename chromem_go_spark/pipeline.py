@@ -1,0 +1,115 @@
+"""Composable training-data pipeline — the beyond-reference layer as a
+library API (the entry queries wrap these functions; a user composes
+them directly over their own document tables).
+
+Stages (each independently usable; all return DataFrames, so Catalyst
+fuses whatever you chain):
+
+  select_training_documents  quality gate + language gate + one doc per
+                             near-dup cluster
+  training_corpus_stats      per-language doc/token accounting of the
+                             selected corpus
+  chunked_training_corpus    fixed-size overlapping chunks of the
+                             selected documents (the tokenizer-ready
+                             output shape)
+
+Scale notes: the dedup stage is the only shuffle-heavy member (see
+operators/dedup.py); the gates are pure codegen predicates that
+Catalyst pushes below the cluster join where possible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators import dedup as D
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Knobs for the document-selection pipeline."""
+
+    dedup_threshold: float = 0.5
+    dedup_ngram: int = 5
+    dedup_unit: str = "char"  # or "word" (Gopher-style word shingles)
+    cc_algorithm: str = "label"  # or "star" (diameter-proof)
+    quality_min: float = 0.3
+    languages: tuple[str, ...] = ("en", "de", "fr", "es")
+    chunk_size: int = 500
+    chunk_overlap: int = 100
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+
+def cluster_representatives(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(id, cluster_rep) for every document — near-dup clustering via
+    exact n-gram Jaccard pairs + connected components."""
+    return D.dedup_clusters(
+        docs,
+        threshold=cfg.dedup_threshold,
+        text_col=cfg.text_col,
+        id_col=cfg.id_col,
+        k=cfg.dedup_ngram,
+        algorithm=cfg.cc_algorithm,
+    )
+
+
+def select_training_documents(
+    docs: DataFrame, cfg: PipelineConfig = PipelineConfig(), reps: DataFrame | None = None
+) -> DataFrame:
+    """The selection stage: keep one representative per near-dup
+    cluster, then require quality >= ``quality_min`` and a detected
+    language in ``languages``. Pass a precomputed ``reps`` (from
+    :func:`cluster_representatives`, materialized) when running several
+    downstream consumers — recomputing the pair graph is the expensive
+    part."""
+    if reps is None:
+        reps = cluster_representatives(docs, cfg)
+    out = (
+        docs.join(reps, cfg.id_col)
+        .filter(F.col("cluster_rep") == F.col(cfg.id_col))
+        .filter(T.quality_score(cfg.text_col) >= cfg.quality_min)
+    )
+    if cfg.languages:
+        out = out.filter(T.lang_id(cfg.text_col).isin(*cfg.languages))
+    return out
+
+
+def training_corpus_stats(
+    docs: DataFrame, cfg: PipelineConfig = PipelineConfig(), reps: DataFrame | None = None
+) -> DataFrame:
+    """Per-language (n_docs, total_tokens) of the selected corpus — the
+    accounting a data order runs before training."""
+    survivors = select_training_documents(docs, cfg, reps)
+    return survivors.groupBy(T.lang_id(cfg.text_col).alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(cfg.text_col)).cast("bigint").alias("total_tokens"),
+    )
+
+
+def chunked_training_corpus(
+    docs: DataFrame, cfg: PipelineConfig = PipelineConfig(), reps: DataFrame | None = None
+) -> DataFrame:
+    """Selected documents split into fixed-size overlapping chunks —
+    (id, chunk_idx, chunk) rows ready for tokenization/packing."""
+    survivors = select_training_documents(docs, cfg, reps)
+    return (
+        survivors.select(
+            cfg.id_col,
+            F.posexplode(
+                T.chunk_starts(cfg.text_col, cfg.chunk_size, cfg.chunk_overlap)
+            ).alias("chunk_idx", "start"),
+            F.col(cfg.text_col),
+        )
+        .select(
+            cfg.id_col,
+            "chunk_idx",
+            F.substring(
+                F.col(cfg.text_col), F.col("start"), F.lit(cfg.chunk_size)
+            ).alias("chunk"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""Pipeline library API: stage composition, reps reuse, config knobs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chromem_go_spark.materialize import materialize
+from chromem_go_spark.pipeline import (
+    PipelineConfig,
+    chunked_training_corpus,
+    cluster_representatives,
+    select_training_documents,
+    training_corpus_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_stats_match_inline_formulation(spark, docs):
+    """The library stats equal the hand-composed query (the oracle
+    semantics of training_pipeline)."""
+    from chromem_go_spark.functions import text as T
+    from chromem_go_spark.operators import dedup as D
+
+    reps = D.dedup_clusters(docs, threshold=0.5)
+    expect = {
+        (r["lang_pred"], r["n_docs"], r["total_tokens"])
+        for r in (
+            docs.join(reps, "doc_id")
+            .filter(F.col("cluster_rep") == F.col("doc_id"))
+            .filter(T.quality_score("text") >= 0.3)
+            .filter(T.lang_id("text").isin("en", "de", "fr", "es"))
+            .groupBy(T.lang_id("text").alias("lang_pred"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
+            )
+            .collect()
+        )
+    }
+    got = {
+        (r["lang_pred"], r["n_docs"], r["total_tokens"])
+        for r in training_corpus_stats(docs).collect()
+    }
+    assert got == expect
+
+
+def test_reps_reuse_and_chunking(spark, docs):
+    """Precomputed reps feed several consumers without recomputing the
+    pair graph; chunk output covers every selected doc."""
+    cfg = PipelineConfig(chunk_size=300, chunk_overlap=50)
+    reps = materialize(cluster_representatives(docs, cfg))
+    survivors = select_training_documents(docs, cfg, reps)
+    n_sel = survivors.count()
+    assert 0 < n_sel < docs.count()
+
+    chunks = chunked_training_corpus(docs, cfg, reps)
+    assert chunks.select("doc_id").distinct().count() == n_sel
+    row = chunks.head()
+    assert len(row["chunk"]) <= 300
+
+    # language gate off -> at least as many survivors
+    cfg_all = PipelineConfig(languages=())
+    assert select_training_documents(docs, cfg_all, reps).count() >= n_sel
+
+
+def test_star_algorithm_same_selection(spark, docs):
+    """cc_algorithm='star' selects the identical document set."""
+    a = {r["doc_id"] for r in select_training_documents(docs).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in select_training_documents(
+            docs, PipelineConfig(cc_algorithm="star")
+        ).select("doc_id").collect()
+    }
+    assert a == b
