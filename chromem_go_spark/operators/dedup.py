@@ -530,6 +530,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     k: int = 5,
     algorithm: str = "label",
+    unit: str = "char",
 ) -> DataFrame:
     """Cluster near-duplicate documents: exact n-gram Jaccard pairs ->
     connected components -> every doc mapped to its cluster
@@ -538,8 +539,9 @@ def dedup_clusters(
 
     ``algorithm``: 'label' (min-label propagation, O(diameter) rounds —
     near-dup clusters have tiny diameters) or 'star' (large-star/
-    small-star, O(log n) rounds — diameter-proof)."""
-    pairs = ngram_jaccard_pairs(df, threshold, text_col, id_col, k)
+    small-star, O(log n) rounds — diameter-proof). ``unit``: 'char' or
+    'word' shingles (see :func:`ngram_jaccard_pairs`)."""
+    pairs = ngram_jaccard_pairs(df, threshold, text_col, id_col, k, unit)
     cc = connected_components if algorithm == "label" else connected_components_star
     comp = cc(pairs, "id_a", "id_b")
     return (

@@ -55,6 +55,7 @@ def cluster_representatives(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
         id_col=cfg.id_col,
         k=cfg.dedup_ngram,
         algorithm=cfg.cc_algorithm,
+        unit=cfg.dedup_unit,
     )
 
 

@@ -78,3 +78,31 @@ def test_star_algorithm_same_selection(spark, docs):
         ).select("doc_id").collect()
     }
     assert a == b
+
+
+def test_word_unit_config_reaches_dedup(spark):
+    """dedup_unit='word' actually changes the clustering basis: docs
+    identical up to word order cluster under char-grams but not under
+    strict word-grams at a high threshold."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = a.split()
+    rotated = " ".join(words[5:] + words[:5])
+    df = spark.createDataFrame(
+        [(1, a), (2, rotated)], "doc_id long, text string"
+    )
+    # char 3-gram jaccard of the pair is 0.875, word 3-gram is 0.6 —
+    # a threshold between them separates the two units
+    char_cfg = PipelineConfig(dedup_threshold=0.7, dedup_ngram=3)
+    word_cfg = PipelineConfig(dedup_threshold=0.7, dedup_ngram=3, dedup_unit="word")
+    char_reps = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in cluster_representatives(df, char_cfg).collect()
+    }
+    word_reps = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in cluster_representatives(df, word_cfg).collect()
+    }
+    # char 3-grams overlap heavily under rotation -> one cluster
+    assert char_reps == {1: 1, 2: 1}
+    # word 3-grams break at the rotation seam -> separate clusters
+    assert word_reps == {1: 1, 2: 2}
