@@ -165,10 +165,18 @@ class IVFPQIndex:
         base = IVFIndex.build(
             df, n_clusters, vec_col, id_col, seed, sample_size
         )
-        # train subspace codebooks on the same bounded sample
-        sample_rows = (
-            df.select(vec_col).limit(min(sample_size, 100_000)).collect()
-        )
+        # train subspace codebooks on a bounded sample — hash-spread
+        # across partitions like the coarse trainer (a bare limit()
+        # would take the first partitions only: clustered storage =>
+        # biased codebooks)
+        n_rows = df.count()
+        cand = df
+        if n_rows > sample_size:
+            p = max(1, int(997 * sample_size / n_rows))
+            cand = df.filter(
+                F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(997)) < p
+            )
+        sample_rows = cand.select(vec_col).limit(sample_size).collect()
         sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
         dim = sample.shape[1]
         if dim % m != 0:
