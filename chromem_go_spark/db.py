@@ -242,6 +242,13 @@ class DB:
     ) -> None:
         if not file_path:
             raise ValueError("file path is empty")
+        # validate BEFORE opening: open(..., 'wb') truncates, and a bad
+        # key / unknown collection name must not destroy an existing
+        # export at the destination path
+        _check_encryption_key(encryption_key)
+        for n in collections or []:
+            if n not in self._collections:
+                raise ValueError(f"unknown collection: {n}")
         with open(file_path, "wb") as f:
             self.export_to_writer(f, compress, encryption_key, collections)
 

@@ -89,8 +89,9 @@ def _png_header(data: bytes) -> tuple[int, int]:
 def _decode_png(data: bytes) -> tuple[int, int, bytes]:
     """Minimal pure-stdlib PNG decoder (public spec / RFC 2083): 8-bit
     greyscale / RGB / RGBA, non-interlaced, all five scanline filters.
-    Color converts to greyscale with ITU-R 601-2 luma (the same formula
-    PIL's ``convert("L")`` uses, so results agree when PIL is present).
+    Color converts to greyscale with PIL's exact integer ITU-R 601-2
+    luma ((R*19595 + G*38470 + B*7471) >> 16), so results agree
+    bit-for-bit with ``convert("L")`` when PIL is present.
 
     This makes one REAL image format decodable with nothing but the
     stdlib — the smoke path for the real-codec plumbing; a production
@@ -155,7 +156,7 @@ def _decode_png(data: bytes) -> tuple[int, int, bytes]:
         px = bytes(out)
     else:
         px = bytes(
-            (out[i] * 299 + out[i + 1] * 587 + out[i + 2] * 114) // 1000
+            (out[i] * 19595 + out[i + 1] * 38470 + out[i + 2] * 7471) >> 16
             for i in range(0, len(out), ch)
         )
     return w, h, px
@@ -236,8 +237,13 @@ def image_metadata(df: DataFrame, data_col: str = "data") -> DataFrame:
                     w, h = struct.unpack(">II", b[8:16])
                     fmt = "fakeimg"
                 elif b[:8] == _PNG_SIG:
-                    w, h = _png_header(b)
-                    fmt = "png"
+                    try:
+                        w, h = _png_header(b)
+                        fmt = "png"
+                    except Exception:
+                        # corrupt/truncated PNG: classify, don't crash
+                        # the whole job (every other branch is total)
+                        w, h, fmt = 0, 0, "unknown"
                 elif b[:8] == _AUD_MAGIC:
                     w, h, fmt = 0, 0, "fakeaud"
                 elif b[:8] == b"FAKEVID1":

@@ -46,6 +46,25 @@ def _kmeanspp_init(sample: np.ndarray, k: int, rng: np.random.Generator) -> np.n
     return np.stack(centers)
 
 
+def _hash_sample(
+    df: DataFrame, vec_col: str, id_col: str, sample_size: int
+) -> np.ndarray:
+    """Deterministic driver-side sample spread across ALL partitions: a
+    bare limit() would take rows from the first partitions only, biasing
+    trainers on clustered storage. xxhash64(id) % 997 < p keeps
+    ~sample_size rows uniformly wherever they live. ONE count + ONE
+    collect — shared by the coarse quantizer and the PQ codebooks."""
+    n_rows = df.count()
+    cand = df
+    if n_rows > sample_size:
+        p = max(1, int(997 * sample_size / n_rows))
+        cand = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(997)) < p
+        )
+    rows = cand.select(vec_col).limit(sample_size).collect()
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
 def _kmeans(sample: np.ndarray, n_clusters: int, seed: int = 42, n_iter: int = 20) -> np.ndarray:
     """Deterministic Lloyd's k-means on normalized vectors (spherical-ish:
     centroids re-normalized each step so assignment is by cosine);
@@ -162,22 +181,13 @@ class IVFPQIndex:
         seed: int = 42,
         sample_size: int = 50_000,
     ) -> "IVFPQIndex":
+        # ONE hash-spread sample feeds the coarse quantizer AND the
+        # subspace codebooks (previously each did its own count+collect
+        # — two redundant full-table jobs per index build)
+        sample = _hash_sample(df, vec_col, id_col, sample_size)
         base = IVFIndex.build(
-            df, n_clusters, vec_col, id_col, seed, sample_size
+            df, n_clusters, vec_col, id_col, seed, sample_size, _sample=sample
         )
-        # train subspace codebooks on a bounded sample — hash-spread
-        # across partitions like the coarse trainer (a bare limit()
-        # would take the first partitions only: clustered storage =>
-        # biased codebooks)
-        n_rows = df.count()
-        cand = df
-        if n_rows > sample_size:
-            p = max(1, int(997 * sample_size / n_rows))
-            cand = df.filter(
-                F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(997)) < p
-            )
-        sample_rows = cand.select(vec_col).limit(sample_size).collect()
-        sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
         dim = sample.shape[1]
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -375,20 +385,16 @@ class IVFIndex:
         id_col: str = "vec_id",
         seed: int = 42,
         sample_size: int = 50_000,
+        _sample: np.ndarray | None = None,
     ) -> "IVFIndex":
-        # Deterministic hash-sample spread across ALL partitions: a bare
-        # limit() would take rows from the first partitions only, biasing
-        # the k-means sample at scale (clustered storage => clustered
-        # sample). xxhash64(id) % 997 < p keeps ~sample_size rows
-        # uniformly wherever they live.
-        n_rows = df.count()
-        if n_rows > sample_size:
-            p = max(1, int(997 * sample_size / n_rows))
-            cand = df.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(997)) < p)
-        else:
-            cand = df
-        sample_rows = cand.select(vec_col).limit(sample_size).collect()
-        sample = np.asarray([r[0] for r in sample_rows], dtype=np.float64)
+        # hash-spread sample (see _hash_sample); ``_sample`` lets
+        # IVFPQIndex.build share one sample between the coarse quantizer
+        # and the codebook trainers
+        sample = (
+            _sample
+            if _sample is not None
+            else _hash_sample(df, vec_col, id_col, sample_size)
+        )
         norms = np.linalg.norm(sample, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cents = _kmeans(sample / norms, n_clusters, seed)

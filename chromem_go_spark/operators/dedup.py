@@ -514,8 +514,14 @@ def connected_components_star(
         sig = new_sig
     if rounds_out is not None:
         rounds_out.append(rounds)
+    # min-aggregate per node: at the fixed point this is the identity
+    # (star edges are already one-per-node), but if max_iter was
+    # exhausted pre-convergence a node can still hold edges to several
+    # targets — without this, the left join below would emit DUPLICATE
+    # (node, component) rows with conflicting labels.
+    parent = e.groupBy("u").agg(F.min("v").alias("v"))
     return (
-        nodes.join(e, nodes.n == e.u, "left")
+        nodes.join(parent, nodes.n == parent.u, "left")
         .select(
             F.col("n").alias("node"),
             F.coalesce(F.col("v"), F.col("n")).alias("component"),

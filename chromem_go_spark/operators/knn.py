@@ -192,6 +192,19 @@ def knn_expr_filtered_dsl(
     )
     conds = []
     w = q[where_col]
+    if metadata_col is None and not filterable_cols:
+        # no metadata surface: a NON-EMPTY q_where must match nothing
+        # (silently ignoring a filter would return wrong rows — same
+        # principle as the unknown-key rule below)
+        conds.append(w.isNull() | (F.size(F.map_keys(w)) == 0))
+    if text_col is None:
+        # no content surface: non-empty contains filters match nothing
+        conds.append(
+            q[contains_col].isNull() | (F.size(q[contains_col]) == 0)
+        )
+        conds.append(
+            q[not_contains_col].isNull() | (F.size(q[not_contains_col]) == 0)
+        )
     if metadata_col is not None:
         conds.append(
             w.isNull()

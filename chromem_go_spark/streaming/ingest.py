@@ -238,6 +238,7 @@ def incremental_neardup_batch(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    batch_id: int = 0,
 ) -> None:
     """One micro-batch of incremental near-duplicate detection.
 
@@ -246,12 +247,18 @@ def incremental_neardup_batch(
     is checked against all history without recomputing it: work per
     batch is O(batch x colliding-buckets), never O(corpus). Candidates
     (cross-batch and within-batch) are verified with exact n-gram
-    Jaccard using stored shingle-hash arrays; surviving pairs append to
-    ``<state_dir>/pairs``; the batch's buckets and shingles append to
-    the state tables. This is the streaming shape of a corpus dedup
-    pipeline: state grows by exactly the new documents, and the pair
-    log is the same (id_a, id_b, jaccard) contract as
-    ``minhash_lsh_pairs`` over the union of all batches.
+    Jaccard using stored shingle-hash arrays; surviving pairs, buckets,
+    and shingles land in ``<state_dir>/{pairs,buckets,shingles}``. The
+    pair log is the same (id_a, id_b, jaccard) contract as
+    ``minhash_lsh_pairs`` over the union of all batches (plus a
+    ``__batch`` provenance column).
+
+    IDEMPOTENT per ``batch_id``: every state table is partitioned by
+    ``__batch`` and written with dynamic partition overwrite, so a
+    replayed micro-batch (foreachBatch is at-least-once) REPLACES its
+    own partition instead of appending duplicates; state reads exclude
+    the current batch's partition, so a half-written failed attempt
+    can't contaminate its retry.
     """
     import os
 
@@ -292,6 +299,24 @@ def incremental_neardup_batch(
     pairs_path = os.path.join(state_dir, "pairs")
     have_state = os.path.exists(buckets_path)
 
+    def _read_state(path: str) -> DataFrame:
+        # exclude this batch's own partition: a failed earlier attempt
+        # of the SAME batch must not act as history for its retry
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("__batch") != F.lit(int(batch_id)))
+            .drop("__batch")
+        )
+
+    def _write_state(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(path)
+        )
+
     # candidates: new-vs-history (join against state) + new-vs-new
     a = new_buckets.alias("a")
     cands = [
@@ -302,7 +327,7 @@ def incremental_neardup_batch(
         )
     ]
     if have_state:
-        old_buckets = spark.read.parquet(buckets_path).alias("o")
+        old_buckets = _read_state(buckets_path).alias("o")
         cands.append(
             a.join(old_buckets, ["band", "bucket"])
             .select(
@@ -318,7 +343,7 @@ def incremental_neardup_batch(
 
     all_shingles = new_shingles
     if have_state:
-        all_shingles = new_shingles.unionByName(spark.read.parquet(shingles_path))
+        all_shingles = new_shingles.unionByName(_read_state(shingles_path))
     ha = all_shingles.select(
         F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")
     )
@@ -336,9 +361,9 @@ def incremental_neardup_batch(
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "jaccard")
     )
-    pairs.write.mode("append").parquet(pairs_path)
-    new_buckets.write.mode("append").parquet(buckets_path)
-    new_shingles.write.mode("append").parquet(shingles_path)
+    _write_state(materialize(pairs), pairs_path)
+    _write_state(new_buckets, buckets_path)
+    _write_state(new_shingles, shingles_path)
 
 
 def incremental_neardup_sink(
@@ -355,7 +380,9 @@ def incremental_neardup_sink(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        incremental_neardup_batch(batch_df, state_dir, threshold, **kwargs)
+        incremental_neardup_batch(
+            batch_df, state_dir, threshold, batch_id=batch_id, **kwargs
+        )
 
     return (
         stream_docs.writeStream.queryName(query_name)

@@ -363,3 +363,19 @@ def test_collection_ann_index(spark, db):
         for r in c.query_embedding_ann(q, 5, index=pq_idx, nprobe=4, ).collect()
     ]
     assert got_pq == exact
+
+
+def test_export_validation_does_not_destroy_existing_file(spark, tmp_path, db):
+    """A bad encryption key or unknown collection name must raise BEFORE
+    the destination is opened — not truncate an existing export."""
+    c = db.create_collection("keepme", embedding_func=const_embedding)
+    c.add_documents(two_docs())
+    path = str(tmp_path / "precious.tar")
+    db.export_to_file(path)
+    size = os.path.getsize(path)
+    assert size > 0
+    with pytest.raises(ValueError):
+        db.export_to_file(path, encryption_key="short")
+    with pytest.raises(ValueError):
+        db.export_to_file(path, collections=["nope"])
+    assert os.path.getsize(path) == size  # untouched

@@ -390,3 +390,16 @@ def test_word_ngram_jaccard_pairs(spark):
     g1, g3 = wgrams(a), wgrams(a.replace("lazy dog", "dog lazy"))
     expect13 = len(g1 & g3) / len(g1 | g3)
     assert pairs[(1, 3)] == pytest.approx(expect13, abs=1e-9)
+
+
+def test_connected_components_star_bounded_rounds_unique_rows(spark):
+    """Exhausting max_iter before convergence must still yield exactly
+    one (node, component) row per node (labels may be non-minimal, but
+    never duplicated/conflicting)."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = D.connected_components_star(edges, max_iter=1).collect()
+    nodes = [r["node"] for r in out]
+    assert len(nodes) == len(set(nodes)) == n

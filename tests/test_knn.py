@@ -169,3 +169,35 @@ def test_knn_expr_filtered_dsl_metadata_map(spark):
     for r in out.collect():
         got.setdefault(r["query_id"], set()).add(r["id"])
     assert got == {"de": {2}}  # doc 3 has no lang key -> non-match
+
+
+def test_dsl_where_without_surface_matches_nothing(spark):
+    """A non-empty q_where with NO metadata surface configured must
+    match nothing (silently ignoring a filter would return wrong rows);
+    empty/null filters still match everything."""
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [
+            ("filtered", [1.0, 0.0], {"lang": "en"}, None, None),
+            ("open", [1.0, 0.0], None, None, None),
+            ("empty", [1.0, 0.0], {}, None, None),
+        ],
+        "query_id string, query_vec array<double>, q_where map<string,string>, "
+        "q_contains array<string>, q_not_contains array<string>",
+    )
+    out = knn.knn_expr_filtered_dsl(docs, queries, 5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["id"])
+    assert "filtered" not in got
+    assert got["open"] == {1, 2}
+    assert got["empty"] == {1, 2}
+    # same rule for contains filters without a text surface
+    q2 = spark.createDataFrame(
+        [("c", [1.0, 0.0], None, ["spark"], None)],
+        "query_id string, query_vec array<double>, q_where map<string,string>, "
+        "q_contains array<string>, q_not_contains array<string>",
+    )
+    assert knn.knn_expr_filtered_dsl(docs, q2, 5).count() == 0

@@ -266,7 +266,7 @@ def test_png_rgb_to_gray():
     gw, gh, gpx = M._decode_png(data)
     assert (gw, gh) == (w, h)
     expect = bytes(
-        (rgb[i] * 299 + rgb[i + 1] * 587 + rgb[i + 2] * 114) // 1000
+        (rgb[i] * 19595 + rgb[i + 1] * 38470 + rgb[i + 2] * 7471) >> 16
         for i in range(0, len(rgb), 3)
     )
     assert gpx == expect
@@ -309,3 +309,17 @@ def test_png_through_spark_kernels(spark):
     for r in resized:
         w2, h2, px2 = M._decode_image_bytes(bytes(r["data"]))
         assert (w2, h2) == (4, 4) and len(px2) == 16
+
+
+def test_corrupt_png_classified_not_crash(spark):
+    """A truncated/corrupt PNG blob is classified 'unknown' by
+    image_metadata instead of failing the whole job."""
+    rows = [
+        ("bad-png", "image", M._PNG_SIG + b"xxxx", None),
+        ("ok", "image", M.encode_fake_image(2, 2, seed=1), None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in M.image_metadata(df).collect()}
+    assert got["bad-png"]["format"] == "unknown"
+    assert (got["bad-png"]["width"], got["bad-png"]["height"]) == (0, 0)
+    assert got["ok"]["format"] == "fakeimg"

@@ -300,8 +300,11 @@ def test_incremental_neardup_matches_batch(spark, tmp_path, sf_dir):
     state = str(tmp_path / "neardup_state")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
-    S.incremental_neardup_batch(b1, state, threshold=0.5)
-    S.incremental_neardup_batch(b2, state, threshold=0.5)
+    S.incremental_neardup_batch(b1, state, threshold=0.5, batch_id=0)
+    # a replayed batch must be idempotent (foreachBatch is at-least-once)
+    S.incremental_neardup_batch(b1, state, threshold=0.5, batch_id=0)
+    S.incremental_neardup_batch(b2, state, threshold=0.5, batch_id=1)
+    S.incremental_neardup_batch(b2, state, threshold=0.5, batch_id=1)
     got = {
         (r["id_a"], r["id_b"], round(r["jaccard"], 6))
         for r in spark.read.parquet(f"{state}/pairs").collect()
