@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from chromem_go_spark.functions import text as T  # noqa: E402
+from chromem_go_spark.functions import time as TM  # noqa: E402
 from chromem_go_spark.functions import vector as V  # noqa: E402
 from chromem_go_spark.operators import ann as ANN  # noqa: E402
 from chromem_go_spark.operators import dedup as D  # noqa: E402
@@ -31,18 +32,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as a proper timestamp column.
+    """events with ts as a proper LTZ timestamp column.
 
-    The file stores TIMESTAMP(NANOS); with nanosAsLong Spark reads a
-    bigint of nanoseconds. timestamp_micros(ns div 1000) truncates to
-    microseconds — exactly what DuckDB does reading the same file, so
-    both engines see identical instants.
+    The driver's events.parquet has shipped ts as TIMESTAMP(NANOS)
+    (bigint under nanosAsLong) and as untagged timestamp[us] (read as
+    TIMESTAMP_NTZ); ``to_instant`` folds every encoding to LTZ.  The
+    session time zone is pinned to UTC so the instants match DuckDB's
+    naive reading of the same file byte-for-byte.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    return TM.to_instant(ev, "ts")
 
 
 def _qvec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:

@@ -115,8 +115,13 @@ def main() -> None:
 
     # two query-count points: 64 (the r01 headline) and 256 (shows the
     # per-job overhead amortizing — scoring work x4, wall far less than x4)
-    point64 = _throughput(64, warm_rounds=2)
-    point256 = _throughput(256, warm_rounds=0)
+    errors: dict[str, str] = {}
+    try:
+        point64 = _throughput(64, warm_rounds=2)
+        point256 = _throughput(256, warm_rounds=0)
+    except Exception as e:  # noqa: BLE001 — emit partial artifact, never crash
+        errors["knn_batch_100k_1536"] = f"{type(e).__name__}: {e}"[:300]
+        point64 = point256 = None
 
     del corpus
 
@@ -138,22 +143,72 @@ def main() -> None:
     for name in bench_names:
         fn = qs[name]
         best, n = float("inf"), 0
-        for _ in range(2):
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.time() - t0)
-            # Release driver refs so the ContextCleaner can drop cached
-            # checkpoint blocks — otherwise they accumulate across the
-            # run and degrade later queries.
-            del df
-            gc.collect()
+        # Per-query isolation: one broken query records an err entry and
+        # the run keeps going — r3 lost ALL timings to a single
+        # AnalysisException aborting the whole loop.
+        try:
+            for _ in range(2):
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                best = min(best, time.time() - t0)
+                # Release driver refs so the ContextCleaner can drop cached
+                # checkpoint blocks — otherwise they accumulate across the
+                # run and degrade later queries.
+                del df
+                gc.collect()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERR {errors[name]}", file=sys.stderr)
+            continue
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    # IVF build vs probe, split: q_ivf_search_batch times both together;
+    # a served index amortizes the build, so the steady-state number is
+    # probe-only. Build wall is reported separately.
+    try:
+        from pyspark.sql import functions as F
+
+        from chromem_go_spark.materialize import materialize
+        from chromem_go_spark.operators import ann as ANN
+
+        emb_b = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.time()
+        idx_b = ANN.IVFIndex.build(
+            emb_b, n_clusters=8, vec_col="embedding", id_col="vec_id"
+        )
+        # a served index stores the cluster-assigned corpus; materialize
+        # it so probe timing doesn't re-pay the assignment scan
+        idx_b.assigned = materialize(idx_b.assigned)
+        times["ivf_build"] = round(time.time() - t0, 3)
+        qrows_b = (
+            emb_b.filter(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            idx_b.search_batch(
+                [str(r["vec_id"]) for r in qrows_b],
+                [list(r["embedding"]) for r in qrows_b],
+                5,
+                nprobe=8,
+            ).count()
+            best = min(best, time.time() - t0)
+        times["ivf_search_batch_probe"] = round(best, 3)
+        print(
+            f"# ivf_build: {times['ivf_build']}s / probe-only: "
+            f"{times['ivf_search_batch_probe']}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["ivf_build_probe_split"] = f"{type(e).__name__}: {e}"[:300]
 
     # training_pipeline with the dedup-pairs subtree MATERIALIZED (how a
     # real pipeline runs it — the pair graph is an intermediate, not
@@ -165,42 +220,44 @@ def main() -> None:
     from chromem_go_spark.materialize import materialize
     from chromem_go_spark.operators import dedup as D
 
-    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    reps = materialize(D.dedup_clusters(docs_tbl, threshold=0.5))
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        (
-            docs_tbl.join(reps, "doc_id")
-            .filter(F.col("cluster_rep") == F.col("doc_id"))
-            .filter(T.quality_score("text") >= 0.3)
-            .filter(T.lang_id("text").isin("en", "de", "fr", "es"))
-            .groupBy(T.lang_id("text").alias("lang_pred"))
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
+    try:
+        docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        reps = materialize(D.dedup_clusters(docs_tbl, threshold=0.5))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            (
+                docs_tbl.join(reps, "doc_id")
+                .filter(F.col("cluster_rep") == F.col("doc_id"))
+                .filter(T.quality_score("text") >= 0.3)
+                .filter(T.lang_id("text").isin("en", "de", "fr", "es"))
+                .groupBy(T.lang_id("text").alias("lang_pred"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
+                )
+                .count()
             )
-            .count()
-        )
-        best = min(best, time.time() - t0)
-    times["training_pipeline_cached"] = round(best, 3)
-    print(f"# training_pipeline_cached: {times['training_pipeline_cached']}s", file=sys.stderr)
+            best = min(best, time.time() - t0)
+        times["training_pipeline_cached"] = round(best, 3)
+        print(f"# training_pipeline_cached: {times['training_pipeline_cached']}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        errors["training_pipeline_cached"] = f"{type(e).__name__}: {e}"[:300]
 
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "knn_batch_100k_1536": point64,
-                "knn_batch_100k_1536_q256": point256,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "knn_batch_100k_1536": point64,
+        "knn_batch_100k_1536_q256": point256,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 def _synth_corpus(spark, n_docs: int, dim: int, seed: int = 42):

@@ -320,8 +320,27 @@ class IVFPQIndex:
                 if n == 0:
                     continue
                 ids = rb.column(0).to_numpy(zero_copy_only=False)
-                blob = b"".join(rb.column(1).to_pylist())
-                codes = np.frombuffer(blob, dtype=np.uint8).reshape(n, mcount)
+                col = rb.column(1)
+                # Zero-copy view of the code matrix: a no-null Arrow
+                # binary array stores all values contiguously in one
+                # data buffer; when every entry is exactly mcount bytes
+                # the (n, m) matrix is just a reshape of that buffer —
+                # no per-row Python objects, no copy.
+                off_dt = (
+                    np.int64 if pa.types.is_large_binary(col.type) else np.int32
+                )
+                bufs = col.buffers()
+                offs = np.frombuffer(bufs[1], dtype=off_dt)[
+                    col.offset : col.offset + n + 1
+                ]
+                if col.null_count == 0 and offs[-1] - offs[0] == n * mcount:
+                    data = np.frombuffer(bufs[2], dtype=np.uint8)
+                    codes = data[offs[0] : offs[-1]].reshape(n, mcount)
+                else:  # ragged/null rows — correctness fallback
+                    blob = b"".join(col.to_pylist())
+                    codes = np.frombuffer(blob, dtype=np.uint8).reshape(
+                        n, mcount
+                    )
                 # scores[q, i] = sum_j luts[q, j, codes[i, j]]
                 scores = np.zeros((nq, n))
                 for j in range(mcount):

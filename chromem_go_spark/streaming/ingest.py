@@ -30,6 +30,7 @@ from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -38,6 +39,8 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+from chromem_go_spark.functions.time import to_instant
 
 EVENTS_SCHEMA = StructType(
     [
@@ -70,9 +73,9 @@ def windowed_event_counts(
     """Tumbling-window counts/sums per event_type. With a watermark this
     is an append-able streaming agg (late rows beyond the watermark are
     dropped); with ``watermark=None`` it is the identical batch query."""
-    src = events
+    src = to_instant(events, ts_col)
     if watermark and events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.window(F.col(ts_col), window).alias("win"), "event_type")
         .agg(
@@ -97,9 +100,9 @@ def sessionize_events(
 ) -> DataFrame:
     """Gap-based sessions per user via the native ``session_window``
     (merging-window state store op in streaming; plain agg in batch)."""
-    src = events
+    src = to_instant(events, ts_col)
     if watermark and events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = src.withWatermark(ts_col, watermark)
     return (
         src.groupBy(
             F.session_window(F.col(ts_col), gap).alias("sess"), "user_id"
@@ -160,9 +163,9 @@ def dedup_events_stream(
     the watermark bounds it — without one, state grows forever). Batch
     DataFrames pass through the same dropDuplicates semantics."""
     keys = key_cols or ["event_id"]
-    src = events
+    src = to_instant(events, ts_col) if ts_col in events.columns else events
     if events.isStreaming:
-        src = events.withWatermark(ts_col, watermark)
+        src = src.withWatermark(ts_col, watermark)
         return src.dropDuplicatesWithinWatermark(keys)
     return src.dropDuplicates(keys)
 
@@ -239,6 +242,7 @@ def incremental_neardup_batch(
     bands: int = 16,
     seed: int = 42,
     batch_id: int = 0,
+    compact_after: int = 16,
 ) -> None:
     """One micro-batch of incremental near-duplicate detection.
 
@@ -364,6 +368,63 @@ def incremental_neardup_batch(
     _write_state(materialize(pairs), pairs_path)
     _write_state(new_buckets, buckets_path)
     _write_state(new_shingles, shingles_path)
+
+    if compact_after:
+        for p in (buckets_path, shingles_path, pairs_path):
+            _compact_state(spark, p, int(batch_id), int(compact_after))
+
+
+_COMPACTED_BATCH = -1  # reserved __batch id holding folded history
+
+
+def _compact_state(
+    spark: SparkSession, path: str, current_batch: int, threshold: int
+) -> None:
+    """Fold committed-history ``__batch=N`` partitions into the single
+    reserved ``__batch=-1`` partition once their count exceeds
+    ``threshold`` — without compaction the state dir grows one partition
+    per micro-batch forever, and the planner pays per-partition listing
+    cost on every state read.
+
+    Safe because only partitions ``< current_batch`` are folded:
+    foreachBatch commits batch N-1 before N starts, so those are final;
+    the CURRENT batch's partition is never touched, preserving the
+    replay-overwrite idempotence contract. Filesystem ops go through the
+    Hadoop FileSystem API, so the same code compacts local dirs and
+    object stores.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
+        return
+    old_parts = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("__batch="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if b != current_batch and b != _COMPACTED_BATCH:
+            old_parts.append(b)
+    if len(old_parts) < threshold:
+        return
+    from ..materialize import materialize
+
+    folded = materialize(  # break lineage BEFORE deleting source files
+        spark.read.parquet(path)
+        .filter(F.col("__batch") != F.lit(current_batch))
+        .drop("__batch")
+    )
+    (
+        folded.withColumn("__batch", F.lit(_COMPACTED_BATCH))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(path)
+    )
+    for b in old_parts:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path, f"__batch={b}"), True)
 
 
 def incremental_neardup_sink(

@@ -312,6 +312,46 @@ def test_incremental_neardup_matches_batch(spark, tmp_path, sf_dir):
     assert got == expect
 
 
+def test_incremental_neardup_compaction(spark, tmp_path, sf_dir):
+    """With ``compact_after`` small, committed-history ``__batch=N``
+    partitions fold into the reserved ``__batch=-1`` partition; results
+    stay identical to the one-shot batch run, replay of the current
+    batch stays idempotent, and the partition count is bounded instead
+    of growing one per micro-batch."""
+    import os
+
+    from chromem_go_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expect = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+
+    state = str(tmp_path / "neardup_compact")
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    for bid, b in enumerate(batches):
+        S.incremental_neardup_batch(
+            b, state, threshold=0.5, batch_id=bid, compact_after=2
+        )
+    # replay the LAST batch after compaction ran — must stay idempotent
+    S.incremental_neardup_batch(
+        batches[-1], state, threshold=0.5, batch_id=3, compact_after=2
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in spark.read.parquet(f"{state}/pairs").collect()
+    }
+    assert got == expect
+    for tbl in ("buckets", "shingles", "pairs"):
+        parts = [
+            p for p in os.listdir(f"{state}/{tbl}") if p.startswith("__batch=")
+        ]
+        # bounded: compacted history + at most compact_after recents
+        assert len(parts) <= 2 + 2, (tbl, parts)
+        assert "__batch=-1" in parts, (tbl, parts)
+
+
 def test_incremental_neardup_stream_sink(spark, tmp_path, sf_dir):
     """The foreachBatch wrapper drives the same incremental state from a
     file stream (one file per micro-batch)."""
