@@ -23,6 +23,7 @@ from chromem_go_spark.functions import time as TM  # noqa: E402
 from chromem_go_spark.functions import vector as V  # noqa: E402
 from chromem_go_spark.operators import ann as ANN  # noqa: E402
 from chromem_go_spark.operators import dedup as D  # noqa: E402
+from chromem_go_spark.operators import events as EV  # noqa: E402
 from chromem_go_spark.operators import knn as K  # noqa: E402
 from chromem_go_spark.operators.filters import combined_predicate  # noqa: E402
 
@@ -264,35 +265,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: count 30-min-gap sessions per user (window lag)."""
-    from pyspark.sql import Window
-
-    ev = _events(spark, sf_dir).select(
-        "user_id", F.col("ts").cast("double").alias("s")
-    )
-    w = Window.partitionBy("user_id").orderBy("s")
-    gapped = ev.withColumn("gap", F.col("s") - F.lag("s").over(w))
-    flagged = gapped.withColumn(
-        "is_new", F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0)
-    )
-    return flagged.groupBy("user_id").agg(
-        F.sum("is_new").cast("bigint").alias("n_sessions")
-    )
+    """Sessionization: count 30-min-gap sessions per user (window lag);
+    library op operators/events.py."""
+    return EV.sessionize_by_gap(_events(spark, sf_dir), gap_seconds=1800)
 
 
 def q_events_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation by event type."""
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy(
-            "event_type",
-            F.window("ts", "1 hour").start.cast("double").cast("bigint").alias("hour_start"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
-        )
-    )
+    return EV.hourly_type_counts(_events(spark, sf_dir))
 
 
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,13 +511,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by total event value: groupBy agg (map-side partial)
     + TakeOrderedAndProject."""
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy("user_id")
-        .agg(F.round(F.sum("value"), 2).alias("total"))
-        .orderBy(F.desc("total"), F.col("user_id"))
-        .limit(10)
-    )
+    return EV.topk_users(_events(spark, sf_dir), 10)
 
 
 def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,19 +533,7 @@ def q_events_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 trending event types per hour: windowed count + rank — the
     rank-over-aggregated-window shape dashboards run continuously (the
     streaming variant is the same plan on windowed_event_counts)."""
-    from pyspark.sql import Window
-
-    ev = _events(spark, sf_dir)
-    counts = ev.groupBy(
-        "event_type",
-        F.window("ts", "1 hour").start.cast("double").cast("bigint").alias("hour_start"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("hour_start").orderBy(F.desc("n"), F.col("event_type"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("hour_start", "event_type", "n", F.col("rank").cast("bigint").alias("rank"))
-    )
+    return EV.trending_types(_events(spark, sf_dir), per_hour=3)
 
 
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,11 +542,17 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     latency-distribution analytics shape. Exact percentiles shuffle the
     group's values; at 100 TB swap in percentile_approx (t-digest) —
     same plan shape, bounded state."""
-    ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    return EV.event_percentiles(_events(spark, sf_dir), mode="exact")
+
+
+def q_events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: percentile_approx (Greenwald-Khanna
+    sketch, state bounded by accuracy per group instead of the group's
+    row count). No exact-SQL oracle (sketch internals are
+    engine-specific) -> rows-only check; tests bound its error against
+    the exact mode."""
+    return EV.event_percentiles(
+        _events(spark, sf_dir), mode="approx", accuracy=10_000
     )
 
 
@@ -792,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standing_queries": q_standing_queries,
         "events_trending": q_events_trending,
         "events_percentiles": q_events_percentiles,
+        "events_percentiles_approx": q_events_percentiles_approx,
         "salted_join_events": q_salted_join_events,
     }
 

@@ -50,6 +50,7 @@ def main() -> None:
         "events_topk_users",
         "events_trending",
         "events_percentiles",
+        "events_percentiles_approx",
         "multimodal_meta",
         "knn_batch_expr",
         "knn_batch_per_filter",

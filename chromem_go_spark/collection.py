@@ -19,6 +19,7 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from collections.abc import Mapping, Sequence
@@ -29,6 +30,7 @@ from pyspark.sql import functions as F
 
 from . import errors as E
 from .document import DOCUMENT_SCHEMA, Document
+from .locking import write_lock
 from .materialize import materialize
 from .functions import vector as V
 from .operators import knn as knn_ops
@@ -128,12 +130,39 @@ class Collection:
             self._df = self._read_table()
             self._write_meta()
 
+    def _refresh_from_disk(self) -> None:
+        """Re-base the in-memory handle on the durable table — REQUIRED
+        at the top of every locked read-merge-write section so a merge
+        starts from the latest committed state, not this writer's cached
+        snapshot (the lost-update half of concurrent-writer safety; the
+        lock provides the serialization half)."""
+        if self.persist_dir and os.path.exists(self._data_path()):
+            self.spark.catalog.refreshByPath(self._data_path())
+            self._df = self._read_table()
+
+    def _write_lock(self):
+        """Serialize mutators of the persistent table (see locking.py);
+        in-memory collections keep the reference's single-process
+        snapshot semantics and need no lock."""
+        if self.persist_dir:
+            return write_lock(self.persist_dir)
+        return contextlib.nullcontext()
+
     def _upsert(self, new: DataFrame) -> None:
         """Last-writer-wins upsert by id (reference collection.go:280).
 
         Bucketed persistent collections rewrite only the hash buckets
         containing touched ids via dynamic partition overwrite — O(batch)
-        not O(table). Everything else merges the full snapshot."""
+        not O(table). Everything else merges the full snapshot.
+
+        Persistent tables take the collection write lock for the whole
+        read-merge-write, so concurrent writers serialize instead of
+        losing updates; on Delta/Iceberg this block is a single MERGE."""
+        with self._write_lock():
+            self._refresh_from_disk()
+            self._upsert_unlocked(new)
+
+    def _upsert_unlocked(self, new: DataFrame) -> None:
         new = new.select(*DOCUMENT_SCHEMA.fieldNames())
         if self.n_buckets and self.persist_dir and os.path.exists(self._data_path()):
             codec = "gzip" if self.compress else "snappy"
@@ -314,6 +343,11 @@ class Collection:
         if not where and not where_document and not ids:
             raise ValueError("must provide either where, whereDocument or ids")
         validate_where_document(where_document)
+        with self._write_lock():
+            self._refresh_from_disk()
+            self._delete_unlocked(where, where_document, ids)
+
+    def _delete_unlocked(self, where, where_document, ids) -> None:
         victim = combined_predicate(where, where_document)
         if ids:
             victim = victim & F.col("id").isin([str(i) for i in ids])

@@ -1,0 +1,85 @@
+"""Library-level event analytics (operators/events.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chromem_go_spark.functions.time import to_instant
+from chromem_go_spark.operators import events as EV
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return to_instant(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts")
+
+
+def test_percentile_modes_agree_within_sketch_error(events):
+    """percentile_approx guarantees bounded RANK error (and returns a
+    real sample value, no interpolation), so the right tolerance is in
+    quantile space: each approx pXX must fall inside the exact
+    [pXX-5, pXX+5] value band."""
+    lo = {
+        r["event_type"]: r
+        for r in EV.event_percentiles(
+            events, quantiles=(0.45, 0.85, 0.94)
+        ).collect()
+    }
+    hi = {
+        r["event_type"]: r
+        for r in EV.event_percentiles(
+            events, quantiles=(0.55, 0.95, 1.0)
+        ).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in EV.event_percentiles(events, mode="approx", accuracy=10_000).collect()
+    }
+    assert lo.keys() == approx.keys()
+    bands = [("p50", "p45", "p55"), ("p90", "p85", "p95"), ("p99", "p94", "p100")]
+    for et, ar in approx.items():
+        for c, c_lo, c_hi in bands:
+            assert lo[et][c_lo] <= ar[c] <= hi[et][c_hi], (
+                et, c, lo[et][c_lo], ar[c], hi[et][c_hi],
+            )
+
+
+def test_percentile_mode_validation(events):
+    with pytest.raises(ValueError, match="exact.*approx"):
+        EV.event_percentiles(events, mode="tdigest")
+
+
+def test_percentile_custom_quantiles(events):
+    out = EV.event_percentiles(events, quantiles=(0.25, 0.75))
+    assert set(out.columns) == {"event_type", "p25", "p75"}
+    row = out.collect()[0]
+    assert row["p25"] <= row["p75"]
+
+
+def test_sessionize_by_gap_matches_session_window_count(events):
+    """The lag-window session count and the native session_window op
+    must agree on sessions-per-user (same 30-min gap semantics)."""
+    from chromem_go_spark.streaming.ingest import sessionize_events
+
+    by_gap = {
+        r["user_id"]: r["n_sessions"]
+        for r in EV.sessionize_by_gap(events, 1800).collect()
+    }
+    by_window = {
+        r["user_id"]: r["n"]
+        for r in sessionize_events(events, gap="30 minutes", watermark=None)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_gap == by_window
+
+
+def test_trending_bounded_per_hour(events):
+    out = EV.trending_types(events, per_hour=2).collect()
+    per_hour: dict[int, int] = {}
+    for r in out:
+        per_hour[r["hour_start"]] = per_hour.get(r["hour_start"], 0) + 1
+        assert 1 <= r["rank"] <= 2
+    assert per_hour and max(per_hour.values()) <= 2
