@@ -508,6 +508,42 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate word-trigram fraction per document — the
+    repetition quality signal (template/boilerplate spam repeats
+    phrases). Pure array expressions, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.word_ngrams("text", 3)).cast("bigint").alias("n_grams"),
+        F.round(T.ngram_repetition("text", 3), 4).alias("rep3"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus downsampling (training-mixture
+    weighting): keep all en, half de, a quarter fr, 10% of the rest —
+    by an engine-portable md5-derived hash of the id, so the oracle
+    keeps EXACTLY the same rows. A pure filter: pushes to the scan."""
+    from chromem_go_spark.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"en": 1.0, "de": 0.5, "fr": 0.25}, default_rate=0.1
+    )
+    return out.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunked corpus: concatenate-then-split
+    assignment of chunks to fixed 256-token packs, per document (window
+    running sum — no global sort; see pipeline.pack_chunks)."""
+    from chromem_go_spark.pipeline import pack_chunks
+
+    chunks = q_chunk_documents(spark, sf_dir)
+    return pack_chunks(chunks, budget_tokens=256)
+
+
 def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by total event value: groupBy agg (map-side partial)
     + TakeOrderedAndProject."""
@@ -752,6 +788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch_expr": q_knn_batch_expr,
         "dedup_clusters_star": q_dedup_clusters_star,
         "quality_filter": q_quality_filter,
+        "doc_repetition": q_doc_repetition,
+        "stratified_sample": q_stratified_sample,
+        "pack_chunks": q_pack_chunks,
         "events_topk_users": q_events_topk_users,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1254,6 +1293,72 @@ WITH q AS (
   FROM documents
 )
 SELECT doc_id, ROUND(quality, 4) AS quality FROM q WHERE quality >= 0.5
+""",
+        "doc_repetition": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS grams
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       ROUND(CASE WHEN len(grams) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) END,
+             4) AS rep3
+FROM g
+""",
+        "stratified_sample": """
+WITH feat AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_en >= GREATEST(s_de, s_fr, s_es, 1) THEN 'en'
+      WHEN s_de >= GREATEST(s_fr, s_es, 1) THEN 'de'
+      WHEN s_fr >= GREATEST(s_es, 1) THEN 'fr'
+      WHEN s_es >= 1 THEN 'es'
+      ELSE 'und'
+    END AS lang_pred
+  FROM (
+    SELECT doc_id,
+      len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS s_en,
+      len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b')) AS s_de,
+      len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|que|pour|dans|avec)\\b')) AS s_fr,
+      len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que|por|para|con|del)\\b')) AS s_es
+    FROM documents
+  )
+)
+SELECT doc_id, lang_pred
+FROM feat
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < (CASE lang_pred WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                        WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 1000000
+""",
+        "pack_chunks": """
+WITH c AS (
+  SELECT doc_id,
+         CAST((s - 1) // 400 AS INT) AS chunk_idx,
+         substr(text, CAST(s AS INT), 500) AS chunk
+  FROM (
+    SELECT doc_id, text, unnest(range(1, length(text) + 1, 400)) AS s
+    FROM documents WHERE length(text) > 0
+  )
+),
+t AS (
+  SELECT doc_id, chunk_idx,
+         CASE WHEN length(trim(chunk)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(chunk), '\\s+')) END AS n_tokens
+  FROM c
+)
+SELECT doc_id, chunk_idx,
+       CAST((SUM(n_tokens) OVER w - n_tokens) // 256 AS BIGINT) AS pack_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM t
+WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx ROWS UNBOUNDED PRECEDING)
 """,
         "events_topk_users": """
 SELECT user_id, total FROM (

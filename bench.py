@@ -59,6 +59,9 @@ def main() -> None:
         "ivf_search_batch",
         "ivf_pq_search",
         "quality_filter",
+        "doc_repetition",
+        "stratified_sample",
+        "pack_chunks",
         "chunk_documents",
         "dedup_clusters",
         "training_pipeline",

@@ -164,6 +164,61 @@ def cdc_chunk_exprs(
     return F.zip_with(starts, ends, lambda s, e: F.md5(t.substr(s, e - s)))
 
 
+def lines(text: Column | str) -> Column:
+    """Trimmed, non-empty lines of the document (split on newline)."""
+    return F.filter(
+        F.transform(F.split(_col(text), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def line_repetition(text: Column | str) -> Column:
+    """Fraction of duplicated lines in a document, in [0, 1): a
+    Gopher-style repetition signal (boilerplate, navigation chrome, and
+    template spam score high; prose scores 0).  Pure array expressions
+    — one pass over the line array, no shuffle, no UDF."""
+    ls = lines(text)
+    n = F.size(ls)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ls)) / n.cast("double")
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Space-joined word n-grams over :func:`word_tokens`; empty array
+    when the document has fewer than ``n`` tokens."""
+    toks = word_tokens(text)
+    cnt = F.size(toks) - F.lit(int(n)) + 1
+    return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, int(n))),
+        )
+    )
+
+
+def ngram_repetition(text: Column | str, n: int = 3) -> Column:
+    """Fraction of duplicated word n-grams in a document, in [0, 1):
+    the Gopher "duplicate n-gram fraction" repetition signal —
+    template/boilerplate/spam text repeats phrases, prose doesn't.
+    Pure array expressions, no shuffle, no UDF; see
+    :func:`line_repetition` for the line-level analog."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double")
+    )
+
+
+def md5_hash60(col: Column | str) -> Column:
+    """Top 60 bits of md5 as a non-negative long — the engine-portable
+    deterministic hash (DuckDB: ``('0x'||substr(md5(x),1,15))::BIGINT``).
+    Use for sampling/bucketing decisions that must replay identically
+    everywhere; use xxhash64 when only Spark needs to agree with
+    itself (faster, JVM-native)."""
+    return F.conv(F.substring(F.md5(_col(col)), 1, 15), 16, 10).cast("long")
+
+
 def quality_score(text: Column | str) -> Column:
     """Gopher-style cheap quality heuristic in [0, 1]: rewards alpha-heavy
     text with sane token lengths, penalizes punctuation soup. Deliberately

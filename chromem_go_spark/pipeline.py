@@ -92,6 +92,73 @@ def training_corpus_stats(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: "dict[str, float]",
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-language downsampling — the corpus-mixing step
+    of a training-data pipeline (e.g. keep 100% of en, 30% of de, drop
+    the rest).
+
+    Sampling is a pure FILTER on an engine-portable hash of the id
+    (md5-derived, so the same rows are kept on Spark, DuckDB, or any
+    re-run — no RNG, no seed state): row kept iff
+    ``hash(id) mod 1_000_000 < rate * 1_000_000``.  A filter pushes to
+    the scan, costs no shuffle, and composes with every downstream
+    stage; sampling by hash-of-id (not hash-of-text) keeps exact
+    duplicates together so dedup before/after sampling commutes.
+    """
+    h = T.md5_hash60(F.col(id_col).cast("string")) % 1_000_000
+    lang = T.lang_id(text_col)
+    rate = F.lit(float(default_rate))
+    for lg, r in sorted(rates.items()):
+        rate = F.when(lang == lg, F.lit(float(r))).otherwise(rate)
+    return docs.filter(h < rate * 1_000_000)
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int = 2048,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Sequence packing: assign each chunk to a fixed-token-budget pack
+    (concatenate-then-split packing — a chunk whose exclusive running
+    token total is p goes to pack ``floor(p / budget)``), per document.
+
+    Output: (doc_id, chunk_idx, pack_id, n_tokens).  Packing runs in a
+    window partitioned by doc_id ordered by chunk_idx — per-document
+    state only, no global sort, no skew beyond document length; the
+    running sum and the division are codegen expressions, and the
+    identical window exists in ANSI SQL so the op is oracle-checkable.
+    Cross-document packing (one global token stream) deliberately isn't
+    offered: it needs a total order over 100 TB — the per-doc variant
+    preserves document locality, which is also what sample-packing
+    training recipes want.
+    """
+    from pyspark.sql import Window
+
+    tok = T.token_count(F.col(chunk_col))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    return chunks.select(
+        id_col,
+        idx_col,
+        F.floor((cum - tok) / F.lit(int(budget_tokens)))
+        .cast("bigint")
+        .alias("pack_id"),
+        tok.cast("bigint").alias("n_tokens"),
+    )
+
+
 def chunked_training_corpus(
     docs: DataFrame, cfg: PipelineConfig = PipelineConfig(), reps: DataFrame | None = None
 ) -> DataFrame:

@@ -106,3 +106,47 @@ def test_word_unit_config_reaches_dedup(spark):
     assert char_reps == {1: 1, 2: 1}
     # word 3-grams break at the rotation seam -> separate clusters
     assert word_reps == {1: 1, 2: 2}
+
+
+def test_stratified_sample_deterministic_and_rated(spark, docs):
+    """Hash sampling: replays identically, keeps ~rate per language, and
+    the kept set for a lower rate is a SUBSET of a higher rate's
+    (nested samples — the property that makes rate changes incremental,
+    not a reshuffle of which docs survive)."""
+    from chromem_go_spark.pipeline import stratified_sample
+
+    full = {r["doc_id"] for r in stratified_sample(docs, {"en": 1.0}, 0.0).collect()}
+    again = {r["doc_id"] for r in stratified_sample(docs, {"en": 1.0}, 0.0).collect()}
+    assert full == again and full
+    half = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.5}, 0.0).collect()}
+    tenth = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.1}, 0.0).collect()}
+    assert tenth <= half <= full
+    assert 0.3 <= len(half) / len(full) <= 0.7
+    # default_rate drives non-listed languages
+    none_kept = stratified_sample(docs, {"zz": 1.0}, 0.0).count()
+    assert none_kept == 0
+
+
+def test_pack_chunks_budget_invariants(spark, docs):
+    """Packing: pack ids are contiguous from 0 per doc; every pack
+    except the last of a doc reaches the budget in token-stream terms
+    (concatenate-then-split: pack p covers tokens [p*B, (p+1)*B))."""
+    from chromem_go_spark.pipeline import PipelineConfig, chunked_training_corpus, pack_chunks
+
+    cfg = PipelineConfig(chunk_size=120, chunk_overlap=0)
+    chunks = chunked_training_corpus(docs, cfg)
+    out = pack_chunks(chunks, budget_tokens=32).collect()
+    assert out
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        packs = [r["pack_id"] for r in rows]
+        assert packs[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:])), packs
+        # exclusive prefix sum of tokens maps each chunk to floor(p/B)
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 32
+            cum += r["n_tokens"]

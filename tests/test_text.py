@@ -135,3 +135,56 @@ def test_cdc_fast_path_same_property(spark):
     shared = len(chunks[1] & chunks[2]) / len(chunks[1])
     assert len(chunks[1]) > 5
     assert shared >= 0.7
+
+
+def test_line_and_ngram_repetition(spark):
+    """Repetition signals: duplicated lines / word trigrams score > 0,
+    unique content scores 0, empty text scores 0 (not null/error)."""
+    from chromem_go_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "menu\nhome\nmenu\nhome\nmenu"),        # 3 distinct of 5
+            (2, "alpha\nbeta\ngamma"),                   # all unique
+            (3, ""),                                     # empty
+            (4, "spam eggs ham spam eggs ham spam eggs ham"),  # repeated trigram
+            (5, "one two three four five six"),          # unique trigrams
+            (6, "ab"),                                   # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["lr"], r["nr"])
+        for r in df.select(
+            "doc_id",
+            F.round(T.line_repetition("text"), 4).alias("lr"),
+            F.round(T.ngram_repetition("text", 3), 4).alias("nr"),
+        ).collect()
+    }
+    assert got[1][0] == pytest.approx(1 - 2 / 5)
+    assert got[2][0] == 0.0
+    assert got[3] == (0.0, 0.0)
+    # doc 4: 7 trigrams, 3 distinct ("spam eggs ham","eggs ham spam","ham spam eggs")
+    assert got[4][1] == pytest.approx(round(1 - 3 / 7, 4))
+    assert got[5][1] == 0.0
+    assert got[6][1] == 0.0
+
+
+def test_md5_hash60_portable(spark):
+    """md5_hash60 must equal DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT
+    — the contract that makes sampling decisions replay cross-engine."""
+    import duckdb
+
+    from chromem_go_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    vals = ["1", "42", "doc-007", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", T.md5_hash60("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [v]
+        ).fetchone()[0]
+        assert got[v] == want, v
