@@ -83,51 +83,7 @@ def main() -> None:
     # compilation + any transient JVM/OS contention; the min is the
     # steady-state number (the reference's Go benchmark harness likewise
     # reports averaged steady-state ns/op).
-    # --- reference-comparable throughput (BASELINE.md harness shape) ---
-    # chromem-go: 100k docs x d=1536, k=10, one query in ~40 ms
-    # (README.md:278) => ~2.5M doc-scores/sec. Spark is a batch engine,
-    # so the comparable number is batch scoring throughput on the SAME
-    # corpus shape: 64 queries x 100k docs via the block-matrix kernel.
-    n_docs, dim, k = 100_000, 1536, 10
-    corpus = _synth_corpus(spark, n_docs, dim).localCheckpoint(eager=True)
-    all_qvecs = [r["embedding"] for r in corpus.limit(256).collect()]
-    from chromem_go_spark.operators import knn as K
-
-    def _throughput(n_q: int, warm_rounds: int) -> dict:
-        qvecs = all_qvecs[:n_q]
-        wall = float("inf")
-        for i in range(warm_rounds + 2):
-            t0 = time.time()
-            nres = K.knn_block(
-                corpus, [str(j) for j in range(n_q)], qvecs, k,
-                vec_col="embedding", id_col="id",
-            ).count()
-            if i >= warm_rounds:  # early passes warm codegen + py workers
-                wall = min(wall, time.time() - t0)
-            assert nres == n_q * k, nres
-        sps = int(n_q * n_docs / wall)
-        print(
-            f"# knn_100k_1536 q={n_q}: {wall:.2f}s = {sps:,} doc-scores/sec "
-            f"(reference single-query rate: ~2.5M/sec)",
-            file=sys.stderr,
-        )
-        return {
-            "n_docs": n_docs, "dim": dim, "n_queries": n_q, "k": k,
-            "wall_sec": round(wall, 3), "doc_scores_per_sec": sps,
-            "baseline_doc_scores_per_sec": 2_500_000,
-        }
-
-    # two query-count points: 64 (the r01 headline) and 256 (shows the
-    # per-job overhead amortizing — scoring work x4, wall far less than x4)
     errors: dict[str, str] = {}
-    try:
-        point64 = _throughput(64, warm_rounds=2)
-        point256 = _throughput(256, warm_rounds=0)
-    except Exception as e:  # noqa: BLE001 — emit partial artifact, never crash
-        errors["knn_batch_100k_1536"] = f"{type(e).__name__}: {e}"[:300]
-        point64 = point256 = None
-
-    del corpus
 
     import gc
 
@@ -248,6 +204,55 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["training_pipeline_cached"] = f"{type(e).__name__}: {e}"[:300]
 
+
+    # The 100k x 1536 synthetic-corpus throughput points run LAST:
+    # their ~600 MB of localCheckpoint blocks drain asynchronously and
+    # were contaminating the heavy similarity joins that followed
+    # (measured: ngram_jaccard 17.3 s mid-session vs 7.6 s isolated).
+    # --- reference-comparable throughput (BASELINE.md harness shape) ---
+    # chromem-go: 100k docs x d=1536, k=10, one query in ~40 ms
+    # (README.md:278) => ~2.5M doc-scores/sec. Spark is a batch engine,
+    # so the comparable number is batch scoring throughput on the SAME
+    # corpus shape: 64 queries x 100k docs via the block-matrix kernel.
+    n_docs, dim, k = 100_000, 1536, 10
+    corpus = _synth_corpus(spark, n_docs, dim).localCheckpoint(eager=True)
+    all_qvecs = [r["embedding"] for r in corpus.limit(256).collect()]
+    from chromem_go_spark.operators import knn as K
+
+    def _throughput(n_q: int, warm_rounds: int) -> dict:
+        qvecs = all_qvecs[:n_q]
+        wall = float("inf")
+        for i in range(warm_rounds + 2):
+            t0 = time.time()
+            nres = K.knn_block(
+                corpus, [str(j) for j in range(n_q)], qvecs, k,
+                vec_col="embedding", id_col="id",
+            ).count()
+            if i >= warm_rounds:  # early passes warm codegen + py workers
+                wall = min(wall, time.time() - t0)
+            assert nres == n_q * k, nres
+        sps = int(n_q * n_docs / wall)
+        print(
+            f"# knn_100k_1536 q={n_q}: {wall:.2f}s = {sps:,} doc-scores/sec "
+            f"(reference single-query rate: ~2.5M/sec)",
+            file=sys.stderr,
+        )
+        return {
+            "n_docs": n_docs, "dim": dim, "n_queries": n_q, "k": k,
+            "wall_sec": round(wall, 3), "doc_scores_per_sec": sps,
+            "baseline_doc_scores_per_sec": 2_500_000,
+        }
+
+    # two query-count points: 64 (the r01 headline) and 256 (shows the
+    # per-job overhead amortizing — scoring work x4, wall far less than x4)
+    try:
+        point64 = _throughput(64, warm_rounds=2)
+        point256 = _throughput(256, warm_rounds=0)
+    except Exception as e:  # noqa: BLE001 — emit partial artifact, never crash
+        errors["knn_batch_100k_1536"] = f"{type(e).__name__}: {e}"[:300]
+        point64 = point256 = None
+
+    del corpus
 
     total = round(sum(times.values()), 3)
     out = {

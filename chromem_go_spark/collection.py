@@ -76,8 +76,24 @@ class Collection:
         if persist_dir and os.path.exists(self._data_path()):
             self._df = self._read_table()
 
+    def _raw_table(self) -> DataFrame | None:
+        """The on-disk table (bucket column included), or None when the
+        data path holds no parquet footers — which legitimately happens
+        after a delete removes every row of a bucketed collection (all
+        bucket dirs dropped, directory left behind)."""
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self._data_path())
+        except AnalysisException as e:
+            if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return None
+            raise
+
     def _read_table(self) -> DataFrame:
-        df = self.spark.read.parquet(self._data_path())
+        df = self._raw_table()
+        if df is None:
+            return self._empty()
         if self.n_buckets:
             df = df.drop("bucket")
         return df.select(*DOCUMENT_SCHEMA.fieldNames())
@@ -169,19 +185,22 @@ class Collection:
             path = self._data_path()
             new_b = new.withColumn("bucket", self._bucket_expr())
             touched = [r["bucket"] for r in new_b.select("bucket").distinct().collect()]
-            # partition-pruned read: only the touched buckets are scanned
-            existing = self.spark.read.parquet(path).filter(
-                F.col("bucket").isin(touched)
-            )
-            w = Window.partitionBy("id").orderBy(F.desc("__src"))
-            merged = (
-                existing.withColumn("__src", F.lit(0))
-                .unionByName(new_b.withColumn("__src", F.lit(1)))
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select(*DOCUMENT_SCHEMA.fieldNames(), "bucket")
-                .transform(materialize)  # pin before self-overwrite
-            )
+            # partition-pruned read: only the touched buckets are scanned;
+            # raw can be None after a delete emptied the whole table
+            raw = self._raw_table()
+            if raw is None:
+                merged = new_b.transform(materialize)
+            else:
+                existing = raw.filter(F.col("bucket").isin(touched))
+                w = Window.partitionBy("id").orderBy(F.desc("__src"))
+                merged = (
+                    existing.withColumn("__src", F.lit(0))
+                    .unionByName(new_b.withColumn("__src", F.lit(1)))
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .select(*DOCUMENT_SCHEMA.fieldNames(), "bucket")
+                    .transform(materialize)  # pin before self-overwrite
+                )
             merged.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).option("compression", codec).partitionBy("bucket").parquet(path)
@@ -371,9 +390,12 @@ class Collection:
                 .distinct()
                 .collect()
             )
-            existing = self.spark.read.parquet(path).filter(
-                F.col("bucket").isin(touched)
-            )
+            raw = self._raw_table()
+            if raw is None:  # table already empty: nothing to delete
+                self._df = self._empty()
+                self._write_meta()
+                return
+            existing = raw.filter(F.col("bucket").isin(touched))
             kept = existing.filter(
                 ~F.col("id").isin([str(i) for i in ids])
             ).transform(materialize)

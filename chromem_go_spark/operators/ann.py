@@ -420,9 +420,20 @@ class IVFIndex:
         assigned = _assign_clusters(df, cents, vec_col)
         return cls(cents, assigned, vec_col, id_col)
 
+    _BASE_BATCH = -1  # reserved __batch id for the initial build / compacted history
+
     def save(self, path: str) -> None:
-        """Persist partitioned by cluster_id: probing == partition pruning."""
-        self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        """Persist partitioned by (__batch, cluster_id): probing ==
+        partition pruning on cluster_id; the ``__batch`` level makes the
+        saved index APPENDABLE — streaming ingest adds micro-batch
+        partitions next to the ``__batch=-1`` base (see
+        :meth:`append_batch`)."""
+        (
+            self.assigned.withColumn("__batch", F.lit(self._BASE_BATCH))
+            .write.mode("overwrite")
+            .partitionBy("__batch", "cluster_id")
+            .parquet(path)
+        )
         import json, os
 
         with open(os.path.join(path, "_centroids.json"), "w") as f:
@@ -434,7 +445,87 @@ class IVFIndex:
 
         with open(os.path.join(path, "_centroids.json")) as f:
             cents = np.asarray(json.load(f), dtype=np.float64)
-        return cls(cents, spark.read.parquet(path), vec_col, id_col)
+        df = spark.read.parquet(path)
+        if "__batch" in df.columns:
+            df = df.drop("__batch")
+        return cls(cents, df, vec_col, id_col)
+
+    @classmethod
+    def append_batch(
+        cls,
+        batch_df: DataFrame,
+        path: str,
+        batch_id: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Incremental index maintenance: assign one micro-batch of new
+        vectors to the SAVED index's (frozen) centroids and add it as
+        partition ``__batch=<batch_id>`` — O(batch) work, the corpus is
+        never rescanned, and probing still prunes on cluster_id.
+
+        IDEMPOTENT per batch_id: the batch's own partition dir is
+        dropped before writing, so an at-least-once replay (foreachBatch)
+        replaces itself instead of duplicating vectors.  Appends are
+        append-only by id (same contract as a segment file); re-ingested
+        ids are the caller's dedup responsibility.
+
+        Centroids are FROZEN at build time: appends keep recall for
+        in-distribution data, but a drifting embedding distribution
+        degrades it — monitor with tools/recall_report.py and rebuild
+        (or :meth:`compact` + rebuild) on a cadence.  This mirrors how
+        serving systems run IVF: static coarse quantizer, growing
+        posting lists, periodic retrain.
+        """
+        import json, os
+
+        spark = batch_df.sparkSession
+        with open(os.path.join(path, "_centroids.json")) as f:
+            cents = np.asarray(json.load(f), dtype=np.float64)
+        assigned = _assign_clusters(
+            batch_df.select(id_col, vec_col), cents, vec_col
+        )
+        jvm = spark._jvm
+        part = jvm.org.apache.hadoop.fs.Path(path, f"__batch={int(batch_id)}")
+        fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(part):  # replayed batch: replace, don't duplicate
+            fs.delete(part, True)
+        (
+            assigned.withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("__batch", "cluster_id")
+            .parquet(path)
+        )
+
+    @classmethod
+    def compact(cls, spark: SparkSession, path: str) -> None:
+        """Fold every appended ``__batch=N`` partition into the
+        ``__batch=-1`` base, bounding partition count (file-listing cost
+        grows with micro-batch count otherwise).  Run between ingest
+        sessions — not concurrently with an active append."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        batches = [
+            st.getPath().getName()
+            for st in fs.listStatus(hpath)
+            if st.getPath().getName().startswith("__batch=")
+        ]
+        extra = [b for b in batches if b != f"__batch={cls._BASE_BATCH}"]
+        if not extra:
+            return
+        from ..materialize import materialize
+
+        folded = materialize(spark.read.parquet(path).drop("__batch"))
+        (
+            folded.withColumn("__batch", F.lit(cls._BASE_BATCH))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch", "cluster_id")
+            .parquet(path)
+        )
+        for b in extra:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path, b), True)
 
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)

@@ -427,6 +427,37 @@ def _compact_state(
         fs.delete(jvm.org.apache.hadoop.fs.Path(path, f"__batch={b}"), True)
 
 
+def ivf_append_sink(
+    stream_vectors: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_name: str = "ivf_ingest",
+):
+    """foreachBatch sink for incremental ANN index maintenance: each
+    micro-batch of new vectors is cluster-assigned against the saved
+    index's frozen centroids and appended as its own partition
+    (idempotent per batch — see ``IVFIndex.append_batch``). The index
+    stays searchable throughout; run ``IVFIndex.compact`` between
+    ingest sessions to fold micro-batch partitions into the base."""
+    from ..operators.ann import IVFIndex
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        IVFIndex.append_batch(
+            batch_df, index_path, batch_id, vec_col=vec_col, id_col=id_col
+        )
+
+    return (
+        stream_vectors.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
 def incremental_neardup_sink(
     stream_docs: DataFrame,
     state_dir: str,

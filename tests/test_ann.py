@@ -156,3 +156,85 @@ def test_pq_save_load_roundtrip(spark, emb, pq_index, tmp_path):
     b = [(r["vec_id"], round(r["similarity"], 6))
          for r in loaded.search_batch(["q"], [q], 10, nprobe=8, rerank=200).collect()]
     assert a == b
+
+
+def test_append_batch_and_compact(spark, emb, tmp_path):
+    """Incremental maintenance: build on 60% of the corpus, stream the
+    rest in as two appended batches (one replayed), and with
+    nprobe=n_clusters the loaded index's search must equal brute force
+    over the FULL corpus. Compacting folds the micro-batch partitions
+    into the base without changing results."""
+    import os
+
+    path = str(tmp_path / "ivf_grow")
+    base = emb.filter(F.col("vec_id") % 5 < 3)
+    b1 = emb.filter(F.col("vec_id") % 5 == 3)
+    b2 = emb.filter(F.col("vec_id") % 5 == 4)
+
+    A.IVFIndex.build(base, n_clusters=8, vec_col="embedding", id_col="vec_id").save(path)
+    A.IVFIndex.append_batch(b1, path, 0, vec_col="embedding", id_col="vec_id")
+    A.IVFIndex.append_batch(b1, path, 0, vec_col="embedding", id_col="vec_id")  # replay
+    A.IVFIndex.append_batch(b2, path, 1, vec_col="embedding", id_col="vec_id")
+
+    loaded = A.IVFIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    assert loaded.assigned.count() == emb.count()  # replay did not duplicate
+
+    q = _qvec(emb, 7)
+    exact = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in K.knn_single(emb, q, 5, vec_col="embedding", id_col="vec_id").collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in loaded.search(q, 5, nprobe=8).collect()
+    ]
+    assert got == exact
+
+    A.IVFIndex.compact(spark, path)
+    parts = [d for d in os.listdir(path) if d.startswith("__batch=")]
+    assert parts == ["__batch=-1"]
+    recheck = A.IVFIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    got2 = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in recheck.search(q, 5, nprobe=8).collect()
+    ]
+    assert got2 == exact
+
+
+def test_ivf_append_stream_sink(spark, emb, tmp_path):
+    """The foreachBatch wrapper drives index growth from a vector
+    stream (one file per micro-batch)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.streaming.ingest import ivf_append_sink, run_available_now
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    d = tmp_path / "vec_stream"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "v0.parquet")
+    pq.write_table(t.slice(half), d / "v1.parquet")
+
+    path = str(tmp_path / "ivf_sink")
+    A.IVFIndex.build(
+        emb.limit(50), n_clusters=4, vec_col="embedding", id_col="vec_id"
+    ).save(path)
+    n0 = A.IVFIndex.load(spark, path).assigned.count()
+
+    batch_df = spark.read.parquet(str(d))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    writer = ivf_append_sink(
+        stream.select("vec_id", "embedding"),
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    run_available_now(writer)
+    grown = A.IVFIndex.load(spark, path)
+    assert grown.assigned.count() == n0 + batch_df.count()

@@ -132,3 +132,19 @@ def test_write_lock_breaks_stale_lock(tmp_path):
     with write_lock(d, timeout=1, stale_after=300):
         assert os.path.exists(lock_path)
     assert not os.path.exists(lock_path)
+
+
+def test_delete_all_then_upsert(spark, tmp_path):
+    """Deleting every row of a bucketed collection drops every bucket
+    dir; the table must read back as EMPTY (not crash on a footerless
+    directory) and accept fresh upserts — the race test hit exactly
+    this when the deleter drained the table before the upserter ran."""
+    path = str(tmp_path / "db_drain")
+    c = _open_collection(spark, path, 8)
+    c.add_documents([_doc(i) for i in range(4)])
+    c.delete(ids=[str(i) for i in range(4)])
+    assert c.count() == 0
+    reopened = _open_collection(spark, path, 8)
+    assert reopened.count() == 0
+    reopened.add_documents([_doc(7)])
+    assert reopened.list_ids() == ["7"]
