@@ -148,3 +148,38 @@ def test_delete_all_then_upsert(spark, tmp_path):
     assert reopened.count() == 0
     reopened.add_documents([_doc(7)])
     assert reopened.list_ids() == ["7"]
+
+
+def test_write_lock_across_processes(tmp_path):
+    """The lock excludes across PROCESS boundaries, not just threads:
+    a child process holds it; this process must time out, then acquire
+    promptly once the child exits."""
+    import subprocess
+    import sys
+
+    d = str(tmp_path)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import sys, time; sys.path.insert(0, '/root/repo');"
+            "from chromem_go_spark.locking import write_lock;"
+            "import contextlib;"
+            "ctx = write_lock(sys.argv[1], timeout=5);"
+            "ctx.__enter__(); print('held', flush=True); time.sleep(2.5);"
+            "ctx.__exit__(None, None, None)",
+            d,
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "held"
+        with pytest.raises(LockTimeout):
+            with write_lock(d, timeout=0.5):
+                pass
+        # child releases within ~2.5s; we must get in afterwards
+        with write_lock(d, timeout=10):
+            pass
+    finally:
+        child.wait(timeout=15)

@@ -108,3 +108,58 @@ def test_fingerprint_equality_iff_normalized_equality(spark, texts):
         if r["fp"] in by_fp:
             assert by_fp[r["fp"]] == r["norm"]
         by_fp[r["fp"]] = r["norm"]
+
+
+@settings(max_examples=15, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="ab \nxyz.", max_size=120), min_size=1, max_size=10))
+def test_repetition_bounds_and_python_parity(spark, texts):
+    """line/ngram repetition: always in [0, 1), 0 for empty, and equal
+    to the direct Python computation of the same definition."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    rows = df.select(
+        "i",
+        T.line_repetition("t").alias("lr"),
+        T.ngram_repetition("t", 2).alias("nr"),
+    ).collect()
+    import re
+
+    for r in rows:
+        t = texts[r["i"]]
+        ls = [x.strip() for x in t.split("\n")]
+        ls = [x for x in ls if x]
+        want_lr = 0.0 if not ls else 1 - len(set(ls)) / len(ls)
+        toks = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t.lower())
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        want_nr = 0.0 if not grams else 1 - len(set(grams)) / len(grams)
+        assert 0.0 <= r["lr"] < 1.0 and 0.0 <= r["nr"] < 1.0
+        assert r["lr"] == pytest.approx(want_lr, abs=1e-9), (t, r["lr"], want_lr)
+        assert r["nr"] == pytest.approx(want_nr, abs=1e-9), (t, r["nr"], want_nr)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.text(alphabet="ab cd", min_size=1, max_size=60)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_pack_chunks_partitions_token_stream(spark, chunks, budget):
+    """Packing is exactly the concatenate-then-split partition of each
+    doc's token stream: pack p holds tokens [p*B, (p+1)*B) — verified
+    against a direct Python fold, for arbitrary chunk contents/budgets."""
+    from chromem_go_spark.pipeline import pack_chunks
+
+    rows = [(doc, idx, txt) for idx, (doc, txt) in enumerate(chunks)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx long, chunk string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["pack_id"], r["n_tokens"])
+        for r in pack_chunks(df, budget_tokens=budget).collect()
+    }
+    streams: dict = {}
+    for doc, idx, txt in sorted(rows, key=lambda x: (x[0], x[1])):
+        ntok = len(txt.split())
+        p = streams.get(doc, 0)
+        assert got[(doc, idx)] == (p // budget, ntok), (doc, idx, budget)
+        streams[doc] = p + ntok
