@@ -215,20 +215,31 @@ def main() -> None:
     # so the comparable number is batch scoring throughput on the SAME
     # corpus shape: 64 queries x 100k docs via the block-matrix kernel.
     n_docs, dim, k = 100_000, 1536, 10
+    # settle: let the ContextCleaner drain the query loop's checkpoint
+    # blocks before measuring (running right after the loaded session
+    # cost the first throughput point 10x — transient, not steady-state)
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    time.sleep(3)
     corpus = _synth_corpus(spark, n_docs, dim).localCheckpoint(eager=True)
     all_qvecs = [r["embedding"] for r in corpus.limit(256).collect()]
     from chromem_go_spark.operators import knn as K
 
     def _throughput(n_q: int, warm_rounds: int) -> dict:
+        # min over every round but the first: a transiently-loaded JVM
+        # slows EARLY rounds; min is robust to that, and steady-state is
+        # what the reference's ns/op benchmark reports too.
         qvecs = all_qvecs[:n_q]
         wall = float("inf")
-        for i in range(warm_rounds + 2):
+        for i in range(max(warm_rounds, 1) + 2):
             t0 = time.time()
             nres = K.knn_block(
                 corpus, [str(j) for j in range(n_q)], qvecs, k,
                 vec_col="embedding", id_col="id",
             ).count()
-            if i >= warm_rounds:  # early passes warm codegen + py workers
+            if i >= 1:
                 wall = min(wall, time.time() - t0)
             assert nres == n_q * k, nres
         sps = int(n_q * n_docs / wall)

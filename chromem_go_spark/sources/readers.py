@@ -106,3 +106,40 @@ def read_documents_parquet(
     return to_document_df(
         spark.read.parquet(path), id_col, content_col, metadata_cols, embedding_col
     )
+
+
+def read_documents_orc(
+    spark: SparkSession,
+    path: str,
+    id_col: str | None = None,
+    content_col: str = "text",
+    metadata_cols: Sequence[str] | None = None,
+    embedding_col: str | None = None,
+) -> DataFrame:
+    """ORC (Spark-native reader: predicate pushdown + column pruning,
+    same as parquet)."""
+    return to_document_df(
+        spark.read.orc(path), id_col, content_col, metadata_cols, embedding_col
+    )
+
+
+def write_documents(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_cols: Sequence[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Write a document-schema DataFrame out as a dataset (the sink half
+    of the source mapping — parquet/orc/json/csv; csv cannot carry the
+    map/array columns and drops them with a clear contract)."""
+    out = df
+    if fmt == "csv":
+        out = df.select("id", "content")  # csv: scalar columns only
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    getattr(w, fmt)(path)

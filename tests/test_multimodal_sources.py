@@ -323,3 +323,31 @@ def test_corrupt_png_classified_not_crash(spark):
     assert got["bad-png"]["format"] == "unknown"
     assert (got["bad-png"]["width"], got["bad-png"]["height"]) == (0, 0)
     assert got["ok"]["format"] == "fakeimg"
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC source/sink: write a document table as ORC, read it back
+    through the source mapper — ids, metadata, embeddings intact."""
+    from chromem_go_spark.sources.readers import (
+        read_documents_orc,
+        to_document_df,
+        write_documents,
+    )
+
+    src = spark.createDataFrame(
+        [("a", "hello world", "en", [0.1, 0.2]), ("b", "hallo welt", "de", [0.3, 0.4])],
+        "doc_id string, text string, lang string, embedding array<float>",
+    )
+    docs = to_document_df(
+        src, id_col="doc_id", metadata_cols=["lang"], embedding_col="embedding"
+    )
+    path = str(tmp_path / "docs_orc")
+    write_documents(docs, path, fmt="orc")
+    back = read_documents_orc(
+        spark, path, id_col="id", content_col="content",
+        metadata_cols=None, embedding_col="embedding",
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["content"] == "hello world"
+    assert [round(x, 4) for x in rows["a"]["embedding"]] == [0.1, 0.2]
