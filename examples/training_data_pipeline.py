@@ -58,6 +58,30 @@ def main() -> None:
         rerank=64,
     ).show()
 
+    print("== corpus mixing: deterministic per-language downsampling")
+    from chromem_go_spark.pipeline import (
+        PipelineConfig,
+        chunked_training_corpus,
+        pack_chunks,
+        stratified_sample,
+    )
+
+    mixed = stratified_sample(docs, {"en": 1.0, "de": 0.5}, default_rate=0.1)
+    mixed.groupBy(T.lang_id("text").alias("lang")).count().show()
+
+    print("== repetition signal: duplicate word-trigram fraction (top 5)")
+    docs.select(
+        "doc_id", F.round(T.ngram_repetition("text", 3), 3).alias("rep3")
+    ).orderBy(F.desc("rep3")).show(5)
+
+    print("== sequence packing: chunks -> fixed 256-token packs per doc")
+    chunks = chunked_training_corpus(mixed, PipelineConfig())
+    packed = pack_chunks(chunks, budget_tokens=256)
+    packed.groupBy("doc_id", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("tokens"),
+    ).orderBy("doc_id", "pack_id").show(5)
+
 
 if __name__ == "__main__":
     main()
