@@ -508,6 +508,20 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: top-50 tokens by total count with
+    document frequency (tokenizer-training / stopword accounting)."""
+    from chromem_go_spark.pipeline import vocabulary_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = vocabulary_stats(docs, top_n=50)
+    return out.select(
+        "token",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style duplicate word-trigram fraction per document — the
     repetition quality signal (template/boilerplate spam repeats
@@ -788,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch_expr": q_knn_batch_expr,
         "dedup_clusters_star": q_dedup_clusters_star,
         "quality_filter": q_quality_filter,
+        "vocab_stats": q_vocab_stats,
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
@@ -1293,6 +1308,20 @@ WITH q AS (
   FROM documents
 )
 SELECT doc_id, ROUND(quality, 4) AS quality FROM q WHERE quality >= 0.5
+""",
+        "vocab_stats": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM documents
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks
+GROUP BY token
+ORDER BY n_total DESC, token
+LIMIT 50
 """,
         "doc_repetition": r"""
 WITH toks AS (

@@ -60,6 +60,7 @@ def main() -> None:
         "ivf_pq_search",
         "quality_filter",
         "doc_repetition",
+        "vocab_stats",
         "stratified_sample",
         "pack_chunks",
         "chunk_documents",

@@ -92,6 +92,35 @@ def training_corpus_stats(
     )
 
 
+def vocabulary_stats(
+    docs: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary profile: per-token total occurrences and
+    document frequency, top ``top_n`` by count (ties broken by token
+    for determinism) — the accounting a tokenizer-training / stopword
+    pass runs first.
+
+    One explode feeding a two-phase aggregate (count distinct plans as
+    a partial-distinct on (token, doc) before the token shuffle, so
+    stopword-heavy tokens don't hot-spot a reducer), then top-n via
+    TakeOrderedAndProject — no global sort materialized."""
+    toks = docs.select(
+        F.col(id_col), F.explode(T.word_tokens(text_col)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.col("token"))
+        .limit(int(top_n))
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: "dict[str, float]",

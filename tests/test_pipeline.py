@@ -150,3 +150,30 @@ def test_pack_chunks_budget_invariants(spark, docs):
         for r in rows:
             assert r["pack_id"] == cum // 32
             cum += r["n_tokens"]
+
+
+def test_vocabulary_stats_matches_python(spark, docs):
+    """Top-n vocabulary equals a direct Python count over the same
+    tokenization, including the deterministic (count desc, token)
+    order."""
+    import re
+    from collections import Counter
+
+    from chromem_go_spark.pipeline import vocabulary_stats
+
+    rows = docs.select("doc_id", "text").collect()
+    total: Counter = Counter()
+    dfreq: Counter = Counter()
+    for r in rows:
+        toks = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", (r["text"] or "").lower())
+        total.update(toks)
+        dfreq.update(set(toks))
+    want = sorted(
+        ((t, c, dfreq[t]) for t, c in total.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = [
+        (r["token"], r["n_total"], r["n_docs"])
+        for r in vocabulary_stats(docs, top_n=10).collect()
+    ]
+    assert got == want
