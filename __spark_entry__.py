@@ -558,6 +558,17 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(chunks, budget_tokens=256)
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel login -> search -> purchase within 24h
+    of the first login (operators/events.py:funnel_counts): per-user
+    earliest-completion joins, events scanned once."""
+    return EV.funnel_counts(
+        _events(spark, sf_dir),
+        ["login", "search", "purchase"],
+        within_seconds=86400,
+    )
+
+
 def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by total event value: groupBy agg (map-side partial)
     + TakeOrderedAndProject."""
@@ -806,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
+        "events_funnel": q_events_funnel,
         "events_topk_users": q_events_topk_users,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1388,6 +1400,33 @@ SELECT doc_id, chunk_idx,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM t
 WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx ROWS UNBOUNDED PRECEDING)
+""",
+        "events_funnel": """
+WITH ev AS (
+  SELECT user_id, event_type AS t, epoch(ts) AS s FROM events
+  WHERE event_type IN ('login', 'search', 'purchase')
+),
+s1 AS (
+  SELECT user_id, MIN(s) AS prev, MIN(s) AS frst
+  FROM ev WHERE t = 'login' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.s) AS prev, ANY_VALUE(s1.frst) AS frst
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.t = 'search' AND e.s > s1.prev AND e.s - s1.frst <= 86400
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.s) AS prev
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.t = 'purchase' AND e.s > s2.prev AND e.s - s2.frst <= 86400
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step_idx, 'login' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'search', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 """,
         "events_topk_users": """
 SELECT user_id, total FROM (

@@ -51,6 +51,7 @@ def main() -> None:
         "events_trending",
         "events_percentiles",
         "events_percentiles_approx",
+        "events_funnel",
         "multimodal_meta",
         "knn_batch_expr",
         "knn_batch_per_filter",

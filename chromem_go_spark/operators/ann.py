@@ -129,6 +129,85 @@ def _kmeans_l2(sample: np.ndarray, k: int, seed: int = 42, n_iter: int = 15) -> 
     return cents
 
 
+def _pq_encode(
+    assigned: DataFrame, codebooks: np.ndarray, vec_col: str, id_col: str
+) -> DataFrame:
+    """Encode cluster-assigned vectors to m uint8 PQ codes per row —
+    one argmin per subspace per Arrow batch (shared by index build and
+    incremental append, which must quantize identically)."""
+    mm, _, s = codebooks.shape
+    cb = codebooks
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = mat.shape[0]
+            codes = np.empty((n, mm), dtype=np.uint8)
+            for j in range(mm):
+                sub = mat[:, j * s : (j + 1) * s]
+                d2 = -2.0 * sub @ cb[j].T + (cb[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": pdf["cluster_id"],
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    return assigned.mapInPandas(
+        encode, f"{id_col} {id_type}, cluster_id int, codes binary"
+    )
+
+
+def _drop_batch_partition(spark: SparkSession, table_path: str, batch_id: int) -> None:
+    """Delete ``<table_path>/__batch=<id>`` if present (idempotent-replay
+    support for append-partitioned index/state tables)."""
+    jvm = spark._jvm
+    part = jvm.org.apache.hadoop.fs.Path(table_path, f"__batch={int(batch_id)}")
+    fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(part):
+        fs.delete(part, True)
+
+
+def _fold_batch_partitions(
+    spark: SparkSession, table_path: str, partition_cols: list, base_batch: int
+) -> None:
+    """Fold every ``__batch=N`` partition of a table into
+    ``__batch=<base_batch>`` and drop the folded dirs (shared by index
+    and state compaction)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    extra = [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().startswith("__batch=")
+        and st.getPath().getName() != f"__batch={base_batch}"
+    ]
+    if not extra:
+        return
+    from ..materialize import materialize
+
+    folded = materialize(spark.read.parquet(table_path).drop("__batch"))
+    (
+        folded.withColumn("__batch", F.lit(int(base_batch)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(table_path)
+    )
+    for b in extra:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, b), True)
+
+
 class IVFPQIndex:
     """IVF + Product Quantization (Jegou, Douze, Schmid: "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011 — public
@@ -199,48 +278,33 @@ class IVFPQIndex:
             ]
         )  # (m, k_j<=n_codes, s) — all k_j equal since same sample size
 
-        cb = codebooks
-        mm = m
-
-        def encode(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                n = mat.shape[0]
-                codes = np.empty((n, mm), dtype=np.uint8)
-                for j in range(mm):
-                    sub = mat[:, j * s : (j + 1) * s]
-                    d2 = -2.0 * sub @ cb[j].T + (cb[j] ** 2).sum(axis=1)
-                    codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        "cluster_id": pdf["cluster_id"],
-                        "codes": [c.tobytes() for c in codes],
-                    }
-                )
-
-        id_type = df.schema[id_col].dataType.simpleString()
-        coded = base.assigned.mapInPandas(
-            encode, f"{id_col} {id_type}, cluster_id int, codes binary"
-        )
+        coded = _pq_encode(base.assigned, codebooks, vec_col, id_col)
         vectors = df.select(id_col, vec_col)
         return cls(base.centroids, codebooks, coded, vectors, vec_col, id_col)
 
+    _BASE_BATCH = -1  # reserved __batch id: initial build / compacted history
+
     def save(self, path: str) -> None:
-        """Persist: codes partitioned by cluster_id (probe = partition
-        pruning over a 16-byte-per-row table), original vectors
-        alongside for the re-rank join, centroids+codebooks as JSON."""
+        """Persist: codes partitioned by (__batch, cluster_id) (probe =
+        partition pruning over a 16-byte-per-row table; the __batch
+        level makes the saved index appendable — :meth:`append_batch`),
+        original vectors alongside for the re-rank join,
+        centroids+codebooks as JSON."""
         import json
         import os
 
-        self.coded.write.mode("overwrite").partitionBy("cluster_id").parquet(
-            os.path.join(path, "codes")
+        (
+            self.coded.withColumn("__batch", F.lit(self._BASE_BATCH))
+            .write.mode("overwrite")
+            .partitionBy("__batch", "cluster_id")
+            .parquet(os.path.join(path, "codes"))
         )
-        self.vectors.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+        (
+            self.vectors.withColumn("__batch", F.lit(self._BASE_BATCH))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(os.path.join(path, "vectors"))
+        )
         with open(os.path.join(path, "_pq_meta.json"), "w") as f:
             json.dump(
                 {
@@ -259,13 +323,73 @@ class IVFPQIndex:
 
         with open(os.path.join(path, "_pq_meta.json")) as f:
             meta = json.load(f)
+
+        def rd(sub: str) -> DataFrame:
+            df = spark.read.parquet(os.path.join(path, sub))
+            return df.drop("__batch") if "__batch" in df.columns else df
+
         return cls(
             np.asarray(meta["centroids"], dtype=np.float64),
             np.asarray(meta["codebooks"], dtype=np.float64),
-            spark.read.parquet(os.path.join(path, "codes")),
-            spark.read.parquet(os.path.join(path, "vectors")),
+            rd("codes"),
+            rd("vectors"),
             meta["vec_col"],
             meta["id_col"],
+        )
+
+    @classmethod
+    def append_batch(
+        cls, batch_df: DataFrame, path: str, batch_id: int
+    ) -> None:
+        """Incremental PQ maintenance: quantize one micro-batch of new
+        vectors with the SAVED index's frozen centroids/codebooks and
+        add it as partition ``__batch=<batch_id>`` of both the codes
+        and vectors tables — O(batch), replay-idempotent (the batch's
+        own partitions are dropped before the write).  Frozen-codebook
+        drift has the same recall caveat and rebuild cadence as
+        ``IVFIndex.append_batch``."""
+        import json
+        import os
+
+        spark = batch_df.sparkSession
+        with open(os.path.join(path, "_pq_meta.json")) as f:
+            meta = json.load(f)
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        cbs = np.asarray(meta["codebooks"], dtype=np.float64)
+        vec_col, id_col = meta["vec_col"], meta["id_col"]
+        assigned = _assign_clusters(
+            batch_df.select(id_col, vec_col), cents, vec_col
+        )
+        coded = _pq_encode(assigned, cbs, vec_col, id_col)
+        codes_path = os.path.join(path, "codes")
+        vecs_path = os.path.join(path, "vectors")
+        _drop_batch_partition(spark, codes_path, batch_id)
+        _drop_batch_partition(spark, vecs_path, batch_id)
+        (
+            coded.withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("__batch", "cluster_id")
+            .parquet(codes_path)
+        )
+        (
+            batch_df.select(id_col, vec_col)
+            .withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("__batch")
+            .parquet(vecs_path)
+        )
+
+    @classmethod
+    def compact(cls, spark: SparkSession, path: str) -> None:
+        """Fold appended micro-batch partitions into the base (codes and
+        vectors both); run between ingest sessions."""
+        import os
+
+        _fold_batch_partitions(
+            spark, os.path.join(path, "codes"), ["__batch", "cluster_id"], cls._BASE_BATCH
+        )
+        _fold_batch_partitions(
+            spark, os.path.join(path, "vectors"), ["__batch"], cls._BASE_BATCH
         )
 
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
@@ -485,11 +609,7 @@ class IVFIndex:
         assigned = _assign_clusters(
             batch_df.select(id_col, vec_col), cents, vec_col
         )
-        jvm = spark._jvm
-        part = jvm.org.apache.hadoop.fs.Path(path, f"__batch={int(batch_id)}")
-        fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(part):  # replayed batch: replace, don't duplicate
-            fs.delete(part, True)
+        _drop_batch_partition(spark, path, batch_id)  # replay: replace
         (
             assigned.withColumn("__batch", F.lit(int(batch_id)))
             .write.mode("append")
@@ -503,29 +623,9 @@ class IVFIndex:
         ``__batch=-1`` base, bounding partition count (file-listing cost
         grows with micro-batch count otherwise).  Run between ingest
         sessions — not concurrently with an active append."""
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        batches = [
-            st.getPath().getName()
-            for st in fs.listStatus(hpath)
-            if st.getPath().getName().startswith("__batch=")
-        ]
-        extra = [b for b in batches if b != f"__batch={cls._BASE_BATCH}"]
-        if not extra:
-            return
-        from ..materialize import materialize
-
-        folded = materialize(spark.read.parquet(path).drop("__batch"))
-        (
-            folded.withColumn("__batch", F.lit(cls._BASE_BATCH))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__batch", "cluster_id")
-            .parquet(path)
+        _fold_batch_partitions(
+            spark, path, ["__batch", "cluster_id"], cls._BASE_BATCH
         )
-        for b in extra:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(path, b), True)
 
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)

@@ -102,6 +102,71 @@ def trending_types(
     )
 
 
+def funnel_counts(
+    events: DataFrame,
+    steps: "list[str]",
+    within_seconds: float | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed ``steps[0]``,
+    then ``steps[1]`` strictly after it, then ``steps[2]`` after that —
+    optionally all within ``within_seconds`` of the first step (the
+    conversion-window variant).
+
+    Classic SQL funnel formulation: per user, the first occurrence of
+    step i strictly after their first qualifying occurrence of step
+    i-1 (earliest-completion semantics, deterministic).  One shuffle on
+    user_id for step 0; every later step joins on user_id against an
+    already user-partitioned frame, and the step-filtered event frame
+    is materialized ONCE and reused by all steps (events are never
+    rescanned per step).  Returns (step_idx, step, n_users).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    from ..materialize import materialize
+
+    ev = to_instant(events, ts_col).select(
+        user_col,
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).cast("double").alias("__s"),
+    )
+    ev = ev.filter(F.col("__t").isin(list(steps))).transform(materialize)
+
+    reached = (
+        ev.filter(F.col("__t") == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("__s").alias("__prev"))
+        .withColumn("__first", F.col("__prev"))
+    )
+    tiers = [reached]
+    for stp in steps[1:]:
+        nxt = ev.filter(F.col("__t") == stp).join(tiers[-1], user_col)
+        nxt = nxt.filter(F.col("__s") > F.col("__prev"))
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col("__s") - F.col("__first") <= float(within_seconds)
+            )
+        tiers.append(
+            nxt.groupBy(user_col).agg(
+                F.min("__s").alias("__prev"), F.first("__first").alias("__first")
+            )
+        )
+    counts = [
+        t.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).cast("bigint").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+        for i, t in enumerate(tiers)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def event_percentiles(
     events: DataFrame,
     quantiles: Sequence[float] = (0.5, 0.9, 0.99),

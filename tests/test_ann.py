@@ -147,7 +147,8 @@ def test_pq_save_load_roundtrip(spark, emb, pq_index, tmp_path):
     path = str(tmp_path / "pqidx")
     pq_index.save(path)
     assert any(
-        d.startswith("cluster_id=") for d in os.listdir(os.path.join(path, "codes"))
+        d.startswith("cluster_id=")
+        for d in os.listdir(os.path.join(path, "codes", "__batch=-1"))
     )
     loaded = A.IVFPQIndex.load(spark, path)
     q = _qvec(emb, 4)
@@ -238,3 +239,55 @@ def test_ivf_append_stream_sink(spark, emb, tmp_path):
     run_available_now(writer)
     grown = A.IVFIndex.load(spark, path)
     assert grown.assigned.count() == n0 + batch_df.count()
+
+
+def test_pq_append_batch_and_compact(spark, emb, tmp_path):
+    """Incremental PQ maintenance: appended batches are quantized with
+    the frozen codebooks; with nprobe=n_clusters and generous rerank
+    the grown index's search equals brute force over the FULL corpus
+    (exact re-rank bounds precision by candidate recall); compaction
+    preserves results and bounds partitions."""
+    import os
+
+    path = str(tmp_path / "pq_grow")
+    base = emb.filter(F.col("vec_id") % 5 < 3)
+    b1 = emb.filter(F.col("vec_id") % 5 == 3)
+    b2 = emb.filter(F.col("vec_id") % 5 == 4)
+
+    A.IVFPQIndex.build(
+        base, n_clusters=8, m=16, vec_col="embedding", id_col="vec_id"
+    ).save(path)
+    A.IVFPQIndex.append_batch(b1.select("vec_id", "embedding"), path, 0)
+    A.IVFPQIndex.append_batch(b1.select("vec_id", "embedding"), path, 0)  # replay
+    A.IVFPQIndex.append_batch(b2.select("vec_id", "embedding"), path, 1)
+
+    loaded = A.IVFPQIndex.load(spark, path)
+    assert loaded.coded.count() == emb.count()
+    assert loaded.vectors.count() == emb.count()
+
+    q = _qvec(emb, 3)
+    exact = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in K.knn_single(emb, q, 5, vec_col="embedding", id_col="vec_id").collect()
+    ]
+    n_corpus = emb.count()
+    got = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in loaded.search_batch(
+            ["q"], [q], 5, nprobe=8, rerank=n_corpus
+        ).collect()
+    ]
+    assert got == exact
+
+    A.IVFPQIndex.compact(spark, path)
+    for sub in ("codes", "vectors"):
+        parts = [
+            d for d in os.listdir(os.path.join(path, sub)) if d.startswith("__batch=")
+        ]
+        assert parts == ["__batch=-1"], (sub, parts)
+    re2 = A.IVFPQIndex.load(spark, path)
+    got2 = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in re2.search_batch(["q"], [q], 5, nprobe=8, rerank=n_corpus).collect()
+    ]
+    assert got2 == exact

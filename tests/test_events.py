@@ -83,3 +83,41 @@ def test_trending_bounded_per_hour(events):
         per_hour[r["hour_start"]] = per_hour.get(r["hour_start"], 0) + 1
         assert 1 <= r["rank"] <= 2
     assert per_hour and max(per_hour.values()) <= 2
+
+
+def test_funnel_counts_hand_case(spark):
+    """Hand-built log covering the funnel semantics: ordering is
+    enforced (step 2 before step 1 doesn't count), the conversion
+    window drops late completions, and earliest-completion is used."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(uid, typ, minutes):
+        return (uid, typ, base + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: clean A -> B -> C conversion
+        ev(1, "A", 0), ev(1, "B", 10), ev(1, "C", 20),
+        # u2: B before A only -> counts for A, not B
+        ev(2, "B", 0), ev(2, "A", 10),
+        # u3: A -> B but B outside the 30-min window
+        ev(3, "A", 0), ev(3, "B", 60),
+        # u4: never does A -> counts nowhere
+        ev(4, "B", 0), ev(4, "C", 5),
+        # u5: A -> B in-window, no C
+        ev(5, "A", 0), ev(5, "B", 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r["step_idx"], r["step"]): r["n_users"]
+        for r in EV.funnel_counts(
+            df, ["A", "B", "C"], within_seconds=1800
+        ).collect()
+    }
+    assert got == {(1, "A"): 4, (2, "B"): 2, (3, "C"): 1}
+
+
+def test_funnel_requires_steps(events):
+    with pytest.raises(ValueError, match="non-empty"):
+        EV.funnel_counts(events, [])
