@@ -569,6 +569,13 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle (operators/events.py:
+    retention_cohorts): users bucketed by first-activity day, distinct
+    actives per (cohort, day-offset)."""
+    return EV.retention_cohorts(_events(spark, sf_dir), period_seconds=86400)
+
+
 def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users by total event value: groupBy agg (map-side partial)
     + TakeOrderedAndProject."""
@@ -818,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "events_topk_users": q_events_topk_users,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1400,6 +1408,19 @@ SELECT doc_id, chunk_idx,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM t
 WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx ROWS UNBOUNDED PRECEDING)
+""",
+        "events_retention": """
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS p
+  FROM events
+),
+first AS (SELECT user_id, MIN(p) AS cohort FROM ev GROUP BY user_id)
+SELECT CAST(cohort * 86400 AS BIGINT) AS cohort_period,
+       CAST(p - cohort AS BIGINT) AS period_offset,
+       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY cohort, p - cohort
 """,
         "events_funnel": """
 WITH ev AS (

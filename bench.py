@@ -52,6 +52,7 @@ def main() -> None:
         "events_percentiles",
         "events_percentiles_approx",
         "events_funnel",
+        "events_retention",
         "multimodal_meta",
         "knn_batch_expr",
         "knn_batch_per_filter",

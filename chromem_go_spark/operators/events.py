@@ -167,6 +167,50 @@ def funnel_counts(
     return out
 
 
+def retention_cohorts(
+    events: DataFrame,
+    period_seconds: int = 86400,
+    max_offset: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention: bucket users by FIRST-activity period, then
+    count distinct users of each cohort active at each later period
+    offset — the (cohort, day-N) retention triangle.
+
+    Two shuffles total: first-activity per user (groupBy user), then a
+    user-co-partitioned join back to activity periods and one distinct
+    count on (cohort, offset) — events are scanned once.  Offsets are
+    relative (period_offset = activity_period - cohort_period), so the
+    output is small regardless of corpus size; ``max_offset`` trims the
+    triangle's tail.  Returns (cohort_period, period_offset, n_users)
+    with periods as epoch-second period starts.
+    """
+    ev = to_instant(events, ts_col).select(
+        user_col,
+        (
+            F.floor(F.col(ts_col).cast("double") / period_seconds).cast("bigint")
+        ).alias("__p"),
+    )
+    first = ev.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
+    act = (
+        ev.distinct()
+        .join(first, user_col)
+        .withColumn("__off", F.col("__p") - F.col("__cohort"))
+    )
+    if max_offset is not None:
+        act = act.filter(F.col("__off") <= int(max_offset))
+    return (
+        act.groupBy("__cohort", "__off")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+        .select(
+            (F.col("__cohort") * period_seconds).cast("bigint").alias("cohort_period"),
+            F.col("__off").cast("bigint").alias("period_offset"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+    )
+
+
 def event_percentiles(
     events: DataFrame,
     quantiles: Sequence[float] = (0.5, 0.9, 0.99),

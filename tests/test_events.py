@@ -121,3 +121,46 @@ def test_funnel_counts_hand_case(spark):
 def test_funnel_requires_steps(events):
     with pytest.raises(ValueError, match="non-empty"):
         EV.funnel_counts(events, [])
+
+
+def test_retention_cohorts_hand_case(spark):
+    """Two cohorts over three days: counts per (cohort, offset) match
+    the hand computation; offset 0 equals cohort size."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(uid, day):
+        return (uid, base + dt.timedelta(days=day, hours=3))
+
+    rows = [
+        ev(1, 0), ev(2, 0),          # cohort day0 = {1, 2}
+        ev(1, 1),                     # u1 retained day1
+        ev(1, 2), ev(2, 2),          # both retained day2
+        ev(3, 1),                     # cohort day1 = {3}
+        ev(3, 2),                     # u3 retained at offset 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    d0 = int(base.timestamp()) // 86400 * 86400
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in EV.retention_cohorts(df, period_seconds=86400).collect()
+    }
+    assert got == {
+        (d0, 0): 2, (d0, 1): 1, (d0, 2): 2,
+        (d0 + 86400, 0): 1, (d0 + 86400, 1): 1,
+    }
+
+
+def test_retention_max_offset_trims(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(days=5))], "user_id long, ts timestamp"
+    )
+    offs = {
+        r["period_offset"]
+        for r in EV.retention_cohorts(df, 86400, max_offset=2).collect()
+    }
+    assert offs == {0}
