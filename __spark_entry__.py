@@ -569,6 +569,21 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attached to the user's most recent
+    strictly-prior click (single carry-forward window, zero joins —
+    operators/events.py:asof_prior)."""
+    out = EV.asof_prior(_events(spark, sf_dir), "purchase", "click")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("ts_epoch", 6).alias("ts_epoch"),
+        F.round("prior_ts_epoch", 6).alias("prior_ts_epoch"),
+        F.round("prior_value", 4).alias("prior_value"),
+        F.round("gap_seconds", 6).alias("gap_seconds"),
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention triangle (operators/events.py:
     retention_cohorts): users bucketed by first-activity day, distinct
@@ -826,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_asof": q_events_asof,
         "events_topk_users": q_events_topk_users,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1408,6 +1424,28 @@ SELECT doc_id, chunk_idx,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM t
 WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx ROWS UNBOUNDED PRECEDING)
+""",
+        "events_asof": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch(ts) AS s, value
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+carried AS (
+  SELECT event_id, user_id, event_type, s,
+         last_value(CASE WHEN event_type = 'click' THEN s END IGNORE NULLS)
+           OVER w AS ps,
+         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER w AS pv
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       ROUND(s, 6) AS ts_epoch,
+       ROUND(ps, 6) AS prior_ts_epoch,
+       ROUND(pv, 4) AS prior_value,
+       ROUND(s - ps, 6) AS gap_seconds
+FROM carried WHERE event_type = 'purchase'
 """,
         "events_retention": """
 WITH ev AS (

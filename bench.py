@@ -53,6 +53,7 @@ def main() -> None:
         "events_percentiles_approx",
         "events_funnel",
         "events_retention",
+        "events_asof",
         "multimodal_meta",
         "knn_batch_expr",
         "knn_batch_per_filter",

@@ -167,6 +167,68 @@ def funnel_counts(
     return out
 
 
+def asof_prior(
+    events: DataFrame,
+    anchor_type: str,
+    lookup_type: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """As-of join, Spark-first: for every ``anchor_type`` event, attach
+    the most recent STRICTLY PRIOR ``lookup_type`` event of the same
+    user (classic "price as of trade time" semantics).
+
+    Spark has no native ASOF JOIN; the usual emulation is a range join
+    that explodes quadratically on busy keys.  This implementation is a
+    single carry-forward window over the union of both event sets:
+    sort each user's anchor+lookup events by (time, id), carry the last
+    lookup row forward with ``last(..., ignorenulls=true)`` over
+    ``ROWS UNBOUNDED PRECEDING TO 1 PRECEDING``, keep anchor rows.  One
+    shuffle on user_id, zero joins, linear in events — survives any
+    per-user event density.  The (ts, id) tiebreak makes simultaneous
+    events deterministic.  Returns (event_id, user_id, ts_epoch,
+    prior_ts_epoch, prior_value, gap_seconds); anchors with no prior
+    lookup keep nulls.
+    """
+    ev = to_instant(events, ts_col).filter(
+        F.col(type_col).isin([anchor_type, lookup_type])
+    )
+    ev = ev.select(
+        id_col,
+        user_col,
+        type_col,
+        F.col(ts_col).cast("double").alias("__s"),
+        F.col(value_col).alias("__v"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("__s", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(
+            F.col(type_col) == lookup_type,
+            F.struct(F.col("__s").alias("s"), F.col("__v").alias("v")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("__prior", prior)
+        .filter(F.col(type_col) == anchor_type)
+        .select(
+            id_col,
+            user_col,
+            F.col("__s").alias("ts_epoch"),
+            F.col("__prior.s").alias("prior_ts_epoch"),
+            F.col("__prior.v").alias("prior_value"),
+            (F.col("__s") - F.col("__prior.s")).alias("gap_seconds"),
+        )
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     period_seconds: int = 86400,

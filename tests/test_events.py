@@ -164,3 +164,32 @@ def test_retention_max_offset_trims(spark):
         for r in EV.retention_cohorts(df, 86400, max_offset=2).collect()
     }
     assert offs == {0}
+
+
+def test_asof_prior_hand_case(spark):
+    """As-of semantics on a hand log: strictly-prior (no same-row
+    match), latest lookup wins, anchors before any lookup keep nulls,
+    and users never see each other's events."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, uid, typ, minutes, value):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, typ, float(value))
+
+    rows = [
+        ev(1, 1, "click", 0, 1.0),
+        ev(2, 1, "click", 5, 2.0),
+        ev(3, 1, "purchase", 10, 99.0),   # -> click@5 (value 2.0)
+        ev(4, 1, "purchase", 3, 98.0),    # -> click@0 (value 1.0)
+        ev(5, 2, "purchase", 1, 97.0),    # no prior click -> nulls
+        ev(6, 2, "click", 2, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["event_id"]: r for r in EV.asof_prior(df, "purchase", "click").collect()}
+    assert set(got) == {3, 4, 5}
+    assert got[3]["prior_value"] == 2.0 and got[3]["gap_seconds"] == 300.0
+    assert got[4]["prior_value"] == 1.0 and got[4]["gap_seconds"] == 180.0
+    assert got[5]["prior_ts_epoch"] is None and got[5]["prior_value"] is None
