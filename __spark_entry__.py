@@ -569,6 +569,12 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hour + day + per-type total
+    in ONE grouping-sets pass (operators/events.py:time_rollup)."""
+    return EV.time_rollup(_events(spark, sf_dir))
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase attached to the user's most recent
     strictly-prior click (single carry-forward window, zero joins —
@@ -842,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_asof": q_events_asof,
+        "events_time_rollup": q_events_time_rollup,
         "events_topk_users": q_events_topk_users,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1424,6 +1431,24 @@ SELECT doc_id, chunk_idx,
        CAST(n_tokens AS BIGINT) AS n_tokens
 FROM t
 WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_idx ROWS UNBOUNDED PRECEDING)
+""",
+        "events_time_rollup": """
+WITH ev AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         value
+  FROM events
+)
+SELECT event_type, day_epoch, hour_epoch,
+       CAST(CASE WHEN hour_epoch IS NOT NULL THEN 0
+                 WHEN day_epoch IS NOT NULL THEN 1
+                 ELSE 3 END AS BIGINT) AS grain,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM ev
+GROUP BY ROLLUP(event_type, day_epoch, hour_epoch)
+HAVING event_type IS NOT NULL
 """,
         "events_asof": """
 WITH ev AS (

@@ -54,6 +54,7 @@ def main() -> None:
         "events_funnel",
         "events_retention",
         "events_asof",
+        "events_time_rollup",
         "multimodal_meta",
         "knn_batch_expr",
         "knn_batch_per_filter",

@@ -167,6 +167,55 @@ def funnel_counts(
     return out
 
 
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: one pass produces the
+    hour-level, day-level, and grand-total aggregates per key via
+    ``ROLLUP(day, hour)`` grouping sets — Spark expands the sets inside
+    a single shuffle (partial aggregation still applies), instead of
+    three scans or a self-union.
+
+    Returns (key, day_epoch, hour_epoch, grain, n, total) where grain
+    is the grouping id: 0 = hour row, 1 = day row, 3 = total row;
+    coarser rows carry nulls in the finer epoch columns (standard
+    grouping-sets shape, identical in ANSI SQL).
+    """
+    ev = to_instant(events, ts_col)
+    day = F.date_trunc("day", F.col(ts_col)).cast("double").cast("bigint")
+    hour = F.date_trunc("hour", F.col(ts_col)).cast("double").cast("bigint")
+    return (
+        ev.select(
+            F.col(key_col),
+            day.alias("day_epoch"),
+            hour.alias("hour_epoch"),
+            "value",
+        )
+        .rollup(key_col, "day_epoch", "hour_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .filter(F.col(key_col).isNotNull())  # keep the per-key hierarchy
+        .select(
+            key_col,
+            "day_epoch",
+            "hour_epoch",
+            # grain from the null pattern (engine-portable; ts is
+            # non-null so nulls only come from the grouping sets)
+            F.when(F.col("hour_epoch").isNotNull(), F.lit(0))
+            .when(F.col("day_epoch").isNotNull(), F.lit(1))
+            .otherwise(F.lit(3))
+            .cast("bigint")
+            .alias("grain"),
+            F.col("n").cast("bigint").alias("n"),
+            "total",
+        )
+    )
+
+
 def asof_prior(
     events: DataFrame,
     anchor_type: str,

@@ -193,3 +193,28 @@ def test_asof_prior_hand_case(spark):
     assert got[3]["prior_value"] == 2.0 and got[3]["gap_seconds"] == 300.0
     assert got[4]["prior_value"] == 1.0 and got[4]["gap_seconds"] == 180.0
     assert got[5]["prior_ts_epoch"] is None and got[5]["prior_value"] is None
+
+
+def test_time_rollup_hierarchy_consistency(events):
+    """The three grains must be mutually consistent: hour rows sum to
+    their day row, day rows sum to the per-type total."""
+    rows = EV.time_rollup(events).collect()
+    by_grain: dict = {0: {}, 1: {}, 3: {}}
+    for r in rows:
+        if r["grain"] == 0:
+            by_grain[0][(r["event_type"], r["day_epoch"], r["hour_epoch"])] = r["n"]
+        elif r["grain"] == 1:
+            by_grain[1][(r["event_type"], r["day_epoch"])] = r["n"]
+        else:
+            by_grain[3][r["event_type"]] = r["n"]
+    assert by_grain[0] and by_grain[1] and by_grain[3]
+    # hours -> day
+    agg_day: dict = {}
+    for (et, d, _h), n in by_grain[0].items():
+        agg_day[(et, d)] = agg_day.get((et, d), 0) + n
+    assert agg_day == by_grain[1]
+    # days -> total
+    agg_tot: dict = {}
+    for (et, _d), n in by_grain[1].items():
+        agg_tot[et] = agg_tot.get(et, 0) + n
+    assert agg_tot == by_grain[3]
