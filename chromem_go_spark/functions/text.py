@@ -165,9 +165,11 @@ def cdc_chunk_exprs(
 
 
 def lines(text: Column | str) -> Column:
-    """Trimmed, non-empty lines of the document (split on newline)."""
+    """Trimmed, non-empty lines of the document (split on LF or CRLF —
+    plain \\n would leave a \\r on every line of a Windows document and
+    let blank CRLF lines through the non-empty filter)."""
     return F.filter(
-        F.transform(F.split(_col(text), r"\n"), lambda x: F.trim(x)),
+        F.transform(F.split(_col(text), r"\r?\n"), lambda x: F.trim(x)),
         lambda x: x != "",
     )
 

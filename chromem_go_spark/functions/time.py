@@ -38,12 +38,14 @@ def to_instant(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         return df.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
-    if dtype == "timestamp_ntz":
-        # Attach the session zone (pin UTC for cross-engine parity).
+    if dtype in ("timestamp_ntz", "string", "date"):
+        # NTZ/date attach the session zone; ISO strings parse the same
+        # way F.window used to cast them implicitly (pin UTC for
+        # cross-engine parity).
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if dtype == "timestamp":
         return df
     raise ValueError(
         f"to_instant: cannot normalize {ts_col!r} of type {dtype!r}; "
-        "expected bigint nanos, timestamp_ntz, or timestamp"
+        "expected bigint nanos, timestamp_ntz, timestamp, date, or string"
     )

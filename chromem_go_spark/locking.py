@@ -16,10 +16,19 @@ lock file is the single-filesystem analog, and the reference's
 process-wide RWMutex (reference collection.go:16-29) is the
 single-process analog of the same contract.
 
-Crash safety: a writer that dies holding the lock leaves the file
-behind; waiters treat a lock older than ``stale_after`` seconds as
-abandoned and break it.  Breaking is itself racy-but-safe: after the
-unlink every waiter re-contends on ``O_EXCL`` and exactly one wins.
+Liveness vs safety:
+
+- A HEARTBEAT thread refreshes the lock file's mtime every
+  ``stale_after / 4`` seconds while held, so a merge that legitimately
+  runs longer than ``stale_after`` is never mistaken for abandoned —
+  only a writer whose PROCESS died (heartbeat stopped) goes stale.
+- Breaking a stale lock is an atomic ``rename`` to a waiter-unique
+  name: when several waiters decide the same lock is stale, exactly
+  one rename succeeds and the losers re-contend — a stat-then-unlink
+  break would let a second waiter delete the winner's FRESH lock.
+- Each holder writes a unique token into the file and releases only if
+  the token still matches, so a holder whose lock was (wrongly or
+  rightly) broken can never delete a successor's lock.
 """
 
 from __future__ import annotations
@@ -27,7 +36,9 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
+import uuid
 
 
 class LockTimeout(TimeoutError):
@@ -44,9 +55,11 @@ def write_lock(
 ):
     """Hold ``<lock_dir>/<name>`` exclusively for the duration of the
     ``with`` block; blocks up to ``timeout`` seconds for a holder to
-    release, breaking locks older than ``stale_after`` seconds."""
+    release.  Locks whose mtime stops advancing for ``stale_after``
+    seconds (dead holder — live ones heartbeat) are broken atomically."""
     os.makedirs(lock_dir, exist_ok=True)
     path = os.path.join(lock_dir, name)
+    token = uuid.uuid4().hex
     deadline = time.monotonic() + timeout
     while True:
         try:
@@ -55,24 +68,53 @@ def write_lock(
         except FileExistsError:
             try:
                 age = time.time() - os.stat(path).st_mtime
-                if age > stale_after:
-                    os.unlink(path)  # abandoned by a dead writer
-                    continue
             except FileNotFoundError:
                 continue  # holder released between open and stat
+            if age > stale_after:
+                # Atomic break: exactly one waiter wins the rename of
+                # this inode; the rest get ENOENT and re-contend.
+                broken = f"{path}.broken.{uuid.uuid4().hex}"
+                try:
+                    os.rename(path, broken)
+                except FileNotFoundError:
+                    continue
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(broken)
+                continue
             if time.monotonic() >= deadline:
                 raise LockTimeout(
                     f"could not acquire {path} within {timeout}s "
                     f"(held for {age:.0f}s)"
                 ) from None
             time.sleep(poll)
+    stop = threading.Event()
     try:
         os.write(
             fd,
-            json.dumps({"pid": os.getpid(), "acquired": time.time()}).encode(),
+            json.dumps(
+                {"pid": os.getpid(), "token": token, "acquired": time.time()}
+            ).encode(),
         )
         os.close(fd)
+
+        def beat() -> None:
+            # refresh mtime so a LIVE long-running holder never looks
+            # stale; a dead process stops beating and goes stale
+            while not stop.wait(max(stale_after / 4.0, 0.05)):
+                with contextlib.suppress(OSError):
+                    os.utime(path)
+
+        hb = threading.Thread(target=beat, daemon=True)
+        hb.start()
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(path)
+        stop.set()
+        # Release only OUR lock: if it was broken and re-acquired by a
+        # successor, the token no longer matches and we must not unlink.
+        try:
+            with open(path) as f:
+                owner = json.load(f).get("token")
+            if owner == token:
+                os.unlink(path)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            pass

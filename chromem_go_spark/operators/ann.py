@@ -26,6 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..batchstate import drop_batch_partition, fold_batch_partitions
 from ..functions import vector as V
 from . import knn as knn_ops
 
@@ -163,49 +164,6 @@ def _pq_encode(
     return assigned.mapInPandas(
         encode, f"{id_col} {id_type}, cluster_id int, codes binary"
     )
-
-
-def _drop_batch_partition(spark: SparkSession, table_path: str, batch_id: int) -> None:
-    """Delete ``<table_path>/__batch=<id>`` if present (idempotent-replay
-    support for append-partitioned index/state tables)."""
-    jvm = spark._jvm
-    part = jvm.org.apache.hadoop.fs.Path(table_path, f"__batch={int(batch_id)}")
-    fs = part.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(part):
-        fs.delete(part, True)
-
-
-def _fold_batch_partitions(
-    spark: SparkSession, table_path: str, partition_cols: list, base_batch: int
-) -> None:
-    """Fold every ``__batch=N`` partition of a table into
-    ``__batch=<base_batch>`` and drop the folded dirs (shared by index
-    and state compaction)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(table_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return
-    extra = [
-        st.getPath().getName()
-        for st in fs.listStatus(hpath)
-        if st.getPath().getName().startswith("__batch=")
-        and st.getPath().getName() != f"__batch={base_batch}"
-    ]
-    if not extra:
-        return
-    from ..materialize import materialize
-
-    folded = materialize(spark.read.parquet(table_path).drop("__batch"))
-    (
-        folded.withColumn("__batch", F.lit(int(base_batch)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(table_path)
-    )
-    for b in extra:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, b), True)
 
 
 class IVFPQIndex:
@@ -363,8 +321,8 @@ class IVFPQIndex:
         coded = _pq_encode(assigned, cbs, vec_col, id_col)
         codes_path = os.path.join(path, "codes")
         vecs_path = os.path.join(path, "vectors")
-        _drop_batch_partition(spark, codes_path, batch_id)
-        _drop_batch_partition(spark, vecs_path, batch_id)
+        drop_batch_partition(spark, codes_path, batch_id)
+        drop_batch_partition(spark, vecs_path, batch_id)
         (
             coded.withColumn("__batch", F.lit(int(batch_id)))
             .write.mode("append")
@@ -385,10 +343,10 @@ class IVFPQIndex:
         vectors both); run between ingest sessions."""
         import os
 
-        _fold_batch_partitions(
+        fold_batch_partitions(
             spark, os.path.join(path, "codes"), ["__batch", "cluster_id"], cls._BASE_BATCH
         )
-        _fold_batch_partitions(
+        fold_batch_partitions(
             spark, os.path.join(path, "vectors"), ["__batch"], cls._BASE_BATCH
         )
 
@@ -609,7 +567,7 @@ class IVFIndex:
         assigned = _assign_clusters(
             batch_df.select(id_col, vec_col), cents, vec_col
         )
-        _drop_batch_partition(spark, path, batch_id)  # replay: replace
+        drop_batch_partition(spark, path, batch_id)  # replay: replace
         (
             assigned.withColumn("__batch", F.lit(int(batch_id)))
             .write.mode("append")
@@ -623,7 +581,7 @@ class IVFIndex:
         ``__batch=-1`` base, bounding partition count (file-listing cost
         grows with micro-batch count otherwise).  Run between ingest
         sessions — not concurrently with an active append."""
-        _fold_batch_partitions(
+        fold_batch_partitions(
             spark, path, ["__batch", "cluster_id"], cls._BASE_BATCH
         )
 

@@ -297,23 +297,36 @@ def retention_cohorts(
     triangle's tail.  Returns (cohort_period, period_offset, n_users)
     with periods as epoch-second period starts.
     """
-    ev = to_instant(events, ts_col).select(
-        user_col,
-        (
-            F.floor(F.col(ts_col).cast("double") / period_seconds).cast("bigint")
-        ).alias("__p"),
+    from ..materialize import materialize
+
+    # distinct (user, period) pairs materialized ONCE: both the
+    # first-activity aggregate and the offset join read it, and min over
+    # distinct periods equals min over raw events — without the cut the
+    # event scan + user shuffle would run twice.
+    ev = materialize(
+        to_instant(events, ts_col)
+        .select(
+            user_col,
+            (
+                F.floor(F.col(ts_col).cast("double") / period_seconds).cast(
+                    "bigint"
+                )
+            ).alias("__p"),
+        )
+        .distinct()
     )
     first = ev.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
-    act = (
-        ev.distinct()
-        .join(first, user_col)
-        .withColumn("__off", F.col("__p") - F.col("__cohort"))
+    act = ev.join(first, user_col).withColumn(
+        "__off", F.col("__p") - F.col("__cohort")
     )
     if max_offset is not None:
         act = act.filter(F.col("__off") <= int(max_offset))
     return (
+        # plain count is exact here: rows are distinct (user, period)
+        # pairs and a user has one cohort, so each user contributes at
+        # most one row per (cohort, offset) — no countDistinct expand
         act.groupBy("__cohort", "__off")
-        .agg(F.countDistinct(user_col).alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .select(
             (F.col("__cohort") * period_seconds).cast("bigint").alias("cohort_period"),
             F.col("__off").cast("bigint").alias("period_offset"),
@@ -343,9 +356,21 @@ def event_percentiles(
     """
     if mode not in ("exact", "approx"):
         raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
-    aggs = []
+    aggs, seen = [], set()
     for q in quantiles:
-        name = f"p{str(q).split('.', 1)[1].ljust(2, '0')}" if q < 1 else "p100"
+        q = float(q)
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0, 1]: {q}")
+        pct = q * 100.0
+        # p50/p99-style for whole percents; p99_9-style otherwise
+        name = (
+            f"p{int(round(pct))}"
+            if abs(pct - round(pct)) < 1e-9
+            else "p" + f"{pct:g}".replace(".", "_")
+        )
+        if name in seen:
+            raise ValueError(f"duplicate quantile column {name!r}")
+        seen.add(name)
         if mode == "exact":
             expr = F.expr(f"percentile({value_col}, {q})")
         else:

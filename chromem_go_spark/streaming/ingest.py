@@ -370,61 +370,25 @@ def incremental_neardup_batch(
     _write_state(new_shingles, shingles_path)
 
     if compact_after:
+        from ..batchstate import fold_batch_partitions
+
         for p in (buckets_path, shingles_path, pairs_path):
-            _compact_state(spark, p, int(batch_id), int(compact_after))
+            # fold committed history (never the CURRENT batch — its
+            # replay-overwrite contract must survive) into the reserved
+            # __batch=-1 partition once enough dirs accumulate; the fold
+            # protocol (crash healing, duplicate collapse) lives in
+            # chromem_go_spark.batchstate
+            fold_batch_partitions(
+                spark,
+                p,
+                ["__batch"],
+                _COMPACTED_BATCH,
+                exclude_batch=int(batch_id),
+                threshold=int(compact_after),
+            )
 
 
 _COMPACTED_BATCH = -1  # reserved __batch id holding folded history
-
-
-def _compact_state(
-    spark: SparkSession, path: str, current_batch: int, threshold: int
-) -> None:
-    """Fold committed-history ``__batch=N`` partitions into the single
-    reserved ``__batch=-1`` partition once their count exceeds
-    ``threshold`` — without compaction the state dir grows one partition
-    per micro-batch forever, and the planner pays per-partition listing
-    cost on every state read.
-
-    Safe because only partitions ``< current_batch`` are folded:
-    foreachBatch commits batch N-1 before N starts, so those are final;
-    the CURRENT batch's partition is never touched, preserving the
-    replay-overwrite idempotence contract. Filesystem ops go through the
-    Hadoop FileSystem API, so the same code compacts local dirs and
-    object stores.
-    """
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(hconf)
-    if not fs.exists(hpath):
-        return
-    old_parts = []
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if not name.startswith("__batch="):
-            continue
-        b = int(name.split("=", 1)[1])
-        if b != current_batch and b != _COMPACTED_BATCH:
-            old_parts.append(b)
-    if len(old_parts) < threshold:
-        return
-    from ..materialize import materialize
-
-    folded = materialize(  # break lineage BEFORE deleting source files
-        spark.read.parquet(path)
-        .filter(F.col("__batch") != F.lit(current_batch))
-        .drop("__batch")
-    )
-    (
-        folded.withColumn("__batch", F.lit(_COMPACTED_BATCH))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch")
-        .parquet(path)
-    )
-    for b in old_parts:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(path, f"__batch={b}"), True)
 
 
 def ivf_append_sink(

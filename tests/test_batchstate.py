@@ -1,0 +1,92 @@
+"""Crash consistency of the shared __batch fold protocol
+(chromem_go_spark/batchstate.py): marker healing and duplicate
+collapse after a simulated mid-fold crash."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from chromem_go_spark.batchstate import fold_batch_partitions
+
+
+def _write_batches(spark, path: str, n_batches: int, rows_per: int) -> None:
+    for b in range(n_batches):
+        df = spark.range(b * rows_per, (b + 1) * rows_per).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        (
+            df.withColumn("__batch", F.lit(b))
+            .write.mode("append")
+            .partitionBy("__batch")
+            .parquet(path)
+        )
+
+
+def test_fold_heals_pending_marker(spark, tmp_path):
+    """Crash AFTER the folded overwrite, BEFORE the deletes: the marker
+    lists the dirs; the next fold must finish the deletes first so the
+    already-folded rows aren't read (and re-folded) twice."""
+    path = str(tmp_path / "tbl")
+    _write_batches(spark, path, 3, 10)
+    # simulate: fold already copied batches 0..2 into __batch=-1, then
+    # crashed before deleting them — marker still present
+    src = spark.read.parquet(path).drop("__batch")
+    (
+        src.withColumn("__batch", F.lit(-1))
+        .write.mode("append")
+        .partitionBy("__batch")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_compact_pending.json"), "w") as f:
+        json.dump(["__batch=0", "__batch=1", "__batch=2"], f)
+
+    fold_batch_partitions(spark, path, ["__batch"], -1)
+    parts = [d for d in os.listdir(path) if d.startswith("__batch=")]
+    assert parts == ["__batch=-1"]
+    out = spark.read.parquet(path)
+    assert out.count() == 30  # healed: no duplicated history
+    assert not os.path.exists(os.path.join(path, "_compact_pending.json"))
+
+
+def test_fold_collapses_crash_duplicates(spark, tmp_path):
+    """Crash BETWEEN overwrite and marker write leaves history both in
+    the base and in its original dirs (no marker): the next fold's
+    dropDuplicates collapses them instead of baking them in."""
+    path = str(tmp_path / "tbl2")
+    _write_batches(spark, path, 2, 10)
+    # simulate the no-marker crash window: base already holds a copy of
+    # batch 0, batch 0's dir still present
+    b0 = spark.read.parquet(path).filter(F.col("__batch") == 0).drop("__batch")
+    (
+        b0.withColumn("__batch", F.lit(-1))
+        .write.mode("append")
+        .partitionBy("__batch")
+        .parquet(path)
+    )
+    assert spark.read.parquet(path).count() == 30  # transient duplicates
+
+    fold_batch_partitions(spark, path, ["__batch"], -1)
+    out = spark.read.parquet(path)
+    assert out.count() == 20  # duplicates collapsed, nothing lost
+    assert sorted(r["k"] for r in out.collect()) == list(range(20))
+
+
+def test_fold_respects_exclude_and_threshold(spark, tmp_path):
+    path = str(tmp_path / "tbl3")
+    _write_batches(spark, path, 3, 5)
+    # threshold above the foldable count: nothing happens
+    fold_batch_partitions(spark, path, ["__batch"], -1, threshold=5)
+    assert len([d for d in os.listdir(path) if d.startswith("__batch=")]) == 3
+    # exclude the current batch (2): only 0 and 1 fold
+    fold_batch_partitions(spark, path, ["__batch"], -1, exclude_batch=2)
+    parts = sorted(d for d in os.listdir(path) if d.startswith("__batch="))
+    assert parts == ["__batch=-1", "__batch=2"]
+    assert spark.read.parquet(path).count() == 15
+
+
+def test_fold_missing_table_is_noop(spark, tmp_path):
+    fold_batch_partitions(spark, str(tmp_path / "nope"), ["__batch"], -1)

@@ -183,3 +183,36 @@ def test_write_lock_across_processes(tmp_path):
             pass
     finally:
         child.wait(timeout=15)
+
+
+def test_live_long_holder_not_broken(tmp_path):
+    """A LIVE writer holding longer than stale_after must not lose the
+    lock: the heartbeat keeps mtime fresh, so waiters time out instead
+    of breaking in (only dead holders go stale)."""
+    d = str(tmp_path)
+    with write_lock(d, timeout=1, stale_after=0.6):
+        time.sleep(1.2)  # longer than stale_after; heartbeat at 0.15s
+        with pytest.raises(LockTimeout):
+            with write_lock(d, timeout=0.4, stale_after=0.6):
+                pass
+    with write_lock(d, timeout=1):  # released cleanly afterwards
+        pass
+
+
+def test_release_spares_successors_lock(tmp_path):
+    """A holder whose lock was broken and re-acquired by a successor
+    must not delete the successor's lock on release (ownership token
+    check)."""
+    import json
+
+    d = str(tmp_path)
+    lock_path = os.path.join(d, ".write.lock")
+    ctx = write_lock(d, timeout=1)
+    ctx.__enter__()
+    # simulate a (wrong or right) break + successor re-acquire
+    os.unlink(lock_path)
+    with open(lock_path, "w") as f:
+        json.dump({"token": "successor"}, f)
+    ctx.__exit__(None, None, None)
+    assert os.path.exists(lock_path), "successor's lock must survive"
+    os.unlink(lock_path)

@@ -218,3 +218,16 @@ def test_time_rollup_hierarchy_consistency(events):
     for (et, _d), n in by_grain[1].items():
         agg_tot[et] = agg_tot.get(et, 0) + n
     assert agg_tot == by_grain[3]
+
+
+def test_percentile_edge_quantiles(events):
+    """Quantile naming survives 0, 1, and fractional percents; bad
+    inputs raise clearly."""
+    out = EV.event_percentiles(events, quantiles=(0, 0.999, 1.0))
+    assert set(out.columns) == {"event_type", "p0", "p99_9", "p100"}
+    r = out.collect()[0]
+    assert r["p0"] <= r["p99_9"] <= r["p100"]
+    with pytest.raises(ValueError, match="duplicate"):
+        EV.event_percentiles(events, quantiles=(0.5, 0.50))
+    with pytest.raises(ValueError, match="out of"):
+        EV.event_percentiles(events, quantiles=(1.5,))

@@ -188,3 +188,23 @@ def test_md5_hash60_portable(spark):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [v]
         ).fetchone()[0]
         assert got[v] == want, v
+
+
+def test_line_repetition_crlf(spark):
+    """CRLF documents: \r must not survive into lines nor let blank
+    CRLF lines count as (duplicate) content."""
+    df = spark.createDataFrame(
+        [(1, "a\r\n\r\nb\r\n\r\nc\r\n"), (2, "x\r\nx\r\ny")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["ls"], r["lr"])
+        for r in df.select(
+            "doc_id",
+            T.lines("text").alias("ls"),
+            F.round(T.line_repetition("text"), 4).alias("lr"),
+        ).collect()
+    }
+    assert got[1] == (["a", "b", "c"], 0.0)
+    assert got[2][0] == ["x", "x", "y"]
+    assert got[2][1] == pytest.approx(round(1 - 2 / 3, 4))

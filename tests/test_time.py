@@ -68,6 +68,19 @@ def test_missing_column_raises(spark):
 
 
 def test_unsupported_type_raises(spark):
-    df = spark.range(1).select(F.lit("x").alias("ts"))
+    df = spark.range(1).select(F.lit(1.5).alias("ts"))  # double: ambiguous unit
     with pytest.raises(ValueError, match="cannot normalize"):
         to_instant(df, "ts")
+
+
+def test_string_and_date_inputs(spark):
+    """ISO-string and date ts columns normalize instead of raising —
+    F.window used to cast these implicitly, and batch callers of the
+    streaming ops still hand them in."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame([("2023-11-14 22:13:20",)], "ts string")
+    out = to_instant(df, "ts")
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.head()["ts"].year == 2023
+    dd = spark.createDataFrame([(datetime.date(2023, 11, 14),)], "ts date")
+    assert dict(to_instant(dd, "ts").dtypes)["ts"] == "timestamp"
