@@ -110,3 +110,46 @@ def test_lineitem_pricing_pushdown_and_partial_agg(spark, sf_dir):
     plan = X.formatted_plan(df)
     assert "HashAggregate" in plan
     assert "SortMergeJoin" not in plan  # no join at all, just scan+agg
+
+
+def test_stratified_sample_zero_shuffle_codegen(docs):
+    """Sampling is a pure filter: zero exchanges, stays in whole-stage
+    codegen — the plan a scan-pushable mixture gate must have."""
+    from chromem_go_spark.pipeline import stratified_sample
+
+    flags = X.plan_flags(stratified_sample(docs, {"en": 0.5}, 0.1))
+    assert flags["n_exchanges"] == 0
+    assert flags["has_whole_stage_codegen"]
+    assert not flags["has_python_eval"]
+
+
+def test_asof_prior_single_window_no_join(spark, sf_dir):
+    """The as-of join must compile to one user-partitioned window over
+    the union — a single shuffle, NO join operator (the range-join
+    emulation it replaces explodes on busy keys)."""
+    from chromem_go_spark.functions.time import to_instant
+    from chromem_go_spark.operators import events as EV
+
+    ev = to_instant(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts")
+    df = EV.asof_prior(ev, "purchase", "click")
+    flags = X.plan_flags(df)
+    assert not flags["has_broadcast_join"]
+    assert not flags["has_sort_merge_join"]
+    assert flags["n_shuffles"] <= 1, flags
+
+
+def test_pack_chunks_single_doc_partitioned_window(docs):
+    """Packing is one window over doc_id — a single exchange, no joins,
+    no Python."""
+    from chromem_go_spark.pipeline import pack_chunks
+
+    chunks = docs.select(
+        F.col("doc_id"),
+        F.lit(0).alias("chunk_idx"),
+        F.col("text").alias("chunk"),
+    )
+    flags = X.plan_flags(pack_chunks(chunks))
+    # exactly one user-partitioned exchange at most (0 when the input
+    # partitioning already satisfies the window's requirement)
+    assert flags["n_shuffles"] <= 1, flags
+    assert not flags["has_python_eval"]
