@@ -11,37 +11,39 @@ API so the same code runs on local dirs and object stores:
 - :func:`fold_batch_partitions` — compaction: fold history partitions
   into the reserved base partition so the dir count stays bounded.
 
-Crash consistency of the fold (write-then-delete is two steps):
+Crash consistency of the fold — stage-then-promote, never overwriting
+live data:
 
-1. On entry, a pending-delete MARKER from a previous crashed fold is
-   honored first — the listed dirs are deleted and the marker removed
-   (their rows are already in the base: the marker is only written
-   AFTER the folded overwrite committed).
-2. The folded output is written through ``dropDuplicates()``: if a
-   crash in the no-marker window left both the folded base AND the
-   original dirs (transient duplicates), the NEXT fold reads the
-   duplicated rows and collapses them — re-compaction self-heals, and
-   duplicates can never be baked in permanently.  Rows in these tables
-   are full-row duplicates by construction (same batch content written
-   twice), so full-row dedup is exact.
-3. The marker (listing the dirs to delete) is written only after the
-   fold's overwrite commits; then the dirs are deleted; then the
-   marker is removed.
+1. The folded rows (everything foldable + the current base, deduped)
+   are first written to a STAGING partition (``__batch=-2``); source
+   dirs are untouched, so a crash here costs nothing but a stale
+   staging dir (cleared, and its duplicate rows collapsed by
+   ``dropDuplicates``, on the next fold).
+2. A MARKER recording {delete: [...], stage: ...} is committed by
+   write-to-temp + atomic rename — a half-written marker can never be
+   observed.
+3. Only then are the source dirs (including the old base) deleted and
+   the staging dir renamed to the base.  A crash anywhere in step 3 is
+   healed by :func:`_heal_pending` on the next fold: finish the
+   deletes, finish the rename, drop the marker.
 
-The remaining exposure is the read-side window between a crash and the
-next fold, during which readers can observe duplicated history rows —
-callers that cannot tolerate at-least-once semantics there should run
-a fold (compact) at ingest-session start, which heals before serving.
+The base partition is therefore never deleted before a complete,
+committed replacement exists.  Readers between a crash and the next
+fold can transiently observe duplicated history rows (at-least-once);
+callers that cannot tolerate that should fold at session start.
+Directory rename is atomic on POSIX/HDFS; on S3-style stores front
+this with a rename-capable layer or table format.
 """
 
 from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 _MARKER = "_compact_pending.json"
+_STAGE_BATCH = -2  # reserved staging id; never a valid caller batch
 
 
 def _fs(spark: SparkSession, path: str):
@@ -59,7 +61,12 @@ def drop_batch_partition(spark: SparkSession, table_path: str, batch_id: int) ->
         fs.delete(part, True)
 
 
-def _heal_pending(spark: SparkSession, table_path: str) -> None:
+def _heal_pending(spark: SparkSession, table_path: str, base_batch: int) -> None:
+    """Finish a fold that crashed after committing its marker: delete
+    the listed source dirs, promote the staging dir to the base, drop
+    the marker.  An unparseable marker (can only be a pre-atomic-rename
+    artifact of an old version, or manual damage) is discarded — the
+    no-marker crash window is already healed by dedup-on-fold."""
     jvm, fs, _ = _fs(spark, table_path)
     marker = jvm.org.apache.hadoop.fs.Path(table_path, _MARKER)
     if not fs.exists(marker):
@@ -69,11 +76,36 @@ def _heal_pending(spark: SparkSession, table_path: str) -> None:
         raw = bytes(stream.readAllBytes())  # java.io.InputStream, JDK 9+
     finally:
         stream.close()
-    for name in json.loads(raw.decode()):
-        gone = jvm.org.apache.hadoop.fs.Path(table_path, name)
-        if fs.exists(gone):
-            fs.delete(gone, True)
+    try:
+        plan = json.loads(raw.decode())
+        deletes, stage = plan["delete"], plan["stage"]
+    except (ValueError, KeyError, TypeError, UnicodeDecodeError):
+        fs.delete(marker, False)
+        return
+    stage_path = jvm.org.apache.hadoop.fs.Path(table_path, stage)
+    if fs.exists(stage_path):
+        for name in deletes:
+            gone = jvm.org.apache.hadoop.fs.Path(table_path, name)
+            if fs.exists(gone):
+                fs.delete(gone, True)
+        fs.rename(
+            stage_path,
+            jvm.org.apache.hadoop.fs.Path(table_path, f"__batch={base_batch}"),
+        )
     fs.delete(marker, False)
+
+
+def _write_marker(spark: SparkSession, table_path: str, payload: dict) -> None:
+    """Commit the marker atomically: write a temp file, then rename —
+    a crash mid-write leaves only the temp, never a partial marker."""
+    jvm, fs, _ = _fs(spark, table_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(table_path, _MARKER + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode()))
+    finally:
+        out.close()
+    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(table_path, _MARKER))
 
 
 def fold_batch_partitions(
@@ -88,13 +120,14 @@ def fold_batch_partitions(
 
     ``exclude_batch``: a CURRENT batch to leave untouched (its
     replay-overwrite contract must survive compaction).  ``threshold``:
-    only fold once more than this many foldable dirs exist (0 = always).
+    fold only when at least this many foldable dirs exist (0/1 = fold
+    whenever there is anything to fold).
     """
     jvm, fs, hpath = _fs(spark, table_path)
     if not fs.exists(hpath):
         return
-    _heal_pending(spark, table_path)
-    keep = {f"__batch={base_batch}"}
+    _heal_pending(spark, table_path, base_batch)
+    keep = {f"__batch={base_batch}", f"__batch={_STAGE_BATCH}"}
     if exclude_batch is not None:
         keep.add(f"__batch={int(exclude_batch)}")
     foldable = [
@@ -103,31 +136,35 @@ def fold_batch_partitions(
         if st.getPath().getName().startswith("__batch=")
         and st.getPath().getName() not in keep
     ]
-    if not foldable or len(foldable) < max(int(threshold), 1):
+    if len(foldable) < max(int(threshold), 1):
         return
     from .materialize import materialize
 
     src = spark.read.parquet(table_path)
     if exclude_batch is not None:
         src = src.filter(F.col("__batch") != F.lit(int(exclude_batch)))
-    # dropDuplicates: heals transient duplicates from a fold that
-    # crashed between overwrite and delete (see module docstring)
+    # dedup: collapses duplicate rows left by a crash in the no-marker
+    # window (stale staging dir, or base written twice by old versions)
     folded = materialize(src.drop("__batch").dropDuplicates())
+    # source dirs are safe to read from now on: folded is pinned
+    stage_name = f"__batch={_STAGE_BATCH}"
+    stage_path = jvm.org.apache.hadoop.fs.Path(table_path, stage_name)
+    if fs.exists(stage_path):  # stale staging from a pre-marker crash
+        fs.delete(stage_path, True)
     (
-        folded.withColumn("__batch", F.lit(int(base_batch)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        folded.withColumn("__batch", F.lit(_STAGE_BATCH))
+        .write.mode("append")
         .partitionBy(*partition_cols)
         .parquet(table_path)
     )
-    marker = jvm.org.apache.hadoop.fs.Path(table_path, _MARKER)
-    out = fs.create(marker, True)
-    try:
-        out.write(bytearray(json.dumps(foldable).encode()))
-    finally:
-        out.close()
-    for name in foldable:
+    base_name = f"__batch={base_batch}"
+    deletes = sorted(set(foldable) | {base_name})
+    _write_marker(spark, table_path, {"delete": deletes, "stage": stage_name})
+    for name in deletes:
         gone = jvm.org.apache.hadoop.fs.Path(table_path, name)
         if fs.exists(gone):
             fs.delete(gone, True)
-    fs.delete(marker, False)
+    fs.rename(
+        stage_path, jvm.org.apache.hadoop.fs.Path(table_path, base_name)
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, _MARKER), False)

@@ -38,11 +38,27 @@ def to_instant(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         return df.withColumn(
             ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
-    if dtype in ("timestamp_ntz", "string", "date"):
-        # NTZ/date attach the session zone; ISO strings parse the same
-        # way F.window used to cast them implicitly (pin UTC for
-        # cross-engine parity).
+    if dtype in ("timestamp_ntz", "date"):
+        # attach the session zone (pin UTC for cross-engine parity)
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if dtype == "string":
+        # parse like the implicit cast F.window used to apply — but
+        # FAIL LOUDLY on unparseable values instead of silently turning
+        # them into nulls (a format mismatch would otherwise corrupt
+        # every downstream window/aggregate without a trace)
+        casted = F.col(ts_col).cast("timestamp")
+        return df.withColumn(
+            ts_col,
+            F.when(
+                F.col(ts_col).isNotNull() & casted.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("to_instant: unparseable timestamp string: "),
+                        F.col(ts_col),
+                    )
+                ).cast("timestamp"),
+            ).otherwise(casted),
+        )
     if dtype == "timestamp":
         return df
     raise ValueError(

@@ -96,6 +96,15 @@ def write_lock(
             ).encode(),
         )
         os.close(fd)
+    except OSError:
+        # token never landed (ENOSPC, signal...): release the inode we
+        # still provably own, or waiters stall until stale_after
+        with contextlib.suppress(OSError):
+            os.close(fd)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+        raise
+    try:
 
         def beat() -> None:
             # refresh mtime so a LIVE long-running holder never looks

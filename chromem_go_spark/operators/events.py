@@ -363,10 +363,12 @@ def event_percentiles(
             raise ValueError(f"quantile out of [0, 1]: {q}")
         pct = q * 100.0
         # p50/p99-style for whole percents; p99_9-style otherwise
+        # (repr keeps full precision — %g would collapse 99.99999 to
+        # '100' and mislabel the column)
         name = (
             f"p{int(round(pct))}"
             if abs(pct - round(pct)) < 1e-9
-            else "p" + f"{pct:g}".replace(".", "_")
+            else "p" + repr(pct).replace(".", "_").replace("-", "m")
         )
         if name in seen:
             raise ValueError(f"duplicate quantile column {name!r}")

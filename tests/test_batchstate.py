@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
@@ -27,29 +26,46 @@ def _write_batches(spark, path: str, n_batches: int, rows_per: int) -> None:
 
 
 def test_fold_heals_pending_marker(spark, tmp_path):
-    """Crash AFTER the folded overwrite, BEFORE the deletes: the marker
-    lists the dirs; the next fold must finish the deletes first so the
-    already-folded rows aren't read (and re-folded) twice."""
+    """Crash AFTER the marker committed, BEFORE deletes/promote: the
+    next fold must finish the plan — delete the listed dirs, promote
+    the staging dir to the base — without duplicating or losing rows."""
     path = str(tmp_path / "tbl")
     _write_batches(spark, path, 3, 10)
-    # simulate: fold already copied batches 0..2 into __batch=-1, then
-    # crashed before deleting them — marker still present
+    # simulate: fold staged everything into __batch=-2 and committed
+    # its marker, then crashed before the deletes/rename
     src = spark.read.parquet(path).drop("__batch")
     (
-        src.withColumn("__batch", F.lit(-1))
+        src.withColumn("__batch", F.lit(-2))
         .write.mode("append")
         .partitionBy("__batch")
         .parquet(path)
     )
     with open(os.path.join(path, "_compact_pending.json"), "w") as f:
-        json.dump(["__batch=0", "__batch=1", "__batch=2"], f)
+        json.dump(
+            {"delete": ["__batch=0", "__batch=1", "__batch=2"], "stage": "__batch=-2"},
+            f,
+        )
 
     fold_batch_partitions(spark, path, ["__batch"], -1)
     parts = [d for d in os.listdir(path) if d.startswith("__batch=")]
     assert parts == ["__batch=-1"]
     out = spark.read.parquet(path)
-    assert out.count() == 30  # healed: no duplicated history
+    assert out.count() == 30  # healed: promoted staging, no duplicates
     assert not os.path.exists(os.path.join(path, "_compact_pending.json"))
+
+
+def test_fold_survives_partial_marker(spark, tmp_path):
+    """A zero-length / garbage marker (possible only via manual damage
+    or pre-atomic-rename versions) must be discarded, not wedge every
+    subsequent fold with a parse error."""
+    path = str(tmp_path / "tblp")
+    _write_batches(spark, path, 2, 10)
+    with open(os.path.join(path, "_compact_pending.json"), "w") as f:
+        f.write("")  # truncated marker
+    fold_batch_partitions(spark, path, ["__batch"], -1)
+    parts = [d for d in os.listdir(path) if d.startswith("__batch=")]
+    assert parts == ["__batch=-1"]
+    assert spark.read.parquet(path).count() == 20
 
 
 def test_fold_collapses_crash_duplicates(spark, tmp_path):

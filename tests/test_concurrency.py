@@ -190,10 +190,12 @@ def test_live_long_holder_not_broken(tmp_path):
     lock: the heartbeat keeps mtime fresh, so waiters time out instead
     of breaking in (only dead holders go stale)."""
     d = str(tmp_path)
-    with write_lock(d, timeout=1, stale_after=0.6):
-        time.sleep(1.2)  # longer than stale_after; heartbeat at 0.15s
+    # generous margins so scheduler jitter can't fake staleness: the
+    # heartbeat fires every 0.5s against a 2s staleness horizon
+    with write_lock(d, timeout=1, stale_after=2.0):
+        time.sleep(3.0)  # longer than stale_after; heartbeat keeps it fresh
         with pytest.raises(LockTimeout):
-            with write_lock(d, timeout=0.4, stale_after=0.6):
+            with write_lock(d, timeout=0.5, stale_after=2.0):
                 pass
     with write_lock(d, timeout=1):  # released cleanly afterwards
         pass

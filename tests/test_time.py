@@ -84,3 +84,25 @@ def test_string_and_date_inputs(spark):
     assert out.head()["ts"].year == 2023
     dd = spark.createDataFrame([(datetime.date(2023, 11, 14),)], "ts date")
     assert dict(to_instant(dd, "ts").dtypes)["ts"] == "timestamp"
+
+
+def test_unparseable_string_fails_loudly(spark):
+    """Bad timestamp strings must raise at execution, not silently
+    become NULL and corrupt every downstream window. Under ANSI mode
+    (Spark 4 default) the cast itself raises CAST_INVALID_INPUT; with
+    ANSI off, to_instant's own raise_error guard fires — loud either
+    way."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame([("not-a-time",)], "ts string")
+    out = to_instant(df, "ts")
+    with pytest.raises(
+        Exception, match="unparseable timestamp string|CAST_INVALID_INPUT"
+    ):
+        out.collect()
+    # and with ANSI off, the explicit guard is load-bearing
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="unparseable timestamp string"):
+            to_instant(df, "ts").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
