@@ -548,6 +548,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", T.lang_id("text").alias("lang_pred"))
 
 
+def q_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-docs-per-language eval sample (portable-hash
+    ranked window — pipeline.sample_per_group)."""
+    from chromem_go_spark.pipeline import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_per_group(docs, 20)
+    return out.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing over the chunked corpus: concatenate-then-split
     assignment of chunks to fixed 256-token packs, per document (window
@@ -845,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
         "pack_chunks": q_pack_chunks,
+        "eval_sample": q_eval_sample,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_asof": q_events_asof,
@@ -1409,6 +1420,35 @@ FROM feat
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
       < (CASE lang_pred WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
                         WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 1000000
+""",
+        "eval_sample": """
+WITH feat AS (
+  SELECT doc_id,
+    CASE
+      WHEN s_en >= GREATEST(s_de, s_fr, s_es, 1) THEN 'en'
+      WHEN s_de >= GREATEST(s_fr, s_es, 1) THEN 'de'
+      WHEN s_fr >= GREATEST(s_es, 1) THEN 'fr'
+      WHEN s_es >= 1 THEN 'es'
+      ELSE 'und'
+    END AS lang_pred
+  FROM (
+    SELECT doc_id,
+      len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS s_en,
+      len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b')) AS s_de,
+      len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|que|pour|dans|avec)\\b')) AS s_fr,
+      len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que|por|para|con|del)\\b')) AS s_es
+    FROM documents
+  )
+),
+ranked AS (
+  SELECT doc_id, lang_pred,
+         row_number() OVER (
+           PARTITION BY lang_pred
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+         ) AS rn
+  FROM feat
+)
+SELECT doc_id, lang_pred FROM ranked WHERE rn <= 20
 """,
         "pack_chunks": """
 WITH c AS (

@@ -67,6 +67,7 @@ def main() -> None:
         "vocab_stats",
         "stratified_sample",
         "pack_chunks",
+        "eval_sample",
         "chunk_documents",
         "dedup_clusters",
         "training_pipeline",

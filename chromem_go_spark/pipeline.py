@@ -148,6 +148,35 @@ def stratified_sample(
     return docs.filter(h < rate * 1_000_000)
 
 
+def sample_per_group(
+    docs: DataFrame,
+    n_per_group: int,
+    group_expr=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic fixed-size sample per group — the eval-set /
+    inspection-set constructor ("50 docs per language, same 50 every
+    run").  Rank rows inside each group by the engine-portable hash of
+    the id (uniform, stable, engine-independent) and keep the first
+    ``n_per_group``: a single window shuffle on the group key; smaller
+    n never changes WHICH rows an overlapping larger n picked (nested
+    samples, like :func:`stratified_sample`).
+
+    ``group_expr`` defaults to the detected language of ``text_col``.
+    """
+    from pyspark.sql import Window
+
+    grp = group_expr if group_expr is not None else T.lang_id(text_col)
+    h = T.md5_hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(grp).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n_per_group))
+        .drop("__rn")
+    )
+
+
 def pack_chunks(
     chunks: DataFrame,
     budget_tokens: int = 2048,

@@ -177,3 +177,33 @@ def test_vocabulary_stats_matches_python(spark, docs):
         for r in vocabulary_stats(docs, top_n=10).collect()
     ]
     assert got == want
+
+
+def test_sample_per_group_deterministic_and_nested(spark, docs):
+    """Per-group sampling: exactly min(n, group size) per group, stable
+    across runs, and the n=5 sample is a prefix-subset of the n=10
+    sample (nested — growing the eval set never swaps earlier picks)."""
+    from chromem_go_spark.pipeline import sample_per_group
+    from chromem_go_spark.functions import text as T
+
+    def pick(n):
+        return {
+            (r["doc_id"],)
+            for r in sample_per_group(docs, n).select("doc_id").collect()
+        }
+
+    s5, s10, again = pick(5), pick(10), pick(5)
+    assert s5 == again
+    assert s5 <= s10
+    sizes = (
+        sample_per_group(docs, 5)
+        .groupBy(T.lang_id("text").alias("lang"))
+        .count()
+        .collect()
+    )
+    group_totals = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy(T.lang_id("text").alias("lang")).count().collect()
+    }
+    for r in sizes:
+        assert r["count"] == min(5, group_totals[r["lang"]])
