@@ -54,7 +54,17 @@ def _fs(spark: SparkSession, path: str):
 
 def drop_batch_partition(spark: SparkSession, table_path: str, batch_id: int) -> None:
     """Delete ``<table_path>/__batch=<id>`` if present (idempotent-replay
-    support: an at-least-once retry replaces its own partition)."""
+    support: an at-least-once retry replaces its own partition).
+
+    Negative ids are reserved (base = caller-chosen, conventionally -1;
+    staging = -2): letting a caller "replay" one of those would silently
+    delete the whole compacted base index, so it's a hard error."""
+    if int(batch_id) < 0:
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}): negative ids are "
+            "reserved for the compacted base (-1) and staging (-2) "
+            "partitions; dropping them would destroy the index"
+        )
     jvm, fs, _ = _fs(spark, table_path)
     part = jvm.org.apache.hadoop.fs.Path(table_path, f"__batch={int(batch_id)}")
     if fs.exists(part):
@@ -86,12 +96,19 @@ def _heal_pending(spark: SparkSession, table_path: str, base_batch: int) -> None
     if fs.exists(stage_path):
         for name in deletes:
             gone = jvm.org.apache.hadoop.fs.Path(table_path, name)
-            if fs.exists(gone):
-                fs.delete(gone, True)
-        fs.rename(
+            if fs.exists(gone) and not fs.delete(gone, True):
+                raise IOError(f"heal: could not delete {name} under {table_path}")
+        if not fs.rename(
             stage_path,
             jvm.org.apache.hadoop.fs.Path(table_path, f"__batch={base_batch}"),
-        )
+        ):
+            # Hadoop rename reports failure as False, not an exception.
+            # Keep the marker so the next fold retries the promote —
+            # deleting it here would strand the folded rows in staging.
+            raise IOError(
+                f"heal: could not promote {stage} to __batch={base_batch} "
+                f"under {table_path}"
+            )
     fs.delete(marker, False)
 
 
@@ -105,7 +122,8 @@ def _write_marker(spark: SparkSession, table_path: str, payload: dict) -> None:
         out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
-    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(table_path, _MARKER))
+    if not fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(table_path, _MARKER)):
+        raise IOError(f"could not commit marker {_MARKER} under {table_path}")
 
 
 def fold_batch_partitions(
@@ -162,9 +180,15 @@ def fold_batch_partitions(
     _write_marker(spark, table_path, {"delete": deletes, "stage": stage_name})
     for name in deletes:
         gone = jvm.org.apache.hadoop.fs.Path(table_path, name)
-        if fs.exists(gone):
-            fs.delete(gone, True)
-    fs.rename(
+        if fs.exists(gone) and not fs.delete(gone, True):
+            raise IOError(f"fold: could not delete {name} under {table_path}")
+    if not fs.rename(
         stage_path, jvm.org.apache.hadoop.fs.Path(table_path, base_name)
-    )
+    ):
+        # Marker stays: the next fold's _heal_pending retries the promote
+        # instead of the folded rows silently stranding in staging.
+        raise IOError(
+            f"fold: could not promote {stage_name} to {base_name} "
+            f"under {table_path}"
+        )
     fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, _MARKER), False)

@@ -118,12 +118,37 @@ def write_lock(
         yield
     finally:
         stop.set()
-        # Release only OUR lock: if it was broken and re-acquired by a
-        # successor, the token no longer matches and we must not unlink.
+        # Release only OUR lock.  A read-token-then-unlink release has a
+        # window: between the token comparison and the unlink, a waiter
+        # could break this lock as stale and re-acquire, and the unlink
+        # would then delete the SUCCESSOR's live lock.  Claim the inode
+        # atomically first (rename to a private name — exactly one of
+        # {releaser, breaker} wins), then verify the token on the claimed
+        # copy; on mismatch we claimed someone else's lock, so put it back.
+        claimed = f"{path}.release.{token}"
         try:
+            # Cheap pre-check: don't even attempt the claim when the file
+            # already visibly belongs to a successor.
             with open(path) as f:
-                owner = json.load(f).get("token")
-            if owner == token:
-                os.unlink(path)
-        except (FileNotFoundError, json.JSONDecodeError, OSError):
-            pass
+                if json.load(f).get("token") != token:
+                    raise OSError("lock taken over by successor")
+            os.rename(path, claimed)
+        except OSError:
+            pass  # already broken/released; nothing of ours remains
+        except json.JSONDecodeError:
+            pass  # unreadable lock: leave it for stale-break to clean up
+        else:
+            try:
+                with open(claimed) as f:
+                    owner = json.load(f).get("token")
+            except (json.JSONDecodeError, OSError):
+                owner = None
+            if owner == token or owner is None:
+                with contextlib.suppress(OSError):
+                    os.unlink(claimed)
+            else:
+                # successor's live lock: restore it (rename is atomic and
+                # cannot collide — the successor holds no file at `path`
+                # while its inode sits at our private name)
+                with contextlib.suppress(OSError):
+                    os.rename(claimed, path)

@@ -415,7 +415,7 @@ class IVFPQIndex:
                 offs = np.frombuffer(bufs[1], dtype=off_dt)[
                     col.offset : col.offset + n + 1
                 ]
-                if col.null_count == 0 and offs[-1] - offs[0] == n * mcount:
+                if col.null_count == 0 and np.all(np.diff(offs) == mcount):
                     data = np.frombuffer(bufs[2], dtype=np.uint8)
                     codes = data[offs[0] : offs[-1]].reshape(n, mcount)
                 else:  # ragged/null rows — correctness fallback

@@ -292,9 +292,15 @@ def incremental_neardup_batch(
             id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
     )
+    # array_sort: collect_list order is nondeterministic, and the fold's
+    # crash healing dedups state rows byte-for-byte — an unsorted array
+    # would let a stale-staging duplicate of the same doc survive the
+    # dedup and inflate candidate pairs.  Sorting makes rows canonical
+    # (Jaccard via array_intersect is order-insensitive, so free).
     new_shingles = materialize(
         hsh.groupBy(id_col).agg(
-            F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("sz")
+            F.array_sort(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("sz"),
         )
     )
 

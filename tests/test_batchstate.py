@@ -9,7 +9,9 @@ import os
 
 from pyspark.sql import functions as F
 
-from chromem_go_spark.batchstate import fold_batch_partitions
+import pytest
+
+from chromem_go_spark.batchstate import drop_batch_partition, fold_batch_partitions
 
 
 def _write_batches(spark, path: str, n_batches: int, rows_per: int) -> None:
@@ -106,3 +108,16 @@ def test_fold_respects_exclude_and_threshold(spark, tmp_path):
 
 def test_fold_missing_table_is_noop(spark, tmp_path):
     fold_batch_partitions(spark, str(tmp_path / "nope"), ["__batch"], -1)
+
+
+def test_drop_batch_partition_rejects_reserved_ids(spark, tmp_path):
+    """batch_id=-1/-2 name the compacted base and staging partitions;
+    'replaying' one of those would silently delete the entire index, so
+    it must be a hard error, not a destructive no-questions delete."""
+    path = str(tmp_path / "tblneg")
+    _write_batches(spark, path, 1, 5)
+    for bad in (-1, -2):
+        with pytest.raises(ValueError, match="reserved"):
+            drop_batch_partition(spark, path, bad)
+    drop_batch_partition(spark, path, 0)  # legit replay still works
+    assert not os.path.exists(os.path.join(path, "__batch=0"))

@@ -12,6 +12,7 @@ unit coverage of the lock-file protocol itself.
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 import time
@@ -119,6 +120,24 @@ def test_write_lock_excludes_and_releases(tmp_path):
         order.append("b")
     assert order == ["a", "b"]
     assert not os.path.exists(os.path.join(d, ".write.lock"))
+
+
+def test_write_lock_release_spares_successor(tmp_path):
+    """If a holder's lock was broken (stale) and re-acquired by a
+    successor, the original holder's release must NOT delete the
+    successor's live lock — release claims the inode atomically and
+    verifies the token before unlinking."""
+    d = str(tmp_path)
+    lock_path = os.path.join(d, ".write.lock")
+    with write_lock(d, timeout=1):
+        # simulate a successor having broken + re-acquired the lock
+        with open(lock_path, "w") as f:
+            json.dump({"pid": 0, "token": "successor", "acquired": 0}, f)
+    # successor's lock survives the original holder's release
+    assert os.path.exists(lock_path)
+    with open(lock_path) as f:
+        assert json.load(f)["token"] == "successor"
+    os.unlink(lock_path)
 
 
 def test_write_lock_breaks_stale_lock(tmp_path):
