@@ -28,7 +28,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.extra_queries()}
     bench_names = [
         "knn_topk",
         "knn_batch",
@@ -56,6 +56,7 @@ def main() -> None:
         "events_asof",
         "events_time_rollup",
         "multimodal_meta",
+        "image_neardup",
         "knn_batch_expr",
         "knn_batch_per_filter",
         "knn_batch_per_filter2",

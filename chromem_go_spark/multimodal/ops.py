@@ -396,3 +396,65 @@ def image_features(
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
 
     return df.select(id_col, data_col).mapInPandas(gen, out_schema)
+
+
+def image_dhash(
+    df: DataFrame, data_col: str = "data", id_col: str = "media_id", grid: int = 8
+) -> DataFrame:
+    """Perceptual difference hash (dHash) per image: decode to greyscale,
+    nearest-neighbor downsample to a ``grid x grid`` thumbnail (same
+    index arithmetic as :func:`resize_images`), then one bit per
+    horizontally-adjacent pixel pair — bit ``r*(grid-1)+c`` is set when
+    ``thumb[r][c] < thumb[r][c+1]``.  grid=8 gives a 56-bit fingerprint,
+    deliberately inside the positive long range so downstream banding /
+    SQL replays never fight the sign bit.
+
+    Robust to re-encoding and uniform brightness shifts (gradient signs
+    survive both); pairs with the Hamming banding join for near-dup
+    detection at corpus scale.  Arrow-batched mapInPandas; per-image
+    work is a NumPy reshape + two fancy-index gathers.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, dhash bigint"
+    nbits = grid * (grid - 1)
+    if nbits > 63:
+        raise ValueError("grid too large: dhash must fit a positive long")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        weights = 1 << np.arange(nbits, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hashes = []
+            for blob in pdf[data_col]:
+                w, h, px = _decode_image_bytes(bytes(blob))
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                yi = (np.arange(grid) * h) // grid
+                xi = (np.arange(grid) * w) // grid
+                thumb = img[yi][:, xi].astype(np.int16)
+                bits = (thumb[:, :-1] < thumb[:, 1:]).ravel()
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
+
+    return df.select(id_col, data_col).mapInPandas(gen, out_schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs: perceptual dHash fingerprints joined
+    through the shared Hamming banding engine (exact disjoint-chunk
+    pigeonhole join — the same machinery as text simhash, so the plan
+    is bucketed and never all-pairs).  Returns (id_a, id_b, hamming).
+    """
+    from ..operators.dedup import hamming_pairs
+
+    sig = image_dhash(df, data_col=data_col, id_col=id_col, grid=grid)
+    return hamming_pairs(sig, "dhash", id_col, max_hamming, bits=grid * (grid - 1))

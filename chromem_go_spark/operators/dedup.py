@@ -634,16 +634,34 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Candidate generation by the disjoint-chunk trick: split the
-    fingerprint into ``max_hamming + 1`` chunks — any pair within
-    ``max_hamming`` differing bits must agree exactly on at least one
-    chunk (pigeonhole), so joining on (chunk_idx, chunk_value) is
-    EXACT and never quadratic. ``shiftrightunsigned`` so a set sign bit
-    (honest 64-bit fingerprints) can't smear into the chunk values.
+    Candidate generation via :func:`hamming_pairs` (exact disjoint-chunk
+    pigeonhole join, never quadratic).
+    """
+    sh = simhash(df, text_col, id_col, bits=bits, token_hash=token_hash)
+    return hamming_pairs(sh, "simhash", id_col, max_hamming, bits)
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_hamming: int,
+    bits: int,
+) -> DataFrame:
+    """All (id_a, id_b, hamming) pairs whose ``sig_col`` fingerprints
+    differ in at most ``max_hamming`` bits.
+
+    Shared candidate engine for every Hamming-space near-dup surface
+    (text simhash, image perceptual hash): the disjoint-chunk pigeonhole
+    join — split the fingerprint into ``max_hamming + 1`` chunks; any
+    pair within ``max_hamming`` differing bits must agree exactly on at
+    least one chunk, so joining on (chunk_idx, chunk_value) is EXACT and
+    never quadratic. ``shiftrightunsigned`` so a set sign bit (honest
+    64-bit fingerprints) can't smear into the chunk values.
     """
     n_chunks = int(max_hamming) + 1
     assert n_chunks <= bits, "need at least one bit per chunk"
-    sh = simhash(df, text_col, id_col, bits=bits, token_hash=token_hash)
+    sh = sig.select(id_col, F.col(sig_col).alias("simhash"))
     base, extra = divmod(bits, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]

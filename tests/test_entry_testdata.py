@@ -38,12 +38,15 @@ def _hash(df) -> str:
     return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
 
 
-@pytest.mark.parametrize("name", sorted(entry.queries().keys()))
+ALL_QUERIES = {**entry.queries(), **entry.extra_queries()}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES.keys()))
 def test_query_analyzes_on_real_testdata(spark, name):
     """df.schema forces full analysis (resolution + type checking)
     against the real parquet footers without running a job — the r3
     CAST_WITHOUT_SUGGESTION failure is caught exactly here."""
-    df = entry.queries()[name](spark, SF_DIR)
+    df = ALL_QUERIES[name](spark, SF_DIR)
     assert len(df.schema.fields) > 0
 
 
@@ -60,14 +63,14 @@ EVENTS_QUERIES = [
 @pytest.mark.parametrize("name", EVENTS_QUERIES)
 def test_events_queries_match_duckdb_oracle(spark, name):
     duckdb = pytest.importorskip("duckdb")
-    sql = entry.oracle_sql()[name]
+    sql = {**entry.oracle_sql(), **entry.extra_oracle_sql()}[name]
     con = duckdb.connect()
     for t in ("events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    sdf = ALL_QUERIES[name](spark, SF_DIR).toPandas()
     odf = con.execute(sql).fetchdf()
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)

@@ -351,3 +351,49 @@ def test_orc_round_trip(spark, tmp_path):
     assert set(rows) == {"a", "b"}
     assert rows["a"]["content"] == "hello world"
     assert [round(x, 4) for x in rows["a"]["embedding"]] == [0.1, 0.2]
+
+
+def test_image_dhash_identity_and_brightness_invariance(spark):
+    """dHash contract: byte-identical images hash equal; a uniform
+    brightness shift (gradient signs preserved, no uint8 clipping)
+    leaves the hash unchanged; PNG and FAKEIMG encodings of the SAME
+    pixels hash identically (hash is over decoded pixels, not bytes)."""
+    import struct
+
+    w, h = 16, 12
+    base = bytes((40 + ((x * 7 + y * 11) % 150)) for y in range(h) for x in range(w))
+    brighter = bytes(min(b + 30, 255) for b in base)
+    fake = M._IMG_MAGIC + struct.pack(">II", w, h) + base
+    fake_bright = M._IMG_MAGIC + struct.pack(">II", w, h) + brighter
+    png = M.encode_png_gray(w, h, base)
+    df = spark.createDataFrame(
+        [("base", fake), ("bright", fake_bright), ("png", png)],
+        "media_id string, data binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in M.image_dhash(df).collect()}
+    assert got["base"] == got["png"]
+    assert got["base"] == got["bright"]
+    assert 0 <= got["base"] < (1 << 56)
+
+
+def test_image_neardup_pairs_banded_join(spark):
+    """Near-dup pairs: identical twins at hamming 0, a one-pixel
+    perturbation within the threshold, unrelated images excluded."""
+    import struct
+
+    a = M.encode_fake_image(20, 16, seed=1)
+    a_twin = M.encode_fake_image(20, 16, seed=1)
+    pert = bytearray(a)
+    pert[16] ^= 0xFF  # first pixel -> at most one dhash bit
+    b = M.encode_fake_image(20, 16, seed=99)
+    df = spark.createDataFrame(
+        [("a", a), ("a2", a_twin), ("ap", bytes(pert)), ("z", b)],
+        "media_id string, data binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in M.image_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[("a", "a2")] == 0
+    assert pairs.get(("a", "ap"), 99) <= 1
+    assert not any("z" in p for p in pairs)

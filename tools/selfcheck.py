@@ -33,8 +33,10 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    # canonical window + the twin-operator extras: selfcheck covers BOTH
+    # (the driver only checks queries(); extras get the same treatment here)
+    qs = {**entry.queries(), **entry.extra_queries()}
+    oracles = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
