@@ -121,3 +121,88 @@ def test_drop_batch_partition_rejects_reserved_ids(spark, tmp_path):
             drop_batch_partition(spark, path, bad)
     drop_batch_partition(spark, path, 0)  # legit replay still works
     assert not os.path.exists(os.path.join(path, "__batch=0"))
+
+
+def _simulate_crash_state(spark, path: str, point: str) -> None:
+    """Drive the table into exactly the on-disk state a crash at
+    ``point`` leaves behind, by performing the fold protocol's steps
+    manually in order and stopping. Steps (batchstate.py):
+      1 stage folded rows to __batch=-2       -> crash: 'staged'
+      2 commit marker atomically              -> crash: 'marker'
+      3 delete source dirs one at a time      -> crash: 'deleted_1',
+                                                 'deleted_all'
+      4 rename staging -> base                -> crash: 'renamed'
+      (5 delete marker = fold complete)
+    """
+    import shutil
+
+    src = spark.read.parquet(path).drop("__batch").dropDuplicates()
+    (
+        src.withColumn("__batch", F.lit(-2))
+        .write.mode("append")
+        .partitionBy("__batch")
+        .parquet(path)
+    )
+    if point == "staged":
+        return
+    deletes = sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith("__batch=") and d not in ("__batch=-2",)
+    )
+    with open(os.path.join(path, "_compact_pending.json"), "w") as f:
+        json.dump({"delete": deletes, "stage": "__batch=-2"}, f)
+    if point == "marker":
+        return
+    n_del = {"deleted_1": 1}.get(point, len(deletes))
+    for d in deletes[:n_del]:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    if point in ("deleted_1", "deleted_all"):
+        return
+    os.rename(os.path.join(path, "__batch=-2"), os.path.join(path, "__batch=-1"))
+    assert point == "renamed"
+
+
+@pytest.mark.parametrize(
+    "point", ["staged", "marker", "deleted_1", "deleted_all", "renamed"]
+)
+def test_fold_crash_at_every_step_loses_nothing(spark, tmp_path, point):
+    """Kill-inject between every step of stage->marker->promote: the
+    NEXT fold must converge to exactly one base partition holding every
+    row exactly once (at-least-once during the window, no-loss always,
+    duplicates collapsed on fold) and clear the marker."""
+    path = str(tmp_path / f"crash_{point}")
+    _write_batches(spark, path, 3, 10)
+    _simulate_crash_state(spark, path, point)
+
+    fold_batch_partitions(spark, path, ["__batch"], -1)
+
+    parts = sorted(d for d in os.listdir(path) if d.startswith("__batch="))
+    assert parts == ["__batch=-1"]
+    assert not os.path.exists(os.path.join(path, "_compact_pending.json"))
+    out = spark.read.parquet(path)
+    assert sorted(r["k"] for r in out.collect()) == list(range(30))
+
+
+@pytest.mark.parametrize("point", ["staged", "marker", "deleted_all"])
+def test_fold_crash_then_append_then_fold(spark, tmp_path, point):
+    """A crash window followed by MORE appended batches (the streaming
+    reality) still converges: new partitions fold in alongside the
+    healed state with no loss and no duplicates."""
+    path = str(tmp_path / f"crashapp_{point}")
+    _write_batches(spark, path, 2, 10)
+    _simulate_crash_state(spark, path, point)
+    df = spark.range(20, 30).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    (
+        df.withColumn("__batch", F.lit(7))
+        .write.mode("append")
+        .partitionBy("__batch")
+        .parquet(path)
+    )
+
+    fold_batch_partitions(spark, path, ["__batch"], -1)
+
+    parts = sorted(d for d in os.listdir(path) if d.startswith("__batch="))
+    assert parts == ["__batch=-1"]
+    out = spark.read.parquet(path)
+    assert sorted(r["k"] for r in out.collect()) == list(range(30))
