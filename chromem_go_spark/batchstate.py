@@ -31,8 +31,23 @@ The base partition is therefore never deleted before a complete,
 committed replacement exists.  Readers between a crash and the next
 fold can transiently observe duplicated history rows (at-least-once);
 callers that cannot tolerate that should fold at session start.
-Directory rename is atomic on POSIX/HDFS; on S3-style stores front
-this with a rename-capable layer or table format.
+
+Two commit modes:
+
+- ``commit_mode="rename"`` (default): promote staging to the base by
+  directory rename — atomic on POSIX/HDFS, NOT on S3-class object
+  stores.
+- ``commit_mode="manifest"``: object-store-safe.  The folded rows are
+  written to an alternating reserved GENERATION partition (``__batch=-3``
+  / ``-4``); the commit point is a single small ``_base_manifest.json``
+  naming the live generation and the obsolete dirs (one PUT — atomic
+  visibility on S3; temp+rename locally).  Directories are never
+  renamed; obsolete dirs are garbage-collected after the commit and a
+  failed GC is healed by the next fold.  Readers go through
+  :func:`read_live`, which filters uncommitted generations and
+  not-yet-collected obsolete dirs — so manifest-mode readers see an
+  exactly-once view even inside the crash windows.  A table stays in
+  one mode for its whole life.
 """
 
 from __future__ import annotations
@@ -44,6 +59,8 @@ from pyspark.sql import functions as F
 
 _MARKER = "_compact_pending.json"
 _STAGE_BATCH = -2  # reserved staging id; never a valid caller batch
+_MANIFEST = "_base_manifest.json"
+_GEN_A, _GEN_B = -3, -4  # alternating manifest-mode base generations
 
 
 def _fs(spark: SparkSession, path: str):
@@ -126,6 +143,155 @@ def _write_marker(spark: SparkSession, table_path: str, payload: dict) -> None:
         raise IOError(f"could not commit marker {_MARKER} under {table_path}")
 
 
+def _read_manifest(spark: SparkSession, table_path: str) -> dict | None:
+    jvm, fs, _ = _fs(spark, table_path)
+    p = jvm.org.apache.hadoop.fs.Path(table_path, _MANIFEST)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    try:
+        man = json.loads(raw.decode())
+        int(str(man["base"]).split("=", 1)[1])
+        return man
+    except (ValueError, KeyError, TypeError, IndexError, UnicodeDecodeError):
+        return None  # unreadable manifest: treat as absent (pre-first-commit)
+
+
+def _batch_id(dirname: str) -> int:
+    return int(dirname.split("=", 1)[1])
+
+
+def read_live(spark: SparkSession, table_path: str):
+    """Manifest-aware reader for ``__batch``-partitioned tables.
+
+    With a committed manifest, excludes obsolete dirs awaiting GC and
+    any generation dir that is not the committed base — an exactly-once
+    view even inside the manifest protocol's crash windows.  Without a
+    manifest (rename-mode table, or a crash before the first manifest
+    commit), excludes only the never-committed generation ids, which a
+    rename-mode table never contains — so this is safe to use on BOTH
+    modes and is what the incremental state readers use."""
+    df = spark.read.parquet(table_path)
+    if "__batch" not in df.columns:
+        return df  # not batch-partitioned: nothing to filter
+    man = _read_manifest(spark, table_path)
+    if man is None:
+        dead = [_GEN_A, _GEN_B]
+    else:
+        base_id = _batch_id(man["base"])
+        dead = sorted(
+            {_batch_id(n) for n in man.get("obsolete", [])}
+            | ({_GEN_A, _GEN_B} - {base_id})
+        )
+    return df.filter(~F.col("__batch").isin(dead))
+
+
+def _heal_manifest(spark: SparkSession, table_path: str) -> None:
+    """Finish a manifest-mode fold that crashed after its commit:
+    garbage-collect obsolete dirs (readers already ignore them) and any
+    stale uncommitted generation dir."""
+    jvm, fs, hpath = _fs(spark, table_path)
+    man = _read_manifest(spark, table_path)
+    obsolete = set(man.get("obsolete", [])) if man else set()
+    base = man["base"] if man else None
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("__batch="):
+            continue
+        stale_gen = _batch_id(name) in (_GEN_A, _GEN_B) and name != base
+        if name in obsolete or stale_gen:
+            fs.delete(st.getPath(), True)
+    if man and obsolete:
+        # prune collected names so a LATER reuse of a batch id (e.g.
+        # checkpoint reset) isn't wrongly excluded by a stale entry
+        left = sorted(
+            n
+            for n in obsolete
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(table_path, n))
+        )
+        if left != sorted(obsolete):
+            _write_manifest(
+                spark, table_path, {"base": man["base"], "obsolete": left}
+            )
+
+
+def _fold_manifest(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: list,
+    exclude_batch: int | None,
+    threshold: int,
+) -> None:
+    jvm, fs, hpath = _fs(spark, table_path)
+    _heal_manifest(spark, table_path)
+    man = _read_manifest(spark, table_path)
+    base = man["base"] if man else None
+    keep = {base} | {f"__batch={_GEN_A}", f"__batch={_GEN_B}"}
+    if exclude_batch is not None:
+        keep.add(f"__batch={int(exclude_batch)}")
+    foldable = [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().startswith("__batch=")
+        and st.getPath().getName() not in keep
+    ]
+    if len(foldable) < max(int(threshold), 1):
+        return
+    from .materialize import materialize
+
+    src = read_live(spark, table_path)
+    if exclude_batch is not None:
+        src = src.filter(F.col("__batch") != F.lit(int(exclude_batch)))
+    folded = materialize(src.drop("__batch").dropDuplicates())
+    # write the new generation (the one that is NOT the current base);
+    # a half-written leftover from a prior crash is stale by definition
+    target = _GEN_A if base != f"__batch={_GEN_A}" else _GEN_B
+    tpath = jvm.org.apache.hadoop.fs.Path(table_path, f"__batch={target}")
+    if fs.exists(tpath):
+        fs.delete(tpath, True)
+    (
+        folded.withColumn("__batch", F.lit(target))
+        .write.mode("append")
+        .partitionBy(*partition_cols)
+        .parquet(table_path)
+    )
+    # THE commit point: one small file naming the live generation
+    obsolete = sorted(set(foldable) | ({base} - {None}))
+    _write_manifest(spark, table_path, {"base": f"__batch={target}", "obsolete": obsolete})
+    # post-commit GC; a failure here is healed by the next fold
+    for name in obsolete:
+        gone = jvm.org.apache.hadoop.fs.Path(table_path, name)
+        if fs.exists(gone):
+            fs.delete(gone, True)
+
+
+def _write_manifest(spark: SparkSession, table_path: str, payload: dict) -> None:
+    """Single-file commit: on object stores one PUT (create+close) is
+    atomic visibility; locally/HDFS temp-write + overwrite-rename
+    (FileContext + Rename.OVERWRITE — FileSystem.rename returns False
+    on an existing destination) keeps partial or missing manifests
+    unobservable."""
+    jvm, fs, _ = _fs(spark, table_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(table_path, _MANIFEST + ".tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(table_path, _MANIFEST)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode()))
+    finally:
+        out.close()
+    gateway = spark.sparkContext._gateway
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), spark._jsc.hadoopConfiguration()
+    )
+    opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, dst, opts)  # atomic; throws on failure
+
+
 def fold_batch_partitions(
     spark: SparkSession,
     table_path: str,
@@ -133,16 +299,25 @@ def fold_batch_partitions(
     base_batch: int,
     exclude_batch: int | None = None,
     threshold: int = 0,
+    commit_mode: str = "rename",
 ) -> None:
     """Fold history ``__batch=N`` partitions into ``__batch=<base_batch>``.
 
     ``exclude_batch``: a CURRENT batch to leave untouched (its
     replay-overwrite contract must survive compaction).  ``threshold``:
     fold only when at least this many foldable dirs exist (0/1 = fold
-    whenever there is anything to fold).
+    whenever there is anything to fold).  ``commit_mode``: see module
+    docstring — ``"rename"`` (POSIX/HDFS) or ``"manifest"``
+    (object-store-safe; ``base_batch`` is ignored, the live base is the
+    manifest-named generation and readers use :func:`read_live`).
     """
+    if commit_mode not in ("rename", "manifest"):
+        raise ValueError(f"unknown commit_mode: {commit_mode!r}")
     jvm, fs, hpath = _fs(spark, table_path)
     if not fs.exists(hpath):
+        return
+    if commit_mode == "manifest":
+        _fold_manifest(spark, table_path, partition_cols, exclude_batch, threshold)
         return
     _heal_pending(spark, table_path, base_batch)
     keep = {f"__batch={base_batch}", f"__batch={_STAGE_BATCH}"}

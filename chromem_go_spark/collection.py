@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import errors as E
+from . import tablefmt
 from .document import DOCUMENT_SCHEMA, Document
 from .locking import write_lock
 from .materialize import materialize
@@ -58,19 +59,32 @@ class Collection:
         persist_dir: str | None = None,
         compress: bool = False,
         n_buckets: int | None = None,
+        table_format: str | None = None,
     ):
         """``n_buckets``: opt-in hash-bucketed persistent layout
         (``bucket=N`` partition dirs on ``xxhash64(id) % n``). Upserts
         then rewrite ONLY the buckets containing touched ids (dynamic
         partition overwrite) instead of the whole table — the difference
         between O(batch) and O(table) ingest at 100 TB. Point lookups
-        also prune to one bucket."""
+        also prune to one bucket.
+
+        ``table_format``: ``"parquet"`` (default — bucketed layout +
+        lock-file writer serialization) or ``"delta"`` (native MERGE /
+        DELETE transactions via tablefmt.py, object-store-safe, no lock
+        file; requires delta-spark + jars, runtime-checked).  Delta
+        manages its own file layout, so ``n_buckets`` doesn't apply."""
         self.spark = spark
         self.name = name
         self.metadata = dict(metadata or {})
         self.embedding_func = embedding_func
         self.persist_dir = persist_dir
         self.compress = compress
+        self.table_format = table_format or "parquet"
+        if self.table_format not in ("parquet", "delta"):
+            raise ValueError(f"unknown table_format: {self.table_format!r}")
+        if self.table_format == "delta":
+            tablefmt.require_delta(spark)
+            n_buckets = None
         self.n_buckets = int(n_buckets) if n_buckets else None
         self._df: DataFrame | None = None
         if persist_dir and os.path.exists(self._data_path()):
@@ -83,6 +97,10 @@ class Collection:
         bucket dirs dropped, directory left behind)."""
         from pyspark.errors.exceptions.captured import AnalysisException
 
+        if self.table_format == "delta":
+            if not tablefmt.table_exists(self.spark, self._data_path()):
+                return None
+            return tablefmt.read_table(self.spark, self._data_path())
         try:
             return self.spark.read.parquet(self._data_path())
         except AnalysisException as e:
@@ -105,7 +123,8 @@ class Collection:
 
     def _data_path(self) -> str:
         assert self.persist_dir
-        return os.path.join(self.persist_dir, "data.parquet")
+        suffix = "data.delta" if self.table_format == "delta" else "data.parquet"
+        return os.path.join(self.persist_dir, suffix)
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], DOCUMENT_SCHEMA)
@@ -128,6 +147,12 @@ class Collection:
             codec = "gzip" if self.compress else "snappy"
             path = self._data_path()
             out = df.select(*DOCUMENT_SCHEMA.fieldNames())
+            if self.table_format == "delta":
+                # overwrite is itself one atomic Delta commit
+                out.write.format("delta").mode("overwrite").save(path)
+                self._df = self._read_table()
+                self._write_meta()
+                return
             if self.n_buckets:
                 # pin rows before overwriting the path they may be read from
                 out = (
@@ -171,9 +196,21 @@ class Collection:
         containing touched ids via dynamic partition overwrite — O(batch)
         not O(table). Everything else merges the full snapshot.
 
-        Persistent tables take the collection write lock for the whole
-        read-merge-write, so concurrent writers serialize instead of
-        losing updates; on Delta/Iceberg this block is a single MERGE."""
+        Persistent parquet tables take the collection write lock for the
+        whole read-merge-write, so concurrent writers serialize instead
+        of losing updates; on the delta backend the same contract is one
+        native MERGE commit (optimistic concurrency, no lock file)."""
+        if self.table_format == "delta" and self.persist_dir:
+            tablefmt.merge_upsert(
+                self.spark,
+                self._data_path(),
+                new.select(*DOCUMENT_SCHEMA.fieldNames()),
+                key_col="id",
+            )
+            self.spark.catalog.refreshByPath(self._data_path())
+            self._df = self._read_table()
+            self._write_meta()
+            return
         with self._write_lock():
             self._refresh_from_disk()
             self._upsert_unlocked(new)
@@ -227,6 +264,7 @@ class Collection:
                     "name": self.name,
                     "metadata": self.metadata,
                     "n_buckets": self.n_buckets,
+                    "table_format": self.table_format,
                 },
                 f,
             )
@@ -362,6 +400,17 @@ class Collection:
         if not where and not where_document and not ids:
             raise ValueError("must provide either where, whereDocument or ids")
         validate_where_document(where_document)
+        if self.table_format == "delta" and self.persist_dir:
+            victim = combined_predicate(where, where_document)
+            if ids:
+                victim = victim & F.col("id").isin([str(i) for i in ids])
+            tablefmt.delete_where(
+                self.spark, self._data_path(), F.coalesce(victim, F.lit(False))
+            )
+            self.spark.catalog.refreshByPath(self._data_path())
+            self._df = self._read_table()
+            self._write_meta()
+            return
         with self._write_lock():
             self._refresh_from_disk()
             self._delete_unlocked(where, where_document, ids)

@@ -102,6 +102,7 @@ class DB:
                 persist_dir=sub,
                 compress=self.compress,
                 n_buckets=meta.get("n_buckets"),
+                table_format=meta.get("table_format"),
             )
             self._collections[meta["name"]] = c
 
@@ -113,15 +114,20 @@ class DB:
         metadata: Mapping[str, str] | None = None,
         embedding_func: EmbeddingFunc | None = None,
         n_buckets: int | None = None,
+        table_format: str | None = None,
     ) -> Collection:
         """``n_buckets``: hash-bucket count for the persistent layout.
         Defaults to ``DEFAULT_N_BUCKETS`` for persistent collections so
         upserts/deletes rewrite only touched buckets (O(batch), not
-        O(table)); pass 0 for the flat single-directory layout."""
+        O(table)); pass 0 for the flat single-directory layout.
+
+        ``table_format``: ``"delta"`` backs upserts/deletes with native
+        MERGE/DELETE transactions (object-store-safe; requires
+        delta-spark, runtime-checked); default plain parquet."""
         if not name:
             raise ValueError("collection name is empty")
         sub = os.path.join(self.persist_dir, _dirname_for(name)) if self.persist_dir else None
-        if sub and n_buckets is None:
+        if sub and n_buckets is None and (table_format or "parquet") == "parquet":
             n_buckets = DEFAULT_N_BUCKETS
         c = Collection(
             self.spark,
@@ -131,6 +137,7 @@ class DB:
             persist_dir=sub,
             compress=self.compress,
             n_buckets=n_buckets,
+            table_format=table_format,
         )
         if sub:
             c._write_meta()

@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..batchstate import drop_batch_partition, fold_batch_partitions
+from ..batchstate import drop_batch_partition, fold_batch_partitions, read_live
 from ..functions import vector as V
 from . import knn as knn_ops
 
@@ -283,7 +283,8 @@ class IVFPQIndex:
             meta = json.load(f)
 
         def rd(sub: str) -> DataFrame:
-            df = spark.read.parquet(os.path.join(path, sub))
+            # manifest-aware: filters uncommitted/obsolete fold dirs
+            df = read_live(spark, os.path.join(path, sub))
             return df.drop("__batch") if "__batch" in df.columns else df
 
         return cls(
@@ -338,16 +339,27 @@ class IVFPQIndex:
         )
 
     @classmethod
-    def compact(cls, spark: SparkSession, path: str) -> None:
+    def compact(
+        cls, spark: SparkSession, path: str, commit_mode: str = "rename"
+    ) -> None:
         """Fold appended micro-batch partitions into the base (codes and
-        vectors both); run between ingest sessions."""
+        vectors both); run between ingest sessions.  ``commit_mode=
+        "manifest"`` for object stores (see batchstate.py)."""
         import os
 
         fold_batch_partitions(
-            spark, os.path.join(path, "codes"), ["__batch", "cluster_id"], cls._BASE_BATCH
+            spark,
+            os.path.join(path, "codes"),
+            ["__batch", "cluster_id"],
+            cls._BASE_BATCH,
+            commit_mode=commit_mode,
         )
         fold_batch_partitions(
-            spark, os.path.join(path, "vectors"), ["__batch"], cls._BASE_BATCH
+            spark,
+            os.path.join(path, "vectors"),
+            ["__batch"],
+            cls._BASE_BATCH,
+            commit_mode=commit_mode,
         )
 
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
@@ -527,7 +539,7 @@ class IVFIndex:
 
         with open(os.path.join(path, "_centroids.json")) as f:
             cents = np.asarray(json.load(f), dtype=np.float64)
-        df = spark.read.parquet(path)
+        df = read_live(spark, path)  # manifest-aware fold-dir filtering
         if "__batch" in df.columns:
             df = df.drop("__batch")
         return cls(cents, df, vec_col, id_col)
@@ -576,13 +588,20 @@ class IVFIndex:
         )
 
     @classmethod
-    def compact(cls, spark: SparkSession, path: str) -> None:
+    def compact(
+        cls, spark: SparkSession, path: str, commit_mode: str = "rename"
+    ) -> None:
         """Fold every appended ``__batch=N`` partition into the
         ``__batch=-1`` base, bounding partition count (file-listing cost
         grows with micro-batch count otherwise).  Run between ingest
-        sessions — not concurrently with an active append."""
+        sessions — not concurrently with an active append.
+        ``commit_mode="manifest"`` for object stores (see batchstate.py)."""
         fold_batch_partitions(
-            spark, path, ["__batch", "cluster_id"], cls._BASE_BATCH
+            spark,
+            path,
+            ["__batch", "cluster_id"],
+            cls._BASE_BATCH,
+            commit_mode=commit_mode,
         )
 
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:

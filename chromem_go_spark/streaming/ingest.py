@@ -243,6 +243,7 @@ def incremental_neardup_batch(
     seed: int = 42,
     batch_id: int = 0,
     compact_after: int = 16,
+    commit_mode: str = "rename",
 ) -> None:
     """One micro-batch of incremental near-duplicate detection.
 
@@ -310,10 +311,14 @@ def incremental_neardup_batch(
     have_state = os.path.exists(buckets_path)
 
     def _read_state(path: str) -> DataFrame:
-        # exclude this batch's own partition: a failed earlier attempt
-        # of the SAME batch must not act as history for its retry
+        # manifest-aware read (identical to a plain read in rename
+        # mode), then exclude this batch's own partition: a failed
+        # earlier attempt of the SAME batch must not act as history
+        # for its retry
+        from ..batchstate import read_live
+
         return (
-            spark.read.parquet(path)
+            read_live(spark, path)
             .filter(F.col("__batch") != F.lit(int(batch_id)))
             .drop("__batch")
         )
@@ -391,6 +396,7 @@ def incremental_neardup_batch(
                 _COMPACTED_BATCH,
                 exclude_batch=int(batch_id),
                 threshold=int(compact_after),
+                commit_mode=commit_mode,
             )
 
 

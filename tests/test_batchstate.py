@@ -206,3 +206,116 @@ def test_fold_crash_then_append_then_fold(spark, tmp_path, point):
     assert parts == ["__batch=-1"]
     out = spark.read.parquet(path)
     assert sorted(r["k"] for r in out.collect()) == list(range(30))
+
+
+# ---------------------------------------------------------- manifest mode
+
+from chromem_go_spark.batchstate import read_live  # noqa: E402
+
+
+def _live_keys(spark, path):
+    return sorted(r["k"] for r in read_live(spark, path).collect())
+
+
+def test_manifest_fold_basic_and_alternating_generations(spark, tmp_path):
+    """Object-store-safe mode: fold commits by writing _base_manifest
+    (no directory renames); repeated folds alternate the generation dir
+    and never lose or duplicate rows."""
+    path = str(tmp_path / "m1")
+    _write_batches(spark, path, 3, 10)
+    fold_batch_partitions(spark, path, ["__batch"], -1, commit_mode="manifest")
+    assert os.path.exists(os.path.join(path, "_base_manifest.json"))
+    assert _live_keys(spark, path) == list(range(30))
+    with open(os.path.join(path, "_base_manifest.json")) as f:
+        gen1 = json.load(f)["base"]
+
+    # append two more batches, fold again: generation alternates
+    for b in (7, 8):
+        df = spark.range(30 + (b - 7) * 10, 40 + (b - 7) * 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        (
+            df.withColumn("__batch", F.lit(b))
+            .write.mode("append")
+            .partitionBy("__batch")
+            .parquet(path)
+        )
+    fold_batch_partitions(spark, path, ["__batch"], -1, commit_mode="manifest")
+    with open(os.path.join(path, "_base_manifest.json")) as f:
+        man2 = json.load(f)
+    assert man2["base"] != gen1
+    assert _live_keys(spark, path) == list(range(50))
+    # obsolete dirs were garbage-collected post-commit
+    parts = sorted(d for d in os.listdir(path) if d.startswith("__batch="))
+    assert parts == [man2["base"]]
+
+
+def test_manifest_uncommitted_generation_is_invisible(spark, tmp_path):
+    """Crash AFTER writing the new generation dir, BEFORE the manifest
+    commit: readers must not see the duplicate rows; the next fold
+    replaces the stale dir and converges."""
+    path = str(tmp_path / "m2")
+    _write_batches(spark, path, 2, 10)
+    # simulate: fold wrote __batch=-3 (a full folded copy) then died
+    src = spark.read.parquet(path).drop("__batch")
+    (
+        src.withColumn("__batch", F.lit(-3))
+        .write.mode("append")
+        .partitionBy("__batch")
+        .parquet(path)
+    )
+    assert _live_keys(spark, path) == list(range(20))  # no duplicates
+    fold_batch_partitions(spark, path, ["__batch"], -1, commit_mode="manifest")
+    assert _live_keys(spark, path) == list(range(20))
+
+
+def test_manifest_commit_without_gc_is_exactly_once(spark, tmp_path):
+    """Crash AFTER the manifest commit, BEFORE garbage collection: the
+    obsolete dirs still exist but readers must ignore them (exactly-once
+    view); the next fold's healing collects them and prunes the
+    manifest."""
+    path = str(tmp_path / "m3")
+    _write_batches(spark, path, 2, 10)
+    src = spark.read.parquet(path).drop("__batch").dropDuplicates()
+    (
+        src.withColumn("__batch", F.lit(-3))
+        .write.mode("append")
+        .partitionBy("__batch")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_base_manifest.json"), "w") as f:
+        json.dump({"base": "__batch=-3", "obsolete": ["__batch=0", "__batch=1"]}, f)
+    assert _live_keys(spark, path) == list(range(20))  # obsolete ignored
+
+    # next fold heals: GC + manifest prune (threshold high: no new fold)
+    fold_batch_partitions(
+        spark, path, ["__batch"], -1, commit_mode="manifest", threshold=99
+    )
+    parts = sorted(d for d in os.listdir(path) if d.startswith("__batch="))
+    assert parts == ["__batch=-3"]
+    with open(os.path.join(path, "_base_manifest.json")) as f:
+        assert json.load(f)["obsolete"] == []
+    assert _live_keys(spark, path) == list(range(20))
+
+
+def test_read_live_is_plain_read_for_rename_tables(spark, tmp_path):
+    path = str(tmp_path / "m4")
+    _write_batches(spark, path, 2, 10)
+    assert _live_keys(spark, path) == list(range(20))
+    fold_batch_partitions(spark, path, ["__batch"], -1)  # rename mode
+    assert _live_keys(spark, path) == list(range(20))
+
+
+def test_manifest_exclude_batch_respected(spark, tmp_path):
+    """The CURRENT batch keeps its replay-overwrite contract through a
+    manifest-mode fold, same as rename mode."""
+    path = str(tmp_path / "m5")
+    _write_batches(spark, path, 3, 5)
+    fold_batch_partitions(
+        spark, path, ["__batch"], -1, commit_mode="manifest", exclude_batch=2
+    )
+    parts = sorted(d for d in os.listdir(path) if d.startswith("__batch="))
+    with open(os.path.join(path, "_base_manifest.json")) as f:
+        base = json.load(f)["base"]
+    assert parts == sorted([base, "__batch=2"])
+    assert _live_keys(spark, path) == list(range(15))
