@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -79,24 +80,50 @@ def _normalize(v: Sequence[float]) -> list[float]:
     return [float(x) / n for x in v]
 
 
-def _http_post_json(url: str, body: dict, headers: dict[str, str], timeout: float) -> dict:
+_sleep = time.sleep  # monkeypatch point for backoff tests
+
+
+def _http_post_json(
+    url: str,
+    body: dict,
+    headers: dict[str, str],
+    timeout: float,
+    max_retries: int = 3,
+    retry_backoff: float = 0.5,
+) -> dict:
+    """POST with bounded retry on TRANSIENT statuses (429 rate limit,
+    5xx): exponential backoff (base * 2^attempt), honoring a numeric
+    Retry-After header when the server sends one.  Every other status
+    fails fast with the reference's golden error string (reference
+    embed_openai.go:103-105) — a 401 must not burn the backoff budget."""
     data = json.dumps(body).encode()
-    req = urllib.request.Request(url, data=data, method="POST")
-    req.add_header("Content-Type", "application/json")
-    for k, v in headers.items():
-        req.add_header(k, v)
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            if resp.status != 200:
-                # golden error (reference embed_openai.go:103-105)
+    for attempt in range(max_retries + 1):
+        req = urllib.request.Request(url, data=data, method="POST")
+        req.add_header("Content-Type", "application/json")
+        for k, v in headers.items():
+            req.add_header(k, v)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                if resp.status != 200:
+                    raise RuntimeError(
+                        f"error response from the embedding API: {resp.status}"
+                    )
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            transient = e.code == 429 or e.code >= 500
+            if not transient or attempt >= max_retries:
                 raise RuntimeError(
-                    f"error response from the embedding API: {resp.status}"
-                )
-            return json.loads(resp.read())
-    except urllib.error.HTTPError as e:
-        raise RuntimeError(
-            f"error response from the embedding API: {e.code} {e.reason}"
-        ) from e
+                    f"error response from the embedding API: {e.code} {e.reason}"
+                ) from e
+            delay = retry_backoff * (2**attempt)
+            ra = e.headers.get("Retry-After") if e.headers else None
+            if ra:
+                try:
+                    delay = max(delay, float(ra))
+                except ValueError:
+                    pass
+            _sleep(delay)
+    raise AssertionError("unreachable")
 
 
 @dataclass
@@ -107,6 +134,14 @@ class Embedder:
     normalized: bool | None = None
     timeout: float = 60.0
     batch_size: int = 64
+    # Rate-limit hardening: transient statuses (429/5xx) retry with
+    # exponential backoff inside the worker (see _http_post_json);
+    # max_inflight bounds CONCURRENT API calls issued by one
+    # embed_batch call (reference semaphore analog, collection.go:
+    # 203-242 — cluster-wide in-flight is max_inflight x running tasks).
+    max_retries: int = 3
+    retry_backoff: float = 0.5
+    max_inflight: int = 1
     # per-instance memo of the autodetect (reference sync.Once); NOT part
     # of pickled executor state semantics — each executor re-detects once,
     # which is equivalent.
@@ -117,11 +152,28 @@ class Embedder:
         raise NotImplementedError
 
     # -- core ------------------------------------------------------------
+    def _post(self, url: str, body: dict, headers: dict[str, str]) -> dict:
+        return _http_post_json(
+            url, body, headers, self.timeout, self.max_retries, self.retry_backoff
+        )
+
     def embed_batch(self, texts: Sequence[str]) -> list[list[float]]:
+        chunks = [
+            [str(t) for t in texts[i : i + self.batch_size]]
+            for i in range(0, len(texts), self.batch_size)
+        ]
+        if self.max_inflight > 1 and len(chunks) > 1:
+            # bounded in-flight requests; fail-fast — the first error
+            # propagates and undispatched chunks are cancelled (the
+            # reference's errgroup-with-semaphore shape)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=int(self.max_inflight)) as ex:
+                results = list(ex.map(self._request_batch, chunks))
+        else:
+            results = [self._request_batch(c) for c in chunks]
         out: list[list[float]] = []
-        for i in range(0, len(texts), self.batch_size):
-            chunk = [str(t) for t in texts[i : i + self.batch_size]]
-            vecs = self._request_batch(chunk)
+        for chunk, vecs in zip(chunks, results):
             if len(vecs) != len(chunk):
                 raise RuntimeError(
                     "no embeddings found in the response"
@@ -181,9 +233,7 @@ class OpenAICompatEmbedder(Embedder):
         hdrs = dict(self.headers)
         if self.api_key:
             hdrs.setdefault("Authorization", f"Bearer {self.api_key}")
-        resp = _http_post_json(
-            url, {"input": texts, "model": self.model}, hdrs, self.timeout
-        )
+        resp = self._post(url, {"input": texts, "model": self.model}, hdrs)
         data = resp.get("data") or []
         # OpenAI may return out of order; sort by index when present.
         if data and isinstance(data[0], dict) and "index" in data[0]:
@@ -200,11 +250,10 @@ class OllamaEmbedder(Embedder):
     model: str = "nomic-embed-text"
 
     def _request_batch(self, texts: list[str]) -> list[list[float]]:
-        resp = _http_post_json(
+        resp = self._post(
             self.base_url.rstrip("/") + "/embed",
             {"model": self.model, "input": texts},
             {},
-            self.timeout,
         )
         return resp.get("embeddings") or []
 
@@ -237,7 +286,7 @@ class CohereEmbedder(Embedder):
         for i, (itype, _) in enumerate(split):
             by_type.setdefault(itype, []).append(i)
         for itype, idxs in by_type.items():
-            resp = _http_post_json(
+            resp = self._post(
                 self.base_url.rstrip("/") + "/embed",
                 {
                     "model": self.model,
@@ -248,7 +297,6 @@ class CohereEmbedder(Embedder):
                     "Accept": "application/json",
                     "Authorization": f"Bearer {self.api_key}",
                 },
-                self.timeout,
             )
             vecs = resp.get("embeddings") or []
             if len(vecs) != len(idxs):
@@ -277,7 +325,7 @@ class VertexEmbedder(Embedder):
             f"{self.api_endpoint.rstrip('/')}/projects/{self.project}"
             f"/locations/us-central1/publishers/google/models/{self.model}:predict"
         )
-        resp = _http_post_json(
+        resp = self._post(
             url,
             {
                 "instances": [{"content": t} for t in texts],
@@ -287,7 +335,6 @@ class VertexEmbedder(Embedder):
                 "Accept": "application/json",
                 "Authorization": f"Bearer {self.api_key}",
             },
-            self.timeout,
         )
         preds = resp.get("predictions") or []
         return [

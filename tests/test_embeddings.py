@@ -162,8 +162,83 @@ def test_error_status_golden_message(mock_server):
 
     base, _ = mock_server(respond)
     emb = P.new_embedding_func_openai_compat(base, "k", "m", True)
+    emb.max_retries = 0  # retries off: plain fail-fast golden error
     with pytest.raises(RuntimeError, match="error response from the embedding API"):
         emb.embed("x")
+
+
+def test_transient_429_retries_then_succeeds(mock_server, monkeypatch):
+    """Rate-limit hardening: 429 (and 5xx) retry with exponential
+    backoff; the call succeeds once the server recovers."""
+    sleeps: list[float] = []
+    monkeypatch.setattr(P, "_sleep", sleeps.append)
+    calls = {"n": 0}
+
+    def respond(req):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            return 429, {"error": "rate limited"}
+        return 200, {"data": [{"embedding": [1.0, 0.0]}]}
+
+    base, state = mock_server(respond)
+    emb = P.new_embedding_func_openai_compat(base, "k", "m", True)
+    assert emb.embed("x") == [1.0, 0.0]
+    assert calls["n"] == 3
+    assert sleeps == [0.5, 1.0]  # base * 2^attempt
+
+
+def test_persistent_429_exhausts_budget_with_golden_error(mock_server, monkeypatch):
+    monkeypatch.setattr(P, "_sleep", lambda s: None)
+    calls = {"n": 0}
+
+    def respond(req):
+        calls["n"] += 1
+        return 429, {"error": "rate limited"}
+
+    base, _ = mock_server(respond)
+    emb = P.new_embedding_func_openai_compat(base, "k", "m", True)
+    emb.max_retries = 2
+    with pytest.raises(RuntimeError, match="error response from the embedding API: 429"):
+        emb.embed("x")
+    assert calls["n"] == 3  # initial + 2 retries, then fail
+
+
+def test_auth_error_fails_fast_without_retries(mock_server, monkeypatch):
+    """A 401 is NOT transient: no sleeps, exactly one request — the
+    backoff budget is reserved for rate limits and server errors."""
+    sleeps: list[float] = []
+    monkeypatch.setattr(P, "_sleep", sleeps.append)
+    calls = {"n": 0}
+
+    def respond(req):
+        calls["n"] += 1
+        return 401, {"error": "bad key"}
+
+    base, _ = mock_server(respond)
+    emb = P.new_embedding_func_openai_compat(base, "k", "m", True)
+    with pytest.raises(RuntimeError, match="error response from the embedding API: 401"):
+        emb.embed("x")
+    assert calls["n"] == 1
+    assert sleeps == []
+
+
+def test_bounded_inflight_parallel_chunks_preserve_order(mock_server):
+    """max_inflight > 1 issues chunk requests concurrently (bounded
+    thread pool — the reference's semaphore analog) and output order
+    still matches input order."""
+
+    def respond(req):
+        vecs = [[float(len(t)), 0.0] for t in req["body"]["input"]]
+        return 200, {"data": [{"embedding": v, "index": i} for i, v in enumerate(vecs)]}
+
+    base, state = mock_server(respond)
+    emb = P.new_embedding_func_openai_compat(base, "k", "m", True)
+    emb.batch_size = 1
+    emb.max_inflight = 4
+    texts = ["a", "bb", "ccc", "dddd"]
+    got = emb.embed_batch(texts)
+    assert [v[0] for v in got] == [1.0, 2.0, 3.0, 4.0]
+    assert len(state.requests) == 4
 
 
 def test_empty_response_error(mock_server):
