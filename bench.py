@@ -22,9 +22,50 @@ import __spark_entry__ as entry  # noqa: E402
 from chromem_go_spark.session import get_spark  # noqa: E402
 
 
+def isolated_main(name: str) -> None:
+    """Fresh-session single-query measurement (min-of-2) — the
+    BENCHNOTES isolation protocol as recorded data: a brand-new JVM,
+    nothing else run in the session, so the number is free of in-run
+    block-manager/session load. Prints one JSON line and exits."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(f"bench-isolated-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = {**entry.queries(), **entry.extra_queries()}
+    fn = qs[name]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    print(json.dumps({"name": name, "sec": round(best, 3)}))
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
+        isolated_main(sys.argv[2])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Isolated-mode control point FIRST, before this process starts its
+    # own JVM work: ngram_jaccard in a fresh subprocess session on an
+    # otherwise-quiet machine (never two WORKING Spark JVMs at once).
+    # Pins the in-run vs isolated gap BENCHNOTES attributes to session
+    # load as recorded data each round.
+    errors: dict[str, str] = {}
+    iso_time: float | None = None
+    try:
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated", "ngram_jaccard"],
+            capture_output=True, text=True, timeout=600, check=True,
+        )
+        iso_time = float(json.loads(r.stdout.strip().splitlines()[-1])["sec"])
+        print(f"# ngram_jaccard_isolated: {iso_time}s (fresh session)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        errors["ngram_jaccard_isolated"] = f"{type(e).__name__}: {e}"[:300]
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -90,8 +131,6 @@ def main() -> None:
     # compilation + any transient JVM/OS contention; the min is the
     # steady-state number (the reference's Go benchmark harness likewise
     # reports averaged steady-state ns/op).
-    errors: dict[str, str] = {}
-
     import gc
 
     # Heavy similarity-join queries run FIRST (fresh block manager —
@@ -279,6 +318,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # control point, kept OUT of the total for round-over-round
+        # comparability of `value`
+        "ngram_jaccard_isolated": iso_time,
         "knn_batch_100k_1536": point64,
         "knn_batch_100k_1536_q256": point256,
     }

@@ -291,3 +291,40 @@ def test_pq_append_batch_and_compact(spark, emb, tmp_path):
         for r in re2.search_batch(["q"], [q], 5, nprobe=8, rerank=n_corpus).collect()
     ]
     assert got2 == exact
+
+
+def test_soak_ivf_append_many_batches_manifest_compaction(spark, emb, tmp_path):
+    """Soak: build on a seed slice, append ~30 micro-batches (one
+    replayed mid-run = restart), compacting in manifest mode every 10.
+    Search results must equal brute force over the full corpus at every
+    checkpoint and the partition count stays bounded."""
+    import os
+
+    path = str(tmp_path / "ivf_soak")
+    n_batches = 30
+    base = emb.filter(F.col("vec_id") % (n_batches + 1) == n_batches)
+    A.IVFIndex.build(base, n_clusters=8, vec_col="embedding", id_col="vec_id").save(path)
+
+    q = _qvec(emb, 7)
+    for bid in range(n_batches):
+        b = emb.filter(F.col("vec_id") % (n_batches + 1) == bid)
+        A.IVFIndex.append_batch(b, path, bid, vec_col="embedding", id_col="vec_id")
+        if bid == 13:  # restart: redelivered batch replaces itself
+            A.IVFIndex.append_batch(b, path, bid, vec_col="embedding", id_col="vec_id")
+        if bid % 10 == 9:
+            A.IVFIndex.compact(spark, path, commit_mode="manifest")
+            parts = [d for d in os.listdir(path) if d.startswith("__batch=")]
+            assert len(parts) <= 11, parts  # one generation + ≤10 recents
+
+    A.IVFIndex.compact(spark, path, commit_mode="manifest")
+    loaded = A.IVFIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    assert loaded.assigned.count() == emb.count()  # no loss, no duplicates
+    exact = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in K.knn_single(emb, q, 5, vec_col="embedding", id_col="vec_id").collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in loaded.search(q, 5, nprobe=8).collect()
+    ]
+    assert got == exact

@@ -397,3 +397,44 @@ def test_image_neardup_pairs_banded_join(spark):
     assert pairs[("a", "a2")] == 0
     assert pairs.get(("a", "ap"), 99) <= 1
     assert not any("z" in p for p in pairs)
+
+
+def test_pil_decode_matches_stdlib_png_path(spark):
+    """PIL-present path (skip-marked where pillow is absent): a
+    LOSSLESS PIL-encoded format (BMP) of the same pixels must decode to
+    the same greyscale array as our stdlib PNG codec, and therefore the
+    same dHash — proving the pluggable decode path produces identical
+    downstream behavior, not just plausible pixels."""
+    import io
+
+    Image = pytest.importorskip("PIL.Image", reason="pillow not installed")
+
+    w, h = 16, 12
+    px = bytes((x * 7 + y * 11) % 256 for y in range(h) for x in range(w))
+    png = M.encode_png_gray(w, h, px)
+    img = Image.frombytes("L", (w, h), px)
+    buf = io.BytesIO()
+    img.save(buf, format="BMP")
+    bmp = buf.getvalue()
+
+    assert M._decode_image_bytes(bmp) == (w, h, px) == M._decode_image_bytes(png)
+    df = spark.createDataFrame(
+        [("png", png), ("bmp", bmp)], "media_id string, data binary"
+    )
+    got = {r["media_id"]: r["dhash"] for r in M.image_dhash(df).collect()}
+    assert got["png"] == got["bmp"]
+
+
+def test_non_png_without_pil_raises_documented_stub_error():
+    """Where pillow is absent, a real non-PNG format fails with the
+    DOCUMENTED stub error (graceful dependency degradation), never an
+    opaque decode crash."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow installed: stub error unreachable")
+    except ImportError:
+        pass
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    with pytest.raises(NotImplementedError, match="PIL/pillow"):
+        M._decode_image_bytes(jpeg_magic)

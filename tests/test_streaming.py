@@ -386,3 +386,75 @@ def test_incremental_neardup_stream_sink(spark, tmp_path, sf_dir):
         for r in spark.read.parquet(f"{state}/pairs").collect()
     }
     assert got == expect
+
+
+def test_soak_incremental_neardup_manifest_mode(spark, tmp_path, sf_dir):
+    """Soak: ~30 micro-batches through the incremental near-dup state
+    with aggressive compaction in MANIFEST commit mode (the
+    object-store-safe protocol), a replayed batch mid-run (restart
+    semantics), and a simulated crash window (uncommitted generation
+    dir) injected between folds.  Invariants: final pair log equals the
+    one-shot LSH run, state partition count stays bounded, and the
+    manifest names the live generation."""
+    import json
+    import os
+
+    from chromem_go_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expect = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+
+    n_batches = 30
+    state = str(tmp_path / "soak_state")
+    for bid in range(n_batches):
+        b = docs.filter(F.col("doc_id") % n_batches == bid)
+        S.incremental_neardup_batch(
+            b, state, threshold=0.5, batch_id=bid,
+            compact_after=4, commit_mode="manifest",
+        )
+        if bid == 14:
+            # restart: the same batch redelivered after a crash
+            S.incremental_neardup_batch(
+                b, state, threshold=0.5, batch_id=bid,
+                compact_after=4, commit_mode="manifest",
+            )
+        if bid == 20:
+            # crash window: a stale uncommitted generation dir appears
+            # (fold died before its manifest commit); readers must
+            # ignore it and the next fold must replace it.  The stale
+            # dir is the generation that is NOT the committed base.
+            man_path = os.path.join(state, "pairs", "_base_manifest.json")
+            base_id = -99
+            if os.path.exists(man_path):
+                with open(man_path) as f:
+                    base_id = int(json.load(f)["base"].split("=")[1])
+            stale_gen = -4 if base_id != -4 else -3
+            stale = spark.read.parquet(f"{state}/pairs").limit(2)
+            (
+                stale.withColumn("__batch", F.lit(stale_gen))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch")
+                .parquet(f"{state}/pairs")
+            )
+
+    from chromem_go_spark.batchstate import read_live
+
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in read_live(spark, f"{state}/pairs").collect()
+    }
+    assert got == expect
+    for tbl in ("buckets", "shingles", "pairs"):
+        parts = [p for p in os.listdir(f"{state}/{tbl}") if p.startswith("__batch=")]
+        # bounded: one live generation + at most compact_after recents
+        # (+1 for a not-yet-folded current, +1 stale pre-GC dir)
+        assert len(parts) <= 4 + 3, (tbl, parts)
+        man = os.path.join(state, tbl, "_base_manifest.json")
+        assert os.path.exists(man), tbl
+        with open(man) as f:
+            base = json.load(f)["base"]
+        assert base in parts, (tbl, base, parts)
