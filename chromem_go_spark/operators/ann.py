@@ -663,3 +663,106 @@ class IVFIndex:
             .select("query_id", self.id_col, "similarity")
         )
         return knn_ops.topk_per_query(scored, k, "query_id", self.id_col)
+
+
+def tune_ivf(
+    emb: DataFrame,
+    target_recall: float = 0.95,
+    k: int = 10,
+    n_queries: int = 16,
+    candidate_nlist: Sequence[int] = (8, 16, 32),
+    pq_m: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """Pick an IVF operating point (n_clusters, nprobe[, rerank]) that
+    hits ``target_recall`` recall@k with the smallest probed-corpus
+    fraction, from a MEASURED sweep — not a heuristic.
+
+    Protocol: sample ``n_queries`` held-in query vectors, compute exact
+    brute-force top-k as ground truth, then for each candidate
+    ``n_clusters`` build an index once and raise nprobe (1, 2, 4, ...)
+    until the target is met.  Among configurations meeting the target,
+    choose the one with the lowest expected scan fraction
+    (nprobe / n_clusters — the cost a probe actually pays, since
+    cluster partitions prune the scan).  With ``pq_m`` set, additionally
+    sweep the PQ rerank depth (k, 2k, 5k, 10k) at the chosen point.
+
+    At 100 TB this runs unchanged on a SAMPLE of the corpus (recall is
+    a distribution property, not a row-count property); the returned
+    settings transfer to the full build with the same nlist-to-corpus
+    ratio.  Returns {"n_clusters", "nprobe", "recall", "scan_fraction",
+    "sweep": [...], and "rerank"/"pq_recall" when pq_m is set}.
+    """
+    from ..materialize import materialize
+
+    qdf = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(int(n_queries))
+    )
+    qrows = qdf.collect()
+    qids = [str(r[id_col]) for r in qrows]
+    qvecs = [list(r[vec_col]) for r in qrows]
+    exact: dict[str, set] = {}
+    ground = knn_ops.knn_block(emb, qids, qvecs, k, vec_col=vec_col, id_col=id_col)
+    for r in ground.collect():
+        exact.setdefault(r["query_id"], set()).add(r[id_col])
+
+    def recall_of(rows) -> float:
+        got: dict[str, set] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r[id_col])
+        per_q = [len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact]
+        return sum(per_q) / len(per_q)
+
+    sweep: list[dict] = []
+    viable: list[dict] = []
+    n_rows = emb.count()
+    for nlist in candidate_nlist:
+        if nlist > max(n_rows // 2, 1):
+            continue  # degenerate: fewer than 2 vectors per cluster
+        idx = IVFIndex.build(emb, n_clusters=int(nlist), vec_col=vec_col, id_col=id_col)
+        idx.assigned = materialize(idx.assigned)
+        nprobe = 1
+        while nprobe <= nlist:
+            r = recall_of(idx.search_batch(qids, qvecs, k, nprobe=nprobe).collect())
+            point = {
+                "n_clusters": int(nlist),
+                "nprobe": int(nprobe),
+                "recall": round(r, 4),
+                "scan_fraction": round(nprobe / nlist, 4),
+            }
+            sweep.append(point)
+            if r >= target_recall:
+                viable.append(point)
+                break  # smallest nprobe meeting target for this nlist
+            nprobe *= 2
+    if not viable:
+        # nothing met the target: fall back to the best recall measured
+        best = max(sweep, key=lambda p: (p["recall"], -p["scan_fraction"]))
+    else:
+        best = min(viable, key=lambda p: (p["scan_fraction"], p["n_clusters"]))
+    out = dict(best)
+    out["target_recall"] = target_recall
+    out["sweep"] = sweep
+
+    if pq_m is not None:
+        pq = IVFPQIndex.build(
+            emb,
+            n_clusters=out["n_clusters"],
+            m=int(pq_m),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        for rerank in (k, 2 * k, 5 * k, 10 * k):
+            r = recall_of(
+                pq.search_batch(
+                    qids, qvecs, k, nprobe=out["nprobe"], rerank=rerank
+                ).collect()
+            )
+            out["rerank"], out["pq_recall"] = int(rerank), round(r, 4)
+            if r >= target_recall:
+                break
+    return out

@@ -328,3 +328,26 @@ def test_soak_ivf_append_many_batches_manifest_compaction(spark, emb, tmp_path):
         for r in loaded.search(q, 5, nprobe=8).collect()
     ]
     assert got == exact
+
+
+def test_tune_ivf_hits_target_recall(spark, emb):
+    """Auto-tuner: the returned operating point's measured recall meets
+    the target, the sweep is recorded, and the chosen point is the
+    cheapest (lowest scan fraction) among viable ones."""
+    out = A.tune_ivf(
+        emb, target_recall=0.9, k=5, n_queries=8, candidate_nlist=(4, 8)
+    )
+    assert out["recall"] >= 0.9
+    assert 1 <= out["nprobe"] <= out["n_clusters"]
+    assert out["n_clusters"] in (4, 8)
+    viable = [p for p in out["sweep"] if p["recall"] >= 0.9]
+    assert out["scan_fraction"] == min(p["scan_fraction"] for p in viable)
+
+
+def test_tune_ivf_pq_rerank_sweep(spark, emb):
+    out = A.tune_ivf(
+        emb, target_recall=0.85, k=5, n_queries=8,
+        candidate_nlist=(8,), pq_m=8,
+    )
+    assert "rerank" in out and out["rerank"] >= 5
+    assert out["pq_recall"] >= 0.85 or out["rerank"] == 50  # swept to cap
