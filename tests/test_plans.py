@@ -153,3 +153,19 @@ def test_pack_chunks_single_doc_partitioned_window(docs):
     # partitioning already satisfies the window's requirement)
     assert flags["n_shuffles"] <= 1, flags
     assert not flags["has_python_eval"]
+
+
+def test_image_neardup_hamming_join_is_hash_not_cartesian(spark):
+    """The perceptual-hash near-dup join must go through the banded
+    (chunk_idx, chunk_value) equi-join — a hash join, never a cartesian
+    product — same gate as the text simhash path."""
+    from chromem_go_spark.multimodal.ops import encode_fake_image, image_neardup_pairs
+
+    rows = [(str(i), encode_fake_image(16, 12, seed=i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "media_id string, data binary")
+    pairs = image_neardup_pairs(df, max_hamming=3)
+    plan = X.formatted_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join on the chunk key (hash-partitioned or broadcast-hash)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
