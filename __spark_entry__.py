@@ -842,6 +842,57 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3/C4 protocol): corpus docs
+    sharing any 4-word n-gram with the held-out eval slice
+    (doc_id%50==0). Eval shingles broadcast; corpus never shuffles
+    (pipeline.decontaminate). Oracle replays the word tokenizer +
+    n-gram join in SQL."""
+    from chromem_go_spark.pipeline import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, ev, n=4)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass: deterministic emails/IPs are planted on a
+    subset of documents, then redacted with the codegen scrubber
+    (functions/text.scrub_pii). Output carries match counts and an md5
+    of the scrubbed text so the oracle value-checks the REDACTION
+    itself, not just the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return planted.select(
+        "doc_id",
+        T.pii_email_count("t").cast("bigint").alias("n_emails"),
+        T.pii_ipv4_count("t").cast("bigint").alias("n_ips"),
+        F.md5(T.scrub_pii("t")).alias("clean_fp"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -925,7 +976,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ivf_search_exact (batch vs single probe), knn_batch_expr /
     knn_batch_per_filter2~knn_batch / knn_batch_per_filter (expression
     vs GEMM kernel; filter-DSL variant), events_percentiles_approx~
-    events_percentiles (approx knob; rows-only by design)."""
+    events_percentiles (approx knob; rows-only by design).
+
+    Also hosts NEW operators added after the canonical window filled
+    (each value-checked by selfcheck, just without a driver row):
+    decontaminate (eval-set n-gram overlap), pii_scrub (email/IPv4
+    redaction)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -935,6 +991,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch_per_filter2": q_knn_batch_per_filter2,
         "knn_batch_expr": q_knn_batch_expr,
         "events_percentiles_approx": q_events_percentiles_approx,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1752,6 +1810,44 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f, b.f)) <= 6
 """,
+        "decontaminate": r"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                i -> array_to_string(list_slice(w, i, i + 3), ' '))) AS sh
+  FROM tok
+),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+SELECT corp.doc_id, COUNT(*) AS n_shared
+FROM corp JOIN ev USING (sh)
+GROUP BY corp.doc_id
+""",
+        "pii_scrub": r"""
+WITH t AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp
+FROM t
+""",
     }
 
 
@@ -1765,6 +1861,8 @@ _EXTRA_KEYS = frozenset(
         "knn_batch_per_filter2",
         "knn_batch_expr",
         "events_percentiles_approx",  # no oracle (approx) — listed for symmetry
+        "decontaminate",
+        "pii_scrub",
     }
 )
 

@@ -119,6 +119,8 @@ def main() -> None:
         "orders_rollup",
         "standing_queries",
         "salted_join_events",
+        "decontaminate",
+        "pii_scrub",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -231,3 +231,27 @@ def quality_score(text: Column | str) -> Column:
     len_ok = F.when((m >= 3) & (m <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     raw = a * len_ok - p
     return F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw))
+
+
+# PII patterns chosen to mean the SAME thing in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b and \d only —
+# no backrefs, no lookaround, no engine-divergent alternation.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_email_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(text), F.lit(PII_EMAIL), F.lit(0)))
+
+
+def pii_ipv4_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(text), F.lit(PII_IPV4), F.lit(0)))
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails then IPv4 literals with typed placeholders — the
+    standard pre-training hygiene pass, pure codegen (regexp_replace is
+    global in Spark; order matters: an email whose domain is an IP
+    redacts as one <EMAIL>, not an <EMAIL> wrapping an <IP>)."""
+    t = F.regexp_replace(_col(text), PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(t, PII_IPV4, "<IP>")

@@ -239,3 +239,50 @@ def chunked_training_corpus(
             ).alias("chunk"),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-set decontamination: flag corpus documents sharing any
+    word n-gram with a benchmark/eval set (the published GPT-3 / C4
+    protocol — training documents overlapping eval data by a long
+    n-gram are dropped so benchmarks measure generalization, not
+    memorization).
+
+    Returns ``(id_col, n_shared)`` for CONTAMINATED corpus docs only —
+    anti-join against it to clean, join to audit.
+
+    Scale shape: the eval side is tiny relative to the corpus, so its
+    distinct shingle set BROADCASTS; the corpus side streams through a
+    broadcast hash join with no corpus shuffle — at 100 TB the cost is
+    one scan of the corpus plus an n_shared aggregation on matched rows
+    only. The n-gram unit is the word tokenizer shared with the Jaccard
+    family (functions/text.word_tokens), so behavior is consistent
+    across the dedup stack."""
+
+    def shingles(df: DataFrame) -> DataFrame:
+        w = T.word_tokens(text_col)
+        grams = F.when(
+            F.size(w) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            )
+        )
+        return df.select(
+            F.col(id_col), F.explode_outer(grams).alias("sh")
+        ).distinct()
+
+    ev = shingles(eval_docs).select("sh").distinct()
+    return (
+        shingles(corpus)
+        .join(F.broadcast(ev), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -207,3 +207,34 @@ def test_sample_per_group_deterministic_and_nested(spark, docs):
     }
     for r in sizes:
         assert r["count"] == min(5, group_totals[r["lang"]])
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from chromem_go_spark.pipeline import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark engines"),
+            (3, "quick brown fox jumps again and again today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in decontaminate(corpus, ev, n=4).collect()}
+    # doc 1 shares 'the quick brown fox' / 'quick brown fox jumps';
+    # doc 3 shares 'quick brown fox jumps'; doc 2 is clean
+    assert set(got) == {1, 3}
+    assert got[1] >= 2 and got[3] >= 1
+
+
+def test_decontaminate_short_docs_never_flagged(spark):
+    from chromem_go_spark.pipeline import decontaminate
+
+    corpus = spark.createDataFrame([(1, "too short")], "doc_id bigint, text string")
+    ev = spark.createDataFrame([(9, "too short")], "doc_id bigint, text string")
+    # both under n tokens: no shingles, no contamination, no crash
+    assert decontaminate(corpus, ev, n=8).count() == 0

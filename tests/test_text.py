@@ -208,3 +208,30 @@ def test_line_repetition_crlf(spark):
     assert got[1] == (["a", "b", "c"], 0.0)
     assert got[2][0] == ["x", "x", "y"]
     assert got[2][1] == pytest.approx(round(1 - 2 / 3, 4))
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org or ops@x.io from 192.168.0.1 now"),
+            (2, "no pii here at all"),
+            (3, "an email user@host.com with ip-ish 999.1.2.3 token"),
+        ],
+        "id bigint, t string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            T.pii_email_count("t").alias("ne"),
+            T.pii_ipv4_count("t").alias("ni"),
+            T.scrub_pii("t").alias("clean"),
+        ).collect()
+    }
+    assert (rows[1]["ne"], rows[1]["ni"]) == (2, 1)
+    assert "<EMAIL>" in rows[1]["clean"] and "<IP>" in rows[1]["clean"]
+    assert "@" not in rows[1]["clean"]
+    assert rows[2]["clean"] == "no pii here at all"
+    # the loose ipv4 shape accepts 999.1.2.3 (documented: shape-level
+    # redaction, not RFC validation — over-redaction is the safe side)
+    assert rows[3]["ni"] == 1
