@@ -225,7 +225,9 @@ def _fold_manifest(
     partition_cols: list,
     exclude_batch: int | None,
     threshold: int,
-) -> None:
+    transform=None,
+    force: bool = False,
+) -> bool:
     jvm, fs, hpath = _fs(spark, table_path)
     _heal_manifest(spark, table_path)
     man = _read_manifest(spark, table_path)
@@ -239,14 +241,17 @@ def _fold_manifest(
         if st.getPath().getName().startswith("__batch=")
         and st.getPath().getName() not in keep
     ]
-    if len(foldable) < max(int(threshold), 1):
-        return
+    if not force and len(foldable) < max(int(threshold), 1):
+        return False
     from .materialize import materialize
 
     src = read_live(spark, table_path)
     if exclude_batch is not None:
         src = src.filter(F.col("__batch") != F.lit(int(exclude_batch)))
-    folded = materialize(src.drop("__batch").dropDuplicates())
+    folded = src.drop("__batch").dropDuplicates()
+    if transform is not None:
+        folded = transform(folded)
+    folded = materialize(folded)
     # write the new generation (the one that is NOT the current base);
     # a half-written leftover from a prior crash is stale by definition
     target = _GEN_A if base != f"__batch={_GEN_A}" else _GEN_B
@@ -267,6 +272,7 @@ def _fold_manifest(
         gone = jvm.org.apache.hadoop.fs.Path(table_path, name)
         if fs.exists(gone):
             fs.delete(gone, True)
+    return True
 
 
 def _write_manifest(spark: SparkSession, table_path: str, payload: dict) -> None:
@@ -300,8 +306,12 @@ def fold_batch_partitions(
     exclude_batch: int | None = None,
     threshold: int = 0,
     commit_mode: str = "rename",
-) -> None:
+    transform=None,
+    force: bool = False,
+) -> bool:
     """Fold history ``__batch=N`` partitions into ``__batch=<base_batch>``.
+    Returns True iff a fold actually ran (callers gating side effects —
+    e.g. tombstone clearing — on the fold having happened need this).
 
     ``exclude_batch``: a CURRENT batch to leave untouched (its
     replay-overwrite contract must survive compaction).  ``threshold``:
@@ -310,15 +320,23 @@ def fold_batch_partitions(
     docstring — ``"rename"`` (POSIX/HDFS) or ``"manifest"``
     (object-store-safe; ``base_batch`` is ignored, the live base is the
     manifest-named generation and readers use :func:`read_live`).
+    ``transform``: optional DataFrame->DataFrame applied to the folded
+    rows before they are staged — the hook for compaction-time physical
+    deletes (tombstone application); it MUST be idempotent, since a
+    crash-healed fold may re-apply it.  ``force``: fold even when no
+    history dirs are waiting (rewrites the base alone — how a transform
+    reaches a table with nothing else to fold).
     """
     if commit_mode not in ("rename", "manifest"):
         raise ValueError(f"unknown commit_mode: {commit_mode!r}")
     jvm, fs, hpath = _fs(spark, table_path)
     if not fs.exists(hpath):
-        return
+        return False
     if commit_mode == "manifest":
-        _fold_manifest(spark, table_path, partition_cols, exclude_batch, threshold)
-        return
+        return _fold_manifest(
+            spark, table_path, partition_cols, exclude_batch, threshold,
+            transform, force,
+        )
     _heal_pending(spark, table_path, base_batch)
     keep = {f"__batch={base_batch}", f"__batch={_STAGE_BATCH}"}
     if exclude_batch is not None:
@@ -329,8 +347,8 @@ def fold_batch_partitions(
         if st.getPath().getName().startswith("__batch=")
         and st.getPath().getName() not in keep
     ]
-    if len(foldable) < max(int(threshold), 1):
-        return
+    if not force and len(foldable) < max(int(threshold), 1):
+        return False
     from .materialize import materialize
 
     src = spark.read.parquet(table_path)
@@ -338,7 +356,10 @@ def fold_batch_partitions(
         src = src.filter(F.col("__batch") != F.lit(int(exclude_batch)))
     # dedup: collapses duplicate rows left by a crash in the no-marker
     # window (stale staging dir, or base written twice by old versions)
-    folded = materialize(src.drop("__batch").dropDuplicates())
+    folded = src.drop("__batch").dropDuplicates()
+    if transform is not None:
+        folded = transform(folded)
+    folded = materialize(folded)
     # source dirs are safe to read from now on: folded is pinned
     stage_name = f"__batch={_STAGE_BATCH}"
     stage_path = jvm.org.apache.hadoop.fs.Path(table_path, stage_name)
@@ -367,3 +388,4 @@ def fold_batch_partitions(
             f"under {table_path}"
         )
     fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, _MARKER), False)
+    return True

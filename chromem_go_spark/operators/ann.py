@@ -282,10 +282,15 @@ class IVFPQIndex:
         with open(os.path.join(path, "_pq_meta.json")) as f:
             meta = json.load(f)
 
+        tombs = load_tombstones(spark, path, meta["id_col"])
+
         def rd(sub: str) -> DataFrame:
-            # manifest-aware: filters uncommitted/obsolete fold dirs
+            # manifest-aware: filters uncommitted/obsolete fold dirs,
+            # then anti-joins tombstoned ids (logical deletes)
             df = read_live(spark, os.path.join(path, sub))
-            return df.drop("__batch") if "__batch" in df.columns else df
+            if "__batch" in df.columns:
+                df = df.drop("__batch")
+            return apply_tombstones(df, tombs, meta["id_col"])
 
         return cls(
             np.asarray(meta["centroids"], dtype=np.float64),
@@ -339,28 +344,55 @@ class IVFPQIndex:
         )
 
     @classmethod
+    def delete_ids(cls, spark: SparkSession, path: str, ids: Sequence) -> None:
+        """Logical delete by id (tombstone at the INDEX root, shared by
+        the codes and vectors tables): O(ids); ``load`` anti-joins,
+        ``compact`` applies physically to both tables."""
+        import json
+        import os
+
+        with open(os.path.join(path, "_pq_meta.json")) as f:
+            id_col = json.load(f)["id_col"]
+        append_tombstones(spark, path, ids, id_col)
+
+    @classmethod
     def compact(
         cls, spark: SparkSession, path: str, commit_mode: str = "rename"
     ) -> None:
         """Fold appended micro-batch partitions into the base (codes and
-        vectors both); run between ingest sessions.  ``commit_mode=
-        "manifest"`` for object stores (see batchstate.py)."""
+        vectors both) and physically apply tombstoned deletes; run
+        between ingest sessions.  ``commit_mode="manifest"`` for object
+        stores (see batchstate.py).  Tombstones are cleared only after
+        BOTH tables folded (a crash between re-applies them — no-op)."""
+        import json
         import os
 
-        fold_batch_partitions(
+        with open(os.path.join(path, "_pq_meta.json")) as f:
+            id_col = json.load(f)["id_col"]
+        tombs = load_tombstones(spark, path, id_col)
+        xf = None if tombs is None else (
+            lambda df: apply_tombstones(df, tombs, id_col)
+        )
+        folded_codes = fold_batch_partitions(
             spark,
             os.path.join(path, "codes"),
             ["__batch", "cluster_id"],
             cls._BASE_BATCH,
             commit_mode=commit_mode,
+            transform=xf,
+            force=tombs is not None,
         )
-        fold_batch_partitions(
+        folded_vecs = fold_batch_partitions(
             spark,
             os.path.join(path, "vectors"),
             ["__batch"],
             cls._BASE_BATCH,
             commit_mode=commit_mode,
+            transform=xf,
+            force=tombs is not None,
         )
+        if tombs is not None and folded_codes and folded_vecs:
+            clear_tombstones(spark, path)
 
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)
@@ -542,6 +574,9 @@ class IVFIndex:
         df = read_live(spark, path)  # manifest-aware fold-dir filtering
         if "__batch" in df.columns:
             df = df.drop("__batch")
+        # logical deletes: anti-join tombstoned ids (physically applied
+        # by the next compact)
+        df = apply_tombstones(df, load_tombstones(spark, path, id_col), id_col)
         return cls(cents, df, vec_col, id_col)
 
     @classmethod
@@ -588,21 +623,48 @@ class IVFIndex:
         )
 
     @classmethod
+    def delete_ids(
+        cls, spark: SparkSession, path: str, ids: Sequence, id_col: str = "vec_id"
+    ) -> None:
+        """Logical delete by id (tombstone): O(ids), index untouched;
+        ``load`` anti-joins immediately, ``compact`` applies physically."""
+        append_tombstones(spark, path, ids, id_col)
+
+    @classmethod
     def compact(
-        cls, spark: SparkSession, path: str, commit_mode: str = "rename"
+        cls,
+        spark: SparkSession,
+        path: str,
+        commit_mode: str = "rename",
+        id_col: str = "vec_id",
     ) -> None:
         """Fold every appended ``__batch=N`` partition into the
         ``__batch=-1`` base, bounding partition count (file-listing cost
-        grows with micro-batch count otherwise).  Run between ingest
-        sessions — not concurrently with an active append.
-        ``commit_mode="manifest"`` for object stores (see batchstate.py)."""
-        fold_batch_partitions(
+        grows with micro-batch count otherwise), and PHYSICALLY apply
+        any tombstoned deletes (crash-safe: the filter runs inside the
+        fold's stage-then-promote, and tombstones are cleared only after
+        the fold commits — a crash re-applies them, which is a no-op).
+        Run between ingest sessions — not concurrently with an active
+        append.  ``commit_mode="manifest"`` for object stores (see
+        batchstate.py)."""
+        tombs = load_tombstones(spark, path, id_col)
+        folded = fold_batch_partitions(
             spark,
             path,
             ["__batch", "cluster_id"],
             cls._BASE_BATCH,
             commit_mode=commit_mode,
+            transform=(
+                None if tombs is None else (lambda df: apply_tombstones(df, tombs, id_col))
+            ),
+            # with tombstones pending, fold even if no history dirs wait
+            # (the base alone must rewrite to apply them physically)
+            force=tombs is not None,
         )
+        if tombs is not None and folded:
+            # cleared ONLY after the fold committed — a crash before
+            # this re-applies the tombstones next time (idempotent)
+            clear_tombstones(spark, path)
 
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)
@@ -766,3 +828,64 @@ def tune_ivf(
             if r >= target_recall:
                 break
     return out
+
+
+# ---------------------------------------------------------------- tombstones
+
+_TOMBSTONES = "_tombstones"  # underscore prefix: parquet readers skip it
+
+
+def _tombstone_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, _TOMBSTONES)
+
+
+def append_tombstones(
+    spark: SparkSession, path: str, ids: Sequence, id_col: str = "vec_id"
+) -> None:
+    """Logical delete for an appendable index: record deleted ids in a
+    ``_tombstones`` side table (underscore-prefixed, so index scans
+    never see it).  O(ids) — the index data is untouched; loads
+    anti-join the tombstones and the next compact applies them
+    physically.  Idempotent: re-deleting an id is a duplicate row the
+    anti-join semantics absorb.  This is the standard segment-store
+    delete (tombstone + merge-on-compaction), the same story Lucene /
+    Delta deletion vectors use."""
+    if not list(ids):
+        return
+    # ids are stored as strings: comparisons cast consistently below
+    df = spark.createDataFrame([(str(i),) for i in ids], f"{id_col} string")
+    df.write.mode("append").parquet(_tombstone_path(path))
+
+
+def load_tombstones(spark: SparkSession, path: str, id_col: str = "vec_id"):
+    """Tombstoned ids as a 1-column DataFrame, or None when there are
+    none recorded."""
+    import os
+
+    tp = _tombstone_path(path)
+    if not os.path.exists(tp):
+        return None
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.read.parquet(tp).select(id_col).distinct()
+    except AnalysisException:
+        return None  # dir exists but holds no parquet (cleared)
+
+
+def apply_tombstones(df: DataFrame, tombs, id_col: str):
+    """Anti-join deleted ids out (string-normalized comparison — the
+    tombstone table stores ids as strings regardless of source type)."""
+    if tombs is None:
+        return df
+    left = df.withColumn("__tid", F.col(id_col).cast("string"))
+    t = tombs.select(F.col(tombs.columns[0]).cast("string").alias("__tid"))
+    return left.join(F.broadcast(t), "__tid", "left_anti").drop("__tid")
+
+
+def clear_tombstones(spark: SparkSession, path: str) -> None:
+    import shutil
+
+    shutil.rmtree(_tombstone_path(path), ignore_errors=True)

@@ -351,3 +351,79 @@ def test_tune_ivf_pq_rerank_sweep(spark, emb):
     )
     assert "rerank" in out and out["rerank"] >= 5
     assert out["pq_recall"] >= 0.85 or out["rerank"] == 50  # swept to cap
+
+
+def test_ivf_tombstone_delete_then_compact(spark, emb, tmp_path):
+    """Tombstone deletes: logical immediately (load anti-joins), then
+    physical at compact (base rewritten, tombstones cleared). Deleted
+    ids never appear in search results at either stage."""
+    import os
+
+    path = str(tmp_path / "ivf_del")
+    A.IVFIndex.build(emb, n_clusters=8, vec_col="embedding", id_col="vec_id").save(path)
+    n_all = emb.count()
+    victims = [0, 3, 7]
+
+    A.IVFIndex.delete_ids(spark, path, victims)
+    A.IVFIndex.delete_ids(spark, path, [3])  # re-delete: idempotent
+    loaded = A.IVFIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    assert loaded.assigned.count() == n_all - 3
+    got = [r["vec_id"] for r in loaded.search(_qvec(emb, 7), 10, nprobe=8).collect()]
+    assert not set(got) & set(victims)
+
+    A.IVFIndex.compact(spark, path)
+    # physically gone: the RAW table (no tombstone filter) excludes them
+    raw_ids = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert not raw_ids & set(victims)
+    assert len(raw_ids) == n_all - 3
+    assert not os.path.exists(os.path.join(path, "_tombstones"))
+    # equivalence: search over the compacted index == brute force over
+    # the surviving corpus
+    surv = emb.filter(~F.col("vec_id").isin(victims))
+    q = _qvec(emb, 7)
+    exact = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in K.knn_single(surv, q, 5, vec_col="embedding", id_col="vec_id").collect()
+    ]
+    re = A.IVFIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    got2 = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in re.search(q, 5, nprobe=8).collect()
+    ]
+    assert got2 == exact
+
+
+def test_ivf_tombstone_compact_without_appends_applies(spark, emb, tmp_path):
+    """Physical apply must happen even when NO appended batches are
+    waiting (the force path): clearing tombstones without rewriting the
+    base would resurrect deleted ids."""
+    path = str(tmp_path / "ivf_del2")
+    A.IVFIndex.build(emb, n_clusters=4, vec_col="embedding", id_col="vec_id").save(path)
+    A.IVFIndex.delete_ids(spark, path, [1])
+    A.IVFIndex.compact(spark, path)  # no __batch dirs besides base
+    raw_ids = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert 1 not in raw_ids
+    loaded = A.IVFIndex.load(spark, path, vec_col="embedding", id_col="vec_id")
+    assert loaded.assigned.count() == emb.count() - 1
+
+
+def test_pq_tombstone_delete_then_compact(spark, emb, tmp_path):
+    path = str(tmp_path / "pq_del")
+    A.IVFPQIndex.build(emb, n_clusters=8, m=8, vec_col="embedding", id_col="vec_id").save(path)
+    n_all = emb.count()
+    A.IVFPQIndex.delete_ids(spark, path, [2, 5])
+    loaded = A.IVFPQIndex.load(spark, path)
+    got = [
+        r["vec_id"]
+        for r in loaded.search_batch(
+            ["q"], [_qvec(emb, 7)], 10, nprobe=8, rerank=50
+        ).collect()
+    ]
+    assert not {2, 5} & set(got)
+
+    A.IVFPQIndex.compact(spark, path, commit_mode="manifest")
+    import os
+    assert not os.path.exists(os.path.join(path, "_tombstones"))
+    re = A.IVFPQIndex.load(spark, path)
+    assert re.coded.count() == n_all - 2
+    assert re.vectors.count() == n_all - 2

@@ -169,3 +169,24 @@ def test_image_neardup_hamming_join_is_hash_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # equi-join on the chunk key (hash-partitioned or broadcast-hash)
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Decontamination must broadcast the (small) eval shingle set so
+    the corpus side never shuffles for the join — the property that
+    makes the operator one-scan at 100 TB."""
+    from chromem_go_spark.pipeline import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} common phrase tail {i}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(99, "common phrase tail shared")], "doc_id bigint, text string"
+    )
+    df = decontaminate(corpus, ev, n=3)
+    flags = X.plan_flags(df)
+    assert flags["has_broadcast_join"]
+    assert not flags["has_sort_merge_join"]
+    plan = X.formatted_plan(df)
+    assert "CartesianProduct" not in plan
