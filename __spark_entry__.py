@@ -893,6 +893,33 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_where_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended filter DSL ($or / $not / numeric $gt / $in) compiled to
+    one Catalyst predicate over a genuine map<string,string> metadata
+    column (operators/filters.extended_where_predicate — the
+    reference's roadmap item README.md:180). Oracle replays the flat
+    boolean expression in SQL."""
+    from chromem_go_spark.operators.filters import extended_where_predicate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+        ).alias("metadata"),
+    )
+    pred = extended_where_predicate(
+        {
+            "$or": [
+                {"lang": {"$in": ["de", "fr"]}},
+                {"$and": [{"lang": "en"}, {"n_chars": {"$gt": 900}}]},
+            ],
+            "$not": {"n_chars": {"$lte": 120}},
+        }
+    )
+    return docs.filter(pred).select("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -981,7 +1008,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Also hosts NEW operators added after the canonical window filled
     (each value-checked by selfcheck, just without a driver row):
     decontaminate (eval-set n-gram overlap), pii_scrub (email/IPv4
-    redaction)."""
+    redaction), where_extended ($and/$or filter DSL)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -993,6 +1020,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles_approx": q_events_percentiles_approx,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
+        "where_extended": q_where_extended,
     }
 
 
@@ -1848,6 +1876,11 @@ SELECT doc_id,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp
 FROM t
 """,
+        "where_extended": """
+SELECT doc_id FROM documents
+WHERE (lang IN ('de', 'fr') OR (lang = 'en' AND n_chars > 900))
+  AND NOT (n_chars <= 120)
+""",
     }
 
 
@@ -1863,6 +1896,7 @@ _EXTRA_KEYS = frozenset(
         "events_percentiles_approx",  # no oracle (approx) — listed for symmetry
         "decontaminate",
         "pii_scrub",
+        "where_extended",
     }
 )
 

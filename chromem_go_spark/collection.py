@@ -474,6 +474,7 @@ class Collection:
         negative_text: str | None = None,
         negative_mode: str | None = None,
         negative_filter_threshold: float = knn_ops.DEFAULT_NEGATIVE_FILTER_THRESHOLD,
+        extended_filters: bool = False,
     ) -> DataFrame:
         """Text entry point (reference collection.go:418-429): embed the
         query text (and the negative text, if any — reference
@@ -492,6 +493,7 @@ class Collection:
             negative_embedding=neg,
             negative_mode=negative_mode,
             negative_filter_threshold=negative_filter_threshold,
+            extended_filters=extended_filters,
         )
 
     def query_embedding(
@@ -503,10 +505,17 @@ class Collection:
         negative_embedding: Sequence[float] | None = None,
         negative_mode: str | None = None,
         negative_filter_threshold: float = knn_ops.DEFAULT_NEGATIVE_FILTER_THRESHOLD,
+        extended_filters: bool = False,
     ) -> DataFrame:
         """Vector entry point with validations and golden errors
         (reference collection.go:491-559). Returns a DataFrame of result
         rows (document columns + ``similarity``), highest first.
+
+        ``extended_filters=True`` opts into the beyond-reference
+        ``where`` DSL ($and/$or/$not, comparisons, $in — the
+        reference's roadmap item, README.md:180; see
+        operators/filters.extended_where_predicate); the default keeps
+        strict reference parity including its golden errors.
         """
         if query_embedding is None or len(query_embedding) == 0:
             raise ValueError(E.ERR_QUERY_EMBEDDING_EMPTY)
@@ -523,7 +532,18 @@ class Collection:
 
         # Pre-filter BELOW the similarity projection (reference
         # collection.go:521; Catalyst keeps it pushed down).
-        filtered = self.df.filter(combined_predicate(where, where_document))
+        if extended_filters:
+            from .operators.filters import (
+                extended_where_predicate,
+                where_document_predicate,
+            )
+
+            pred = extended_where_predicate(where) & where_document_predicate(
+                where_document
+            )
+        else:
+            pred = combined_predicate(where, where_document)
+        filtered = self.df.filter(pred)
 
         if negative_embedding is not None and negative_mode == "filter":
             return knn_ops.knn_negative_filter(

@@ -75,3 +75,96 @@ def combined_predicate(
     return where_predicate(where, metadata_col) & where_document_predicate(
         where_document, content_col
     )
+
+
+# ------------------------------------------------------- extended DSL
+
+_CMP_OPS = ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin")
+
+
+def extended_where_predicate(
+    where, metadata_col: str = "metadata"
+) -> Column:
+    """Beyond-reference metadata filter DSL — the reference's own
+    roadmap item ($and/$or, reference README.md:180), realized as a
+    recursive compiler to ONE Catalyst predicate tree (so pushdown and
+    codegen treat it exactly like a hand-written filter):
+
+    - ``{"k": "v"}`` — equality (reference semantics: missing key is a
+      non-match)
+    - ``{"k": {"$eq"/"$ne": "v"}}`` — string compare
+    - ``{"k": {"$gt"/"$gte"/"$lt"/"$lte": 3.5}}`` — numeric compare
+      (the string metadata value casts to double; non-numeric values
+      become NULL and don't match)
+    - ``{"k": {"$in": [...]}}`` / ``$nin``
+    - ``{"$and": [f, ...]}`` / ``{"$or": [f, ...]}`` / ``{"$not": f}``
+    - multiple entries in one mapping AND-fold (Chroma behavior)
+
+    OPT-IN: the default query path keeps the reference's golden
+    "unsupported operator" errors; pass ``extended_filters=True`` to
+    ``Collection.query``/``query_embedding`` to use this compiler.
+    NULL never matches anywhere (``$ne``/``$nin`` on a missing key is a
+    non-match, not a match — documents lacking the key are excluded,
+    which is the conservative reading and the reference's
+    missing-key-never-matches rule extended)."""
+
+    def val(k):
+        return F.element_at(F.col(metadata_col), F.lit(k))
+
+    def leaf(k, spec) -> Column:
+        if not isinstance(spec, Mapping):
+            return val(k) == F.lit(str(spec))
+        preds = []
+        for op, v in spec.items():
+            if op not in _CMP_OPS:
+                raise ValueError("unsupported operator")
+            if op == "$eq":
+                preds.append(val(k) == F.lit(str(v)))
+            elif op == "$ne":
+                preds.append(val(k) != F.lit(str(v)))
+            elif op == "$in":
+                preds.append(val(k).isin([str(x) for x in v]))
+            elif op == "$nin":
+                preds.append(~val(k).isin([str(x) for x in v]))
+            else:
+                num = val(k).cast("double")
+                lit = F.lit(float(v))
+                preds.append(
+                    {"$gt": num > lit, "$gte": num >= lit,
+                     "$lt": num < lit, "$lte": num <= lit}[op]
+                )
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    def compile_node(node) -> Column:
+        if not isinstance(node, Mapping) or not node:
+            raise ValueError("unsupported operator")
+        preds = []
+        for k, v in node.items():
+            if k == "$and" or k == "$or":
+                if not isinstance(v, (list, tuple)) or not v:
+                    raise ValueError("unsupported operator")
+                subs = [compile_node(s) for s in v]
+                folded = subs[0]
+                for s in subs[1:]:
+                    folded = (folded & s) if k == "$and" else (folded | s)
+                preds.append(folded)
+            elif k == "$not":
+                # coalesce INSIDE the negation: NOT(missing-key match)
+                # must be true-ish only when the inner pred is known
+                # false or null-as-false
+                preds.append(~F.coalesce(compile_node(v), F.lit(False)))
+            elif k.startswith("$"):
+                raise ValueError("unsupported operator")
+            else:
+                preds.append(leaf(k, v))
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    if not where:
+        return F.lit(True)
+    return F.coalesce(compile_node(where), F.lit(False))

@@ -379,3 +379,60 @@ def test_export_validation_does_not_destroy_existing_file(spark, tmp_path, db):
     with pytest.raises(ValueError):
         db.export_to_file(path, collections=["nope"])
     assert os.path.getsize(path) == size  # untouched
+
+
+def test_extended_filters_opt_in(spark):
+    """Extended where DSL ($or/$not/comparisons/$in) behind the
+    extended_filters flag; the DEFAULT path preserves the reference's
+    golden 'unsupported operator' error for those same operators."""
+    from chromem_go_spark import DB, Document
+    from chromem_go_spark.embeddings.stub import const_embedding
+
+    db = DB(spark)
+    c = db.create_collection("ext", embedding_func=const_embedding)
+    c.add_documents(
+        [
+            Document(id="1", content="a", metadata={"lang": "en", "stars": "5"}),
+            Document(id="2", content="b", metadata={"lang": "de", "stars": "2"}),
+            Document(id="3", content="c", metadata={"lang": "fr", "stars": "4"}),
+            Document(id="4", content="d", metadata={"stars": "9"}),  # no lang
+        ]
+    )
+    got = {
+        r["id"]
+        for r in c.query_embedding(
+            const_embedding("q"),
+            4,
+            where={
+                "$or": [
+                    {"lang": {"$in": ["de", "fr"]}},
+                    {"stars": {"$gte": 5}},
+                ]
+            },
+            extended_filters=True,
+        ).collect()
+    }
+    assert got == {"1", "2", "3", "4"}
+    # $not over a missing key: doc 4 has no lang -> inner pred unknown
+    # -> NOT(coalesce(unknown, False)) = True -> doc 4 matches
+    got2 = {
+        r["id"]
+        for r in c.query_embedding(
+            const_embedding("q"), 4, where={"$not": {"lang": "en"}},
+            extended_filters=True,
+        ).collect()
+    }
+    assert got2 == {"2", "3", "4"}
+    # reference parity on the DEFAULT path: no operator interpretation —
+    # "$or" is just a (missing) metadata key, so nothing matches
+    assert (
+        c.query_embedding(const_embedding("q"), 4, where={"$or": "x"}).count()
+        == 0
+    )
+    # unknown operators inside the extended DSL get the golden error
+    import pytest as _pytest
+
+    from chromem_go_spark.operators.filters import extended_where_predicate
+
+    with _pytest.raises(ValueError, match="unsupported operator"):
+        extended_where_predicate({"lang": {"$regex": "e.*"}})
