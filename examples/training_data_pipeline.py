@@ -82,6 +82,30 @@ def main() -> None:
         F.sum("n_tokens").alias("tokens"),
     ).orderBy("doc_id", "pack_id").show(5)
 
+    print("== hygiene: eval-set decontamination + PII scrubbing")
+    from chromem_go_spark.pipeline import decontaminate
+
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    dirty = decontaminate(corpus, ev, n=4)
+    print(f"{dirty.count()} corpus docs share a 4-gram with the eval slice")
+    docs.select(
+        "doc_id",
+        T.pii_email_count("text").alias("emails"),
+        F.md5(T.scrub_pii("text")).alias("clean_fp"),
+    ).show(3)
+
+    print("== index maintenance: tombstone deletes applied at compact")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/ivf"
+        ANN.IVFIndex.build(emb, n_clusters=8, vec_col="embedding", id_col="vec_id").save(path)
+        ANN.IVFIndex.delete_ids(spark, path, [0, 1])  # logical, O(ids)
+        ANN.IVFIndex.compact(spark, path)  # physical, inside the fold
+        n = ANN.IVFIndex.load(spark, path, vec_col="embedding", id_col="vec_id").assigned.count()
+        print(f"{emb.count()} vectors -> {n} after deleting 2")
+
 
 if __name__ == "__main__":
     main()
