@@ -127,7 +127,10 @@ def extended_where_predicate(
             elif op == "$nin":
                 preds.append(~val(k).isin([str(x) for x in v]))
             else:
-                num = val(k).cast("double")
+                # try_cast, not cast: under ANSI mode a plain cast of a
+                # non-numeric metadata value would ABORT the query at
+                # execution; the documented semantics are NULL -> no match
+                num = val(k).try_cast("double")
                 lit = F.lit(float(v))
                 preds.append(
                     {"$gt": num > lit, "$gte": num >= lit,

@@ -163,3 +163,114 @@ def test_pack_chunks_partitions_token_stream(spark, chunks, budget):
         p = streams.get(doc, 0)
         assert got[(doc, idx)] == (p // budget, ntok), (doc, idx, budget)
         streams[doc] = p + ntok
+
+
+def test_extended_where_matches_reference_evaluator(spark):
+    """Differential test for the extended filter DSL: 40 seeded-random
+    filter trees over 60 random docs, Spark's compiled predicate vs a
+    pure-Python Kleene-logic evaluator implementing the documented
+    semantics (missing key/non-numeric -> unknown; unknown coalesces to
+    False at the top and inside $not). One Spark job total: all filters
+    evaluated as columns of a single select."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.operators.filters import extended_where_predicate
+
+    rng = random.Random(7)
+    KEYS = ["a", "b", "c"]
+    VALS = ["1", "2", "x", "3.5", "-2", "zz"]
+
+    def rand_doc(i):
+        md = {k: rng.choice(VALS) for k in KEYS if rng.random() < 0.7}
+        return (str(i), md)
+
+    def rand_leaf():
+        k = rng.choice(KEYS)
+        r = rng.random()
+        if r < 0.3:
+            return {k: rng.choice(VALS)}
+        if r < 0.5:
+            return {k: {rng.choice(["$eq", "$ne"]): rng.choice(VALS)}}
+        if r < 0.75:
+            return {k: {rng.choice(["$gt", "$gte", "$lt", "$lte"]): rng.choice([0, 1.5, 3])}}
+        return {k: {rng.choice(["$in", "$nin"]): rng.sample(VALS, 2)}}
+
+    def rand_tree(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return rand_leaf()
+        op = rng.choice(["$and", "$or", "$not"])
+        if op == "$not":
+            return {"$not": rand_tree(depth - 1)}
+        return {op: [rand_tree(depth - 1) for _ in range(rng.randint(1, 3))]}
+
+    # --- pure-Python reference evaluator (three-valued) ---
+    def k_and(vs):
+        if any(v is False for v in vs):
+            return False
+        return None if any(v is None for v in vs) else True
+
+    def k_or(vs):
+        if any(v is True for v in vs):
+            return True
+        return None if any(v is None for v in vs) else False
+
+    def to_num(s):
+        try:
+            return float(s)
+        except (TypeError, ValueError):
+            return None
+
+    def ev_leaf(k, spec, md):
+        val = md.get(k)
+        if not isinstance(spec, dict):
+            return None if val is None else val == str(spec)
+        outs = []
+        for op, v in spec.items():
+            if op == "$eq":
+                outs.append(None if val is None else val == str(v))
+            elif op == "$ne":
+                outs.append(None if val is None else val != str(v))
+            elif op == "$in":
+                outs.append(None if val is None else val in [str(x) for x in v])
+            elif op == "$nin":
+                outs.append(None if val is None else val not in [str(x) for x in v])
+            else:
+                f = to_num(val)
+                if f is None:
+                    outs.append(None)
+                else:
+                    t = float(v)
+                    outs.append(
+                        {"$gt": f > t, "$gte": f >= t, "$lt": f < t, "$lte": f <= t}[op]
+                    )
+        return k_and(outs)
+
+    def ev(node, md):
+        outs = []
+        for k, v in node.items():
+            if k == "$and":
+                outs.append(k_and([ev(s, md) for s in v]))
+            elif k == "$or":
+                outs.append(k_or([ev(s, md) for s in v]))
+            elif k == "$not":
+                inner = ev(v, md)
+                outs.append(not (inner if inner is not None else False))
+            else:
+                outs.append(ev_leaf(k, v, md))
+        return k_and(outs)
+
+    docs = [rand_doc(i) for i in range(60)]
+    trees = [rand_tree(3) for _ in range(40)]
+    df = spark.createDataFrame(docs, "id string, metadata map<string,string>")
+    cols = [
+        extended_where_predicate(t).alias(f"f{i}") for i, t in enumerate(trees)
+    ]
+    rows = {r["id"]: r for r in df.select("id", *cols).collect()}
+    for i, t in enumerate(trees):
+        for did, md in docs:
+            want = ev(t, md)
+            want = bool(want) if want is not None else False
+            got = rows[did][f"f{i}"]
+            assert got == want, (t, md, got, want)
