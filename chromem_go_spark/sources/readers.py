@@ -123,6 +123,38 @@ def read_documents_orc(
     )
 
 
+def read_documents_text(
+    spark: SparkSession,
+    path: str,
+    mode: str = "file",
+    metadata_from_path: bool = True,
+) -> DataFrame:
+    """Raw text corpus source — the most common LLM-pipeline ingest
+    shape (one document per FILE, or per LINE for line-delimited dumps).
+
+    - ``mode="file"``: ``spark.read.text(..., wholetext=True)`` — each
+      file is one document; scales to millions of files because the
+      listing and reads are distributed.
+    - ``mode="line"``: one document per non-empty line.
+    - ids are content-md5 (stable across re-ingest: identical text
+      upserts rather than duplicating); with ``metadata_from_path`` the
+      source file path lands in ``metadata['source']`` for provenance.
+    """
+    if mode not in ("file", "line"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    df = spark.read.text(path, wholetext=(mode == "file"))
+    if mode == "line":
+        df = df.filter(F.length(F.trim(F.col("value"))) > 0)
+    df = df.withColumn("source", F.input_file_name())
+    out = to_document_df(
+        df,
+        id_col=None,
+        content_col="value",
+        metadata_cols=["source"] if metadata_from_path else None,
+    )
+    return out
+
+
 def write_documents(
     df: DataFrame,
     path: str,

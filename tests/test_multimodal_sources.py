@@ -438,3 +438,29 @@ def test_non_png_without_pil_raises_documented_stub_error():
     jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     with pytest.raises(NotImplementedError, match="PIL/pillow"):
         M._decode_image_bytes(jpeg_magic)
+
+
+def test_text_corpus_source_file_and_line_modes(spark, tmp_path):
+    """Raw-text source: one doc per file (wholetext) and one per line;
+    stable content-hash ids; file provenance in metadata['source']."""
+    from chromem_go_spark.sources.readers import read_documents_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first document\nwith two lines\n")
+    (d / "b.txt").write_text("second document\n")
+
+    by_file = read_documents_text(spark, str(d), mode="file").collect()
+    assert len(by_file) == 2
+    contents = {r["content"].strip() for r in by_file}
+    assert "second document" in contents
+    assert all(r["metadata"]["source"].endswith(".txt") for r in by_file)
+    assert all(len(r["id"]) == 32 for r in by_file)  # md5 ids
+
+    by_line = read_documents_text(spark, str(d), mode="line").collect()
+    assert {r["content"] for r in by_line} == {
+        "first document", "with two lines", "second document",
+    }
+    # re-ingest stability: same text -> same id
+    again = read_documents_text(spark, str(d), mode="line").collect()
+    assert {r["id"] for r in again} == {r["id"] for r in by_line}
