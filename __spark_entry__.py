@@ -920,6 +920,20 @@ def q_where_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(pred).select("doc_id")
 
 
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source data mixing by token budget (Pile/LLaMA
+    recipe, pipeline.mix_corpus): per-language budgets en:60% de:30%
+    fr:10% of a 50k-token mix, md5-ordered running-total cutoff (one
+    window shuffle). Oracle replays the cumulative-sum selection."""
+    from chromem_go_spark.pipeline import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_corpus(
+        docs, {"en": 0.6, "de": 0.3, "fr": 0.1}, total_tokens=50_000,
+        source_col="lang",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1008,7 +1022,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Also hosts NEW operators added after the canonical window filled
     (each value-checked by selfcheck, just without a driver row):
     decontaminate (eval-set n-gram overlap), pii_scrub (email/IPv4
-    redaction), where_extended ($and/$or filter DSL)."""
+    redaction), where_extended ($and/$or filter DSL), mix_corpus
+    (weighted multi-source token-budget mixing)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1021,6 +1036,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "where_extended": q_where_extended,
+        "mix_corpus": q_mix_corpus,
     }
 
 
@@ -1881,6 +1897,28 @@ SELECT doc_id FROM documents
 WHERE (lang IN ('de', 'fr') OR (lang = 'en' AND n_chars > 900))
   AND NOT (n_chars <= 120)
 """,
+        "mix_corpus": r"""
+WITH toks AS (
+  SELECT doc_id, lang AS source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE lang IN ('en', 'de', 'fr')
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, cum_before
+FROM cum
+WHERE cum_before < CASE source
+  WHEN 'en' THEN 50000 * 0.6 WHEN 'de' THEN 50000 * 0.3 ELSE 50000 * 0.1 END
+""",
     }
 
 
@@ -1897,6 +1935,7 @@ _EXTRA_KEYS = frozenset(
         "decontaminate",
         "pii_scrub",
         "where_extended",
+        "mix_corpus",
     }
 )
 

@@ -121,6 +121,7 @@ def main() -> None:
         "salted_join_events",
         "decontaminate",
         "pii_scrub",
+        "mix_corpus",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

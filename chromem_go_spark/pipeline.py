@@ -286,3 +286,64 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict,
+    total_tokens: int,
+    source_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted data mixing: sample documents per source so each
+    source's token count approaches ``total_tokens * weight_s /
+    sum(weights)`` — the published recipe behind multi-source
+    pre-training mixes (The Pile, LLaMA: fixed sampling weights per
+    source, applied by token budget, not document count).
+
+    Deterministic and nested: docs within a source are ordered by
+    ``md5(id)`` (uniform, and bit-identical in DuckDB, so the oracle
+    replays the exact selection) and taken while the RUNNING token
+    total before the doc is under the source budget (so a source always contributes at
+    least one document if it has any, and raising the budget only ADDS
+    documents — stable eval/ablation sets).  Sources absent from
+    ``weights`` are dropped.
+
+    One window shuffle (partitioned by source, ordered by hash) — no
+    driver-side iteration; returns (id, source, n_tokens, cum_before)
+    for audit.
+    """
+    from pyspark.sql import Window
+
+    total_w = float(sum(weights.values()))
+    budget = F.create_map(
+        *[
+            x
+            for s, w in sorted(weights.items())
+            for x in (
+                F.lit(s),
+                F.lit(float(total_tokens) * float(w) / total_w),
+            )
+        ]
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        T.token_count(text_col).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("source").isin(list(weights)))
+    return (
+        toks.withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    Window.partitionBy("source")
+                    .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("cum_before") < F.element_at(budget, F.col("source")))
+        .select(id_col, "source", "n_tokens", "cum_before")
+    )

@@ -238,3 +238,27 @@ def test_decontaminate_short_docs_never_flagged(spark):
     ev = spark.createDataFrame([(9, "too short")], "doc_id bigint, text string")
     # both under n tokens: no shingles, no contamination, no crash
     assert decontaminate(corpus, ev, n=8).count() == 0
+
+
+def test_mix_corpus_budgets_and_nesting(spark):
+    from chromem_go_spark.pipeline import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", "word " * (10 + i % 5)) for i in range(40)]
+        + [(99, "xx", "dropped source")],
+        "doc_id bigint, lang string, text string",
+    )
+    small = mix_corpus(docs, {"en": 1.0, "de": 1.0}, total_tokens=100)
+    rows = small.collect()
+    # sources absent from weights never appear
+    assert {r["source"] for r in rows} <= {"en", "de"}
+    # budget: running total BEFORE each taken doc is under 50 per source
+    for r in rows:
+        assert r["cum_before"] < 50
+    # every source with data contributes at least one doc
+    assert {r["source"] for r in rows} == {"en", "de"}
+    # nesting: doubling the budget only ADDS docs (stable prefix)
+    big = mix_corpus(docs, {"en": 1.0, "de": 1.0}, total_tokens=200)
+    small_ids = {r["doc_id"] for r in rows}
+    big_ids = {r["doc_id"] for r in big.collect()}
+    assert small_ids <= big_ids and len(big_ids) > len(small_ids)
