@@ -934,6 +934,18 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality signal: per-doc mean unigram -log2 p(token)
+    under a top-1000 add-one-smoothed corpus model (CCNet-perplexity
+    analog, pipeline.unigram_logprob_scores). Model broadcast; one
+    build shuffle + one scoring aggregation. Oracle replays the model
+    and scoring in SQL."""
+    from chromem_go_spark.pipeline import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, vocab_size=1000)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1023,7 +1035,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (each value-checked by selfcheck, just without a driver row):
     decontaminate (eval-set n-gram overlap), pii_scrub (email/IPv4
     redaction), where_extended ($and/$or filter DSL), mix_corpus
-    (weighted multi-source token-budget mixing)."""
+    (weighted multi-source token-budget mixing), unigram_logprob
+    (statistical quality scoring)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1037,6 +1050,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "where_extended": q_where_extended,
         "mix_corpus": q_mix_corpus,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1919,6 +1933,26 @@ FROM cum
 WHERE cum_before < CASE source
   WHEN 'en' THEN 50000 * 0.6 WHEN 'de' THEN 50000 * 0.3 ELSE 50000 * 0.1 END
 """,
+        "unigram_logprob": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS t FROM toks),
+vocab AS (
+  SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+  ORDER BY n DESC, token LIMIT 1000
+),
+model AS (
+  SELECT token, -log2((n + 1.0) / (t + 1001.0)) AS neg_logp FROM vocab, tot
+)
+SELECT toks.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(COALESCE(m.neg_logp, -log2(1.0 / (t + 1001.0)))), 4) AS avg_neg_logp
+FROM toks LEFT JOIN model m USING (token), tot
+GROUP BY toks.doc_id, t
+""",
     }
 
 
@@ -1936,6 +1970,7 @@ _EXTRA_KEYS = frozenset(
         "pii_scrub",
         "where_extended",
         "mix_corpus",
+        "unigram_logprob",
     }
 )
 

@@ -122,6 +122,7 @@ def main() -> None:
         "decontaminate",
         "pii_scrub",
         "mix_corpus",
+        "unigram_logprob",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -347,3 +347,62 @@ def mix_corpus(
         .filter(F.col("cum_before") < F.element_at(budget, F.col("source")))
         .select(id_col, "source", "n_tokens", "cum_before")
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    ref_docs: DataFrame | None = None,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram negative log2-probability — the cheap
+    statistical analog of CCNet's LM-perplexity quality signal (public
+    method: docs whose tokens are improbable under a reference corpus
+    model are boilerplate/noise candidates; low score = fluent).
+
+    Model: top-``vocab_size`` tokens of ``ref_docs`` (default: the
+    corpus itself) with add-one smoothing; every out-of-vocabulary
+    token shares one smoothed OOV probability.  Returns
+    ``(id, n_tokens, avg_neg_logp)``.
+
+    Scale shape: the vocabulary model is top-N by construction, so it
+    BROADCASTS to the token stream — one corpus-scale shuffle to build
+    the model (partial aggregation first), then a broadcast join + one
+    aggregation for scoring.  No Python anywhere.
+    """
+    ref = ref_docs if ref_docs is not None else docs
+
+    def toks(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        return df.select(
+            *cols, F.explode(T.word_tokens(text_col)).alias("token")
+        )
+
+    vocab = (
+        toks(ref, with_id=False)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(int(vocab_size))
+    )
+    # add-one smoothing over (vocab + OOV bucket); total token count of
+    # the reference fixes the denominator
+    totals = toks(ref, with_id=False).count()
+    denom = float(totals + vocab_size + 1)
+    model = vocab.select(
+        "token",
+        (F.log2((F.col("n") + F.lit(1.0)) / F.lit(denom)) * -1).alias("neg_logp"),
+    )
+    oov = -float(__import__("math").log2(1.0 / denom))
+    return (
+        toks(docs, with_id=True)
+        .join(F.broadcast(model), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.coalesce(F.col("neg_logp"), F.lit(oov))), 4
+            ).alias("avg_neg_logp"),
+        )
+    )

@@ -262,3 +262,28 @@ def test_mix_corpus_budgets_and_nesting(spark):
     small_ids = {r["doc_id"] for r in rows}
     big_ids = {r["doc_id"] for r in big.collect()}
     assert small_ids <= big_ids and len(big_ids) > len(small_ids)
+
+
+def test_unigram_logprob_ranks_fluent_above_noise(spark):
+    """The statistical quality signal must score common-token text as
+    more probable (lower avg -logp) than rare-token noise, and an
+    explicit reference corpus must drive the model."""
+    from chromem_go_spark.pipeline import unigram_logprob_scores
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),       # all in-vocab
+            (2, "zyzzyva qwertyuiop xylyl"),  # all OOV
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in unigram_logprob_scores(docs, ref_docs=ref, vocab_size=16).collect()
+    }
+    assert got[1] < got[2]
+    assert got[2] > 4.0  # OOV bucket is expensive by construction
