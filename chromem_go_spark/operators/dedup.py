@@ -658,10 +658,21 @@ def hamming_pairs(
     least one chunk, so joining on (chunk_idx, chunk_value) is EXACT and
     never quadratic. ``shiftrightunsigned`` so a set sign bit (honest
     64-bit fingerprints) can't smear into the chunk values.
+
+    Skew/scale structure: the banding join runs over DISTINCT
+    fingerprints, not documents.  Dedup-heavy corpora have massively
+    repeated fingerprints (byte-identical near-dup groups — the very
+    thing this operator exists to find), and banding the raw rows makes
+    each repeated group a quadratic hot bucket in the join.  Banding
+    distinct fingerprints bounds join work by |distinct fp| x chunks;
+    the doc-level pairs are then recovered by two id joins whose output
+    IS the result set (within-group hamming-0 pairs + cross-group
+    pairs), so no stage does more work than the answer requires.
     """
     n_chunks = int(max_hamming) + 1
     assert n_chunks <= bits, "need at least one bit per chunk"
-    sh = sig.select(id_col, F.col(sig_col).alias("simhash"))
+    sh = materialize(sig.select(id_col, F.col(sig_col).alias("simhash")))
+    dfp = sh.select("simhash").distinct()
     base, extra = divmod(bits, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
@@ -677,31 +688,44 @@ def hamming_pairs(
         ]
     )
     ix = (
-        sh.select(id_col, "simhash", F.explode(chunks).alias("c"))
-        .select(
-            id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
-        )
+        dfp.select("simhash", F.explode(chunks).alias("c"))
+        .select("simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
         .transform(materialize)  # both sides of the self-join
     )
     a = ix.alias("a")
     b = ix.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    fp_pairs = (
         a.join(b, ["ci", "cv"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .select(F.col("a.simhash").alias("fa"), F.col("b.simhash").alias("fb"))
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= F.lit(int(max_hamming)))
-        .select("id_a", "id_b", "hamming")
     )
+    # cross-group doc pairs: expand each qualifying fingerprint pair
+    cross = (
+        fp_pairs.join(sh.select(F.col(id_col).alias("ia"), F.col("simhash").alias("fa")), "fa")
+        .join(sh.select(F.col(id_col).alias("ib"), F.col("simhash").alias("fb")), "fb")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    # within-group pairs: identical fingerprints are hamming 0
+    g = sh.alias("ga")
+    h = sh.alias("gb")
+    within = (
+        g.join(h, "simhash")
+        .filter(F.col(f"ga.{id_col}") < F.col(f"gb.{id_col}"))
+        .select(
+            F.col(f"ga.{id_col}").alias("id_a"),
+            F.col(f"gb.{id_col}").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(within).select("id_a", "id_b", "hamming")
 
 
 def embedding_neardup_pairs(
