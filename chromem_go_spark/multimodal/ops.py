@@ -458,3 +458,53 @@ def image_neardup_pairs(
 
     sig = image_dhash(df, data_col=data_col, id_col=id_col, grid=grid)
     return hamming_pairs(sig, "dhash", id_col, max_hamming, bits=grid * (grid - 1))
+
+
+def audio_features(
+    df: DataFrame,
+    n_frames: int = 16,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Deterministic audio feature vector: per-frame RMS energy +
+    zero-crossing rate over the 8-bit PCM payload (2*n_frames floats,
+    L2-normalized) — real DSP on the decodable format, and the stand-in
+    kernel shape a real encoder (wav2vec-style) plugs into.  Output
+    feeds the kNN/ANN engine directly (array<float>), the same
+    media-similarity path as :func:`image_features`."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, embedding array<float>"
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = []
+            for blob in pdf[data_col]:
+                b = bytes(blob)
+                if b[:8] != _AUD_MAGIC:
+                    raise NotImplementedError(
+                        "STUB: real audio decoding needs soundfile/librosa, "
+                        "absent in this container; only FAKEAUD decodes"
+                    )
+                _, ns = struct.unpack(">II", b[8:16])
+                pcm = np.frombuffer(b[16 : 16 + ns], dtype=np.uint8).astype(
+                    np.float64
+                )
+                pcm = pcm - 128.0  # center 8-bit samples
+                # pad to a frame multiple, then (n_frames, frame_len)
+                fl = max(1, -(-len(pcm) // n_frames))
+                pad = np.zeros(fl * n_frames)
+                pad[: len(pcm)] = pcm
+                frames = pad.reshape(n_frames, fl)
+                rms = np.sqrt((frames**2).mean(axis=1))
+                zc = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+                v = np.concatenate([rms, zc])
+                nrm = np.linalg.norm(v)
+                vecs.append((v / nrm if nrm > 0 else v).astype(np.float32))
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+    return df.select(id_col, data_col).mapInPandas(gen, out_schema)

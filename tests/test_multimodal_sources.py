@@ -464,3 +464,22 @@ def test_text_corpus_source_file_and_line_modes(spark, tmp_path):
     # re-ingest stability: same text -> same id
     again = read_documents_text(spark, str(d), mode="line").collect()
     assert {r["id"] for r in again} == {r["id"] for r in by_line}
+
+
+def test_audio_features_deterministic_and_discriminative(spark):
+    """Audio feature kernel: identical PCM -> identical normalized
+    vectors; different audio -> different vectors; output feeds the
+    vector path (array<float>, unit norm)."""
+    import math
+
+    a1 = M.encode_fake_audio(16000, 4000, seed=1)
+    a1b = M.encode_fake_audio(16000, 4000, seed=1)
+    a2 = M.encode_fake_audio(16000, 4000, seed=2)
+    df = spark.createDataFrame(
+        [("a", a1), ("a2", a1b), ("b", a2)], "media_id string, data binary"
+    )
+    got = {r["media_id"]: list(r["embedding"]) for r in M.audio_features(df).collect()}
+    assert got["a"] == got["a2"]
+    assert got["a"] != got["b"]
+    assert len(got["a"]) == 32
+    assert abs(math.sqrt(sum(x * x for x in got["a"])) - 1.0) < 1e-5
