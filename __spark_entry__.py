@@ -946,6 +946,43 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(docs, vocab_size=1000)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, detection half (Lee et al. 2021,
+    arXiv:2107.06499): every occurrence of a 10-token span repeated
+    verbatim across >= 2 documents (dedup.duplicate_spans).  Sliding
+    window span-hash join — two hash-keyed shuffles, all codegen.
+    Oracle replays tokenize/window/md5 in SQL."""
+    from chromem_go_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, width=10)
+
+
+def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, removal half: drop all-but-one occurrence
+    of every cross-doc duplicated 10-token span (keeper = smallest
+    (doc_id, start)), rebuilding each doc from its surviving tokens
+    (dedup.strip_duplicate_spans).  Covered positions fold into one
+    array per affected doc, so the corpus is only doc-id-joined.
+    Oracle replays keeper selection + coverage in SQL."""
+    from chromem_go_spark.operators.dedup import strip_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, width=10)
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, distributed half (Sennrich et al. 2016):
+    top-50 adjacent symbol-pair counts weighted by word frequency
+    (bpe.bpe_pair_counts).  Two vocabulary-shaped shuffles + TakeOrdered;
+    raw text is never re-scanned per pair.  Oracle replays the regex
+    tokenizer, char split and the '</w>' terminal in SQL."""
+    from chromem_go_spark.operators.bpe import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_n=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1036,7 +1073,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     decontaminate (eval-set n-gram overlap), pii_scrub (email/IPv4
     redaction), where_extended ($and/$or filter DSL), mix_corpus
     (weighted multi-source token-budget mixing), unigram_logprob
-    (statistical quality scoring)."""
+    (statistical quality scoring), duplicate_spans /
+    strip_duplicate_spans (exact substring dedup, Lee et al. 2021)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1051,6 +1089,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_extended": q_where_extended,
         "mix_corpus": q_mix_corpus,
         "unigram_logprob": q_unigram_logprob,
+        "duplicate_spans": q_duplicate_spans,
+        "strip_duplicate_spans": q_strip_duplicate_spans,
+        "bpe_pair_counts": q_bpe_pair_counts,
     }
 
 
@@ -1953,6 +1994,64 @@ SELECT toks.doc_id,
 FROM toks LEFT JOIN model m USING (token), tot
 GROUP BY toks.doc_id, t
 """,
+        "duplicate_spans": r"""
+WITH docs AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') t
+  FROM documents
+), spans AS (
+  SELECT doc_id, g.i AS start, md5(array_to_string(t[g.i:g.i+9], ' ')) h
+  FROM docs CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t)-8, 1))) AS i) g
+), dup AS (
+  SELECT h, count(DISTINCT doc_id) n_docs, count(*) n_occ FROM spans GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, s.start, s.h, d.n_docs, d.n_occ
+FROM spans s JOIN dup d USING (h)
+""",
+        "strip_duplicate_spans": r"""
+WITH docs AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') t
+  FROM documents
+), spans AS (
+  SELECT doc_id, g.i AS start, md5(array_to_string(t[g.i:g.i+9], ' ')) h
+  FROM docs CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t)-8, 1))) AS i) g
+), dup AS (
+  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), occ AS (
+  SELECT s.doc_id, s.start, row_number() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.start) rn
+  FROM spans s JOIN dup USING (h)
+), cov AS (
+  SELECT DISTINCT doc_id, start + gg.k AS pos
+  FROM occ CROSS JOIN LATERAL (SELECT unnest(range(0, 10)) AS k) gg WHERE rn > 1
+), toks AS (
+  SELECT doc_id, t[g.i] AS tok, g.i AS pos
+  FROM docs CROSS JOIN LATERAL (SELECT unnest(range(1, len(t)+1)) AS i) g
+), surv AS (
+  SELECT t.doc_id, t.tok, t.pos FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+)
+SELECT d.doc_id,
+  coalesce((SELECT string_agg(s.tok, ' ' ORDER BY s.pos) FROM surv s WHERE s.doc_id = d.doc_id), '') AS text_clean,
+  len(d.t) AS n_tokens,
+  (SELECT count(*) FROM cov c WHERE c.doc_id = d.doc_id) AS n_removed
+FROM docs d
+""",
+        "bpe_pair_counts": r"""
+WITH words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS w
+    FROM documents
+  ) GROUP BY w
+), syms AS (
+  SELECT freq, list_append(string_split(w, ''), '</w>') s FROM words
+), p AS (
+  SELECT s[g.i] AS left_sym, s[g.i+1] AS right_sym, freq
+  FROM syms CROSS JOIN LATERAL (SELECT unnest(range(1, len(s))) AS i) g
+)
+SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM p GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
+""",
     }
 
 
@@ -1971,6 +2070,9 @@ _EXTRA_KEYS = frozenset(
         "where_extended",
         "mix_corpus",
         "unigram_logprob",
+        "duplicate_spans",
+        "strip_duplicate_spans",
+        "bpe_pair_counts",
     }
 )
 

@@ -123,6 +123,9 @@ def main() -> None:
         "pii_scrub",
         "mix_corpus",
         "unigram_logprob",
+        "duplicate_spans",
+        "strip_duplicate_spans",
+        "bpe_pair_counts",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

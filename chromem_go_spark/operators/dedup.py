@@ -838,3 +838,137 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------------------------
+# Exact substring (duplicated-span) dedup — Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"
+# (arXiv:2107.06499).  The suffix-array formulation finds verbatim
+# token runs repeated across the corpus; the Spark-shaped equivalent
+# is a sliding-window span-hash join: hash every `width`-token window,
+# group on the hash, and keep hashes seen in >= min_docs distinct
+# documents.  Exact (md5 of the literal token run, no sketching), and
+# every stage is a Catalyst expression, so it whole-stage-codegens.
+#
+# Scale: the span table is O(total_tokens / stride) rows keyed by an
+# 8-byte-prefix md5 string; the groupBy gets map-side partial
+# aggregation and the spans->dup-hash join is keyed on the same hash
+# the groupBy shuffled on.  `stride` > 1 trades recall of short
+# duplicates for a linear cut in shuffle volume (a duplicated run of
+# length >= width + stride - 1 is still always caught).
+# ------------------------------------------------------------------
+
+
+def _span_table(
+    df: DataFrame, text_col: str, id_col: str, width: int, stride: int
+) -> DataFrame:
+    """(id, start, h): md5 span-hash of each `width`-token window at
+    1-based token offsets 1, 1+stride, ... over the normalized
+    whitespace tokenization.  Docs shorter than `width` yield no rows."""
+    toks = df.select(
+        id_col, F.split(T.normalized_text(text_col), " ").alias("__t")
+    )
+    starts = F.sequence(
+        F.lit(1), F.size("__t") - F.lit(width - 1), F.lit(stride)
+    )
+    spans = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("start"),
+            F.md5(F.array_join(F.slice("__t", i, width), " ")).alias("h"),
+        ),
+    )
+    return (
+        toks.filter(F.size("__t") >= width)
+        .select(id_col, F.explode(spans).alias("s"))
+        .select(id_col, F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Every occurrence of a `width`-token span that appears verbatim in
+    >= `min_docs` distinct documents.
+
+    Returns (id, start, h, n_docs, n_occ) — one row per occurrence,
+    annotated with the hash's corpus-wide document and occurrence
+    counts.  Two shuffles, both keyed on the span hash: the counting
+    groupBy (map-side combined) and the spans->counts join (AQE picks
+    broadcast when the duplicated-hash side is small, which it is for
+    any corpus that isn't mostly boilerplate).
+    """
+    spans = materialize(_span_table(df, text_col, id_col, width, stride))
+    counts = (
+        spans.groupBy("h")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(counts, "h").select(id_col, "start", "h", "n_docs", "n_occ")
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    width: int = 10,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove all-but-one occurrence of every cross-document duplicated
+    span (the Lee et al. dedup policy: keep one copy, drop the rest).
+
+    The keeper of each duplicated hash is its globally smallest
+    (id, start) occurrence.  A token is dropped iff some non-keeper
+    occurrence covers it; the surviving tokens are rejoined in order.
+    Returns (id, text_clean, n_tokens, n_removed) for EVERY input doc
+    (text_clean is the normalized tokenization rejoined — identical to
+    the normalized text when nothing was removed).
+
+    Shape: the non-keeper token positions are aggregated into ONE array
+    per affected doc (collect_set over an exploded width-window), so the
+    final pass is a doc-keyed join of the corpus against only the
+    affected docs plus a codegen filter-by-position — the corpus itself
+    is never shuffled on anything finer than the doc id.
+    """
+    occ = duplicate_spans(df, width, stride, text_col, id_col, min_docs)
+    keeper = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("start").alias("s"))).alias("kp")
+    )
+    non_keepers = (
+        occ.join(keeper, "h")
+        .filter(~((F.col(id_col) == F.col("kp.i")) & (F.col("start") == F.col("kp.s"))))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(width - 1))).alias(
+                "pos"
+            ),
+        )
+    )
+    covered = non_keepers.groupBy(id_col).agg(F.collect_set("pos").alias("__cov"))
+    toks = df.select(
+        id_col, F.split(T.normalized_text(text_col), " ").alias("__t")
+    )
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, i: ~F.coalesce(
+            F.array_contains("__cov", i + F.lit(1)), F.lit(False)
+        ),
+    )
+    return (
+        toks.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias("text_clean"),
+            F.size("__t").alias("n_tokens"),
+            F.coalesce(F.size("__cov"), F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -1,0 +1,84 @@
+import pytest
+
+from chromem_go_spark.operators import bpe as B
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "low low low lower lowest"),
+            (2, "new newer newest low"),
+            (3, "wider wide new"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_word_frequencies(corpus):
+    wf = {r["w"]: r["freq"] for r in B.word_frequencies(corpus).collect()}
+    assert wf["low"] == 4 and wf["new"] == 2 and wf["lowest"] == 1
+
+
+def test_bpe_pair_counts_matches_hand_count(corpus):
+    rows = B.bpe_pair_counts(corpus, top_n=5).collect()
+    got = [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in rows]
+    # hand count over the vocab {low:4, lower:1, lowest:1, new:2,
+    # newer:1, newest:1, wider:1, wide:1}: (l,o) and (o,w) appear in
+    # low/lower/lowest = 4+1+1 = 6; (w,</w>) ends low (4) AND new (2) = 6
+    assert got[0] == ("l", "o", 6)
+    assert got[1] == ("o", "w", 6)
+    assert got[2] == ("w", "</w>", 6)
+    counts = dict(((a, b), c) for a, b, c in got)
+    assert counts.get(("n", "e")) == 4  # new/newer/newest
+    # deterministic order: count desc then lexicographic
+    assert got == sorted(got, key=lambda t: (-t[2], t[0], t[1]))
+
+
+def test_learn_merges_tiny():
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = B.learn_merges(vocab, 4)
+    # classic Sennrich example shape: 'es' then 'est' then 'est</w>'...
+    assert merges[0][:2] == ("e", "s") and merges[0][2] == 9
+    assert merges[1][:2] == ("es", "t") and merges[1][2] == 9
+    assert merges[2][:2] == ("est", "</w>")
+    # next best: (l,o) in low+lower = 7
+    assert merges[3][:2] == ("l", "o") and merges[3][2] == 7
+
+
+def test_learn_merges_stops_when_dry():
+    assert B.learn_merges({"ab": 1}, 100) == []  # no pair reaches count 2
+
+
+def test_encode_word_greedy_matches_training_segmentation():
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = B.learn_merges(vocab, 10)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    assert "".join(B.encode_word("lowest", ranks)) == "lowest" + B.END_MARK
+    assert B.encode_word("lowest", ranks)[-1] == "est</w>"
+    assert B.encode_word("low", ranks) == ["low</w>"]
+
+
+def test_bpe_learn_and_encode_end_to_end(corpus):
+    merges = B.bpe_learn(corpus, n_merges=8)
+    assert merges.columns == ["rank", "left_sym", "right_sym", "pair_count"]
+    mrows = merges.collect()
+    assert [r["rank"] for r in mrows] == list(range(len(mrows)))
+    # first learned merge must equal the top pair-count entry
+    top = B.bpe_pair_counts(corpus, top_n=1).collect()[0]
+    assert (mrows[0]["left_sym"], mrows[0]["right_sym"]) == (
+        top["left_sym"], top["right_sym"])
+
+    enc = {r["doc_id"]: r["pieces"] for r in B.bpe_encode(corpus, merges).collect()}
+    ranks = {(r["left_sym"], r["right_sym"]): r["rank"] for r in mrows}
+    # every doc's pieces == concatenation of its words' greedy encodings
+    import re
+    for doc in corpus.collect():
+        words = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", doc["text"].lower())
+        expect = [p for w in words for p in B.encode_word(w, ranks)]
+        assert enc[doc["doc_id"]] == expect
+    # round-trip: joining pieces reproduces the words
+    for doc_id, pieces in enc.items():
+        joined = "".join(pieces).replace(B.END_MARK, " ").strip()
+        txt = [r["text"] for r in corpus.collect() if r["doc_id"] == doc_id][0]
+        assert joined == " ".join(txt.lower().split())

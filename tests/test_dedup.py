@@ -403,3 +403,79 @@ def test_connected_components_star_bounded_rounds_unique_rows(spark):
     out = D.connected_components_star(edges, max_iter=1).collect()
     nodes = [r["node"] for r in out]
     assert len(nodes) == len(set(nodes)) == n
+
+
+# ------------------------- exact substring (duplicated-span) dedup
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    return spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six seven eight nine"),
+            (3, "ten eleven twelve thirteen fourteen fifteen sixteen"),
+            (4, "short text"),  # shorter than any window
+            (5, f"{shared} {shared} tail"),  # repeats the run twice itself
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicate_spans_finds_cross_doc_runs(span_docs):
+    out = D.duplicate_spans(span_docs, width=6).collect()
+    # the shared 6-token run occurs at: doc1 start 3, doc2 start 1,
+    # doc5 starts 1 and 7
+    occ = {(r["doc_id"], r["start"]) for r in out}
+    assert {(1, 3), (2, 1), (5, 1), (5, 7)} <= occ
+    by_h = {}
+    for r in out:
+        by_h.setdefault(r["h"], set()).add((r["doc_id"], r["start"]))
+    shared_h = [h for h, o in by_h.items() if (1, 3) in o][0]
+    row = next(r for r in out if r["h"] == shared_h)
+    assert row["n_docs"] == 3 and row["n_occ"] == 4
+    assert not any(r["doc_id"] in (3, 4) for r in out)
+
+
+def test_duplicate_spans_stride_keeps_long_runs(span_docs):
+    # stride 3 < width guarantees any duplicated run of width+stride-1
+    # tokens is still caught; the exact 6-token run at aligned starts
+    # still collides here (starts 1/7 are both ≡1 mod 3... start 3 is not,
+    # so with stride 3 only the stride-aligned occurrences survive).
+    out = D.duplicate_spans(span_docs, width=6, stride=3).collect()
+    occ = {(r["doc_id"], r["start"]) for r in out}
+    assert (2, 1) in occ and (5, 1) in occ and (5, 7) in occ
+
+
+def test_strip_duplicate_spans_keeps_one_occurrence(span_docs):
+    out = {r["doc_id"]: r for r in D.strip_duplicate_spans(span_docs, width=6).collect()}
+    # keeper is smallest (doc_id, start) -> doc 1 keeps its copy
+    assert out[1]["text_clean"] == "one two alpha beta gamma delta epsilon zeta three four"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses exactly the 6 shared tokens
+    assert out[2]["text_clean"] == "five six seven eight nine"
+    assert out[2]["n_removed"] == 6
+    # doc 5: spans at 1..6 and 7..12 (and the straddling windows between
+    # them are unique so only the two duplicated runs are covered)
+    assert out[5]["text_clean"] == "tail"
+    assert out[5]["n_removed"] == 12
+    # untouched docs come through verbatim (normalized join)
+    assert out[3]["text_clean"].startswith("ten eleven")
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "short text"
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_strip_duplicate_spans_overlap_union(spark):
+    # two overlapping duplicated windows in the same doc: covered
+    # positions are the UNION, not double-counted
+    a = "p q r s t u v w"          # 8 tokens; windows of 6: starts 1,2,3
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.strip_duplicate_spans(df, width=6).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == ""
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
