@@ -983,6 +983,19 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top_n=50)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup retention by quality: cluster with the exact Jaccard
+    pair graph, then keep each cluster's highest-quality member
+    (pipeline.keep_best_per_cluster) — the keep-the-cleanest-copy
+    policy.  One window shuffle over the clustering.  Oracle = the
+    recursive-CTE components + the quality expression + an argmax
+    window."""
+    from chromem_go_spark.pipeline import keep_best_per_cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    return keep_best_per_cluster(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1092,6 +1105,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -1215,6 +1229,66 @@ reach AS (
 comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
 SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+# keep-best-per-cluster = the cluster assignment above + the quality
+# expression from the quality_filter oracle (unfiltered) + a per-cluster
+# argmax window.  Same pair graph, same recursive-CTE components.
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE sh AS ({_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+q AS (
+  SELECT doc_id,
+         GREATEST(0.0, LEAST(1.0,
+           (CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END)
+           * (CASE WHEN
+                (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                      ELSE length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0
+                           / len(string_split_regex(trim(text), '\\s+')) END) BETWEEN 3 AND 10
+              THEN 1.0 ELSE 0.5 END)
+           - (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0 / length(text) END)
+         )) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT a.cluster, a.doc_id, q.quality,
+         row_number() OVER (PARTITION BY a.cluster ORDER BY q.quality DESC, a.doc_id) AS rn,
+         count(*) OVER (PARTITION BY a.cluster) AS nm
+  FROM assigned a JOIN q USING (doc_id)
+)
+SELECT cluster, doc_id, ROUND(quality, 4) AS quality, CAST(nm AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
 """
 
 
@@ -2052,6 +2126,7 @@ SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
 FROM p GROUP BY left_sym, right_sym
 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
 """,
+        "dedup_keep_best": _KEEP_BEST_SQL,
     }
 
 
@@ -2073,6 +2148,7 @@ _EXTRA_KEYS = frozenset(
         "duplicate_spans",
         "strip_duplicate_spans",
         "bpe_pair_counts",
+        "dedup_keep_best",
     }
 )
 

@@ -126,6 +126,7 @@ def main() -> None:
         "duplicate_spans",
         "strip_duplicate_spans",
         "bpe_pair_counts",
+        "dedup_keep_best",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying
@@ -147,6 +148,7 @@ def main() -> None:
         "ngram_jaccard",
         "dedup_clusters",
         "dedup_clusters_star",
+        "dedup_keep_best",
         "training_pipeline",
         "minhash_lsh",
     ]

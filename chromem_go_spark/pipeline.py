@@ -80,6 +80,41 @@ def select_training_documents(
     return out
 
 
+def keep_best_per_cluster(
+    docs: DataFrame, cfg: PipelineConfig = PipelineConfig(), reps: DataFrame | None = None
+) -> DataFrame:
+    """Near-dup retention policy: keep the HIGHEST-quality member of
+    each cluster instead of the smallest id — the policy real corpora
+    use (among near-identical crawls, keep the cleanest copy).
+
+    Returns one row per cluster: (cluster, id, quality, n_members)
+    where id is the winner (quality desc, then id asc — fully
+    deterministic).  Costs one extra window shuffle on the cluster key
+    on top of the clustering itself; the quality score is a pure
+    codegen expression evaluated once per doc.  Pass a materialized
+    ``reps`` to share the pair graph with other consumers."""
+    from pyspark.sql import Window
+
+    if reps is None:
+        reps = cluster_representatives(docs, cfg)
+    scored = docs.select(
+        cfg.id_col, T.quality_score(cfg.text_col).alias("__q")
+    ).join(reps, cfg.id_col)
+    w = Window.partitionBy("cluster_rep").orderBy(F.desc("__q"), cfg.id_col)
+    wc = Window.partitionBy("cluster_rep")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("cluster_rep").alias("cluster"),
+            cfg.id_col,
+            F.round("__q", 4).alias("quality"),
+            "n_members",
+        )
+    )
+
+
 def training_corpus_stats(
     docs: DataFrame, cfg: PipelineConfig = PipelineConfig(), reps: DataFrame | None = None
 ) -> DataFrame:

@@ -287,3 +287,42 @@ def test_unigram_logprob_ranks_fluent_above_noise(spark):
     }
     assert got[1] < got[2]
     assert got[2] > 4.0  # OOV bucket is expensive by construction
+
+
+def test_keep_best_per_cluster_picks_highest_quality(spark):
+    from chromem_go_spark.pipeline import PipelineConfig, keep_best_per_cluster
+
+    # docs 1/2/3 are near-identical (one cluster); doc 2 has less
+    # punctuation noise -> highest quality score and must win even
+    # though doc 1 has the smaller id. doc 4 is its own cluster.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " !!! ... ;;;"),
+            (2, base),
+            (3, base + " ???"),
+            (4, "completely different content about spark engines and files"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["cluster"]: r for r in keep_best_per_cluster(docs).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["doc_id"] == 2
+    assert out[1]["n_members"] == 3
+    assert out[4]["doc_id"] == 4 and out[4]["n_members"] == 1
+    # winner quality is the max over the cluster
+    from chromem_go_spark.functions.text import quality_score
+    import pyspark.sql.functions as F
+    qs = {r["doc_id"]: r["q"] for r in docs.select("doc_id", F.round(quality_score("text"), 4).alias("q")).collect()}
+    assert out[1]["quality"] == max(qs[1], qs[2], qs[3])
+
+
+def test_keep_best_per_cluster_ties_break_by_id(spark):
+    from chromem_go_spark.pipeline import keep_best_per_cluster
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(7, base), (9, base)], "doc_id long, text string"
+    )
+    out = keep_best_per_cluster(docs).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 7 and out[0]["n_members"] == 2
