@@ -983,6 +983,45 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top_n=50)
 
 
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup: synthesize one deterministic fake clip per
+    document (35 seed groups -> byte-identical twins; every doc_id%4==0
+    gets three flipped samples, one in each of the first three frames ->
+    near-but-not-equal variants), fingerprint the energy envelope with
+    the real PCM kernel, and pair via the banded Hamming join.  The
+    oracle replays everything in SQL — sha256 sample synthesis, integer
+    frame energies, 56-bit gradient fingerprint, brute-force
+    hamming<=6 (the Spark side stays the chunked candidate join)."""
+    import pandas as pd
+
+    from chromem_go_spark.multimodal.ops import (
+        audio_neardup_pairs,
+        encode_fake_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = did % 35
+                sr, n = 8000 + seed * 3, 240 + seed * 7
+                blob = bytearray(encode_fake_audio(sr, n, seed=seed))
+                if did % 4 == 0:
+                    fl = -(-n // 57)
+                    for p in (0, fl, 2 * fl):
+                        blob[16 + p] ^= 0xFF
+                blobs.append(bytes(blob))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    media = docs.mapInPandas(make, "doc_id bigint, data binary")
+    return audio_neardup_pairs(
+        media, max_hamming=6, data_col="data", id_col="doc_id"
+    ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup retention by quality: cluster with the exact Jaccard
     pair graph, then keep each cluster's highest-quality member
@@ -1106,6 +1145,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "bpe_pair_counts": q_bpe_pair_counts,
         "dedup_keep_best": q_dedup_keep_best,
+        "audio_neardup": q_audio_neardup,
     }
 
 
@@ -2127,6 +2167,50 @@ FROM p GROUP BY left_sym, right_sym
 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
 """,
         "dedup_keep_best": _KEEP_BEST_SQL,
+        "audio_neardup": """
+WITH aud AS (
+  SELECT doc_id,
+         doc_id % 35 AS seed,
+         8000 + (doc_id % 35) * 3 AS sr,
+         240 + (doc_id % 35) * 7 AS n,
+         doc_id % 4 = 0 AS pert
+  FROM documents
+),
+dig AS (
+  SELECT *,
+         sha256(sr::VARCHAR || ':' || n::VARCHAR || ':' || seed::VARCHAR) AS d,
+         (n + 56) // 57 AS fl
+  FROM aud
+),
+samples AS (
+  SELECT doc_id, g.j, fl,
+         CASE WHEN pert AND g.j IN (0, fl, 2*fl)
+              THEN xor(('0x' || substr(d, (g.j % 32) * 2 + 1, 2))::INT, 255)
+              ELSE ('0x' || substr(d, (g.j % 32) * 2 + 1, 2))::INT
+         END AS v
+  FROM dig CROSS JOIN LATERAL (SELECT unnest(range(0, n)) AS j) g
+),
+en0 AS (
+  SELECT doc_id, j // fl AS f, SUM((v - 128) * (v - 128)) AS e
+  FROM samples GROUP BY doc_id, j // fl
+),
+en AS (
+  SELECT a.doc_id, fr.f, COALESCE(e0.e, 0) AS e
+  FROM aud a
+  CROSS JOIN (SELECT unnest(range(0, 57)) AS f) fr
+  LEFT JOIN en0 e0 ON e0.doc_id = a.doc_id AND e0.f = fr.f
+),
+fp AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN b.e > a.e THEN 1::BIGINT << a.f ELSE 0 END) AS BIGINT) AS f
+  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  GROUP BY a.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 6
+""",
     }
 
 
@@ -2149,6 +2233,7 @@ _EXTRA_KEYS = frozenset(
         "strip_duplicate_spans",
         "bpe_pair_counts",
         "dedup_keep_best",
+        "audio_neardup",
     }
 )
 

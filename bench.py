@@ -127,6 +127,7 @@ def main() -> None:
         "strip_duplicate_spans",
         "bpe_pair_counts",
         "dedup_keep_best",
+        "audio_neardup",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

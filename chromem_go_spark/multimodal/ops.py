@@ -508,3 +508,75 @@ def audio_features(
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
 
     return df.select(id_col, data_col).mapInPandas(gen, out_schema)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    n_frames: int = 57,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Acoustic fingerprint (chromaprint-spirit, integer-exact): split
+    the centered 8-bit PCM into ``n_frames`` equal frames (zero-padded
+    tail), take each frame's integer energy sum((s-128)^2), and emit one
+    bit per adjacent frame pair — bit i set when E[i+1] > E[i].  The
+    energy-envelope gradient survives re-encoding and uniform gain
+    shifts, the same invariance argument as the image dHash; 57 frames
+    give a 56-bit fingerprint inside the positive long range.
+
+    All-integer arithmetic end to end, so the fingerprint is replayable
+    bit-for-bit in ANSI SQL (no float comparisons near bit boundaries).
+    Arrow-batched mapInPandas; per-clip work is one NumPy reshape + sum.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, afp bigint"
+    nbits = n_frames - 1
+    if nbits > 63:
+        raise ValueError("n_frames too large: fingerprint must fit a positive long")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        weights = 1 << np.arange(nbits, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fps = []
+            for blob in pdf[data_col]:
+                b = bytes(blob)
+                if b[:8] != _AUD_MAGIC:
+                    raise NotImplementedError(
+                        "STUB: real audio decoding needs soundfile/librosa, "
+                        "absent in this container; only FAKEAUD decodes"
+                    )
+                _, ns = struct.unpack(">II", b[8:16])
+                pcm = np.frombuffer(b[16 : 16 + ns], dtype=np.uint8).astype(np.int64)
+                sq = (pcm - 128) ** 2
+                fl = max(1, -(-len(sq) // n_frames))
+                pad = np.zeros(fl * n_frames, dtype=np.int64)
+                pad[: len(sq)] = sq
+                energy = pad.reshape(n_frames, fl).sum(axis=1)
+                bits = energy[1:] > energy[:-1]
+                fps.append(int((bits * weights).sum()))
+            yield pd.DataFrame({id_col: pdf[id_col], "afp": fps})
+
+    return df.select(id_col, data_col).mapInPandas(gen, out_schema)
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    n_frames: int = 57,
+) -> DataFrame:
+    """Near-duplicate audio pairs: energy-envelope fingerprints joined
+    through the shared Hamming banding engine (exact disjoint-chunk
+    pigeonhole join — same machinery as text simhash and image dHash,
+    so the plan is bucketed and never all-pairs).  Returns
+    (id_a, id_b, hamming)."""
+    from ..operators.dedup import hamming_pairs
+
+    sig = audio_fingerprint(df, n_frames=n_frames, data_col=data_col, id_col=id_col)
+    return hamming_pairs(sig, "afp", id_col, max_hamming, bits=n_frames - 1)

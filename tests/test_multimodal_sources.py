@@ -483,3 +483,50 @@ def test_audio_features_deterministic_and_discriminative(spark):
     assert got["a"] != got["b"]
     assert len(got["a"]) == 32
     assert abs(math.sqrt(sum(x * x for x in got["a"])) - 1.0) < 1e-5
+
+
+# ------------------------- acoustic fingerprint near-dup
+
+
+def test_audio_fingerprint_deterministic_and_sensitive(spark):
+    from chromem_go_spark.multimodal.ops import audio_fingerprint, encode_fake_audio
+
+    a = encode_fake_audio(8000, 400, seed=1)
+    b = bytearray(a)
+    b[16] ^= 0xFF  # one sample in frame 0 -> at most bit 0 flips
+    c = encode_fake_audio(8000, 400, seed=2)
+    df = spark.createDataFrame(
+        [("a1", bytes(a)), ("a2", bytes(a)), ("b", bytes(b)), ("c", bytes(c))],
+        "media_id string, data binary",
+    )
+    fp = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert fp["a1"] == fp["a2"]
+    assert 0 <= fp["a1"] < (1 << 56)
+    assert bin(fp["a1"] ^ fp["b"]).count("1") <= 1
+    assert fp["a1"] != fp["c"]
+
+
+def test_audio_neardup_pairs_bands_find_twins(spark):
+    from chromem_go_spark.multimodal.ops import audio_neardup_pairs, encode_fake_audio
+
+    a = encode_fake_audio(16000, 456, seed=9)
+    near = bytearray(a)
+    near[16 + 8] ^= 0x55
+    far = encode_fake_audio(16000, 456, seed=10)
+    df = spark.createDataFrame(
+        [("x", bytes(a)), ("y", bytes(near)), ("z", bytes(far))],
+        "media_id string, data binary",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in audio_neardup_pairs(df, max_hamming=6).collect()}
+    assert ("x", "y") in got and got[("x", "y")] <= 2
+    assert not any("z" in p for p in got)
+
+
+def test_audio_fingerprint_rejects_foreign_bytes(spark):
+    import pytest as _pytest
+
+    from chromem_go_spark.multimodal.ops import audio_fingerprint
+
+    df = spark.createDataFrame([("q", b"RIFF1234wave")], "media_id string, data binary")
+    with _pytest.raises(Exception, match="FAKEAUD|NotImplemented"):
+        audio_fingerprint(df).collect()
