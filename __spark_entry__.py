@@ -983,6 +983,25 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top_n=50)
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join, scale-safe: every 20th event opens a
+    5-minute incident window; count events and distinct users inside
+    each window via the binned equi-join (events.interval_join_binned)
+    — never a cartesian/BNLJ, one shuffle on the bin key plus the
+    aggregation.  Oracle is the plain BETWEEN join in SQL."""
+    ev = _events(spark, sf_dir)
+    windows = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").cast("double").alias("lo_epoch"),
+        (F.col("ts").cast("double") + 300.0).alias("hi_epoch"),
+    )
+    joined = EV.interval_join_binned(ev, windows, bin_seconds=300.0)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acoustic near-dup: synthesize one deterministic fake clip per
     document (35 seed groups -> byte-identical twins; every doc_id%4==0
@@ -1146,6 +1165,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "dedup_keep_best": q_dedup_keep_best,
         "audio_neardup": q_audio_neardup,
+        "events_interval_join": q_events_interval_join,
     }
 
 
@@ -2167,6 +2187,17 @@ FROM p GROUP BY left_sym, right_sym
 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
 """,
         "dedup_keep_best": _KEEP_BEST_SQL,
+        "events_interval_join": """
+WITH w AS (
+  SELECT event_id AS window_id, epoch(ts) AS lo, epoch(ts) + 300.0 AS hi
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT w.window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM w JOIN events e ON epoch(e.ts) >= w.lo AND epoch(e.ts) < w.hi
+GROUP BY w.window_id
+""",
         "audio_neardup": """
 WITH aud AS (
   SELECT doc_id,
@@ -2234,6 +2265,7 @@ _EXTRA_KEYS = frozenset(
         "bpe_pair_counts",
         "dedup_keep_best",
         "audio_neardup",
+        "events_interval_join",
     }
 )
 

@@ -128,6 +128,7 @@ def main() -> None:
         "bpe_pair_counts",
         "dedup_keep_best",
         "audio_neardup",
+        "events_interval_join",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -379,3 +379,57 @@ def event_percentiles(
             expr = F.expr(f"percentile_approx({value_col}, {q}, {int(accuracy)})")
         aggs.append(F.round(expr, 4).alias(name))
     return events.groupBy(key_col).agg(*aggs)
+
+
+def interval_join_binned(
+    events: DataFrame,
+    windows: DataFrame,
+    bin_seconds: float,
+    ts_col: str = "ts",
+    wid_col: str = "window_id",
+    lo_col: str = "lo_epoch",
+    hi_col: str = "hi_epoch",
+) -> DataFrame:
+    """Scale-safe interval (range) join: match every event to every
+    window whose half-open span ``[lo, hi)`` contains it.
+
+    Spark plans a plain ``e.ts BETWEEN w.lo AND w.hi`` join as a
+    broadcast-nested-loop / cartesian — O(events x windows) and dead at
+    scale.  The standard fix (Flink/KDB "bin join") is to discretize
+    time: events get one bin (``floor(s / B)``), windows are exploded
+    into every bin their span touches (``ceil(len/B) + 1`` bins — one
+    row each when window length <= B), the join becomes an EQUI-join on
+    the bin key, and the exact range predicate filters the bin-collision
+    candidates.  Each (event, window) match survives exactly once
+    because an event lives in exactly one bin — no dedup pass needed.
+
+    Pick ``bin_seconds`` >= the typical window length: cost is
+    O(events + windows x spanbins) shuffle rows, never a cross
+    product.  Hot bins (load spikes) shuffle-skew like any hot key —
+    AQE skew handling or the salted-join pattern (operators/skew.py)
+    applies unchanged, because it IS a plain equi-join.
+
+    ``windows`` columns: (wid, lo_epoch, hi_epoch) with epochs in
+    seconds (double).  Returns the event columns (ts as ``ts_epoch``
+    seconds) plus (wid, lo, hi).
+    """
+    b = float(bin_seconds)
+    ev = to_instant(events, ts_col).withColumn(
+        "__s", F.col(ts_col).cast("double")
+    )
+    ev = ev.withColumn("__bin", F.floor(F.col("__s") / b)).drop(ts_col)
+    wn = windows.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b),
+                F.floor(F.col(hi_col) / b),
+            )
+        ),
+    )
+    return (
+        ev.join(wn, "__bin")
+        .filter((F.col("__s") >= F.col(lo_col)) & (F.col("__s") < F.col(hi_col)))
+        .drop("__bin")
+        .withColumnRenamed("__s", "ts_epoch")
+    )

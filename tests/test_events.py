@@ -231,3 +231,76 @@ def test_percentile_edge_quantiles(events):
         EV.event_percentiles(events, quantiles=(0.5, 0.50))
     with pytest.raises(ValueError, match="out of"):
         EV.event_percentiles(events, quantiles=(1.5,))
+
+
+# ------------------------- binned interval join
+
+
+def test_interval_join_binned_matches_bruteforce(spark):
+    import datetime as dt
+
+    from chromem_go_spark.operators.events import interval_join_binned
+
+    base = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=i * 37), i % 5, "t", 1.0) for i in range(200)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    windows = spark.createDataFrame(
+        [
+            (100, float(base.timestamp()) + 50.0, float(base.timestamp()) + 450.0),
+            (101, float(base.timestamp()) + 400.0, float(base.timestamp()) + 460.0),
+            (102, float(base.timestamp()) + 7000.0, float(base.timestamp()) + 7400.0),
+        ],
+        "window_id long, lo_epoch double, hi_epoch double",
+    )
+    got = {
+        (r["window_id"], r["event_id"])
+        for r in interval_join_binned(events, windows, bin_seconds=400.0).collect()
+    }
+    b0 = base.timestamp()
+    expect = {
+        (w, i)
+        for i in range(200)
+        for (w, lo, hi) in [(100, b0 + 50, b0 + 450), (101, b0 + 400, b0 + 460), (102, b0 + 7000, b0 + 7400)]
+        if lo <= b0 + i * 37 < hi
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_interval_join_binned_half_open_boundaries(spark):
+    import datetime as dt
+
+    from chromem_go_spark.operators.events import interval_join_binned
+
+    t0 = dt.datetime(2024, 6, 1)
+    s0 = t0.timestamp()
+    events = spark.createDataFrame(
+        [(1, t0, 1, "t", 0.0), (2, t0 + dt.timedelta(seconds=10), 1, "t", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    windows = spark.createDataFrame(
+        [(9, s0, s0 + 10.0)], "window_id long, lo_epoch double, hi_epoch double"
+    )
+    got = [r["event_id"] for r in interval_join_binned(events, windows, 60.0).collect()]
+    assert got == [1]  # lo inclusive, hi exclusive
+
+
+def test_interval_join_binned_is_equi_join_not_cartesian(spark):
+    import datetime as dt
+
+    from chromem_go_spark.operators.events import interval_join_binned
+
+    t0 = dt.datetime(2024, 6, 1)
+    events = spark.createDataFrame(
+        [(1, t0, 1, "t", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    windows = spark.createDataFrame(
+        [(9, t0.timestamp(), t0.timestamp() + 5.0)],
+        "window_id long, lo_epoch double, hi_epoch double",
+    )
+    plan = interval_join_binned(events, windows, 60.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
