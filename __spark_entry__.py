@@ -983,6 +983,20 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top_n=50)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (quote/superset detection): ordered pairs
+    with shingle containment |A∩B|/|A| >= 0.8
+    (dedup.containment_pairs) — one-sided rarest-first prefix join
+    against the full inverted index, exact verify.  Oracle replays the
+    shingle intersection in SQL."""
+    from chromem_go_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment")
+    )
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join, scale-safe: every 20th event opens a
     5-minute incident window; count events and distinct users inside
@@ -1166,6 +1180,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "audio_neardup": q_audio_neardup,
         "events_interval_join": q_events_interval_join,
+        "containment": q_containment,
     }
 
 
@@ -2187,6 +2202,19 @@ FROM p GROUP BY left_sym, right_sym
 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
 """,
         "dedup_keep_best": _KEEP_BEST_SQL,
+        "containment": f"""
+WITH sh AS ({_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(i * 1.0 / sa.sz, 4) AS containment
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+WHERE i * 1.0 / sa.sz >= 0.8
+""",
         "events_interval_join": """
 WITH w AS (
   SELECT event_id AS window_id, epoch(ts) AS lo, epoch(ts) + 300.0 AS hi
@@ -2266,6 +2294,7 @@ _EXTRA_KEYS = frozenset(
         "dedup_keep_best",
         "audio_neardup",
         "events_interval_join",
+        "containment",
     }
 )
 

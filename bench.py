@@ -129,6 +129,7 @@ def main() -> None:
         "dedup_keep_best",
         "audio_neardup",
         "events_interval_join",
+        "containment",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying
@@ -151,6 +152,7 @@ def main() -> None:
         "dedup_clusters",
         "dedup_clusters_star",
         "dedup_keep_best",
+        "containment",
         "training_pipeline",
         "minhash_lsh",
     ]

@@ -972,3 +972,65 @@ def strip_duplicate_spans(
             F.coalesce(F.size("__cov"), F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    unit: str = "char",
+) -> DataFrame:
+    """Exact shingle-containment join: ordered pairs (a, b) with
+    ``|A ∩ B| / |A| >= threshold`` — "most of A's shingles appear in B",
+    the asymmetric cousin of Jaccard that catches quotes, excerpts and
+    supersets which symmetric similarity misses (a paragraph lifted
+    into a long document has low Jaccard but containment ~1.0).
+
+    Same scale argument as :func:`ngram_jaccard_pairs`, one-sided:
+    containment >= t forces overlap >= ceil(t*|A|), so A's rarest-first
+    prefix of ``|A| - ceil(t*|A|) + 1`` shingles must hit B — join the
+    A-prefix against the FULL inverted index (the asymmetric prefix
+    filter: B has no usable prefix because containment doesn't bound
+    B's size from above), add the one-sided size filter
+    ``|B| >= t*|A|``, then verify candidates exactly with
+    ``array_intersect``.  Common shingles essentially never appear in a
+    rarest-first prefix, so the candidate join never goes quadratic.
+    """
+    t = float(threshold)
+    g = _doc_token_arrays(df, text_col, id_col, k, unit).transform(materialize)
+    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
+    pref = g.select(
+        id_col, "sz", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("p")
+    )
+    full = g.select(id_col, "sz", F.explode("toks").alias("p"))
+    a = pref.alias("a")
+    b = full.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (F.col("b.sz") >= F.col("a.sz") * F.lit(t)),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+        )
+        .distinct()
+    )
+    hs = g.select(id_col, F.transform("toks", lambda x: x["h"]).alias("hs"))
+    ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("hs_a", "hs_b")) / F.col("sz_a"),
+        )
+        .filter(F.col("containment") >= F.lit(t))
+        .select("id_a", "id_b", "containment")
+    )

@@ -479,3 +479,33 @@ def test_strip_duplicate_spans_overlap_union(spark):
     assert out[2]["text_clean"] == ""
     assert out[2]["n_removed"] == 8
     assert out[3]["n_removed"] == 0
+
+
+# ------------------------- asymmetric containment join
+
+
+def test_containment_pairs_catches_quotes(spark):
+    big = ("the quick brown fox jumps over the lazy dog while the cat "
+           "watches from the warm windowsill during a long afternoon")
+    quote = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, big), (2, quote), (3, "entirely unrelated text about query engines")],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in D.containment_pairs(df, threshold=0.8).collect()}
+    # the quote is contained in the big doc (ordered: quote -> big)
+    assert (2, 1) in out and out[(2, 1)] > 0.9
+    # but NOT the reverse (big is much larger than the quote)
+    assert (1, 2) not in out
+    assert not any(3 in p for p in out)
+
+
+def test_containment_pairs_exact_value(spark):
+    # identical docs contain each other fully, both directions
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in D.containment_pairs(df, threshold=0.5).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert out[(2, 1)] == pytest.approx(1.0)
