@@ -1159,7 +1159,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     redaction), where_extended ($and/$or filter DSL), mix_corpus
     (weighted multi-source token-budget mixing), unigram_logprob
     (statistical quality scoring), duplicate_spans /
-    strip_duplicate_spans (exact substring dedup, Lee et al. 2021)."""
+    strip_duplicate_spans (exact substring dedup, Lee et al. 2021),
+    bpe_pair_counts (BPE tokenizer statistics), dedup_keep_best
+    (keep-highest-quality retention), audio_neardup (acoustic
+    fingerprint near-dup), events_interval_join (binned range join),
+    containment (asymmetric quote/superset detection)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,

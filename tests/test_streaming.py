@@ -458,3 +458,29 @@ def test_soak_incremental_neardup_manifest_mode(spark, tmp_path, sf_dir):
         with open(man) as f:
             base = json.load(f)["base"]
         assert base in parts, (tbl, base, parts)
+
+
+def test_interval_join_binned_stream_matches_batch(spark, events_dir, events_batch):
+    """Stream-static binned interval join: streamed events match static
+    incident windows; stateless (event bin is a pure projection, the
+    window side is static), so streaming output equals the batch plan."""
+    from chromem_go_spark.operators.events import interval_join_binned
+
+    ev = events_batch
+    windows = ev.filter(F.col("event_id") % 25 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").cast("double").alias("lo_epoch"),
+        (F.col("ts").cast("double") + 120.0).alias("hi_epoch"),
+    )
+    windows = spark.createDataFrame(windows.collect(), windows.schema)
+
+    def key(rows):
+        return {(r["window_id"], r["event_id"]) for r in rows}
+
+    expect = key(interval_join_binned(ev, windows, bin_seconds=120.0).collect())
+    assert expect
+
+    stream = S.read_events_stream(spark, events_dir)
+    out = interval_join_binned(stream, windows, bin_seconds=120.0)
+    got = key(_drain_to_memory(spark, out, "interval_join", "append").collect())
+    assert got == expect
