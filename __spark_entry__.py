@@ -983,6 +983,18 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top_n=50)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical term weighting: each doc's top-5 tf*idf terms with the
+    sklearn-style smoothed idf (tfidf.tfidf_topk_terms).  Two
+    vocabulary-shaped aggregations + one per-doc window; the hashed
+    vector variant (tfidf_vectors) feeds the kNN engine and is
+    pytest-covered.  Oracle replays tf/df/idf/window in SQL."""
+    from chromem_go_spark.operators.tfidf import tfidf_topk_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, top_n=5)
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup (quote/superset detection): ordered pairs
     with shingle containment |A∩B|/|A| >= 0.8
@@ -1185,6 +1197,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "events_interval_join": q_events_interval_join,
         "containment": q_containment,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -2206,6 +2219,24 @@ FROM p GROUP BY left_sym, right_sym
 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
 """,
         "dedup_keep_best": _KEEP_BEST_SQL,
+        "tfidf_topk": r"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+    FROM documents) GROUP BY doc_id, token
+), dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df_docs,
+         tf.tf * (ln((n.n + 1.0) / (dfq.df_docs + 1)) + 1.0) AS score
+  FROM tf JOIN dfq USING (token), n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM s
+)
+SELECT doc_id, token, tf, df_docs, ROUND(score, 4) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+""",
         "containment": f"""
 WITH sh AS ({_SHINGLES}),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -2299,6 +2330,7 @@ _EXTRA_KEYS = frozenset(
         "audio_neardup",
         "events_interval_join",
         "containment",
+        "tfidf_topk",
     }
 )
 

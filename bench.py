@@ -130,6 +130,7 @@ def main() -> None:
         "audio_neardup",
         "events_interval_join",
         "containment",
+        "tfidf_topk",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying
