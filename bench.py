@@ -230,6 +230,45 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["ivf_build_probe_split"] = f"{type(e).__name__}: {e}"[:300]
 
+    # Same split for IVF-PQ: q_ivf_pq_search re-pays k-means + codebook
+    # training every call; a served PQ index amortizes both, so the
+    # steady-state number is ADC-probe + re-rank only.
+    try:
+        from pyspark.sql import functions as F
+
+        from chromem_go_spark.operators import ann as ANN
+
+        emb_p = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.time()
+        idx_p = ANN.IVFPQIndex.build(
+            emb_p, n_clusters=8, m=16, vec_col="embedding", id_col="vec_id"
+        )
+        times["ivf_pq_build"] = round(time.time() - t0, 3)
+        qrows_p = (
+            emb_p.filter(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            idx_p.search_batch(
+                [str(r["vec_id"]) for r in qrows_p],
+                [list(r["embedding"]) for r in qrows_p],
+                5,
+                nprobe=8,
+                rerank=100,
+            ).count()
+            best = min(best, time.time() - t0)
+        times["ivf_pq_search_probe"] = round(best, 3)
+        print(
+            f"# ivf_pq_build: {times['ivf_pq_build']}s / probe-only: "
+            f"{times['ivf_pq_search_probe']}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["ivf_pq_build_probe_split"] = f"{type(e).__name__}: {e}"[:300]
+
     # training_pipeline with the dedup-pairs subtree MATERIALIZED (how a
     # real pipeline runs it — the pair graph is an intermediate, not
     # recomputed): isolates the pipeline's own cost from dedup_clusters',
