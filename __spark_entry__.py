@@ -983,6 +983,16 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top_n=50)
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus map: spherical k-means over the embedding column (the IVF
+    coarse quantizer as an analytics operator), per-cluster size +
+    cohesion (ann.cluster_summary).  Deterministic (seeded k-means++,
+    hash-spread sample) but iterative, so no SQL oracle — rows-only by
+    design; pytest covers blob recovery and determinism."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ANN.cluster_summary(emb, n_clusters=8)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical term weighting: each doc's top-5 tf*idf terms with the
     sklearn-style smoothed idf (tfidf.tfidf_topk_terms).  Two
@@ -1198,6 +1208,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "containment": q_containment,
         "tfidf_topk": q_tfidf_topk,
+        "embedding_clusters": q_embedding_clusters,
     }
 
 
@@ -2331,6 +2342,7 @@ _EXTRA_KEYS = frozenset(
         "events_interval_join",
         "containment",
         "tfidf_topk",
+        "embedding_clusters",  # no oracle (iterative k-means) — rows-only
     }
 )
 

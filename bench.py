@@ -131,6 +131,7 @@ def main() -> None:
         "events_interval_join",
         "containment",
         "tfidf_topk",
+        "embedding_clusters",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

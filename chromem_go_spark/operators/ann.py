@@ -889,3 +889,80 @@ def clear_tombstones(spark: SparkSession, path: str) -> None:
     import shutil
 
     shutil.rmtree(_tombstone_path(path), ignore_errors=True)
+
+
+# ------------------------------------------------------------------
+# Standalone spherical k-means document clustering — the IVF coarse
+# quantizer exposed as an analytics operator (topic bucketing, corpus
+# maps, per-cluster sampling quotas).  Same scale shape as an index
+# build: bounded driver-side sample for training, one GEMM-argmax
+# Arrow pass over the corpus for assignment.
+# ------------------------------------------------------------------
+
+
+def cluster_embeddings(
+    df: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_size: int = 50_000,
+) -> DataFrame:
+    """Assign every row to its nearest spherical k-means centroid.
+
+    Deterministic (k-means++ seeded, hash-spread training sample).
+    Returns the input columns minus the vector, plus ``cluster_id`` and
+    ``centroid_sim`` (cosine of the row to its centroid — a cluster
+    cohesion signal).  The corpus is never shuffled: assignment is one
+    mapInPandas GEMM per Arrow batch against the broadcast-by-closure
+    centroid matrix."""
+    import pandas as pd  # noqa: F401
+
+    sample = _hash_sample(df, vec_col, id_col, sample_size)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = _kmeans(sample / norms, n_clusters, seed)
+
+    keep = [f.name for f in df.schema.fields if f.name != vec_col]
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != vec_col
+    )
+    out_schema = f"{fields}, cluster_id int, centroid_sim double"
+    cmat = cents.T.copy()
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rn = np.linalg.norm(mat, axis=1, keepdims=True)
+            rn[rn == 0] = 1.0
+            sims = (mat / rn) @ cmat
+            out = pdf[keep].copy()
+            out["cluster_id"] = np.argmax(sims, axis=1).astype(np.int32)
+            out["centroid_sim"] = np.max(sims, axis=1)
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def cluster_summary(
+    df: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_size: int = 50_000,
+) -> DataFrame:
+    """Per-cluster corpus map: (cluster_id, n, mean_sim) — size and
+    cohesion of each spherical k-means cluster.  One aggregation over
+    the assignment pass."""
+    assigned = cluster_embeddings(
+        df, n_clusters, vec_col, id_col, seed, sample_size
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("centroid_sim"), 4).alias("mean_sim"),
+    )

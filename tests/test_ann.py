@@ -427,3 +427,49 @@ def test_pq_tombstone_delete_then_compact(spark, emb, tmp_path):
     re = A.IVFPQIndex.load(spark, path)
     assert re.coded.count() == n_all - 2
     assert re.vectors.count() == n_all - 2
+
+
+# ------------------------- standalone k-means clustering
+
+
+def test_cluster_embeddings_recovers_blobs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(3)  # three orthogonal directions
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.05, 3)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from chromem_go_spark.operators.ann import cluster_embeddings, cluster_summary
+
+    out = cluster_embeddings(df, n_clusters=3, sample_size=90).collect()
+    assert len(out) == 90
+    assert all(0.9 < r["centroid_sim"] <= 1.0 + 1e-9 for r in out)
+    # members of the same blob land in the same cluster
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster_id"])
+    assert all(len(cs) == 1 for cs in by_blob.values())
+    # three distinct clusters
+    assert len({next(iter(cs)) for cs in by_blob.values()}) == 3
+
+    summ = {r["cluster_id"]: r for r in cluster_summary(df, n_clusters=3, sample_size=90).collect()}
+    assert sorted(r["n"] for r in summ.values()) == [30, 30, 30]
+    assert all(r["mean_sim"] > 0.9 for r in summ.values())
+
+
+def test_cluster_embeddings_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(0, 1, 4).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from chromem_go_spark.operators.ann import cluster_embeddings
+
+    a = sorted((r["vec_id"], r["cluster_id"]) for r in cluster_embeddings(df, 4, sample_size=40).collect())
+    b = sorted((r["vec_id"], r["cluster_id"]) for r in cluster_embeddings(df, 4, sample_size=40).collect())
+    assert a == b
