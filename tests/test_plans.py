@@ -190,3 +190,30 @@ def test_decontaminate_broadcasts_eval_side(spark):
     assert not flags["has_sort_merge_join"]
     plan = X.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_containment_never_cartesian(docs):
+    from chromem_go_spark.operators.dedup import containment_pairs
+
+    df = containment_pairs(docs.limit(50), threshold=0.8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_strip_duplicate_spans_no_python_eval(docs):
+    from chromem_go_spark.operators.dedup import strip_duplicate_spans
+    from chromem_go_spark.plans import explain as X
+
+    df = strip_duplicate_spans(docs.limit(50), width=10)
+    flags = X.plan_flags(df)
+    assert not flags["has_python_eval"]  # pure Catalyst end to end
+
+
+def test_tfidf_vectors_no_python_eval(docs):
+    from chromem_go_spark.operators.tfidf import tfidf_vectors
+    from chromem_go_spark.plans import explain as X
+
+    df = tfidf_vectors(docs.limit(50), dim=32)
+    flags = X.plan_flags(df)
+    assert not flags["has_python_eval"]

@@ -50,3 +50,25 @@ def test_idf_table_broadcastable_model(corpus):
     assert m["spark"]["df_docs"] == 2
     assert m["unicorn"]["df_docs"] == 1
     assert m["unicorn"]["idf"] > m["engine"]["idf"]
+
+
+def test_tfidf_vectors_drive_knn_lexical_search(spark):
+    """Lexical similarity search end-to-end: hashed TF-IDF vectors feed
+    the same TakeOrderedAndProject kNN path as embeddings."""
+    from chromem_go_spark.operators.knn import knn_single
+    from chromem_go_spark.operators.tfidf import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine with adaptive execution"),
+            (2, "spark query engine with vectorized execution"),
+            (3, "gardening tips for tomato plants in summer"),
+            (4, "tomato plants love warm summer weather"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = tfidf_vectors(docs, dim=64)
+    qv = [r["embedding"] for r in vecs.filter("doc_id = 1").collect()][0]
+    got = [r["doc_id"] for r in knn_single(vecs, list(qv), 2, id_col="doc_id").collect()]
+    assert got[0] == 1          # self first
+    assert got[1] == 2          # lexical twin beats the gardening docs
