@@ -983,6 +983,29 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top_n=50)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (A-ExpJ, Efraimidis-Spirakis): top-100
+    docs by ln(u)/w with u from the portable md5 hash and w = token
+    count (pipeline.weighted_sample) — sample-by-content-volume with no
+    RNG state, TakeOrdered plan.  Oracle replays hash -> u -> priority
+    in SQL."""
+    from chromem_go_spark.pipeline import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=100)
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-50 adjacent word pairs by PMI with
+    min_count=5 (pipeline.pmi_collocations).  Two vocabulary-shaped
+    aggregations + TakeOrdered.  Oracle replays unigram/bigram counts
+    and the log2 ratio in SQL."""
+    from chromem_go_spark.pipeline import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, top_n=50, min_count=5)
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus map: spherical k-means over the embedding column (the IVF
     coarse quantizer as an analytics operator), per-cluster size +
@@ -1209,6 +1232,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "tfidf_topk": q_tfidf_topk,
         "embedding_clusters": q_embedding_clusters,
+        "weighted_sample": q_weighted_sample,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -2230,6 +2255,45 @@ FROM p GROUP BY left_sym, right_sym
 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
 """,
         "dedup_keep_best": _KEEP_BEST_SQL,
+        "weighted_sample": r"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ROUND(ln((h + 1.0) / (1152921504606846977.0)) / n_tokens, 8) AS priority
+FROM w WHERE n_tokens > 0
+ORDER BY priority DESC, doc_id LIMIT 100
+""",
+        "pmi_collocations": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS w
+  FROM documents
+),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM (
+    SELECT w[g.i] AS w1, w[g.i+1] AS w2
+    FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(w))) AS i) g
+  ) GROUP BY w1, w2 HAVING COUNT(*) >= 5
+),
+tot AS (
+  SELECT SUM(len(w)) AS n_tok, SUM(greatest(len(w) - 1, 0)) AS n_pair FROM toks
+)
+SELECT b.w1, b.w2, b.c_ab, u1.c AS c_a, u2.c AS c_b,
+       ROUND(log2((b.c_ab / (1.0 * t.n_pair)) /
+             ((u1.c / (1.0 * t.n_tok)) * (u2.c / (1.0 * t.n_tok)))), 4) AS pmi
+FROM big b
+JOIN uni u1 ON b.w1 = u1.tok
+JOIN uni u2 ON b.w2 = u2.tok, tot t
+ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50
+""",
         "tfidf_topk": r"""
 WITH tf AS (
   SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
@@ -2343,6 +2407,8 @@ _EXTRA_KEYS = frozenset(
         "containment",
         "tfidf_topk",
         "embedding_clusters",  # no oracle (iterative k-means) — rows-only
+        "weighted_sample",
+        "pmi_collocations",
     }
 )
 

@@ -132,6 +132,8 @@ def main() -> None:
         "containment",
         "tfidf_topk",
         "embedding_clusters",
+        "weighted_sample",
+        "pmi_collocations",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

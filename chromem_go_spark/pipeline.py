@@ -183,6 +183,102 @@ def stratified_sample(
     return docs.filter(h < rate * 1_000_000)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep ``k``
+    documents with probability proportional to their token count — the
+    "sample by content volume, not doc count" step a corpus audit runs.
+
+    The A-ExpJ priority-sampling key (Efraimidis & Spirakis 2006):
+    every row draws u in (0,1] and keeps the top-k by ``u^(1/w)``,
+    equivalently ``ln(u)/w`` — except here u comes from the portable
+    md5 hash of the id instead of an RNG, so the same rows win on any
+    engine and any re-run.  Pure expressions + TakeOrdered: no RNG
+    state, no shuffle beyond the top-k merge.  Returns
+    (id, n_tokens, priority) — priority = ln(u)/w, higher wins."""
+    w = T.token_count(text_col)
+    h = T.md5_hash60(F.col(id_col).cast("string"))
+    u = (h.cast("double") + 1.0) / F.lit(float((1 << 60) + 1))
+    pri = F.log(u) / w
+    return (
+        docs.filter(w > 0)
+        .select(
+            id_col,
+            w.cast("bigint").alias("n_tokens"),
+            F.round(pri, 8).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), id_col)
+        .limit(int(k))
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_n: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation extraction: the ``top_n`` adjacent word pairs by
+    pointwise mutual information ``log2(p(ab) / (p(a) p(b)))`` with
+    ``p(ab) = c_ab / N_pairs`` and unigram probabilities over the token
+    stream — the classic "new york"/"machine learning" detector.
+
+    Two vocabulary-shaped aggregations (unigrams, bigrams) + two tiny
+    joins + TakeOrdered; ``min_count`` suppresses the low-count noise
+    PMI is notorious for.  Deterministic order (pmi desc, pair asc)."""
+    toks = docs.select(id_col, T.word_tokens(text_col).alias("__w"))
+    uni = (
+        toks.select(F.explode("__w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - 1),
+        lambda i: F.struct(
+            F.element_at("__w", i).alias("w1"),
+            F.element_at("__w", (i + F.lit(1)).cast("int")).alias("w2"),
+        ),
+    )
+    big = (
+        toks.filter(F.size("__w") >= 2)
+        .select(F.explode(pairs_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= int(min_count))
+    )
+    tot = toks.select(
+        F.size("__w").alias("a"),
+        F.greatest(F.size("__w") - 1, F.lit(0)).alias("b"),
+    ).agg(F.sum("a"), F.sum("b")).collect()[0]
+    n_tok, n_pair = int(tot[0]), int(tot[1])
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log2(
+        (F.col("c_ab") / F.lit(float(n_pair)))
+        / ((F.col("c_a") / F.lit(float(n_tok))) * (F.col("c_b") / F.lit(float(n_tok))))
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(int(top_n))
+    )
+
+
 def sample_per_group(
     docs: DataFrame,
     n_per_group: int,

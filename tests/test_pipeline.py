@@ -326,3 +326,56 @@ def test_keep_best_per_cluster_ties_break_by_id(spark):
     )
     out = keep_best_per_cluster(docs).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 7 and out[0]["n_members"] == 2
+
+
+def test_weighted_sample_formula_and_determinism(spark):
+    import hashlib
+    import math
+
+    from chromem_go_spark.pipeline import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (5 + i))) for i in range(20)] + [(99, "   ")],
+        "doc_id long, text string",
+    )
+    out = weighted_sample(docs, k=5).collect()
+    assert len(out) == 5
+    # empty doc filtered
+    assert all(r["doc_id"] != 99 for r in out)
+    # replay the priority formula independently
+    def pri(did, w):
+        h = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16)
+        u = (h + 1.0) / float((1 << 60) + 1)
+        return math.log(u) / w
+
+    expect = sorted(((pri(i, 5 + i), i) for i in range(20)), key=lambda t: (-t[0], t[1]))[:5]
+    assert [r["doc_id"] for r in out] == [i for _, i in expect]
+    for r, (p, _) in zip(out, expect):
+        assert r["priority"] == round(p, 8)
+    # deterministic across calls
+    again = weighted_sample(docs, k=5).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_pmi_collocations_finds_fixed_phrases(spark):
+    from chromem_go_spark.pipeline import pmi_collocations
+
+    rows = []
+    # 'new york' always together; 'the' everywhere (high count, low PMI)
+    for i in range(30):
+        rows.append((i, "the new york office is near the harbor"))
+    for i in range(30, 60):
+        rows.append((i, "the weather is mild near the coast"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, top_n=10, min_count=5).collect()
+    pairs = {(r["w1"], r["w2"]): r for r in out}
+    assert ("new", "york") in pairs
+    ny = pairs[("new", "york")]
+    assert ny["c_ab"] == 30 and ny["c_a"] == 30 and ny["c_b"] == 30
+    # the fixed phrase outranks any pair involving 'the'
+    the_pmis = [r["pmi"] for r in out if "the" in (r["w1"], r["w2"])]
+    assert all(ny["pmi"] > p for p in the_pmis)
+    # deterministic ordering
+    assert [(r["pmi"], r["w1"], r["w2"]) for r in out] == sorted(
+        [(r["pmi"], r["w1"], r["w2"]) for r in out], key=lambda t: (-t[0], t[1], t[2])
+    )
