@@ -1208,7 +1208,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bpe_pair_counts (BPE tokenizer statistics), dedup_keep_best
     (keep-highest-quality retention), audio_neardup (acoustic
     fingerprint near-dup), events_interval_join (binned range join),
-    containment (asymmetric quote/superset detection)."""
+    containment (asymmetric quote/superset detection), tfidf_topk
+    (lexical term weighting; hashed tfidf_vectors feed the kNN path),
+    embedding_clusters (spherical k-means corpus map, rows-only),
+    weighted_sample (deterministic priority sampling),
+    pmi_collocations (collocation extraction)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
