@@ -1100,6 +1100,46 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by frame-set Jaccard: synthesize one 4-frame fake
+    video per document (30 seed groups -> identical shot sets; every
+    doc_id%5==0 swaps its last frame for a unique one -> 3-of-5 Jaccard
+    0.6 variants), dHash every frame with the real demux+decode kernel,
+    and pair via the inverted frame-hash join
+    (multimodal.video_neardup_pairs).  Oracle replays frame synthesis,
+    per-frame dHash and set Jaccard in SQL."""
+    import pandas as pd
+
+    from chromem_go_spark.multimodal.ops import (
+        encode_fake_image,
+        encode_fake_video,
+        video_neardup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                seed = did % 30
+                frames = []
+                for j in range(4):
+                    fs = seed * 4 + j
+                    if did % 5 == 0 and j == 3:
+                        fs = 100000 + did
+                    w, h = 16 + fs % 7, 12 + fs % 5
+                    frames.append(encode_fake_image(w, h, seed=fs))
+                blobs.append(encode_fake_video(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    media = docs.mapInPandas(make, "doc_id bigint, data binary")
+    return video_neardup_pairs(
+        media, threshold=0.5, data_col="data", id_col="doc_id"
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup retention by quality: cluster with the exact Jaccard
     pair graph, then keep each cluster's highest-quality member
@@ -1238,6 +1278,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "weighted_sample": q_weighted_sample,
         "pmi_collocations": q_pmi_collocations,
+        "video_neardup": q_video_neardup,
     }
 
 
@@ -2340,6 +2381,50 @@ SELECT w.window_id,
 FROM w JOIN events e ON epoch(e.ts) >= w.lo AND epoch(e.ts) < w.hi
 GROUP BY w.window_id
 """,
+        "video_neardup": """
+WITH fr AS (
+  SELECT doc_id, j,
+         CASE WHEN doc_id % 5 = 0 AND j = 3 THEN 100000 + doc_id
+              ELSE (doc_id % 30) * 4 + j END AS fs
+  FROM documents, (SELECT unnest(range(4)) AS j)
+),
+img AS (
+  SELECT doc_id, j, fs, 16 + fs % 7 AS w, 12 + fs % 5 AS h FROM fr
+),
+dig AS (
+  SELECT *, sha256(w::VARCHAR || 'x' || h::VARCHAR || ':' || fs::VARCHAR) AS d
+  FROM img
+),
+cells AS (
+  SELECT doc_id, j, r, c, ((r * h) // 8) * w + ((c * w) // 8) AS pi
+  FROM dig, (SELECT unnest(range(8)) AS r), (SELECT unnest(range(8)) AS c)
+),
+vals AS (
+  SELECT g.doc_id, g.j, g.r, g.c,
+         ('0x' || substr(d.d, (g.pi % 32) * 2 + 1, 2))::INT AS v
+  FROM cells g JOIN dig d ON g.doc_id = d.doc_id AND g.j = d.j
+),
+fp AS (
+  SELECT a.doc_id, a.j,
+         CAST(SUM(CASE WHEN a.v < b.v THEN 1::BIGINT << (a.r * 7 + a.c)
+                       ELSE 0 END) AS BIGINT) AS f
+  FROM vals a JOIN vals b ON a.doc_id = b.doc_id AND a.j = b.j
+                          AND a.r = b.r AND b.c = a.c + 1
+  GROUP BY a.doc_id, a.j
+),
+sets AS (SELECT DISTINCT doc_id, f FROM fp),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sets a JOIN sets b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+""",
         "audio_neardup": """
 WITH aud AS (
   SELECT doc_id,
@@ -2413,6 +2498,7 @@ _EXTRA_KEYS = frozenset(
         "embedding_clusters",  # no oracle (iterative k-means) — rows-only
         "weighted_sample",
         "pmi_collocations",
+        "video_neardup",
     }
 )
 

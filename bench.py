@@ -134,6 +134,7 @@ def main() -> None:
         "embedding_clusters",
         "weighted_sample",
         "pmi_collocations",
+        "video_neardup",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

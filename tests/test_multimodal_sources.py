@@ -530,3 +530,54 @@ def test_audio_fingerprint_rejects_foreign_bytes(spark):
     df = spark.createDataFrame([("q", b"RIFF1234wave")], "media_id string, data binary")
     with _pytest.raises(Exception, match="FAKEAUD|NotImplemented"):
         audio_fingerprint(df).collect()
+
+
+# ------------------------- video frame-set near-dup
+
+
+def _mk_video(frame_seeds):
+    from chromem_go_spark.multimodal.ops import encode_fake_image, encode_fake_video
+
+    return encode_fake_video(
+        [encode_fake_image(16 + s % 5, 12 + s % 3, seed=s) for s in frame_seeds]
+    )
+
+
+def test_video_fingerprints_per_frame(spark):
+    from chromem_go_spark.multimodal.ops import video_fingerprints
+
+    df = spark.createDataFrame(
+        [("v1", _mk_video([1, 2, 3])), ("v2", _mk_video([1, 2, 3]))],
+        "media_id string, data binary",
+    )
+    fp = video_fingerprints(df).collect()
+    assert len(fp) == 6
+    by = {}
+    for r in fp:
+        by.setdefault(r["media_id"], {})[r["frame_idx"]] = r["dhash"]
+    assert by["v1"] == by["v2"]  # identical frames -> identical hashes
+    assert len(set(by["v1"].values())) == 3  # distinct frames differ
+
+
+def test_video_neardup_pairs_jaccard(spark):
+    from chromem_go_spark.multimodal.ops import video_neardup_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("a", _mk_video([1, 2, 3, 4])),
+            ("b", _mk_video([1, 2, 3, 99])),   # 3 of 5 shots shared -> 0.6
+            ("c", _mk_video([50, 51, 52, 53])),
+        ],
+        "media_id string, data binary",
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in video_neardup_pairs(df, threshold=0.5).collect()}
+    assert got[("a", "b")] == pytest.approx(3 / 5)
+    assert not any("c" in p for p in got)
+
+
+def test_video_fingerprints_rejects_foreign_container(spark):
+    from chromem_go_spark.multimodal.ops import video_fingerprints
+
+    df = spark.createDataFrame([("x", b"RIFFxxxxAVI ")], "media_id string, data binary")
+    with pytest.raises(Exception, match="demux|NotImplemented"):
+        video_fingerprints(df).collect()
