@@ -1100,6 +1100,36 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props: parse events.props with from_json
+    (codegen, permissive nulls) and aggregate the typed field per event
+    type (events.props_stats_by_type).  Oracle uses DuckDB's JSON
+    extraction."""
+    return EV.props_stats_by_type(_events(spark, sf_dir))
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between corpus versions: old = the documents
+    table; new = same with doc_id%10==0 removed, doc_id%7==0 modified
+    (marker appended), and a fresh +100000 id added per doc_id%13==0.
+    One full-outer fingerprint join -> added/removed/modified/unchanged
+    (pipeline.corpus_diff).  Oracle replays the md5-fingerprint
+    comparison in SQL."""
+    from chromem_go_spark.pipeline import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    modified = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", modified.alias("text")
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs.select("doc_id", "text"), new.union(added))
+
+
 def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup by frame-set Jaccard: synthesize one 4-frame fake
     video per document (30 seed groups -> identical shot sets; every
@@ -1279,6 +1309,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "pmi_collocations": q_pmi_collocations,
         "video_neardup": q_video_neardup,
+        "events_props": q_events_props,
+        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -2381,6 +2413,38 @@ SELECT w.window_id,
 FROM w JOIN events e ON epoch(e.ts) >= w.lo AND epoch(e.ts) < w.hi
 GROUP BY w.window_id
 """,
+        "events_props": """
+SELECT event_type,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n,
+       CAST(SUM(json_extract_string(props, '$.k')::INT) AS BIGINT) AS sum_k,
+       ROUND(AVG(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+       MIN(json_extract_string(props, '$.k')::INT) AS min_k,
+       MAX(json_extract_string(props, '$.k')::INT) AS max_k
+FROM events GROUP BY event_type
+""",
+        "corpus_diff": """
+WITH old AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+new AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END
+         ), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 100000,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'modified' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""",
         "video_neardup": """
 WITH fr AS (
   SELECT doc_id, j,
@@ -2499,6 +2563,8 @@ _EXTRA_KEYS = frozenset(
         "weighted_sample",
         "pmi_collocations",
         "video_neardup",
+        "events_props",
+        "corpus_diff",
     }
 )
 

@@ -135,6 +135,8 @@ def main() -> None:
         "weighted_sample",
         "pmi_collocations",
         "video_neardup",
+        "events_props",
+        "corpus_diff",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -433,3 +433,35 @@ def interval_join_binned(
         .drop("__bin")
         .withColumnRenamed("__s", "ts_epoch")
     )
+
+
+def parse_props(
+    events: DataFrame,
+    schema: str = "k int",
+    props_col: str = "props",
+) -> DataFrame:
+    """Parse the semi-structured JSON ``props`` column into typed
+    fields (``from_json`` — JVM-side, codegen, no Python).  Malformed
+    JSON yields nulls, the standard permissive contract."""
+    return events.withColumn("__p", F.from_json(F.col(props_col), schema)).select(
+        "*", F.col("__p.*")
+    ).drop("__p")
+
+
+def props_stats_by_type(
+    events: DataFrame,
+    field: str = "k",
+    type_col: str = "event_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """Typed aggregation over a JSON property: per event type, count /
+    sum / mean / min / max of ``props.$field``.  One shuffle; the JSON
+    parse happens once per row inside codegen."""
+    parsed = parse_props(events, f"{field} int", props_col)
+    return parsed.groupBy(type_col).agg(
+        F.count(field).alias("n"),
+        F.sum(field).cast("bigint").alias("sum_k"),
+        F.round(F.avg(field), 4).alias("avg_k"),
+        F.min(field).alias("min_k"),
+        F.max(field).alias("max_k"),
+    )

@@ -537,3 +537,33 @@ def unigram_logprob_scores(
             ).alias("avg_neg_logp"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: (id, status) with
+    status in added / removed / modified / unchanged — the audit a data
+    team runs between crawl refreshes before re-deduping.
+
+    One full-outer join on the id carrying both sides' normalized-text
+    fingerprints (md5, engine-portable); change detection is a pure
+    fingerprint comparison, so two multi-TB snapshots diff in a single
+    co-partitioned join with no text comparison shuffle."""
+    o = old.select(
+        F.col(id_col).alias("__id"), T.fingerprint(text_col).alias("__fp_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"), T.fingerprint(text_col).alias("__fp_new")
+    )
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))

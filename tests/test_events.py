@@ -304,3 +304,28 @@ def test_interval_join_binned_is_equi_join_not_cartesian(spark):
     plan = interval_join_binned(events, windows, 60.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_parse_props_and_stats(spark):
+    import datetime as dt
+
+    from chromem_go_spark.operators.events import parse_props, props_stats_by_type
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (1, t0, 1, "click", 0.0, '{"k": 10}'),
+            (2, t0, 1, "click", 0.0, '{"k": 20}'),
+            (3, t0, 2, "view", 0.0, '{"k": 7}'),
+            (4, t0, 2, "view", 0.0, "not json"),       # malformed -> null
+            (5, t0, 2, "view", 0.0, None),             # null passthrough
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    parsed = {r["event_id"]: r["k"] for r in parse_props(events).collect()}
+    assert parsed[1] == 10 and parsed[3] == 7
+    assert parsed[4] is None and parsed[5] is None
+
+    stats = {r["event_type"]: r for r in props_stats_by_type(events).collect()}
+    assert stats["click"]["n"] == 2 and stats["click"]["sum_k"] == 30
+    assert stats["view"]["n"] == 1 and stats["view"]["min_k"] == 7

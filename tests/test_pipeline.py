@@ -379,3 +379,21 @@ def test_pmi_collocations_finds_fixed_phrases(spark):
     assert [(r["pmi"], r["w1"], r["w2"]) for r in out] == sorted(
         [(r["pmi"], r["w1"], r["w2"]) for r in out], key=lambda t: (-t[0], t[1], t[2])
     )
+
+
+def test_corpus_diff_statuses(spark):
+    from chromem_go_spark.pipeline import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "BETA  "), (3, "gamma changed"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # normalization makes 'BETA  ' == 'beta'
+    assert got == {1: "unchanged", 2: "unchanged", 3: "modified", 4: "added"}
+
+    got2 = {r["doc_id"]: r["status"] for r in corpus_diff(new, old).collect()}
+    assert got2[4] == "removed"
