@@ -748,8 +748,11 @@ def tune_ivf(
     until the target is met.  Among configurations meeting the target,
     choose the one with the lowest expected scan fraction
     (nprobe / n_clusters — the cost a probe actually pays, since
-    cluster partitions prune the scan).  With ``pq_m`` set, additionally
-    sweep the PQ rerank depth (k, 2k, 5k, 10k) at the chosen point.
+    cluster partitions prune the scan).  With ``pq_m`` set (a single
+    codebook count or a sequence to sweep, smallest-first), additionally
+    sweep PQ code size x rerank depth (k, 2k, 5k, 10k) at the chosen
+    point and return the most compressed (m, rerank) meeting the
+    target, plus the full ``pq_sweep``.
 
     At 100 TB this runs unchanged on a SAMPLE of the corpus (recall is
     a distribution property, not a row-count property); the returned
@@ -811,22 +814,43 @@ def tune_ivf(
     out["sweep"] = sweep
 
     if pq_m is not None:
-        pq = IVFPQIndex.build(
-            emb,
-            n_clusters=out["n_clusters"],
-            m=int(pq_m),
-            vec_col=vec_col,
-            id_col=id_col,
+        # ``pq_m`` may be one codebook count or a sequence to sweep;
+        # smallest m first (most compression) — the first (m, rerank)
+        # meeting the target wins, so the tuner returns the cheapest
+        # code size that still hits the recall bar.
+        m_cands = (
+            [int(pq_m)]
+            if isinstance(pq_m, int)
+            else sorted(int(m) for m in pq_m)
         )
-        for rerank in (k, 2 * k, 5 * k, 10 * k):
-            r = recall_of(
-                pq.search_batch(
-                    qids, qvecs, k, nprobe=out["nprobe"], rerank=rerank
-                ).collect()
+        pq_sweep: list[dict] = []
+        chosen: dict | None = None
+        for m in m_cands:
+            pq = IVFPQIndex.build(
+                emb,
+                n_clusters=out["n_clusters"],
+                m=m,
+                vec_col=vec_col,
+                id_col=id_col,
             )
-            out["rerank"], out["pq_recall"] = int(rerank), round(r, 4)
-            if r >= target_recall:
+            for rerank in (k, 2 * k, 5 * k, 10 * k):
+                r = recall_of(
+                    pq.search_batch(
+                        qids, qvecs, k, nprobe=out["nprobe"], rerank=rerank
+                    ).collect()
+                )
+                point = {"m": m, "rerank": int(rerank), "pq_recall": round(r, 4)}
+                pq_sweep.append(point)
+                if r >= target_recall:
+                    chosen = point
+                    break
+            if chosen:
                 break
+        best_pq = chosen or max(pq_sweep, key=lambda p: (p["pq_recall"], -p["m"]))
+        out["m"] = best_pq["m"]
+        out["rerank"] = best_pq["rerank"]
+        out["pq_recall"] = best_pq["pq_recall"]
+        out["pq_sweep"] = pq_sweep
     return out
 
 

@@ -473,3 +473,20 @@ def test_cluster_embeddings_deterministic(spark):
     a = sorted((r["vec_id"], r["cluster_id"]) for r in cluster_embeddings(df, 4, sample_size=40).collect())
     b = sorted((r["vec_id"], r["cluster_id"]) for r in cluster_embeddings(df, 4, sample_size=40).collect())
     assert a == b
+
+
+def test_tune_ivf_pq_m_sweep_picks_smallest_adequate(spark, emb):
+    """m sweep: smallest codebook count meeting the target wins; the
+    full (m, rerank) sweep is recorded."""
+    out = A.tune_ivf(
+        emb, target_recall=0.85, k=5, n_queries=8,
+        candidate_nlist=(8,), pq_m=(8, 16),
+    )
+    assert out["m"] in (8, 16)
+    assert "pq_sweep" in out and len(out["pq_sweep"]) >= 1
+    assert all(set(p) == {"m", "rerank", "pq_recall"} for p in out["pq_sweep"])
+    if out["pq_recall"] >= 0.85 and out["m"] == 16:
+        # 16 was only chosen if 8 exhausted its rerank sweep below target
+        m8 = [p for p in out["pq_sweep"] if p["m"] == 8]
+        assert all(p["pq_recall"] < 0.85 for p in m8)
+        assert len(m8) == 4  # swept rerank to the cap before widening m
