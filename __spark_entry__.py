@@ -1100,6 +1100,26 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_events_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event correlation: click -> purchase of the same user within 30
+    minutes (streaming.join_within — the watermarked stream-stream join
+    shape, authored once for batch and streams).  Oracle is the plain
+    keyed range join in SQL."""
+    from chromem_go_spark.streaming.ingest import join_within
+
+    ev = _events(spark, sf_dir)
+    return join_within(
+        ev, ev, within_seconds=1800, left_type="click", right_type="purchase"
+    ).select(
+        "user_id",
+        "left_id",
+        "right_id",
+        F.round("left_ts_epoch", 6).alias("left_ts_epoch"),
+        F.round("right_ts_epoch", 6).alias("right_ts_epoch"),
+        F.round("gap_seconds", 6).alias("gap_seconds"),
+    )
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON props: parse events.props with from_json
     (codegen, permissive nulls) and aggregate the typed field per event
@@ -1311,6 +1331,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "events_props": q_events_props,
         "corpus_diff": q_corpus_diff,
+        "events_join_within": q_events_join_within,
     }
 
 
@@ -2413,6 +2434,21 @@ SELECT w.window_id,
 FROM w JOIN events e ON epoch(e.ts) >= w.lo AND epoch(e.ts) < w.hi
 GROUP BY w.window_id
 """,
+        "events_join_within": """
+WITH a AS (
+  SELECT user_id AS k, event_id AS left_id, epoch(ts) AS lts
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT user_id AS k, event_id AS right_id, epoch(ts) AS rts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.k AS user_id, a.left_id, b.right_id,
+       ROUND(a.lts, 6) AS left_ts_epoch,
+       ROUND(b.rts, 6) AS right_ts_epoch,
+       ROUND(b.rts - a.lts, 6) AS gap_seconds
+FROM a JOIN b ON a.k = b.k AND b.rts > a.lts AND b.rts <= a.lts + 1800
+""",
         "events_props": """
 SELECT event_type,
        CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n,
@@ -2565,6 +2601,7 @@ _EXTRA_KEYS = frozenset(
         "video_neardup",
         "events_props",
         "corpus_diff",
+        "events_join_within",
     }
 )
 

@@ -137,6 +137,7 @@ def main() -> None:
         "video_neardup",
         "events_props",
         "corpus_diff",
+        "events_join_within",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

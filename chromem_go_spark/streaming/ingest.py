@@ -467,3 +467,63 @@ def run_available_now(writer, timeout_s: float = 300.0) -> None:
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
+
+
+def join_within(
+    left: DataFrame,
+    right: DataFrame,
+    within_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    left_type: str | None = None,
+    right_type: str | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stream-stream (or batch-batch — same plan authoring) event
+    correlation: pair every left event with the right events of the
+    same key that happen within ``(left.ts, left.ts + within_seconds]``
+    — the "click followed by purchase inside 10 minutes" join.
+
+    This is the one streaming join shape Spark requires extra contract
+    from: BOTH sides carry a watermark and the join condition bounds
+    event time on both ends, which lets the state store expire buffered
+    rows instead of growing forever.  On batch inputs the same code is
+    a plain equi-join with a range predicate (the time bound keeps it
+    from exploding on busy keys).  Returns (key, left_id, right_id,
+    left_ts_epoch, right_ts_epoch, gap_seconds).
+    """
+    lt = to_instant(left, ts_col)
+    rt = to_instant(right, ts_col)
+    if left_type is not None:
+        lt = lt.filter(F.col(type_col) == left_type)
+    if right_type is not None:
+        rt = rt.filter(F.col(type_col) == right_type)
+    if lt.isStreaming:
+        lt = lt.withWatermark(ts_col, watermark)
+    if rt.isStreaming:
+        rt = rt.withWatermark(ts_col, watermark)
+    a = lt.select(
+        F.col(key_col).alias("k"),
+        F.col("event_id").alias("left_id"),
+        F.col(ts_col).alias("lts"),
+    )
+    b = rt.select(
+        F.col(key_col).alias("k"),
+        F.col("event_id").alias("right_id"),
+        F.col(ts_col).alias("rts"),
+    )
+    joined = a.join(
+        b,
+        (a.k == b.k)
+        & (F.col("rts") > F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")),
+    )
+    return joined.select(
+        a.k.alias(key_col),
+        "left_id",
+        "right_id",
+        F.col("lts").cast("double").alias("left_ts_epoch"),
+        F.col("rts").cast("double").alias("right_ts_epoch"),
+        (F.col("rts").cast("double") - F.col("lts").cast("double")).alias("gap_seconds"),
+    )

@@ -484,3 +484,30 @@ def test_interval_join_binned_stream_matches_batch(spark, events_dir, events_bat
     out = interval_join_binned(stream, windows, bin_seconds=120.0)
     got = key(_drain_to_memory(spark, out, "interval_join", "append").collect())
     assert got == expect
+
+
+def test_join_within_stream_stream_matches_batch(spark, events_dir, events_batch):
+    """Watermarked stream-stream join: click -> purchase of the same
+    user within 30 minutes; the streaming inner join (both sides
+    watermarked, time-bounded condition) yields exactly the batch
+    result once drained."""
+    from chromem_go_spark.streaming.ingest import join_within
+
+    def key(rows):
+        return {(r["user_id"], r["left_id"], r["right_id"]) for r in rows}
+
+    expect = key(
+        join_within(
+            events_batch, events_batch, within_seconds=1800,
+            left_type="click", right_type="purchase",
+        ).collect()
+    )
+    assert expect  # the sf corpus has click->purchase sequences
+
+    sa = S.read_events_stream(spark, events_dir)
+    sb = S.read_events_stream(spark, events_dir)
+    out = join_within(
+        sa, sb, within_seconds=1800, left_type="click", right_type="purchase"
+    )
+    got = key(_drain_to_memory(spark, out, "join_within", "append").collect())
+    assert got == expect
