@@ -1302,7 +1302,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (lexical term weighting; hashed tfidf_vectors feed the kNN path),
     embedding_clusters (spherical k-means corpus map, rows-only),
     weighted_sample (deterministic priority sampling),
-    pmi_collocations (collocation extraction)."""
+    pmi_collocations (collocation extraction), video_neardup
+    (frame-set Jaccard), events_props (JSON props extraction),
+    corpus_diff (snapshot fingerprint diff), events_join_within
+    (watermarked stream-stream correlation, batch-checked)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
