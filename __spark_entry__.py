@@ -1100,6 +1100,17 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-output sharding audit: deterministic md5 hash shards
+    (zero-shuffle projection) with per-shard doc/token balance
+    (pipeline.shard_stats).  Oracle replays the hash modulo + token
+    counts in SQL."""
+    from chromem_go_spark.pipeline import shard_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_stats(docs, n_shards=16)
+
+
 def q_events_join_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event correlation: click -> purchase of the same user within 30
     minutes (streaming.join_within — the watermarked stream-stream join
@@ -1335,6 +1346,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "corpus_diff": q_corpus_diff,
         "events_join_within": q_events_join_within,
+        "corpus_shards": q_corpus_shards,
     }
 
 
@@ -2437,6 +2449,13 @@ SELECT w.window_id,
 FROM w JOIN events e ON epoch(e.ts) >= w.lo AND epoch(e.ts) < w.hi
 GROUP BY w.window_id
 """,
+        "corpus_shards": r"""
+SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1
+""",
         "events_join_within": """
 WITH a AS (
   SELECT user_id AS k, event_id AS left_id, epoch(ts) AS lts
@@ -2605,6 +2624,7 @@ _EXTRA_KEYS = frozenset(
         "events_props",
         "corpus_diff",
         "events_join_within",
+        "corpus_shards",
     }
 )
 

@@ -138,6 +138,7 @@ def main() -> None:
         "events_props",
         "corpus_diff",
         "events_join_within",
+        "corpus_shards",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

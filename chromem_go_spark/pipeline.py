@@ -567,3 +567,60 @@ def corpus_diff(
         .otherwise(F.lit("modified"))
     )
     return j.select(F.col("__id").alias(id_col), status.alias("status"))
+
+
+def shard_corpus(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document to an output shard for training-loader
+    consumption: ``shard = md5(id) % n_shards`` — deterministic,
+    engine-portable, zero-shuffle (a pure projection).
+
+    Hash sharding is the scale-honest layout choice: an exact
+    equal-token packing needs a GLOBAL cumulative sum (a single-node
+    window at 100 TB), while hash shards concentrate to budget/n ±
+    O(sqrt) by the law of large numbers — real pipelines shard by hash
+    and let loaders stream within shards.  Returns the input plus a
+    ``shard`` column."""
+    return docs.withColumn(
+        "shard",
+        (T.md5_hash60(F.col(id_col).cast("string")) % n_shards).cast("int"),
+    )
+
+
+def shard_stats(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard balance audit: (shard, n_docs, n_tokens).  One
+    map-side-combined aggregation over the shard projection."""
+    sharded = shard_corpus(docs, n_shards, id_col, text_col)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(text_col)).cast("bigint").alias("n_tokens"),
+    )
+
+
+def write_corpus_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Write the corpus partitioned by shard (`shard=N/` directories,
+    one parquet dataset) — the layout a training loader mounts.
+    Repartitioning by the shard column before the write gives one
+    writer task per shard (no tiny-file spray)."""
+    sharded = shard_corpus(docs, n_shards, id_col, text_col)
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

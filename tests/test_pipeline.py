@@ -397,3 +397,29 @@ def test_corpus_diff_statuses(spark):
 
     got2 = {r["doc_id"]: r["status"] for r in corpus_diff(new, old).collect()}
     assert got2[4] == "removed"
+
+
+def test_shard_corpus_deterministic_and_writes_partitions(spark, tmp_path):
+    from chromem_go_spark.pipeline import shard_corpus, shard_stats, write_corpus_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * 10)) for i in range(200)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["shard"] for r in shard_corpus(docs, 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in shard_corpus(docs, 8).collect()}
+    assert a == b
+    assert set(a.values()) == set(range(8))
+
+    stats = shard_stats(docs, 8).collect()
+    assert sum(r["n_docs"] for r in stats) == 200
+    assert all(r["n_tokens"] == r["n_docs"] * 10 for r in stats)
+
+    out = str(tmp_path / "shards")
+    write_corpus_shards(docs, out, n_shards=8)
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) == 8
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    got = {r["doc_id"]: r["shard"] for r in back.collect()}
+    assert got == a  # layout preserves the deterministic assignment
