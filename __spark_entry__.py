@@ -1100,6 +1100,28 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: idf-weighted keyword ranking + cosine ranking
+    fused by reciprocal-rank fusion (hybrid.hybrid_search, RRF k=60,
+    depth 50) over documents joined to their embeddings.  Both rankers
+    are TakeOrdered tops; the fusion joins two 50-row frames.  Oracle
+    replays idf, cosine, both rank windows and the RRF sum in SQL."""
+    from chromem_go_spark.operators.hybrid import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    return hybrid_search(
+        corpus,
+        query_terms=["window", "batch", "vector"],
+        query_vec=_qvec(spark, sf_dir, 3),
+        k=10,
+        depth=50,
+    )
+
+
 def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-output sharding audit: deterministic md5 hash shards
     (zero-shuffle projection) with per-shard doc/token balance
@@ -1347,6 +1369,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "events_join_within": q_events_join_within,
         "corpus_shards": q_corpus_shards,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -2449,6 +2472,47 @@ SELECT w.window_id,
 FROM w JOIN events e ON epoch(e.ts) >= w.lo AND epoch(e.ts) < w.hi
 GROUP BY w.window_id
 """,
+        "hybrid_search": r"""
+WITH corpus AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+n AS (SELECT COUNT(*) AS n FROM corpus),
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+    FROM corpus
+  ) WHERE tok IN ('window', 'batch', 'vector')
+),
+dfq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+lex AS (
+  SELECT toks.doc_id, SUM(ln((n.n + 1.0) / (dfq.df + 1)) + 1.0) AS s
+  FROM toks JOIN dfq USING (tok), n GROUP BY toks.doc_id
+),
+lex_top AS (
+  SELECT doc_id, r AS lex_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM lex
+  ) WHERE r <= 50
+),
+q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+         x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id = 3
+),
+vec AS (
+  SELECT c.doc_id, list_dot_product(c.embedding::DOUBLE[], q.v) AS s FROM corpus c, q
+),
+vec_top AS (
+  SELECT doc_id, r AS vec_rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM vec
+  ) WHERE r <= 50
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0) + COALESCE(1.0 / (60 + v.vec_rank), 0), 6) AS rrf_score,
+       l.lex_rank, v.vec_rank
+FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
         "corpus_shards": r"""
 SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS INT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2625,6 +2689,7 @@ _EXTRA_KEYS = frozenset(
         "corpus_diff",
         "events_join_within",
         "corpus_shards",
+        "hybrid_search",
     }
 )
 

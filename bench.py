@@ -139,6 +139,7 @@ def main() -> None:
         "corpus_diff",
         "events_join_within",
         "corpus_shards",
+        "hybrid_search",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -1,0 +1,105 @@
+"""Hybrid (lexical + vector) search with reciprocal-rank fusion.
+
+Beyond the reference (chromem-go is vector-only; hybrid keyword+vector
+retrieval is the standard production upgrade).  Two independent
+rankers — an idf-weighted keyword score and cosine similarity — fuse
+by RRF (Cormack et al. 2009): ``score = Σ 1/(rrf_k + rank_i)``, the
+rank-space fusion that needs no score normalization between
+incommensurable rankers.
+
+Shape: each ranker is a TakeOrdered top-N over its own projection
+(lexical: explode query terms -> semi-join the inverted doc-term table
+-> sum idf, vocabulary-shaped; vector: the same scan `knn_single`
+uses); the fusion joins two k-row frames — driver-scale.  Everything
+is Catalyst expressions; determinism via (score desc, id asc) ranks in
+both rankers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vector as V
+
+
+def lexical_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """idf-weighted keyword score per doc: for each DISTINCT query term
+    present in the doc, add ``ln((N+1)/(df+1)) + 1``.  (BM25-lite:
+    presence x idf, no tf/length normalization — the replayable core.)
+    Returns (id, lex_score) for docs matching at least one term."""
+    n_docs = docs.count()
+    terms = sorted(set(query_terms))
+    toks = docs.select(
+        id_col, F.explode(F.array_distinct(T.word_tokens(text_col))).alias("tok")
+    ).filter(F.col("tok").isin(terms))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1.0
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(F.sum(idf).alias("lex_score"))
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    query_vec: Sequence[float],
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by RRF over the lexical and vector rankings.
+
+    Each ranker contributes its top-``depth`` candidates; a doc absent
+    from one ranking simply gets no contribution from it (standard
+    RRF).  Returns (id, rrf_score, lex_rank, vec_rank) — null rank
+    means the doc was outside that ranker's depth.  Deterministic:
+    both rankings and the final order break ties by id."""
+    qv = V.normalize_vec(list(query_vec))
+    # Each ranker: TakeOrdered top-depth FIRST (distributed bounded
+    # heaps), THEN rank the <=depth surviving rows — the unpartitioned
+    # row_number window only ever sees the tiny frame, never the corpus.
+    lex = lexical_scores(docs, query_terms, text_col, id_col)
+    lex_top = (
+        lex.orderBy(F.desc("lex_score"), id_col)
+        .limit(int(depth))
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("lex_score"), id_col)),
+        )
+        .select(id_col, "lex_rank")
+    )
+    sim = V.dot(vec_col, V.query_vector_lit(qv))
+    vec_top = (
+        docs.select(id_col, sim.alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(int(depth))
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("sim"), id_col)),
+        )
+        .select(id_col, "vec_rank")
+    )
+    fused = lex_top.join(vec_top, id_col, "full_outer")
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), 1.0 / (F.lit(int(rrf_k)) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.withColumn("rrf_score", F.round(contrib("lex_rank") + contrib("vec_rank"), 6))
+        .orderBy(F.desc("rrf_score"), id_col)
+        .limit(int(k))
+        .select(id_col, "rrf_score", "lex_rank", "vec_rank")
+    )
