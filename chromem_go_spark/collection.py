@@ -609,6 +609,43 @@ class Collection:
             ).drop("query_id")
         return index.search(list(query_embedding), int(n_results), nprobe=nprobe)
 
+    def query_hybrid(
+        self,
+        query_text: str,
+        n_results: int,
+        depth: int = 50,
+        rrf_k: int = 60,
+    ) -> DataFrame:
+        """Hybrid retrieval (beyond the reference, the standard
+        production upgrade over vector-only search): embed the query
+        for the cosine ranking, tokenize it for the idf-weighted
+        keyword ranking, fuse with reciprocal-rank fusion
+        (operators/hybrid.py).  Returns (id, rrf_score, lex_rank,
+        vec_rank) ordered by fused score."""
+        import re
+
+        if not query_text:
+            raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
+        if self.embedding_func is None:
+            raise ValueError("no embedding function configured")
+        if n_results <= 0:
+            raise ValueError(E.ERR_NRESULTS_POSITIVE)
+        from .operators.hybrid import hybrid_search
+
+        qv = self.embedding_func(query_text)
+        terms = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", query_text.lower())
+        return hybrid_search(
+            self.df,
+            query_terms=terms,
+            query_vec=qv,
+            k=int(n_results),
+            depth=depth,
+            rrf_k=rrf_k,
+            text_col="content",
+            vec_col="embedding",
+            id_col="id",
+        )
+
     def query_batch(
         self,
         query_texts: Sequence[str] | None = None,

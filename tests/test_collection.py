@@ -436,3 +436,31 @@ def test_extended_filters_opt_in(spark):
 
     with _pytest.raises(ValueError, match="unsupported operator"):
         extended_where_predicate({"lang": {"$regex": "e.*"}})
+
+
+def test_query_hybrid_fuses_keyword_and_vector(db):
+    c = db.create_collection("hyb", embedding_func=make_hash_embedding_func(16))
+    c.add(
+        ["lex", "vec", "both", "noise"],
+        contents=[
+            "the hybrid ranking keyword appears here",
+            "completely different words entirely",
+            "hybrid ranking plus close vector",
+            "filler filler filler",
+        ],
+    )
+    out = c.query_hybrid("hybrid ranking", 4).collect()
+    by = {r["id"]: r for r in out}
+    # keyword docs carry lexical ranks; every doc has a vector rank
+    assert by["lex"]["lex_rank"] is not None
+    assert by["both"]["lex_rank"] is not None
+    assert by["vec"]["lex_rank"] is None
+    # fused order is deterministic and rrf-sorted
+    scores = [(r["rrf_score"], r["id"]) for r in out]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    # the top result matched the keywords
+    assert out[0]["lex_rank"] is not None
+
+    import pytest as _p
+    with _p.raises(ValueError, match="queryText is empty"):
+        c.query_hybrid("", 2)
