@@ -1338,7 +1338,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pmi_collocations (collocation extraction), video_neardup
     (frame-set Jaccard), events_props (JSON props extraction),
     corpus_diff (snapshot fingerprint diff), events_join_within
-    (watermarked stream-stream correlation, batch-checked)."""
+    (watermarked stream-stream correlation, batch-checked),
+    corpus_shards (deterministic hash sharding), hybrid_search
+    (lexical+vector RRF fusion)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
