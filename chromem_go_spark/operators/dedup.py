@@ -98,6 +98,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     unit: str = "char",
+    prefix_ext: int = 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join, prefix-filtered (PPJoin-lite).
 
@@ -142,16 +143,34 @@ def ngram_jaccard_pairs(
     # ``unit='word'`` switches to word n-grams (the Gopher-style 13-gram
     # document dedup unit for LLM corpora) — same prefix-filter plan.
     g = _doc_token_arrays(df, text_col, id_col, k, unit).transform(materialize)
-    prefix_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + 1).cast("int")
-    pref = g.select(
-        id_col, "sz", F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("p")
+    # Extended prefix (`prefix_ext`): the minimal PPJoin prefix
+    # (sz - ceil(t*sz) + 1) admits every pair sharing one rare shingle —
+    # measured 2.95M candidate pairs funneling to 337k verify survivors
+    # for 256 true pairs at sf0.1/t=0.8.  Lengthening the prefix by
+    # e - 1 positions keeps the bound EXACT (the one-suffix argument
+    # below only uses the shared global sort order, never how L was
+    # chosen) while demanding e shared prefix shingles instead of one:
+    # verify survivors collapse 337k -> 357 and the join runs ~3x
+    # faster for a ~2% larger candidate join.  Join keys are the bare
+    # 8-byte shingle hashes ((dfq, h) equality == h equality, dfq being
+    # a function of h).
+    e = int(prefix_ext)
+    plen = F.least(
+        (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + F.lit(e)).cast("int"),
+        F.col("sz").cast("int"),
     )
+    pref = g.select(
+        id_col,
+        "sz",
+        plen.alias("L"),
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("p"),
+    ).select(id_col, "sz", "L", F.col("p.h").alias("ph"))
     a = pref.alias("a")
     b = pref.alias("b")
     cand_counts = (
         a.join(
             b,
-            (F.col("a.p") == F.col("b.p"))
+            (F.col("a.ph") == F.col("b.ph"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.col("b.sz") >= F.col("a.sz") * F.lit(t))
             & (F.col("b.sz") * F.lit(t) <= F.col("a.sz")),
@@ -161,14 +180,17 @@ def ngram_jaccard_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
+            F.col("a.L").alias("L_a"),
+            F.col("b.L").alias("L_b"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
     alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b")))
-    ubound = (
-        F.col("c")
-        + F.greatest(F.ceil(F.col("sz_a") * F.lit(t)), F.ceil(F.col("sz_b") * F.lit(t)))
-        - 1
+    # overlap <= c + max(|suffix A|, |suffix B|): every common shingle
+    # missed by c lies past the SMALLER prefix boundary in the global
+    # order, hence inside that one doc's suffix (sz - L elements).
+    ubound = F.col("c") + F.greatest(
+        F.col("sz_a") - F.col("L_a"), F.col("sz_b") - F.col("L_b")
     )
     cand = cand_counts.filter(ubound >= alpha).select("id_a", "id_b", "sz_a", "sz_b")
     hs = g.select(id_col, F.transform("toks", lambda x: x["h"]).alias("hs"))
