@@ -646,6 +646,36 @@ class Collection:
             id_col="id",
         )
 
+    def query_mmr(
+        self,
+        query_text: str,
+        n_results: int,
+        fetch_k: int = 50,
+        lam: float = 0.5,
+    ) -> DataFrame:
+        """Diversity-aware retrieval: cosine top-``fetch_k`` reranked by
+        maximal marginal relevance (operators/hybrid.mmr_rerank) — near
+        duplicate results are penalized so the k results cover the
+        neighborhood instead of repeating it."""
+        if not query_text:
+            raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
+        if self.embedding_func is None:
+            raise ValueError("no embedding function configured")
+        if n_results <= 0:
+            raise ValueError(E.ERR_NRESULTS_POSITIVE)
+        from .operators.hybrid import mmr_rerank
+
+        qv = self.embedding_func(query_text)
+        return mmr_rerank(
+            self.df,
+            query_vec=qv,
+            k=int(n_results),
+            fetch_k=fetch_k,
+            lam=lam,
+            vec_col="embedding",
+            id_col="id",
+        )
+
     def query_batch(
         self,
         query_texts: Sequence[str] | None = None,

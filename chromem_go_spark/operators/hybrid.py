@@ -103,3 +103,69 @@ def hybrid_search(
         .limit(int(k))
         .select(id_col, "rrf_score", "lex_rank", "vec_rank")
     )
+
+
+def mmr_rerank(
+    docs: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    fetch_k: int = 50,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998): fetch the top ``fetch_k`` by cosine, then greedily pick k
+    results maximizing ``lam * sim(query) - (1-lam) * max sim(chosen)``
+    — relevance with redundancy penalized, the standard diversity knob
+    for RAG retrieval.
+
+    Scale shape: the distributed part is the TakeOrdered top-``fetch_k``
+    scan (the same plan as knn_single); the greedy loop is inherently
+    sequential and runs driver-side over the fetch_k collected vectors
+    (bounded, small).  Deterministic: ties break by id at both stages.
+    Returns (id, similarity, mmr_score, mmr_rank)."""
+    import numpy as np
+
+    qv = np.asarray(V.normalize_vec(list(query_vec)), dtype=np.float64)
+    sim = V.dot(vec_col, V.query_vector_lit(list(qv)))
+    top = (
+        docs.select(id_col, vec_col, sim.alias("similarity"))
+        .orderBy(F.desc("similarity"), id_col)
+        .limit(int(fetch_k))
+        .collect()
+    )
+    if not top:
+        schema = f"{id_col} string, similarity double, mmr_score double, mmr_rank int"
+        return docs.sparkSession.createDataFrame([], schema)
+    ids = [r[id_col] for r in top]
+    sims = np.array([float(r["similarity"]) for r in top])
+    mat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in top])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    chosen: list[int] = []
+    scores: list[float] = []
+    remaining = list(range(len(top)))
+    while remaining and len(chosen) < int(k):
+        if not chosen:
+            mmr = lam * sims[remaining]
+        else:
+            red = (mat[remaining] @ mat[chosen].T).max(axis=1)
+            mmr = lam * sims[remaining] - (1.0 - lam) * red
+        # argmax with deterministic id tiebreak
+        best = min(
+            range(len(remaining)), key=lambda i: (-mmr[i], ids[remaining[i]])
+        )
+        chosen.append(remaining[best])
+        scores.append(float(mmr[best]))
+        remaining.pop(best)
+    spark = docs.sparkSession
+    id_type = docs.schema[id_col].dataType.simpleString()
+    rows = [
+        (ids[c], float(sims[c]), round(s, 6), i + 1)
+        for i, (c, s) in enumerate(zip(chosen, scores))
+    ]
+    return spark.createDataFrame(
+        rows, f"{id_col} {id_type}, similarity double, mmr_score double, mmr_rank int"
+    )

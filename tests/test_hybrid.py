@@ -62,3 +62,65 @@ def test_hybrid_search_rank_depth_cuts(corpus):
     for r in out:
         assert r["lex_rank"] is None or r["lex_rank"] <= 3
         assert r["vec_rank"] is None or r["vec_rank"] <= 3
+
+
+def test_mmr_rerank_diversifies(spark):
+    import numpy as np
+
+    from chromem_go_spark.operators.hybrid import mmr_rerank
+
+    # two tight clusters near the query; plain top-3 would return the
+    # query-cluster trio, MMR must interleave the second cluster
+    q = np.array([1.0, 0.0, 0.0])
+    a1 = np.array([0.999, 0.04, 0.0]); a2 = np.array([0.999, 0.041, 0.0])
+    a3 = np.array([0.999, 0.042, 0.0])
+    b1 = np.array([0.8, 0.0, 0.6])
+    rows = [(i, (v / np.linalg.norm(v)).tolist()) for i, v in
+            [(1, a1), (2, a2), (3, a3), (4, b1)]]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+    out = mmr_rerank(df, list(q), k=3, fetch_k=4, lam=0.5).collect()
+    got = [r["doc_id"] for r in out]
+    assert got[0] == 1                       # most relevant first
+    assert 4 in got[:2] or 4 in got          # the off-cluster doc makes top-3
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3]
+    # scores non-increasing is NOT guaranteed by MMR, but relevance of
+    # rank-1 must be the global max
+    assert out[0]["similarity"] == max(r["similarity"] for r in out)
+
+
+def test_mmr_rerank_lam1_equals_plain_topk(spark):
+    import numpy as np
+
+    from chromem_go_spark.operators.hybrid import mmr_rerank
+    from chromem_go_spark.operators.knn import knn_single
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.normal(0, 1, 6).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    q = rng.normal(0, 1, 6)
+    plain = [r["doc_id"] for r in knn_single(df, list(q), 5, id_col="doc_id", assume_normalized=False).collect()]
+    # lam=1 removes the redundancy term entirely -> pure relevance order.
+    # Note mmr_rerank scores RAW dot products (like knn with
+    # assume_normalized=True) so normalize the corpus first for parity.
+    rows_n = [(i, (np.array(v) / np.linalg.norm(v)).tolist()) for i, v in rows]
+    dfn = spark.createDataFrame(rows_n, "doc_id long, embedding array<double>")
+    plain_n = [r["doc_id"] for r in knn_single(dfn, list(q), 5, id_col="doc_id").collect()]
+    mmr = [r["doc_id"] for r in mmr_rerank(dfn, list(q), k=5, fetch_k=30, lam=1.0).collect()]
+    assert mmr == plain_n
+    assert len(plain) == 5  # sanity on the unnormalized variant too
+
+
+def test_collection_query_mmr(spark):
+    from chromem_go_spark import DB
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    db = DB(spark)
+    c = db.create_collection("mmr", embedding_func=make_hash_embedding_func(16))
+    c.add(
+        ["a", "b", "c"],
+        contents=["alpha beta gamma", "alpha beta gamma", "totally different text"],
+    )
+    out = c.query_mmr("alpha beta", 3)
+    rows = out.collect()
+    assert len(rows) == 3 and [r["mmr_rank"] for r in rows] == [1, 2, 3]
