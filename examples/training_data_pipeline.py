@@ -95,6 +95,34 @@ def main() -> None:
         F.md5(T.scrub_pii("text")).alias("clean_fp"),
     ).show(3)
 
+    print("== exact substring dedup: cross-doc duplicated 10-token runs")
+    from chromem_go_spark.operators.dedup import strip_duplicate_spans
+
+    stripped = strip_duplicate_spans(docs, width=10)
+    stripped.agg(
+        F.sum("n_removed").alias("tokens_removed"),
+        F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0)).alias("docs_touched"),
+    ).show()
+
+    print("== hybrid retrieval: keyword idf + cosine, RRF-fused")
+    from chromem_go_spark.operators.hybrid import hybrid_search
+
+    corpus_h = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    hybrid_search(corpus_h, ["window", "batch"], qv, k=5).show()
+
+    print("== tokenizer training: top BPE merges from corpus statistics")
+    from chromem_go_spark.operators.bpe import bpe_learn
+
+    bpe_learn(docs, n_merges=5).show()
+
+    print("== output layout: deterministic hash shards (balance audit)")
+    from chromem_go_spark.pipeline import shard_stats
+
+    shard_stats(docs, n_shards=8).orderBy("shard").show()
+
     print("== index maintenance: tombstone deletes applied at compact")
     import tempfile
 
