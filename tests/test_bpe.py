@@ -82,3 +82,12 @@ def test_bpe_learn_and_encode_end_to_end(corpus):
         joined = "".join(pieces).replace(B.END_MARK, " ").strip()
         txt = [r["text"] for r in corpus.collect() if r["doc_id"] == doc_id][0]
         assert joined == " ".join(txt.lower().split())
+
+
+def test_encode_word_handles_oov_symbols():
+    vocab = {"low": 5, "newest": 6}
+    merges = B.learn_merges(vocab, 10)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    out = B.encode_word("zq9", ranks)  # chars never seen in training
+    assert out == ["z", "q", "9", B.END_MARK]
+    assert "".join(B.encode_word("lowzz", ranks)).replace(B.END_MARK, "") == "lowzz"

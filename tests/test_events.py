@@ -329,3 +329,22 @@ def test_parse_props_and_stats(spark):
     stats = {r["event_type"]: r for r in props_stats_by_type(events).collect()}
     assert stats["click"]["n"] == 2 and stats["click"]["sum_k"] == 30
     assert stats["view"]["n"] == 1 and stats["view"]["min_k"] == 7
+
+
+def test_interval_join_binned_window_spanning_many_bins(spark):
+    import datetime as dt
+
+    from chromem_go_spark.operators.events import interval_join_binned
+
+    t0 = dt.datetime(2024, 6, 1)
+    s0 = t0.timestamp()
+    events = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=i * 100), 1, "t", 0.0) for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    # one window covering [150, 850) — spans many 100s bins (explode > 2)
+    windows = spark.createDataFrame(
+        [(1, s0 + 150.0, s0 + 850.0)], "window_id long, lo_epoch double, hi_epoch double"
+    )
+    got = sorted(r["event_id"] for r in interval_join_binned(events, windows, bin_seconds=100.0).collect())
+    assert got == [2, 3, 4, 5, 6, 7, 8]  # ts 200..800 inclusive-lo, exclusive-hi

@@ -124,3 +124,13 @@ def test_collection_query_mmr(spark):
     out = c.query_mmr("alpha beta", 3)
     rows = out.collect()
     assert len(rows) == 3 and [r["mmr_rank"] for r in rows] == [1, 2, 3]
+
+
+def test_hybrid_search_no_keyword_matches_is_vector_only(corpus):
+    docs, qvec = corpus
+    out = hybrid_search(
+        docs, query_terms=["zzzznonexistent"], query_vec=list(qvec), k=3, depth=5
+    ).collect()
+    assert len(out) == 3
+    assert all(r["lex_rank"] is None for r in out)
+    assert out[0]["doc_id"] == 1  # pure vector order: the twin wins

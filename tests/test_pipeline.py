@@ -423,3 +423,13 @@ def test_shard_corpus_deterministic_and_writes_partitions(spark, tmp_path):
     assert back.count() == 200
     got = {r["doc_id"]: r["shard"] for r in back.collect()}
     assert got == a  # layout preserves the deterministic assignment
+
+
+def test_weighted_sample_k_exceeds_rows(spark):
+    from chromem_go_spark.pipeline import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    out = weighted_sample(docs, k=50).collect()
+    assert len(out) == 2  # everything sampled, no error
