@@ -630,6 +630,9 @@ class Collection:
             raise ValueError("no embedding function configured")
         if n_results <= 0:
             raise ValueError(E.ERR_NRESULTS_POSITIVE)
+        n_docs = self.count()
+        if n_results > n_docs:
+            raise ValueError(E.ERR_NRESULTS_TOO_LARGE)
         from .operators.hybrid import hybrid_search
 
         qv = self.embedding_func(query_text)
@@ -644,6 +647,7 @@ class Collection:
             text_col="content",
             vec_col="embedding",
             id_col="id",
+            n_docs=n_docs,
         )
 
     def query_mmr(
@@ -663,6 +667,8 @@ class Collection:
             raise ValueError("no embedding function configured")
         if n_results <= 0:
             raise ValueError(E.ERR_NRESULTS_POSITIVE)
+        if n_results > self.count():
+            raise ValueError(E.ERR_NRESULTS_TOO_LARGE)
         from .operators.hybrid import mmr_rerank
 
         qv = self.embedding_func(query_text)

@@ -215,7 +215,7 @@ def bpe_encode(
     toks = df.select(
         id_col, F.posexplode(T.word_tokens(text_col)).alias("pos", "w")
     )
-    return (
+    encoded = (
         toks.join(pieces, "w")
         .groupBy(id_col)
         .agg(
@@ -225,5 +225,16 @@ def bpe_encode(
                     lambda s: s["pieces"],
                 )
             ).alias("pieces")
+        )
+    )
+    # token-less docs (empty/whitespace text) produce no exploded rows;
+    # left-join them back with an empty pieces array so every input id
+    # appears exactly once in the output.
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pieces", F.array().cast("array<string>")).alias("pieces"),
         )
     )

@@ -91,6 +91,27 @@ def _doc_token_arrays(
     )
 
 
+def _prefix_table(
+    g: DataFrame, t: float, prefix_ext: int, id_col: str
+) -> DataFrame:
+    """(id, sz, L, ph): each doc's rarest-first prefix exploded to bare
+    8-byte shingle hashes.  ``L = min(sz - ceil(t*sz) + e, sz)`` — the
+    extended PPJoin prefix shared by the Jaccard and containment joins.
+    ``e`` is clamped to >= 1: the minimal EXACT prefix needs one slot
+    past the suffix, and e=0 would silently drop true pairs."""
+    e = max(1, int(prefix_ext))
+    plen = F.least(
+        (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + F.lit(e)).cast("int"),
+        F.col("sz").cast("int"),
+    )
+    return g.select(
+        id_col,
+        "sz",
+        plen.alias("L"),
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("p"),
+    ).select(id_col, "sz", "L", F.col("p.h").alias("ph"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -154,17 +175,7 @@ def ngram_jaccard_pairs(
     # faster for a ~2% larger candidate join.  Join keys are the bare
     # 8-byte shingle hashes ((dfq, h) equality == h equality, dfq being
     # a function of h).
-    e = int(prefix_ext)
-    plen = F.least(
-        (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + F.lit(e)).cast("int"),
-        F.col("sz").cast("int"),
-    )
-    pref = g.select(
-        id_col,
-        "sz",
-        plen.alias("L"),
-        F.explode(F.slice("toks", F.lit(1), plen)).alias("p"),
-    ).select(id_col, "sz", "L", F.col("p.h").alias("ph"))
+    pref = _prefix_table(g, t, prefix_ext, id_col)
     a = pref.alias("a")
     b = pref.alias("b")
     cand_counts = (
@@ -1033,18 +1044,8 @@ def containment_pairs(
     quadratic.
     """
     t = float(threshold)
-    e = int(prefix_ext)
     g = _doc_token_arrays(df, text_col, id_col, k, unit).transform(materialize)
-    plen = F.least(
-        (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + F.lit(e)).cast("int"),
-        F.col("sz").cast("int"),
-    )
-    pref = g.select(
-        id_col,
-        "sz",
-        plen.alias("L"),
-        F.explode(F.slice("toks", F.lit(1), plen)).alias("p"),
-    ).select(id_col, "sz", "L", F.col("p.h").alias("ph"))
+    pref = _prefix_table(g, t, prefix_ext, id_col)
     full = g.select(id_col, "sz", F.explode("toks").alias("p")).select(
         id_col, "sz", F.col("p.h").alias("ph")
     )

@@ -31,12 +31,18 @@ def lexical_scores(
     query_terms: Sequence[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """idf-weighted keyword score per doc: for each DISTINCT query term
     present in the doc, add ``ln((N+1)/(df+1)) + 1``.  (BM25-lite:
     presence x idf, no tf/length normalization — the replayable core.)
-    Returns (id, lex_score) for docs matching at least one term."""
-    n_docs = docs.count()
+    Returns (id, lex_score) for docs matching at least one term.
+
+    Pass ``n_docs`` when the corpus size is already known (e.g. a
+    served Collection tracking its count) — otherwise this runs one
+    count() job per call, an extra corpus scan on uncached inputs."""
+    if n_docs is None:
+        n_docs = docs.count()
     terms = sorted(set(query_terms))
     toks = docs.select(
         id_col, F.explode(F.array_distinct(T.word_tokens(text_col))).alias("tok")
@@ -60,6 +66,7 @@ def hybrid_search(
     text_col: str = "text",
     vec_col: str = "embedding",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k documents by RRF over the lexical and vector rankings.
 
@@ -72,7 +79,7 @@ def hybrid_search(
     # Each ranker: TakeOrdered top-depth FIRST (distributed bounded
     # heaps), THEN rank the <=depth surviving rows — the unpartitioned
     # row_number window only ever sees the tiny frame, never the corpus.
-    lex = lexical_scores(docs, query_terms, text_col, id_col)
+    lex = lexical_scores(docs, query_terms, text_col, id_col, n_docs=n_docs)
     lex_top = (
         lex.orderBy(F.desc("lex_score"), id_col)
         .limit(int(depth))
@@ -135,9 +142,12 @@ def mmr_rerank(
         .limit(int(fetch_k))
         .collect()
     )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, similarity double, mmr_score double, mmr_rank int"
+    )
     if not top:
-        schema = f"{id_col} string, similarity double, mmr_score double, mmr_rank int"
-        return docs.sparkSession.createDataFrame([], schema)
+        return docs.sparkSession.createDataFrame([], out_schema)
     ids = [r[id_col] for r in top]
     sims = np.array([float(r["similarity"]) for r in top])
     mat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in top])
@@ -160,12 +170,8 @@ def mmr_rerank(
         chosen.append(remaining[best])
         scores.append(float(mmr[best]))
         remaining.pop(best)
-    spark = docs.sparkSession
-    id_type = docs.schema[id_col].dataType.simpleString()
     rows = [
         (ids[c], float(sims[c]), round(s, 6), i + 1)
         for i, (c, s) in enumerate(zip(chosen, scores))
     ]
-    return spark.createDataFrame(
-        rows, f"{id_col} {id_type}, similarity double, mmr_score double, mmr_rank int"
-    )
+    return docs.sparkSession.createDataFrame(rows, out_schema)

@@ -86,7 +86,11 @@ def tfidf_vectors(
 
     Shape: token-shaped shuffle for tf, vocabulary-shaped for df, then
     one doc-keyed aggregation building the dense array from a
-    (bucket -> weight) map — no Python, no per-row UDFs."""
+    (bucket -> weight) map — no Python, no per-row UDFs.
+
+    Contract: documents whose text tokenizes to nothing yield NO output
+    row (a zero vector has no meaningful direction to normalize) —
+    filter or left-join accordingly downstream."""
     n_docs = df.count()
     tf = _term_freqs(df, text_col, id_col)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))

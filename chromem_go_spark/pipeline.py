@@ -573,7 +573,6 @@ def shard_corpus(
     docs: DataFrame,
     n_shards: int = 64,
     id_col: str = "doc_id",
-    text_col: str = "text",
 ) -> DataFrame:
     """Assign every document to an output shard for training-loader
     consumption: ``shard = md5(id) % n_shards`` — deterministic,
@@ -599,7 +598,7 @@ def shard_stats(
 ) -> DataFrame:
     """Per-shard balance audit: (shard, n_docs, n_tokens).  One
     map-side-combined aggregation over the shard projection."""
-    sharded = shard_corpus(docs, n_shards, id_col, text_col)
+    sharded = shard_corpus(docs, n_shards, id_col)
     return sharded.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(T.token_count(text_col)).cast("bigint").alias("n_tokens"),
@@ -611,13 +610,12 @@ def write_corpus_shards(
     path: str,
     n_shards: int = 64,
     id_col: str = "doc_id",
-    text_col: str = "text",
 ) -> None:
     """Write the corpus partitioned by shard (`shard=N/` directories,
     one parquet dataset) — the layout a training loader mounts.
     Repartitioning by the shard column before the write gives one
     writer task per shard (no tiny-file spray)."""
-    sharded = shard_corpus(docs, n_shards, id_col, text_col)
+    sharded = shard_corpus(docs, n_shards, id_col)
     (
         sharded.repartition(n_shards, "shard")
         .write.mode("overwrite")
