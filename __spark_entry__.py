@@ -1122,6 +1122,72 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way star join: revenue by nation for one
+    region and order-date year, where the supplier and the customer
+    share a nation (the classic local-supplier condition).  All four
+    dims (region -> nation -> supplier/customer) broadcast; the two
+    facts co-shuffle on orderkey; date predicate pushed to the orders
+    scan."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    rn = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(F.broadcast(rn), supplier.s_nationkey == rn.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: fraction of one month's revenue from PROMO
+    parts — fact x broadcast part dim, conditional aggregation, a
+    single global row.  Date predicate pushed to the lineitem scan."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-output sharding audit: deterministic md5 hash shards
     (zero-shuffle projection) with per-shard doc/token balance
@@ -1372,6 +1438,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_join_within": q_events_join_within,
         "corpus_shards": q_corpus_shards,
         "hybrid_search": q_hybrid_search,
+        "regional_supplier_volume": q_regional_supplier_volume,
+        "promo_revenue_share": q_promo_revenue_share,
     }
 
 
@@ -2515,6 +2583,31 @@ SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
 FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 10
 """,
+        "regional_supplier_volume": """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+        "promo_revenue_share": """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
         "corpus_shards": r"""
 SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS INT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2692,6 +2785,8 @@ _EXTRA_KEYS = frozenset(
         "events_join_within",
         "corpus_shards",
         "hybrid_search",
+        "regional_supplier_volume",
+        "promo_revenue_share",
     }
 )
 

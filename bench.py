@@ -140,6 +140,8 @@ def main() -> None:
         "events_join_within",
         "corpus_shards",
         "hybrid_search",
+        "regional_supplier_volume",
+        "promo_revenue_share",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

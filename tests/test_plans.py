@@ -217,3 +217,17 @@ def test_tfidf_vectors_no_python_eval(docs):
     df = tfidf_vectors(docs.limit(50), dim=32)
     flags = X.plan_flags(df)
     assert not flags["has_python_eval"]
+
+
+def test_regional_supplier_volume_broadcasts_all_dims(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.q_regional_supplier_volume(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the orders date predicate reaches the scan
+    from chromem_go_spark.plans import explain as X
+    flags = X.plan_flags(df)
+    pushed = " ".join(s["pushed_filters"] for s in flags["scans"])
+    assert "o_orderdate" in pushed
