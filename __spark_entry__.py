@@ -1122,6 +1122,21 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| >= 2.5 population sigma,
+    events.value_anomalies): one tiny stats aggregation broadcast back
+    over the events scan.  Oracle replays mean/stddev_pop/z in SQL."""
+    return EV.value_anomalies(_events(spark, sf_dir), z_threshold=2.5)
+
+
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: top-20 session-opening event-type sequences
+    (first 5 steps, lag-gap sessions, events.top_session_paths).
+    Deterministic (ts, id) step order.  Oracle replays sessionization
+    + ordered string_agg + top-k in SQL."""
+    return EV.top_session_paths(_events(spark, sf_dir), top_n=20)
+
+
 def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-way star join: revenue by nation for one
     region and order-date year, where the supplier and the customer
@@ -1440,6 +1455,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "regional_supplier_volume": q_regional_supplier_volume,
         "promo_revenue_share": q_promo_revenue_share,
+        "events_anomalies": q_events_anomalies,
+        "events_paths": q_events_paths,
     }
 
 
@@ -2583,6 +2600,45 @@ SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
 FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 10
 """,
+        "events_anomalies": """
+WITH st AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 4) AS value,
+       ROUND((e.value - st.mu) / st.sigma, 4) AS z
+FROM events e JOIN st USING (event_type)
+WHERE st.sigma > 0 AND ABS((e.value - st.mu) / st.sigma) >= 2.5
+""",
+        "events_paths": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch(ts) AS s FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN s - LAG(s) OVER w IS NULL OR s - LAG(s) OVER w > 1800
+                 THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+sess AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+numbered AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY s, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM numbered WHERE rn <= 5 GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+""",
         "regional_supplier_volume": """
 SELECT n.n_name,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
@@ -2787,6 +2843,8 @@ _EXTRA_KEYS = frozenset(
         "hybrid_search",
         "regional_supplier_volume",
         "promo_revenue_share",
+        "events_anomalies",
+        "events_paths",
     }
 )
 

@@ -142,6 +142,8 @@ def main() -> None:
         "hybrid_search",
         "regional_supplier_volume",
         "promo_revenue_share",
+        "events_anomalies",
+        "events_paths",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -465,3 +465,89 @@ def props_stats_by_type(
         F.min(field).alias("min_k"),
         F.max(field).alias("max_k"),
     )
+
+
+def value_anomalies(
+    events: DataFrame,
+    z_threshold: float = 3.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Statistical outliers: events whose value sits more than
+    ``z_threshold`` population standard deviations from their type's
+    mean.  Two passes expressed as one aggregation + one broadcast-able
+    join (the per-type stats table has one row per type) — the corpus
+    is scanned twice but never shuffled on anything finer than the
+    type key.  Returns (id, type, value, z) ordered nowhere (filter
+    semantics)."""
+    stats = events.groupBy(type_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sigma"),
+    )
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sigma")
+    return (
+        events.join(F.broadcast(stats), type_col)
+        .filter(F.col("__sigma") > 0)
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) >= float(z_threshold))
+        .select(id_col, type_col, F.round(value_col, 4).alias("value"), "z")
+    )
+
+
+def top_session_paths(
+    events: DataFrame,
+    top_n: int = 20,
+    gap_seconds: float = 1800.0,
+    max_len: int = 5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Path analysis: the ``top_n`` most common event-type sequences
+    (first ``max_len`` steps of each session, '>'-joined) — the "what
+    do users actually do" report.
+
+    Sessionization is the same lag-gap window the sessionize operator
+    uses; per-session paths collect with an explicit (ts, id) sort so
+    the sequence is deterministic; the path count is one
+    map-side-combined aggregation + TakeOrdered."""
+    ev = to_instant(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    sess = ev.withColumn(
+        "__sess", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = (
+        sess.groupBy(user_col, "__sess")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(ts_col).cast("double").alias("s"),
+                                    F.col(id_col).alias("i"),
+                                    F.col(type_col).alias("t"),
+                                )
+                            )
+                        ),
+                        lambda x: x["t"],
+                    ),
+                    1,
+                    int(max_len),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(int(top_n))
+    )

@@ -348,3 +348,51 @@ def test_interval_join_binned_window_spanning_many_bins(spark):
     )
     got = sorted(r["event_id"] for r in interval_join_binned(events, windows, bin_seconds=100.0).collect())
     assert got == [2, 3, 4, 5, 6, 7, 8]  # ts 200..800 inclusive-lo, exclusive-hi
+
+
+def test_value_anomalies_zscore(spark):
+    import datetime as dt
+
+    from chromem_go_spark.operators.events import value_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, 1, "buy", 10.0) for i in range(20)]
+    rows.append((99, t0, 1, "buy", 1000.0))           # the outlier
+    rows.append((100, t0, 2, "flat", 5.0))            # sigma == 0 type
+    rows.append((101, t0, 2, "flat", 5.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = value_anomalies(events, z_threshold=3.0).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 4
+    # zero-variance types never divide by zero / never flag
+    assert not any(r["event_type"] == "flat" for r in out)
+
+
+def test_top_session_paths_orders_and_truncates(spark):
+    import datetime as dt
+
+    from chromem_go_spark.operators.events import top_session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # three users with the same fast session a>b>c; one long session
+    # a>b>c>d>e>f that must truncate at 5 steps
+    for u in range(3):
+        for j, t in enumerate(["a", "b", "c"]):
+            rows.append((eid, t0 + dt.timedelta(seconds=j), u, t, 0.0)); eid += 1
+    for j, t in enumerate(["a", "b", "c", "d", "e", "f"]):
+        rows.append((eid, t0 + dt.timedelta(seconds=j), 9, t, 0.0)); eid += 1
+    # user 0 returns much later -> separate session
+    rows.append((eid, t0 + dt.timedelta(hours=5), 0, "z", 0.0)); eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = top_session_paths(events, top_n=10, max_len=5).collect()
+    got = {r["path"]: r["n_sessions"] for r in out}
+    assert got["a>b>c"] == 3
+    assert got["a>b>c>d>e"] == 1          # truncated at 5 steps
+    assert got["z"] == 1                  # the late return is its own session
+    assert out[0]["path"] == "a>b>c"
