@@ -1140,10 +1140,12 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-way star join: revenue by nation for one
     region and order-date year, where the supplier and the customer
-    share a nation (the classic local-supplier condition).  All four
-    dims (region -> nation -> supplier/customer) broadcast; the two
-    facts co-shuffle on orderkey; date predicate pushed to the orders
-    scan."""
+    share a nation (the classic local-supplier condition).  The
+    bounded dims (region -> nation, supplier) broadcast; customer is
+    the largest TPC-H dim and grows linearly with SF, so its join is
+    left to AQE (broadcast at small SF, shuffle at 100 TB — a forced
+    broadcast would OOM the driver at scale); the two facts co-shuffle
+    on orderkey; date predicate pushed to the orders scan."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     rn = nation.join(
@@ -1162,7 +1164,7 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(
-            F.broadcast(customer),
+            customer,
             (orders.o_custkey == customer.c_custkey)
             & (supplier.s_nationkey == customer.c_nationkey),
         )
@@ -1317,6 +1319,100 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(docs)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning stage (Abbas et al. 2023) with the embeddings
+    table's ``label`` column as the cluster assignment — the exact
+    within-cluster replay the oracle can re-run in plain SQL (a
+    self-join on label + cosine + the min-id keep rule).  The k-means
+    assignment path of the same operator is
+    :func:`q_semantic_dedup_kmeans` (rows-only, like
+    embedding_clusters: iterative training isn't SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = D.semantic_prune(
+        emb, threshold=0.4, cluster_col="label", vec_col="embedding",
+        id_col="vec_id", keep="min_id",
+    )
+    return out.select(
+        "vec_id", F.col("label").alias("cluster_id"), "kept"
+    )
+
+
+def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SemDeDup: spherical k-means clusters (GEMM-argmax Arrow
+    pass) + within-cluster cosine prune keeping the centroid-closest
+    member.  Rows-only (iterative k-means has no SQL replay); the
+    pruning semantics are value-checked via q_semantic_dedup and the
+    invariant pytest (no kept pair within a cluster above threshold)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = D.semantic_dedup(emb, threshold=0.4, n_clusters=8)
+    return out.select(
+        "vec_id", "cluster_id", F.round("centroid_sim", 4).alias("centroid_sim"),
+        "kept",
+    )
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (Carbonell & Goldstein 1998) of the top-20
+    cosine candidates for query vector 5, lambda=0.7.  The greedy
+    selection is deterministic (ties by id), so the oracle replays it
+    with a DuckDB recursive CTE over the same fetch_k candidate set."""
+    from chromem_go_spark.operators.hybrid import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _qvec(spark, sf_dir, 5)
+    out = mmr_rerank(
+        emb, qv, k=10, fetch_k=20, lam=0.7, vec_col="embedding",
+        id_col="vec_id",
+    )
+    return out.select(
+        "vec_id",
+        F.round("similarity", 4).alias("sim"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+        "mmr_rank",
+    )
+
+
+def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/DCLM-style learned quality gate: broadcast linear
+    model over md5-hashed token-count features — one array-literal
+    weight vector, one fold expression per doc, zero shuffles/Python.
+    Oracle replays the identical bucketing + logit + sigmoid in SQL."""
+    from chromem_go_spark.pipeline import quality_model_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_model_scores(docs, token_hash="md5_60")
+
+
+def _quality_model_sql() -> str:
+    """SQL twin of q_quality_model_scores: the default model's weights
+    embedded as a DuckDB array literal (full repr precision — the same
+    float64 values the Spark literal carries)."""
+    from chromem_go_spark.pipeline import default_quality_model
+
+    weights, bias = default_quality_model()
+    dim = len(weights)
+    arr = "[" + ", ".join(repr(x) for x in weights) + "]"
+    return rf"""
+WITH w AS (SELECT {arr}::DOUBLE[] AS arr),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+  FROM documents
+),
+s AS (
+  SELECT t.doc_id,
+         SUM(w.arr[CAST(('0x' || substr(md5(t.tok), 1, 15))::BIGINT % {dim} AS INT) + 1]) AS ws,
+         COUNT(*) AS n
+  FROM toks t, w
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       ROUND({bias!r} + COALESCE(s.ws, 0) / GREATEST(COALESCE(s.n, 0), 1), 4) AS quality_logit,
+       ROUND(1.0 / (1.0 + exp(-({bias!r} + COALESCE(s.ws, 0) / GREATEST(COALESCE(s.n, 0), 1)))), 4) AS quality_prob
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1330,7 +1426,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     implementations of the same semantics (e.g. label-prop vs star CC,
     exact vs LSH cosine near-dup) live in :func:`extra_queries`; they
     run through the same oracle harness via tools/selfcheck.py and the
-    schema-drift tests, just outside the driver's window."""
+    schema-drift tests, just outside the driver's window.
+
+    r6: the trivial projections list_ids / count_documents moved to
+    extras (still oracle-checked there) so the window's 50 official
+    rows cover duplicate_spans (exact substring dedup) and
+    hybrid_search (RRF fusion) — the strongest operators belong in the
+    driver's gate."""
     return {
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
@@ -1343,8 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_contains": q_where_contains,
         "where_not_contains": q_where_not_contains,
         "get_by_id": q_get_by_id,
-        "list_ids": q_list_ids,
-        "count_documents": q_count_documents,
+        "duplicate_spans": q_duplicate_spans,
+        "hybrid_search": q_hybrid_search,
         "delete_by_filter": q_delete_by_filter,
         "upsert_last_wins": q_upsert_last_wins,
         "dedup_exact": q_dedup_exact,
@@ -1420,8 +1522,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (frame-set Jaccard), events_props (JSON props extraction),
     corpus_diff (snapshot fingerprint diff), events_join_within
     (watermarked stream-stream correlation, batch-checked),
-    corpus_shards (deterministic hash sharding), hybrid_search
-    (lexical+vector RRF fusion)."""
+    corpus_shards (deterministic hash sharding).
+
+    r6 additions: semantic_dedup (SemDeDup pruning, Abbas et al. 2023
+    — label-cluster replay, value-checked) + semantic_dedup_kmeans
+    (the k-means assignment path, rows-only like embedding_clusters),
+    mmr_rerank (greedy MMR replayed by a DuckDB recursive CTE),
+    quality_model_scores (fastText/DCLM-style hashed linear quality
+    classifier, logit replayed in SQL), plus list_ids/count_documents
+    swapped out of the canonical window (trivial projections, still
+    value-checked here)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1436,7 +1546,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_extended": q_where_extended,
         "mix_corpus": q_mix_corpus,
         "unigram_logprob": q_unigram_logprob,
-        "duplicate_spans": q_duplicate_spans,
         "strip_duplicate_spans": q_strip_duplicate_spans,
         "bpe_pair_counts": q_bpe_pair_counts,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1452,11 +1561,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "events_join_within": q_events_join_within,
         "corpus_shards": q_corpus_shards,
-        "hybrid_search": q_hybrid_search,
         "regional_supplier_volume": q_regional_supplier_volume,
         "promo_revenue_share": q_promo_revenue_share,
         "events_anomalies": q_events_anomalies,
         "events_paths": q_events_paths,
+        "list_ids": q_list_ids,
+        "count_documents": q_count_documents,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
+        "mmr_rerank": q_mmr_rerank,
+        "quality_model_scores": q_quality_model_scores,
     }
 
 
@@ -1518,6 +1632,62 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+"""
+
+# SemDeDup pruning replay: within each label cluster, a row is dropped
+# iff some smaller-id clustermate is cosine-near (min-id keep rule) —
+# the exact within-cluster replay of dedup.semantic_prune.
+_SEMANTIC_DEDUP_SQL = """
+WITH losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+)
+SELECT e.vec_id, e.label AS cluster_id,
+       e.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
+FROM embeddings e
+"""
+
+# Greedy MMR replay (Carbonell & Goldstein 1998): the recursive CTE
+# carries the chosen set (ids + normalized vectors) one pick per
+# iteration — argmax of lam*sim - (1-lam)*max_red with id tiebreak,
+# exactly hybrid.mmr_rerank's driver-side loop.
+_MMR_SQL = """
+WITH RECURSIVE
+q AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id = 5
+),
+cand AS (
+  SELECT e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.v) AS sim,
+         list_transform(e.embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS nv
+  FROM embeddings e, q
+  ORDER BY sim DESC, e.vec_id
+  LIMIT 20
+),
+sel AS (
+  (SELECT 1 AS mmr_rank, vec_id, sim, 0.7 * sim AS mmr,
+          [nv] AS chosen, [vec_id] AS chosen_ids
+   FROM cand ORDER BY 0.7 * sim DESC, vec_id LIMIT 1)
+  UNION ALL
+  (SELECT s.mmr_rank + 1, c.vec_id, c.sim,
+          0.7 * c.sim - 0.3 * (SELECT MAX(list_dot_product(c.nv, u.cv))
+                               FROM unnest(s.chosen) AS u(cv)),
+          list_append(s.chosen, c.nv), list_append(s.chosen_ids, c.vec_id)
+   FROM sel s JOIN cand c ON NOT list_contains(s.chosen_ids, c.vec_id)
+   WHERE s.mmr_rank < 10
+   ORDER BY 0.7 * c.sim - 0.3 * (SELECT MAX(list_dot_product(c.nv, u.cv))
+                                 FROM unnest(s.chosen) AS u(cv)) DESC, c.vec_id
+   LIMIT 1)
+)
+SELECT vec_id, ROUND(sim, 4) AS sim,
+       ROUND(ROUND(mmr, 6), 4) AS mmr_score, mmr_rank
+FROM sel
 """
 
 # Full replay of the portable simhash: identical 60-bit md5 token hash,
@@ -1709,6 +1879,9 @@ LIMIT 10
         ),
         "list_ids": "SELECT doc_id FROM documents",
         "count_documents": "SELECT COUNT(*) AS n FROM documents",
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "mmr_rerank": _MMR_SQL,
+        "quality_model_scores": _quality_model_sql(),
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -2824,7 +2997,6 @@ _EXTRA_KEYS = frozenset(
         "where_extended",
         "mix_corpus",
         "unigram_logprob",
-        "duplicate_spans",
         "strip_duplicate_spans",
         "bpe_pair_counts",
         "dedup_keep_best",
@@ -2840,11 +3012,16 @@ _EXTRA_KEYS = frozenset(
         "corpus_diff",
         "events_join_within",
         "corpus_shards",
-        "hybrid_search",
         "regional_supplier_volume",
         "promo_revenue_share",
         "events_anomalies",
         "events_paths",
+        "list_ids",
+        "count_documents",
+        "semantic_dedup",
+        "semantic_dedup_kmeans",  # no oracle (iterative k-means) — rows-only
+        "mmr_rerank",
+        "quality_model_scores",
     }
 )
 

@@ -990,12 +990,16 @@ def strip_duplicate_spans(
     toks = df.select(
         id_col, F.split(T.normalized_text(text_col), " ").alias("__t")
     )
-    kept = F.filter(
-        F.col("__t"),
-        lambda x, i: ~F.coalesce(
-            F.array_contains("__cov", i + F.lit(1)), F.lit(False)
-        ),
+    # kept positions via array_except (hash-set based: O(n_tokens +
+    # n_covered)) rather than per-token array_contains (O(n x m) — a
+    # boilerplate-heavy doc with most spans duplicated went quadratic);
+    # array_except preserves the first array's order, so positions stay
+    # ascending and the rejoin preserves token order.
+    keep_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("__t")),
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
     )
+    kept = F.transform(keep_pos, lambda p: F.get("__t", p - F.lit(1)))
     return (
         toks.join(covered, id_col, "left")
         .select(
@@ -1083,3 +1087,116 @@ def containment_pairs(
         .filter(F.col("containment") >= F.lit(t))
         .select("id_a", "id_b", "containment")
     )
+
+
+# ------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540, public method).  Beyond-reference: chromem-go has
+# no dedup surface at all (SURVEY §2.4); this is the embedding-space
+# member of the dedup family (exact / Jaccard / MinHash / SimHash /
+# cosine-LSH / SemDeDup).
+# ------------------------------------------------------------------
+
+
+def semantic_prune(
+    df: DataFrame,
+    threshold: float = 0.8,
+    cluster_col: str = "cluster_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "min_id",
+) -> DataFrame:
+    """SemDeDup pruning stage: within each cluster, drop every row that
+    has a cosine-near (>= ``threshold``) clustermate preferred over it.
+
+    ``keep`` picks the survivor of a near-dup pair:
+
+    - ``"min_id"``  — the smaller id survives (deterministic, and
+      exactly replayable in plain SQL — the oracle mode);
+    - ``"centroid_closest"`` — the row with higher ``centroid_sim``
+      survives (ties broken by smaller id); requires that column, which
+      :func:`chromem_go_spark.operators.ann.cluster_embeddings` emits.
+
+    Returns every input row as ``(id_col, cluster_col, kept)``.
+
+    Scale shape: both join sides shuffle ONCE on ``cluster_col``
+    (bucketed — never corpus-wide all-pairs); per-cluster pairwise work
+    is bounded by cluster size, which the upstream clustering controls
+    (SemDeDup's k scales with corpus size so clusters stay ~constant).
+    The vectors ride only into the bounded within-cluster join; the
+    survivor table carries ids only.
+    """
+    if keep not in ("min_id", "centroid_closest"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
+    cols = [id_col, cluster_col]
+    if keep == "centroid_closest":
+        cols.append("centroid_sim")
+    a = df.select(
+        *[F.col(c).alias(f"{c}_a") for c in cols],
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"{c}_b") for c in cols],
+        F.col(vec_col).alias("__vb"),
+    )
+    if keep == "min_id":
+        pref = F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    else:
+        pref = (F.col("centroid_sim_a") > F.col("centroid_sim_b")) | (
+            (F.col("centroid_sim_a") == F.col("centroid_sim_b"))
+            & (F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        )
+    # a is the preferred side, so id_b is the loser of every near pair
+    losers = (
+        a.join(b, (F.col(f"{cluster_col}_a") == F.col(f"{cluster_col}_b")) & pref)
+        .filter(V.cosine_similarity("__va", "__vb") >= F.lit(float(threshold)))
+        .select(F.col(f"{id_col}_b").alias(id_col))
+        .distinct()
+        .withColumn("__lost", F.lit(True))
+    )
+    return (
+        df.select(id_col, cluster_col)
+        .join(losers, id_col, "left")
+        .select(id_col, cluster_col, F.col("__lost").isNull().alias("kept"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    keep: str = "centroid_closest",
+) -> DataFrame:
+    """Full SemDeDup: spherical k-means cluster assignment
+    (:func:`..ann.cluster_embeddings` — GEMM-argmax mapInPandas, corpus
+    never shuffled) followed by :func:`semantic_prune` within clusters.
+    Returns ``(id_col, cluster_id, centroid_sim, kept)``.
+
+    At 100 TB: assignment is one Arrow pass against broadcast
+    centroids; the prune is one shuffle on ``cluster_id`` with
+    per-cluster-bounded pairwise work — k grows with the corpus so the
+    per-task cost stays flat."""
+    from . import ann
+
+    assigned = ann.cluster_embeddings(
+        df.select(id_col, vec_col),
+        n_clusters=n_clusters,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+    )
+    withvec = assigned.join(df.select(id_col, vec_col), id_col)
+    pruned = semantic_prune(
+        withvec,
+        threshold=threshold,
+        cluster_col="cluster_id",
+        vec_col=vec_col,
+        id_col=id_col,
+        keep=keep,
+    )
+    return pruned.join(
+        assigned.select(id_col, "centroid_sim"), id_col
+    ).select(id_col, "cluster_id", "centroid_sim", "kept")

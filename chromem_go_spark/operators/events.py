@@ -418,12 +418,18 @@ def interval_join_binned(
         "__s", F.col(ts_col).cast("double")
     )
     ev = ev.withColumn("__bin", F.floor(F.col("__s") / b)).drop(ts_col)
+    # greatest() guards malformed hi < lo windows: without it
+    # F.sequence generates a DESCENDING range (implicit -1 step) whose
+    # spurious bins the exact filter removes but whose fan-out a badly
+    # inverted window could make huge; with it they match nothing.
     wn = windows.withColumn(
         "__bin",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / b),
-                F.floor(F.col(hi_col) / b),
+                F.greatest(
+                    F.floor(F.col(hi_col) / b), F.floor(F.col(lo_col) / b)
+                ),
             )
         ),
     )
@@ -490,8 +496,11 @@ def value_anomalies(
     return (
         events.join(F.broadcast(stats), type_col)
         .filter(F.col("__sigma") > 0)
+        # filter on the RAW z, round only for output — rounding first
+        # would admit |z| in [thr - 0.5e-4, thr) that the oracle's
+        # unrounded filter rejects
+        .filter(F.abs(z) >= float(z_threshold))
         .withColumn("z", F.round(z, 4))
-        .filter(F.abs(F.col("z")) >= float(z_threshold))
         .select(id_col, type_col, F.round(value_col, 4).alias("value"), "z")
     )
 

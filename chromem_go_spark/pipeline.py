@@ -622,3 +622,97 @@ def write_corpus_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+# ------------------------------------------------------------------
+# Model-based quality scoring — the fastText/DCLM-style replacement
+# for the heuristic quality_score: a BROADCAST linear model over
+# hashed bag-of-token features (public method: Joulin et al. 2016
+# fastText; DCLM/FineWeb-Edu quality classifiers).  Pure codegen: the
+# weight vector is ONE array literal, the logit is one aggregate
+# expression over the tokenizer's array — no Python in the hot path,
+# no shuffle, scales as a map-only pass at 100 TB.
+# ------------------------------------------------------------------
+
+
+def default_quality_model(dim: int = 256, seed: int = 13) -> tuple[list[float], float]:
+    """Deterministic stand-in weights for the quality classifier (a
+    real deployment loads fastText-exported weights into the same
+    shape).  Seeded standard-normal weights scaled to keep logits in a
+    sane range; bias 0."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal(dim) * 2.0
+    return [float(x) for x in w], 0.0
+
+
+def quality_model_scores(
+    docs: DataFrame,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "md5_60",
+) -> DataFrame:
+    """Score every document with the hashed linear model: feature j is
+    the count of tokens hashing to bucket j, the logit is the
+    token-count-normalized weighted sum (fastText's mean-of-embeddings
+    with a 1-d output), the score is its sigmoid.
+
+    Returns (id, quality_logit, quality_prob).  ``token_hash="md5_60"``
+    makes the bucketing bit-identical in DuckDB (the oracle mode);
+    ``"xxhash64"`` is the faster JVM-native production path.
+
+    Scale: the weight vector rides as a single array literal (bounded:
+    dim doubles, broadcast with the plan); one fold expression per doc;
+    zero shuffles, zero Python."""
+    if weights is None:
+        weights, bias = default_quality_model()
+    dim = len(weights)
+    wlit = F.lit([float(x) for x in weights])
+    hfn = D._token_hash(token_hash)
+    toks = T.word_tokens(text_col)
+    bucket = lambda t: F.pmod(hfn(t), F.lit(dim)).cast("int")  # noqa: E731
+    wsum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(wlit, bucket(t) + 1),
+    )
+    n = F.greatest(F.size(toks), F.lit(1))
+    logit = F.lit(float(bias)) + wsum / n
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return docs.select(
+        id_col,
+        F.round(logit, 4).alias("quality_logit"),
+        F.round(prob, 4).alias("quality_prob"),
+    )
+
+
+def select_for_training(
+    docs: DataFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+    reps: DataFrame | None = None,
+    model_quality_min: float | None = None,
+    model_weights: list[float] | None = None,
+    model_bias: float = 0.0,
+) -> DataFrame:
+    """:func:`select_training_documents` plus the optional model-based
+    quality gate: when ``model_quality_min`` is set, documents must
+    also clear ``quality_prob >= model_quality_min`` under the hashed
+    linear classifier — the heuristic and learned gates compose (the
+    modern pipeline runs both: cheap heuristics first, model second)."""
+    out = select_training_documents(docs, cfg, reps)
+    if model_quality_min is not None:
+        scores = quality_model_scores(
+            docs, model_weights, model_bias,
+            text_col=cfg.text_col, id_col=cfg.id_col,
+        )
+        out = out.join(
+            scores.filter(
+                F.col("quality_prob") >= F.lit(float(model_quality_min))
+            ).select(cfg.id_col),
+            cfg.id_col,
+            "left_semi",
+        )
+    return out

@@ -434,6 +434,67 @@ def ivf_append_sink(
     )
 
 
+def ivf_probe_sink(
+    stream_queries: DataFrame,
+    index_path: str,
+    results_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    id_col: str = "vec_id",
+    query_name: str = "ivf_probe",
+):
+    """Streaming-native ANN serving: a foreachBatch sink over a QUERY
+    stream that probes the served IVF index at ``index_path`` and
+    appends per-query top-k results to ``results_dir``.
+
+    The index is loaded ONCE (first batch) with its frozen coarse
+    quantizer — the serving contract: queries never retrain or reshape
+    the index, so every micro-batch probe is exactly
+    :meth:`IVFIndex.search_batch` (parity-tested vs the batch probe).
+    Each micro-batch's queries are bounded (driver collects the batch's
+    query vectors — the same driver-side routing the batch path does);
+    the corpus side stays cluster-partition-pruned and distributed.
+    Output rows carry ``batch_id`` so redelivered batches are
+    identifiable downstream (append sink, at-least-once)."""
+    from ..operators.ann import IVFIndex
+
+    idx_box: list = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not idx_box:
+            idx_box.append(
+                IVFIndex.load(
+                    batch_df.sparkSession, index_path,
+                    vec_col=vec_col, id_col=id_col,
+                )
+            )
+        idx = idx_box[0]
+        rows = batch_df.select(query_id_col, vec_col).collect()
+        res = idx.search_batch(
+            [str(r[query_id_col]) for r in rows],
+            [list(r[vec_col]) for r in rows],
+            k,
+            nprobe=nprobe,
+        )
+        (
+            res.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(results_dir)
+        )
+
+    return (
+        stream_queries.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
 def incremental_neardup_sink(
     stream_docs: DataFrame,
     state_dir: str,

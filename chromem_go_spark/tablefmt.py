@@ -69,6 +69,13 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     return DeltaTable.isDeltaTable(spark, path)
 
 
+def _create_table(updates: DataFrame, path: str) -> None:
+    """First-write table creation — isolated so the conformance suite
+    (tests/test_tablefmt.py, parquet-backed DeltaTable double) can
+    execute the MERGE/DELETE protocol below without the Delta jars."""
+    updates.write.format("delta").mode("append").save(path)
+
+
 def merge_upsert(
     spark: SparkSession, path: str, updates: DataFrame, key_col: str = "id"
 ) -> None:
@@ -85,7 +92,7 @@ def merge_upsert(
 
     updates = updates.dropDuplicates([key_col])
     if not DeltaTable.isDeltaTable(spark, path):
-        updates.write.format("delta").mode("append").save(path)
+        _create_table(updates, path)
         return
     (
         DeltaTable.forPath(spark, path)

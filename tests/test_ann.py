@@ -490,3 +490,58 @@ def test_tune_ivf_pq_m_sweep_picks_smallest_adequate(spark, emb):
         m8 = [p for p in out["pq_sweep"] if p["m"] == 8]
         assert all(p["pq_recall"] < 0.85 for p in m8)
         assert len(m8) == 4  # swept rerank to the cap before widening m
+
+
+def test_ivf_probe_stream_parity(spark, emb, tmp_path):
+    """Streaming probe == batch probe: the same query vectors pushed
+    through ivf_probe_sink (2 micro-batches) produce exactly the rows
+    IVFIndex.search_batch returns for the same (k, nprobe)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.streaming.ingest import ivf_probe_sink, run_available_now
+
+    path = str(tmp_path / "ivf_served")
+    A.IVFIndex.build(emb, n_clusters=8, vec_col="embedding", id_col="vec_id").save(path)
+    idx = A.IVFIndex.load(spark, path)
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    t = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 8)
+    d = tmp_path / "q_stream"
+    d.mkdir()
+    pq.write_table(t.slice(0, 4), d / "q0.parquet")
+    pq.write_table(t.slice(4), d / "q1.parquet")
+
+    results = str(tmp_path / "probe_out")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(d)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    writer = ivf_probe_sink(
+        stream.select("vec_id", "embedding"),
+        path,
+        results,
+        str(tmp_path / "probe_ckpt"),
+        k=5,
+        nprobe=4,
+    )
+    run_available_now(writer)
+
+    qrows = spark.read.parquet(str(d)).orderBy("vec_id").collect()
+    expect = idx.search_batch(
+        [str(r["vec_id"]) for r in qrows],
+        [list(r["embedding"]) for r in qrows],
+        5,
+        nprobe=4,
+    ).collect()
+    exp = sorted(
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6)) for r in expect
+    )
+    got_rows = spark.read.parquet(results).collect()
+    got = sorted(
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6)) for r in got_rows
+    )
+    assert got == exp
+    assert {r["batch_id"] for r in got_rows} == {0, 1}

@@ -509,3 +509,102 @@ def test_containment_pairs_exact_value(spark):
            for r in D.containment_pairs(df, threshold=0.5).collect()}
     assert out[(1, 2)] == pytest.approx(1.0)
     assert out[(2, 1)] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+
+def test_semantic_prune_min_id(spark):
+    from chromem_go_spark.operators.dedup import semantic_prune
+
+    rows = [
+        # cluster 0: 1~2 near (keep 1), 3 far
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.999, 0.04]),
+        (3, 0, [0.0, 1.0]),
+        # cluster 1: identical pair across ids (keep 10)
+        (10, 1, [0.6, 0.8]),
+        (11, 1, [0.6, 0.8]),
+        # cluster 2: singleton always kept
+        (20, 2, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster_id int, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_prune(df, threshold=0.95, keep="min_id").collect()
+    }
+    assert out == {1: True, 2: False, 3: True, 10: True, 11: False, 20: True}
+
+
+def test_semantic_prune_centroid_closest(spark):
+    from chromem_go_spark.operators.dedup import semantic_prune
+
+    rows = [
+        # 2 is closer to the centroid than 1 -> 2 survives the near pair
+        (1, 0, 0.80, [1.0, 0.0]),
+        (2, 0, 0.90, [0.999, 0.04]),
+        (3, 0, 0.10, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "vec_id long, cluster_id int, centroid_sim double, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_prune(
+            df, threshold=0.95, keep="centroid_closest"
+        ).collect()
+    }
+    assert out == {1: False, 2: True, 3: True}
+
+
+def test_semantic_prune_rejects_unknown_keep(spark):
+    import pytest as _pytest
+
+    from chromem_go_spark.operators.dedup import semantic_prune
+
+    df = spark.createDataFrame([], "vec_id long, cluster_id int, embedding array<double>")
+    with _pytest.raises(ValueError):
+        semantic_prune(df, keep="bogus")
+
+
+def test_semantic_dedup_kmeans_invariants(spark, sf_dir):
+    """Pairwise SemDeDup invariants on the real table: (a) no two KEPT
+    clustermates are cosine-near above threshold; (b) every DROPPED row
+    has a preferred cosine-near clustermate."""
+    import numpy as np
+
+    from chromem_go_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    thr = 0.3
+    out = semantic_dedup(emb, threshold=thr, n_clusters=4).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(1 for r in out if not r["kept"]) > 0  # discriminative at thr
+    for members in by_cluster.values():
+        pref = sorted(members, key=lambda r: (-r["centroid_sim"], r["vec_id"]))
+        order = {r["vec_id"]: i for i, r in enumerate(pref)}
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                if a["kept"] and b["kept"]:
+                    assert cos(a["vec_id"], b["vec_id"]) < thr, (a, b)
+        for r in members:
+            if not r["kept"]:
+                assert any(
+                    order[o["vec_id"]] < order[r["vec_id"]]
+                    and cos(o["vec_id"], r["vec_id"]) >= thr
+                    for o in members
+                ), r

@@ -433,3 +433,78 @@ def test_weighted_sample_k_exceeds_rows(spark):
     )
     out = weighted_sample(docs, k=50).collect()
     assert len(out) == 2  # everything sampled, no error
+
+
+# ------------------------------------------------------- quality model
+
+
+def test_quality_model_scores_shape_and_range(spark, sf_dir):
+    from chromem_go_spark.pipeline import quality_model_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_model_scores(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 0.0 < r["quality_prob"] < 1.0
+    # deterministic
+    again = quality_model_scores(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_quality_model_scores_no_python_eval(spark, sf_dir):
+    from chromem_go_spark.pipeline import quality_model_scores
+    from chromem_go_spark.plans import explain as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = X.plan_flags(quality_model_scores(docs))
+    assert not flags["has_python_eval"]
+    assert not flags["n_shuffles"]
+
+
+def test_quality_model_known_weights(spark):
+    """Hand-checkable model: weight 1.0 in every bucket -> logit is
+    exactly 1.0 for any non-empty doc (sum of n ones / n), sigmoid
+    1/(1+e^-1)."""
+    import math
+
+    from chromem_go_spark.pipeline import quality_model_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality_model_scores(docs, weights=[1.0] * 16, bias=0.5).collect()
+    }
+    assert out[1]["quality_logit"] == 1.5
+    assert out[3]["quality_logit"] == 1.5
+    assert out[2]["quality_logit"] == 0.5  # empty text -> bias only
+    assert abs(out[1]["quality_prob"] - 1 / (1 + math.exp(-1.5))) < 1e-4
+
+
+def test_select_for_training_model_gate(spark, sf_dir):
+    from chromem_go_spark.pipeline import (
+        PipelineConfig,
+        quality_model_scores,
+        select_for_training,
+        select_training_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = PipelineConfig()
+    base = {r["doc_id"] for r in select_training_documents(docs, cfg).select("doc_id").collect()}
+    gated = {
+        r["doc_id"]
+        for r in select_for_training(docs, cfg, model_quality_min=0.5)
+        .select("doc_id")
+        .collect()
+    }
+    assert gated <= base
+    passing = {
+        r["doc_id"]
+        for r in quality_model_scores(docs)
+        .filter("quality_prob >= 0.5")
+        .collect()
+    }
+    assert gated == base & passing
+    assert base - gated  # the gate actually removes someone at 0.5

@@ -219,13 +219,24 @@ def test_tfidf_vectors_no_python_eval(docs):
     assert not flags["has_python_eval"]
 
 
-def test_regional_supplier_volume_broadcasts_all_dims(spark, sf_dir):
+def test_regional_supplier_volume_broadcasts_bounded_dims(spark, sf_dir):
+    """The truly-small dims (region->nation, supplier) broadcast; the
+    customer join is deliberately NOT hinted — customer grows linearly
+    with SF, so AQE must stay free to pick a shuffle join at scale.
+    Gate: broadcast present (the bounded dims), no cartesian anywhere,
+    and no broadcast *hint* on customer in the analyzed plan."""
     import __spark_entry__ as e
 
     df = e.q_regional_supplier_volume(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    # the analyzed (pre-AQE) plan carries explicit hints: none may
+    # reference the customer relation's columns
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    for line in analyzed.splitlines():
+        if "ResolvedHint" in line or "UnresolvedHint" in line:
+            assert "c_custkey" not in line and "c_nationkey" not in line
     # the orders date predicate reaches the scan
     from chromem_go_spark.plans import explain as X
     flags = X.plan_flags(df)
