@@ -113,6 +113,15 @@ def main() -> None:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
     hybrid_search(corpus_h, ["window", "batch"], qv, k=5).show()
 
+    print("== semantic dedup (SemDeDup): k-means clusters -> cosine prune")
+    sem = D.semantic_dedup(emb, threshold=0.4, n_clusters=8)
+    sem.groupBy("kept").count().show()
+
+    print("== learned quality gate: hashed linear model (fastText-style)")
+    from chromem_go_spark.pipeline import quality_model_scores
+
+    quality_model_scores(docs).orderBy(F.desc("quality_prob")).show(3)
+
     print("== tokenizer training: top BPE merges from corpus statistics")
     from chromem_go_spark.operators.bpe import bpe_learn
 
