@@ -1413,6 +1413,57 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """
 
 
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed word
+    uni+bigram log-ratio model (target = the en/doc_id%5 slice vs the
+    full corpus), per-doc log-weight as one codegen fold.  The oracle
+    recomputes the ENTIRE estimator in SQL — features, both
+    distributions, smoothing, log ratio, per-doc sum."""
+    from chromem_go_spark.pipeline import dsir_logratio, dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    llr = dsir_logratio(docs, target, dim=1024)
+    return dsir_scores(docs, llr)
+
+
+_DSIR_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, unnest(list_concat(
+    list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1024),
+    list_transform(range(1, len(t)),
+                   i -> ('0x' || substr(md5(t[i] || '_' || t[i+1]), 1, 15))::BIGINT % 1024)
+  )) AS b
+  FROM tok
+),
+raw_ct AS (SELECT b, COUNT(*) AS c FROM feat GROUP BY b),
+tgt_ct AS (
+  SELECT b, COUNT(*) AS c FROM feat
+  WHERE lang = 'en' AND doc_id % 5 = 0 GROUP BY b
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM feat) AS nr,
+         (SELECT COUNT(*) FROM feat WHERE lang = 'en' AND doc_id % 5 = 0) AS nt
+),
+llr AS (
+  SELECT r.b,
+         ln((COALESCE(t.c, 0) + 1.0) / (tot.nt + 1024))
+         - ln((r.c + 1.0) / (tot.nr + 1024)) AS w
+  FROM raw_ct r LEFT JOIN tgt_ct t USING (b), tot
+)
+SELECT d.doc_id, ROUND(COALESCE(SUM(l.w), 0), 4) AS dsir_logw
+FROM documents d
+LEFT JOIN feat f ON d.doc_id = f.doc_id
+LEFT JOIN llr l ON f.b = l.b
+GROUP BY d.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1571,6 +1622,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_kmeans": q_semantic_dedup_kmeans,
         "mmr_rerank": q_mmr_rerank,
         "quality_model_scores": q_quality_model_scores,
+        "dsir_scores": q_dsir_scores,
     }
 
 
@@ -1882,6 +1934,7 @@ LIMIT 10
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "mmr_rerank": _MMR_SQL,
         "quality_model_scores": _quality_model_sql(),
+        "dsir_scores": _DSIR_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3022,6 +3075,7 @@ _EXTRA_KEYS = frozenset(
         "semantic_dedup_kmeans",  # no oracle (iterative k-means) — rows-only
         "mmr_rerank",
         "quality_model_scores",
+        "dsir_scores",
     }
 )
 

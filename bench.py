@@ -147,6 +147,7 @@ def main() -> None:
         "semantic_dedup_kmeans",
         "mmr_rerank",
         "quality_model_scores",
+        "dsir_scores",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -716,3 +716,136 @@ def select_for_training(
             "left_semi",
         )
     return out
+
+
+# ------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169, public method).  Importance weights over hashed
+# word uni+bigram features: log w(x) = Σ_f [ln p_target(f) −
+# ln p_raw(f)] · count_f(x), with add-one smoothing over the hashed
+# feature space.  Selection is Gumbel-top-k resampling (the paper's
+# estimator) or plain top-k by weight.
+#
+# Scale shape: the two feature-distribution builds are bounded
+# aggregations (≤ dim keys, map-side combined); the log-ratio model is
+# ONE array literal riding the plan (like quality_model_scores); doc
+# scoring is a per-row fold — zero shuffles, zero Python; selection is
+# a distributed TakeOrdered.
+# ------------------------------------------------------------------
+
+
+def _hashed_ngram_buckets(toks_col, dim: int, token_hash: str = "md5_60"):
+    """array<bigint> of hashed unigram + adjacent-bigram feature
+    buckets over an ALREADY-MATERIALIZED token-array column (pass a
+    plain column: expressions embedded in transform lambdas re-run per
+    element)."""
+    hfn = D._token_hash(token_hash)
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    uni = F.transform(toks, lambda t: F.pmod(hfn(t), F.lit(dim)))
+    # guard: sequence(1, size-1) DESCENDS for size 0/1 (implicit -1
+    # step) — emit no bigrams instead
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.pmod(
+                hfn(
+                    F.concat(
+                        F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+                    )
+                ),
+                F.lit(dim),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, bi)
+
+
+def dsir_logratio(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    dim: int = 4096,
+    text_col: str = "text",
+    token_hash: str = "md5_60",
+) -> list[float]:
+    """The broadcastable DSIR model: per-bucket smoothed log ratio
+    ``ln p_target(b) − ln p_raw(b)`` as a dense length-``dim`` list
+    (driver-side — bounded by dim, not the corpus)."""
+    import math
+
+    def counts(docs: DataFrame) -> tuple[dict[int, int], int]:
+        feat = docs.withColumn("__toks", T.word_tokens(text_col)).select(
+            F.explode(_hashed_ngram_buckets("__toks", dim, token_hash)).alias("b")
+        )
+        rows = feat.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+        ct = {int(r["b"]): int(r["c"]) for r in rows}
+        return ct, sum(ct.values())
+
+    raw_ct, n_raw = counts(raw_docs)
+    tgt_ct, n_tgt = counts(target_docs)
+    return [
+        math.log((tgt_ct.get(b, 0) + 1.0) / (n_tgt + dim))
+        - math.log((raw_ct.get(b, 0) + 1.0) / (n_raw + dim))
+        for b in range(dim)
+    ]
+
+
+def dsir_scores(
+    docs: DataFrame,
+    llr: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "md5_60",
+) -> DataFrame:
+    """(id, dsir_logw): per-doc importance log-weight — one fold over
+    the hashed feature array against the literal log-ratio vector.
+    Empty docs score 0 (no evidence)."""
+    dim = len(llr)
+    wlit = F.lit([float(x) for x in llr])
+    scored = docs.withColumn("__toks", T.word_tokens(text_col)).withColumn(
+        "__logw",
+        F.aggregate(
+            _hashed_ngram_buckets("__toks", dim, token_hash),
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(wlit, b.cast("int") + 1),
+        ),
+    )
+    return scored.select(id_col, F.round("__logw", 4).alias("dsir_logw"))
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    dim: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "md5_60",
+    resample: bool = False,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Top-``k`` raw documents for training on the target distribution.
+
+    ``resample=False``: deterministic top-k by log-weight (ties by id)
+    — a distributed TakeOrdered.  ``resample=True``: the paper's
+    Gumbel-top-k importance resampling, with the Gumbel noise derived
+    from a portable md5 uniform (same trick as ``weighted_sample``) so
+    the draw is deterministic and engine-replayable:
+    ``key = logw + (−ln(−ln u))``, u = md5(seed‖id) scaled to (0,1)."""
+    llr = dsir_logratio(docs, target_docs, dim, text_col, token_hash)
+    s = dsir_scores(docs, llr, text_col, id_col, token_hash)
+    key = F.col("dsir_logw")
+    if resample:
+        u = (
+            F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+            .cast("double")
+            / F.lit(float(16**15))
+        )
+        # clamp away from 0/1 so the double log is finite
+        u = F.least(F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+        key = F.col("dsir_logw") + (-F.log(-F.log(u)))
+    return (
+        s.withColumn("sel_key", F.round(key, 4))
+        .orderBy(F.desc("sel_key"), id_col)
+        .limit(int(k))
+    )

@@ -508,3 +508,66 @@ def test_select_for_training_model_gate(spark, sf_dir):
     }
     assert gated == base & passing
     assert base - gated  # the gate actually removes someone at 0.5
+
+
+# --------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """Docs drawn from the target's vocabulary must outscore docs from
+    a disjoint vocabulary under the importance weights."""
+    from chromem_go_spark.pipeline import dsir_logratio, dsir_scores
+
+    target_texts = ["alpha beta gamma delta"] * 3
+    other_texts = ["zig zag zoom boom"] * 6
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(target_texts + other_texts)],
+        "doc_id long, text string",
+    )
+    target = raw.filter("doc_id < 3")
+    llr = dsir_logratio(raw, target, dim=64)
+    assert len(llr) == 64
+    out = {r["doc_id"]: r["dsir_logw"] for r in dsir_scores(raw, llr).collect()}
+    assert min(out[i] for i in range(3)) > max(out[i] for i in range(3, 9))
+
+
+def test_dsir_select_topk_and_resample_deterministic(spark):
+    from chromem_go_spark.pipeline import dsir_select
+
+    rows = [(i, "alpha beta" if i % 3 == 0 else "zig zag") for i in range(30)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.filter("doc_id % 3 = 0")
+    top = dsir_select(raw, target, k=10, dim=64)
+    ids = [r["doc_id"] for r in top.collect()]
+    assert len(ids) == 10
+    assert all(i % 3 == 0 for i in ids)  # top-k is exactly the target-like docs
+    # gumbel resampling: deterministic given the seed, different draw order
+    r1 = [r["doc_id"] for r in dsir_select(raw, target, k=10, dim=64, resample=True).collect()]
+    r2 = [r["doc_id"] for r in dsir_select(raw, target, k=10, dim=64, resample=True).collect()]
+    assert r1 == r2
+    r3 = [r["doc_id"] for r in dsir_select(raw, target, k=10, dim=64, resample=True, seed="other").collect()]
+    assert r1 != r3  # a different seed reshuffles the draw
+
+
+def test_dsir_scores_no_python_eval(spark, sf_dir):
+    from chromem_go_spark.pipeline import dsir_scores
+    from chromem_go_spark.plans import explain as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = X.plan_flags(dsir_scores(docs, [0.1] * 128))
+    assert not flags["has_python_eval"]
+    assert not flags["n_shuffles"]
+
+
+def test_dsir_empty_and_single_token_docs(spark):
+    """size<2 docs must emit no bigrams (no inverted-sequence fanout)
+    and empty docs score exactly 0."""
+    from chromem_go_spark.pipeline import dsir_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "two tokens")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["dsir_logw"] for r in dsir_scores(docs, [1.0] * 16).collect()}
+    assert out[1] == 0.0
+    assert out[2] == 1.0       # one unigram, no bigram
+    assert out[3] == 3.0       # two unigrams + one bigram
