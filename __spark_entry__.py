@@ -1464,6 +1464,61 @@ GROUP BY d.doc_id
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 statistical quality: per-doc mean interpolated-bigram
+    -log2 p (Jelinek-Mercer over top-2000 bigrams + the add-one
+    unigram model; CCNet KenLM-perplexity analog).  Both model tables
+    broadcast; pairs formed per-doc with zero joins.  Oracle replays
+    the full model build + interpolation + scoring."""
+    from chromem_go_spark.pipeline import bigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs, vocab_size=1000, bigram_size=2000)
+
+
+_BIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM documents
+),
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[g.i] AS prev, t[g.i + 1] AS cur
+  FROM tl CROSS JOIN LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+),
+tot AS (SELECT COUNT(*) AS t FROM toks),
+uni_counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+vocab AS (
+  SELECT token, n FROM uni_counts ORDER BY n DESC, token LIMIT 1000
+),
+uni_model AS (
+  SELECT token AS cur, (n + 1.0) / (t + 1001.0) AS p_uni FROM vocab, tot
+),
+big AS (
+  SELECT p.prev, p.cur, p.c / u.n AS p_big
+  FROM (
+    SELECT prev, cur, COUNT(*) AS c FROM pairs GROUP BY prev, cur
+    ORDER BY c DESC, prev, cur LIMIT 2000
+  ) p JOIN uni_counts u ON p.prev = u.token
+)
+SELECT pr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-log2(
+         0.7 * COALESCE(b.p_big, 0.0)
+         + 0.3 * COALESCE(m.p_uni, 1.0 / (t + 1001.0))
+       )), 4) AS avg_neg_logp2
+FROM pairs pr
+LEFT JOIN big b ON pr.prev = b.prev AND pr.cur = b.cur
+LEFT JOIN uni_model m ON pr.cur = m.cur
+CROSS JOIN tot
+GROUP BY pr.doc_id, t
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1623,6 +1678,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "quality_model_scores": q_quality_model_scores,
         "dsir_scores": q_dsir_scores,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -1935,6 +1991,7 @@ LIMIT 10
         "mmr_rerank": _MMR_SQL,
         "quality_model_scores": _quality_model_sql(),
         "dsir_scores": _DSIR_SQL,
+        "bigram_logprob": _BIGRAM_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3076,6 +3133,7 @@ _EXTRA_KEYS = frozenset(
         "mmr_rerank",
         "quality_model_scores",
         "dsir_scores",
+        "bigram_logprob",
     }
 )
 

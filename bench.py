@@ -148,6 +148,7 @@ def main() -> None:
         "mmr_rerank",
         "quality_model_scores",
         "dsir_scores",
+        "bigram_logprob",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

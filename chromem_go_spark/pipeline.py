@@ -849,3 +849,91 @@ def dsir_select(
         .orderBy(F.desc("sel_key"), id_col)
         .limit(int(k))
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    ref_docs: DataFrame | None = None,
+    vocab_size: int = 1000,
+    bigram_size: int = 2000,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean interpolated-bigram negative log2-probability —
+    the order-2 upgrade of :func:`unigram_logprob_scores` (CCNet's
+    KenLM-perplexity analog, public method: Jelinek-Mercer
+    interpolation of a bigram MLE with the smoothed unigram model).
+
+    ``P(cur|prev) = lam * c(prev,cur)/c(prev) + (1-lam) * P_uni(cur)``
+    where the bigram term is the top-``bigram_size`` pair table (0 for
+    absent pairs — interpolation absorbs them) and ``P_uni`` is the
+    add-one top-``vocab_size`` model with a shared OOV mass, exactly as
+    the unigram scorer.  Returns ``(id, n_bigrams, avg_neg_logp2)``;
+    docs with fewer than 2 tokens have no bigram positions and drop
+    out (same contract as the unigram scorer for empty docs).
+
+    Scale shape: both model tables are top-N by construction →
+    broadcast; the pair stream is built per-doc with one transform
+    (zero joins to FORM pairs); scoring is two broadcast joins + one
+    aggregation.  No Python anywhere."""
+    import math
+
+    ref = ref_docs if ref_docs is not None else docs
+
+    def pair_frame(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        t = df.withColumn("__toks", T.word_tokens(text_col))
+        pairs = F.when(
+            F.size("__toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__toks"), i).alias("prev"),
+                    F.element_at(F.col("__toks"), i + 1).alias("cur"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+        return t.select(*cols, F.explode(pairs).alias("p")).select(
+            *cols, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+        )
+
+    toks = ref.select(F.explode(T.word_tokens(text_col)).alias("token"))
+    uni_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = uni_counts.orderBy(F.desc("n"), "token").limit(int(vocab_size))
+    totals = toks.count()
+    denom = float(totals + vocab_size + 1)
+    uni_model = vocab.select(
+        F.col("token").alias("cur"),
+        ((F.col("n") + F.lit(1.0)) / F.lit(denom)).alias("p_uni"),
+    )
+    oov_p = 1.0 / denom
+
+    # top-B bigram table with the TRUE prev marginal as denominator
+    big = (
+        pair_frame(ref, with_id=False)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "prev", "cur")
+        .limit(int(bigram_size))
+        .join(
+            uni_counts.select(F.col("token").alias("prev"), F.col("n").alias("c_prev")),
+            "prev",
+        )
+        .select("prev", "cur", (F.col("c") / F.col("c_prev")).alias("p_big"))
+    )
+
+    lam = float(lam)
+    p = F.lit(lam) * F.coalesce(F.col("p_big"), F.lit(0.0)) + F.lit(
+        1.0 - lam
+    ) * F.coalesce(F.col("p_uni"), F.lit(oov_p))
+    return (
+        pair_frame(docs, with_id=True)
+        .join(F.broadcast(big), ["prev", "cur"], "left")
+        .join(F.broadcast(uni_model), "cur", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 4).alias("avg_neg_logp2"),
+        )
+    )

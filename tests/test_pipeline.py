@@ -571,3 +571,57 @@ def test_dsir_empty_and_single_token_docs(spark):
     assert out[1] == 0.0
     assert out[2] == 1.0       # one unigram, no bigram
     assert out[3] == 3.0       # two unigrams + one bigram
+
+
+# ---------------------------------------------------------- bigram LM
+
+
+def test_bigram_logprob_fluency_ordering(spark):
+    """Docs made of the corpus's dominant bigrams must score lower
+    (more probable) than token-salad docs over the same vocabulary."""
+    from chromem_go_spark.pipeline import bigram_logprob_scores
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(8)] + [(100, "mat the on sat cat the")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_neg_logp2"] for r in bigram_logprob_scores(docs).collect()}
+    assert out[0] < out[100]
+    assert len(out) == 9
+
+
+def test_bigram_logprob_short_docs_drop(spark):
+    from chromem_go_spark.pipeline import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens here")], "doc_id long, text string"
+    )
+    out = bigram_logprob_scores(docs).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    assert out[0]["n_bigrams"] == 2
+
+
+def test_bigram_logprob_interpolation_exact(spark):
+    """Hand-checked: corpus = 'a b' x 4 -> bigrams {(a,b):4, (b,a):3},
+    c(a)=c(b)=4, N=8, V=1000 -> p_uni=5/1009, oov=1/1009.
+    P(b|a) = .7*(4/4) + .3*(5/1009); P(a|b) = .7*(3/4) + .3*(5/1009)."""
+    import math
+
+    from chromem_go_spark.pipeline import bigram_logprob_scores
+
+    docs = spark.createDataFrame([(1, "a b a b a b a b")], "doc_id long, text string")
+    r = bigram_logprob_scores(docs).collect()[0]
+    p_uni = 5.0 / 1009.0
+    p_ab = 0.7 * 1.0 + 0.3 * p_uni
+    p_ba = 0.7 * (3.0 / 4.0) + 0.3 * p_uni
+    want = -(4 * math.log2(p_ab) + 3 * math.log2(p_ba)) / 7
+    assert r["n_bigrams"] == 7
+    assert abs(r["avg_neg_logp2"] - round(want, 4)) < 1e-9
+
+
+def test_bigram_logprob_no_python_eval(spark, sf_dir):
+    from chromem_go_spark.pipeline import bigram_logprob_scores
+    from chromem_go_spark.plans import explain as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = X.plan_flags(bigram_logprob_scores(docs))
+    assert not flags["has_python_eval"]
