@@ -403,6 +403,184 @@ def incremental_neardup_batch(
 _COMPACTED_BATCH = -1  # reserved __batch id holding folded history
 
 
+def init_semantic_state(
+    ref_vectors: DataFrame,
+    state_dir: str,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> None:
+    """Freeze the SemDeDup coarse quantizer: train spherical k-means on
+    a bounded hash-spread sample of ``ref_vectors`` and persist the
+    centroid matrix under ``state_dir/centroids``.  Streaming batches
+    assign against these FROZEN centroids (the serving contract — new
+    data never reshapes the clustering), exactly like the IVF ingest
+    path's frozen quantizer."""
+    import os
+
+    import numpy as np
+
+    from ..operators.ann import _hash_sample, _kmeans
+
+    sample = _hash_sample(ref_vectors, vec_col, id_col, 50_000)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = _kmeans(sample / norms, n_clusters, seed)
+    spark = ref_vectors.sparkSession
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(
+        rows, "cluster_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(state_dir, "centroids"))
+
+
+def incremental_semantic_dedup_batch(
+    batch_vectors: DataFrame,
+    state_dir: str,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_id: int = 0,
+    compact_after: int = 16,
+    commit_mode: str = "rename",
+) -> None:
+    """One micro-batch of incremental SemDeDup: assign the batch to the
+    frozen centroids (one GEMM Arrow pass), join it against the
+    accumulated per-cluster vector state PLUS itself (within-cluster
+    only — the SemDeDup scale contract), and append cosine-near pairs
+    to the ``pairs`` log.  Work per batch is O(batch × clustermates),
+    never O(corpus²).
+
+    Same contract as :func:`incremental_neardup_batch`: the pair log
+    over all batches equals the one-shot within-cluster pair
+    enumeration at the same threshold (parity-tested); retention
+    policy (min-id, centroid-closest, keep-best) is applied downstream
+    over the pair log.  IDEMPOTENT per ``batch_id`` via __batch dynamic
+    partition overwrite; state reads exclude the current batch."""
+    import os
+
+    import numpy as np
+
+    from ..functions import vector as V
+    from ..materialize import materialize
+    from ..operators.ann import _assign_clusters
+
+    spark = batch_vectors.sparkSession
+    crows = spark.read.parquet(os.path.join(state_dir, "centroids")).collect()
+    cents = np.asarray(
+        [r["centroid"] for r in sorted(crows, key=lambda r: r["cluster_id"])],
+        dtype=np.float64,
+    )
+    assigned = materialize(
+        _assign_clusters(
+            batch_vectors.select(id_col, vec_col), cents, vec_col
+        )
+    )
+
+    vectors_path = os.path.join(state_dir, "vectors")
+    pairs_path = os.path.join(state_dir, "pairs")
+    have_state = os.path.exists(vectors_path)
+
+    def _read_state(path: str) -> DataFrame:
+        from ..batchstate import read_live
+
+        return (
+            read_live(spark, path)
+            .filter(F.col("__batch") != F.lit(int(batch_id)))
+            .drop("__batch")
+        )
+
+    def _write_state(df: DataFrame, path: str) -> None:
+        (
+            df.withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(path)
+        )
+
+    a = assigned.select(
+        F.col(id_col).alias("na"), "cluster_id", F.col(vec_col).alias("va")
+    )
+    # new-vs-new (id order dedups the unordered pair)
+    b = assigned.select(
+        F.col(id_col).alias("nb"), "cluster_id", F.col(vec_col).alias("vb")
+    )
+    cands = [
+        a.join(b, "cluster_id").filter(F.col("na") < F.col("nb"))
+        .select(
+            F.col("na").alias("id_a"), F.col("nb").alias("id_b"), "va", "vb"
+        )
+    ]
+    if have_state:
+        old = _read_state(vectors_path).select(
+            F.col(id_col).alias("nb"), "cluster_id", F.col(vec_col).alias("vb")
+        )
+        cands.append(
+            a.join(old, "cluster_id")
+            .filter(F.col("na") != F.col("nb"))
+            .select(
+                F.least("na", "nb").alias("id_a"),
+                F.greatest("na", "nb").alias("id_b"),
+                # cosine is symmetric — no need to orient the vectors
+                "va",
+                "vb",
+            )
+        )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    pairs = (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", V.cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+    _write_state(materialize(pairs), pairs_path)
+    _write_state(assigned, vectors_path)
+
+    if compact_after:
+        from ..batchstate import fold_batch_partitions
+
+        for p in (vectors_path, pairs_path):
+            fold_batch_partitions(
+                spark,
+                p,
+                ["__batch"],
+                _COMPACTED_BATCH,
+                exclude_batch=int(batch_id),
+                threshold=int(compact_after),
+                commit_mode=commit_mode,
+            )
+
+
+def semantic_dedup_sink(
+    stream_vectors: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    query_name: str = "semantic_dedup_ingest",
+    **kwargs,
+):
+    """foreachBatch sink wrapping :func:`incremental_semantic_dedup_batch`
+    — continuous embedding-space near-duplicate detection against the
+    frozen-quantizer cluster state."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_semantic_dedup_batch(
+            batch_df, state_dir, threshold, batch_id=batch_id, **kwargs
+        )
+
+    return (
+        stream_vectors.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
 def ivf_append_sink(
     stream_vectors: DataFrame,
     index_path: str,

@@ -511,3 +511,124 @@ def test_join_within_stream_stream_matches_batch(spark, events_dir, events_batch
     )
     got = key(_drain_to_memory(spark, out, "join_within", "append").collect())
     assert got == expect
+
+
+# ------------------------------------------- incremental semantic dedup
+
+
+def _semantic_oneshot_pairs(spark, emb, state_dir, threshold):
+    """One-shot within-cluster pair enumeration with the SAME frozen
+    centroids the incremental path uses — the parity reference."""
+    import numpy as np
+
+    from chromem_go_spark.functions import vector as V
+    from chromem_go_spark.operators.ann import _assign_clusters
+
+    crows = spark.read.parquet(f"{state_dir}/centroids").collect()
+    cents = np.asarray(
+        [r["centroid"] for r in sorted(crows, key=lambda r: r["cluster_id"])],
+        dtype=np.float64,
+    )
+    assigned = _assign_clusters(emb.select("vec_id", "embedding"), cents, "embedding")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), "cluster_id", F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), "cluster_id", F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", V.cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def test_incremental_semantic_dedup_matches_oneshot(spark, tmp_path):
+    """The union of per-batch pair logs equals the one-shot
+    within-cluster enumeration, including a mid-run replayed batch
+    (idempotence) and a fold compaction."""
+    from chromem_go_spark.batchstate import read_live
+    from chromem_go_spark.streaming.ingest import (
+        incremental_semantic_dedup_batch,
+        init_semantic_state,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    state = str(tmp_path / "sem_state")
+    thr = 0.3
+    init_semantic_state(emb, state, n_clusters=4)
+
+    n_batches = 5
+    for bid in range(n_batches):
+        b = emb.filter(F.col("vec_id") % n_batches == bid)
+        incremental_semantic_dedup_batch(
+            b, state, threshold=thr, batch_id=bid, compact_after=3
+        )
+        if bid == 2:  # at-least-once redelivery replaces, never duplicates
+            incremental_semantic_dedup_batch(
+                b, state, threshold=thr, batch_id=bid, compact_after=3
+            )
+
+    got = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in read_live(spark, f"{state}/pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in _semantic_oneshot_pairs(spark, emb, state, thr).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # discriminative at this threshold
+    # vector state holds every ingested vector exactly once
+    n_state = read_live(spark, f"{state}/vectors").count()
+    assert n_state == emb.count()
+
+
+def test_semantic_dedup_sink_stream(spark, tmp_path):
+    """The foreachBatch wrapper drives the same state from a file
+    stream (one file per micro-batch)."""
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.batchstate import read_live
+    from chromem_go_spark.streaming.ingest import (
+        init_semantic_state,
+        run_available_now,
+        semantic_dedup_sink,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    state = str(tmp_path / "sem_state")
+    init_semantic_state(emb, state, n_clusters=4)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    d = tmp_path / "vec_stream"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "v0.parquet")
+    pq.write_table(t.slice(half), d / "v1.parquet")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(d)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    writer = semantic_dedup_sink(
+        stream.select("vec_id", "embedding"),
+        state,
+        str(tmp_path / "ckpt"),
+        threshold=0.3,
+    )
+    run_available_now(writer)
+    got = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in read_live(spark, f"{state}/pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in _semantic_oneshot_pairs(spark, emb, state, 0.3).collect()
+    }
+    assert got == want
