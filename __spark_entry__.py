@@ -1519,6 +1519,35 @@ GROUP BY pr.doc_id, t
 """
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination: corpus vectors cosine-near
+    the vec_id%25 eval slice (broadcast nested-loop with the predicate
+    in the join, no shuffle).  Oracle = the brute-force cosine join."""
+    from chromem_go_spark.pipeline import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return semantic_decontaminate(corpus, ev, threshold=0.25)
+
+
+_SEM_DECON_SQL = """
+WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+hits AS (
+  SELECT c.vec_id,
+         list_dot_product(c.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+  FROM embeddings c, ev e
+  WHERE c.vec_id % 25 != 0
+)
+SELECT vec_id, ROUND(MAX(cos), 4) AS max_eval_sim,
+       COUNT(*) AS n_eval_hits
+FROM hits WHERE cos >= 0.25
+GROUP BY vec_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1679,6 +1708,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model_scores": q_quality_model_scores,
         "dsir_scores": q_dsir_scores,
         "bigram_logprob": q_bigram_logprob,
+        "semantic_decontaminate": q_semantic_decontaminate,
     }
 
 
@@ -1992,6 +2022,7 @@ LIMIT 10
         "quality_model_scores": _quality_model_sql(),
         "dsir_scores": _DSIR_SQL,
         "bigram_logprob": _BIGRAM_SQL,
+        "semantic_decontaminate": _SEM_DECON_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3134,6 +3165,7 @@ _EXTRA_KEYS = frozenset(
         "quality_model_scores",
         "dsir_scores",
         "bigram_logprob",
+        "semantic_decontaminate",
     }
 )
 

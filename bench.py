@@ -149,6 +149,7 @@ def main() -> None:
         "quality_model_scores",
         "dsir_scores",
         "bigram_logprob",
+        "semantic_decontaminate",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -937,3 +937,41 @@ def bigram_logprob_scores(
             F.round(F.avg(-F.log2(p)), 4).alias("avg_neg_logp2"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus_vectors: DataFrame,
+    eval_vectors: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space eval decontamination: flag corpus items
+    cosine-near (>= ``threshold``) ANY eval/benchmark item —
+    paraphrased or re-formatted leakage the n-gram protocol
+    (:func:`decontaminate`) misses.  Returns
+    ``(id_col, max_eval_sim, n_eval_hits)`` for contaminated corpus
+    rows only; anti-join to clean, join to audit.
+
+    Scale shape: the eval side is small, so it broadcasts into one
+    hash join; the corpus streams through with no shuffle and
+    aggregates only matched rows.  (At extreme eval sizes, swap the
+    broadcast for the LSH-bucketed near-dup path — same contract.)"""
+    from .functions import vector as V
+
+    eid = eval_id_col or id_col
+    ev = eval_vectors.select(
+        F.col(eid).alias("__eid"), F.col(vec_col).alias("__ev")
+    )
+    cos = V.cosine_similarity(vec_col, "__ev")
+    return (
+        corpus_vectors.select(id_col, vec_col)
+        .join(F.broadcast(ev), cos >= F.lit(float(threshold)))
+        .withColumn("__cos", cos)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("__cos"), 4).alias("max_eval_sim"),
+            F.count(F.lit(1)).alias("n_eval_hits"),
+        )
+    )

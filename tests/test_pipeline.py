@@ -625,3 +625,29 @@ def test_bigram_logprob_no_python_eval(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     flags = X.plan_flags(bigram_logprob_scores(docs))
     assert not flags["has_python_eval"]
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    from chromem_go_spark.pipeline import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),       # exact eval dup
+            (2, [0.99, 0.14]),     # near-paraphrase
+            (3, [0.0, 1.0]),       # clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in semantic_decontaminate(corpus, ev, 0.95).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["max_eval_sim"] == 1.0
+    assert out[1]["n_eval_hits"] == 1
+    clean = corpus.join(
+        semantic_decontaminate(corpus, ev, 0.95).select("vec_id"),
+        "vec_id",
+        "left_anti",
+    )
+    assert [r["vec_id"] for r in clean.collect()] == [3]
