@@ -1548,6 +1548,55 @@ GROUP BY vec_id
 """
 
 
+def q_cdc_fingerprints_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized-CDC twin of cdc_fingerprints: polynomial window hash
+    over a NumPy sliding view (measured 12x the portable expression
+    path at sf0.1).  The oracle replays the polynomial hash, cutpoint
+    rule, and per-chunk md5 byte-for-byte in SQL (testdata is ASCII, so
+    char and byte offsets coincide)."""
+    from chromem_go_spark.functions.text import cdc_chunks_kernel
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunks_kernel(docs)
+
+
+def _cdc_kernel_sql() -> str:
+    window, p, base, divisor = 16, (1 << 31) - 1, 1_000_003, 64
+    pows = "[" + ", ".join(str(pow(base, window - 1 - j, p)) for j in range(window)) + "]"
+    return rf"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, g.i
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - {window - 1}, 0) + 1)) AS i
+  ) g
+),
+bounds AS (
+  SELECT doc_id, i
+  FROM pos
+  WHERE list_sum(list_transform(range(0, {window}),
+          j -> ascii(substr(t, i + CAST(j AS INT), 1))::BIGINT * ({pows})[CAST(j AS INT) + 1]
+        )) % {p} % {divisor} = 0
+),
+starts AS (
+  SELECT doc_id, 1 AS s FROM d
+  UNION
+  SELECT doc_id, CAST(i AS INT) FROM bounds
+),
+spans AS (
+  SELECT s.doc_id, s.s AS start,
+         LEAD(s.s, 1, len(d.t) + 1) OVER (PARTITION BY s.doc_id ORDER BY s.s) AS e,
+         d.t
+  FROM starts s JOIN d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, start, md5(substr(t, start, e - start)) AS fp
+FROM spans
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1709,6 +1758,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "cdc_fingerprints_kernel": q_cdc_fingerprints_kernel,
     }
 
 
@@ -2023,6 +2073,7 @@ LIMIT 10
         "dsir_scores": _DSIR_SQL,
         "bigram_logprob": _BIGRAM_SQL,
         "semantic_decontaminate": _SEM_DECON_SQL,
+        "cdc_fingerprints_kernel": _cdc_kernel_sql(),
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3166,6 +3217,7 @@ _EXTRA_KEYS = frozenset(
         "dsir_scores",
         "bigram_logprob",
         "semantic_decontaminate",
+        "cdc_fingerprints_kernel",
     }
 )
 

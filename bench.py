@@ -150,6 +150,7 @@ def main() -> None:
         "dsir_scores",
         "bigram_logprob",
         "semantic_decontaminate",
+        "cdc_fingerprints_kernel",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -235,3 +235,75 @@ def test_pii_scrub_redacts_and_counts(spark):
     # the loose ipv4 shape accepts 999.1.2.3 (documented: shape-level
     # redaction, not RFC validation — over-redaction is the safe side)
     assert rows[3]["ni"] == 1
+
+
+# ---------------------------------------------------------- CDC kernel
+
+
+def test_cdc_kernel_chunks_rejoin_to_text(spark):
+    import hashlib
+
+    from chromem_go_spark.functions.text import cdc_chunks_kernel, normalized_text
+
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog. " * 20), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    norm = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", normalized_text("text").alias("t")).collect()
+    }
+    rows = cdc_chunks_kernel(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["start"])
+        raw = norm[did].encode("utf-8")
+        assert chunks[0]["start"] == 1
+        # adjacent starts partition the byte string; each chunk's md5
+        # re-derives from the slice between consecutive starts
+        starts = [c["start"] for c in chunks] + [len(raw) + 1]
+        for c, s, e in zip(chunks, starts, starts[1:]):
+            assert c["fp"] == hashlib.md5(raw[s - 1 : e - 1]).hexdigest()
+    assert len(by_doc[2]) == 1  # sub-window doc = one chunk
+
+
+def test_cdc_kernel_shift_robust(spark):
+    """Prepending a sentence must leave MOST chunk fingerprints shared
+    (boundary locality — the whole point of CDC vs fixed chunks)."""
+    from chromem_go_spark.functions.text import cdc_chunks_kernel
+
+    body = "Lorem ipsum dolor sit amet consectetur adipiscing elit. " * 40
+    docs = spark.createDataFrame(
+        [(1, body), (2, "INSERTED PREFIX SENTENCE. " + body)],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks_kernel(docs).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fp"])
+    shared = fps[1] & fps[2]
+    assert len(shared) >= 0.7 * len(fps[1])
+
+
+def test_cdc_kernel_matches_expr_variant_chunk_count_scale(spark, sf_dir):
+    """Same corpus, both variants: chunk counts within 10% (same
+    divisor => same expected chunk length) — different hash families,
+    same CDC statistics."""
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.functions.text import (
+        cdc_chunk_exprs,
+        cdc_chunks_kernel,
+        normalized_text,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_kernel = cdc_chunks_kernel(docs).count()
+    n_expr = (
+        docs.withColumn("__t", normalized_text("text"))
+        .select(F.explode(cdc_chunk_exprs("__t")).alias("h"))
+        .count()
+    )
+    assert abs(n_kernel - n_expr) / n_expr < 0.10
