@@ -1597,6 +1597,88 @@ FROM spans
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021
+    §A1.1) — signals + pass/fail for every doc, all pure codegen.
+    Thresholds tuned to the short-form synthetic corpus (min_words=30,
+    min_stopwords=1 — the testdata vocabulary has one Gopher stopword)
+    so `passed` is discriminative; the library defaults are the
+    paper's.  Oracle replays every signal and the conjunction."""
+    from chromem_go_spark.functions.text import (
+        gopher_quality_filter,
+        gopher_quality_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = gopher_quality_signals("text")
+    return docs.select(
+        "doc_id",
+        s["n_words"].cast("bigint").alias("n_words"),
+        F.round(s["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(s["symbol_word_ratio"], 4).alias("symbol_word_ratio"),
+        F.round(s["alpha_word_frac"], 4).alias("alpha_word_frac"),
+        s["stopword_hits"].cast("bigint").alias("stopword_hits"),
+        gopher_quality_filter("text", min_words=30, min_stopwords=1).alias("passed"),
+    )
+
+
+_GOPHER_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         ELSE length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+              / len(string_split_regex(trim(text), '\s+')) END AS mean_word_len,
+    (length(text) - length(replace(text, '#', ''))
+     + (length(text) - length(replace(text, '...', ''))) / 3.0)
+    / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
+      AS symbol_word_ratio,
+    len(list_filter(string_split_regex(trim(text), '\s+'),
+                    w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+    / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END, 1)
+      AS alpha_word_frac,
+    len(list_intersect(
+          list_distinct(list_transform(string_split_regex(trim(text), '\s+'),
+                                       w -> lower(w))),
+          ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']
+        )) AS stopword_hits,
+    len(list_filter(
+          list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)),
+                      x -> x != ''),
+          l -> starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•')
+        )) * 1.0
+    / GREATEST(len(list_filter(list_transform(string_split_regex(text, '\r?\n'),
+                                              x -> trim(x)), x -> x != '')), 1)
+      AS bullet_line_frac,
+    len(list_filter(
+          list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)),
+                      x -> x != ''),
+          l -> ends_with(l, '...')
+        )) * 1.0
+    / GREATEST(len(list_filter(list_transform(string_split_regex(text, '\r?\n'),
+                                              x -> trim(x)), x -> x != '')), 1)
+      AS ellipsis_line_frac
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_word_len, 4) AS mean_word_len,
+       ROUND(symbol_word_ratio, 4) AS symbol_word_ratio,
+       ROUND(alpha_word_frac, 4) AS alpha_word_frac,
+       CAST(stopword_hits AS BIGINT) AS stopword_hits,
+       (n_words >= 30 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.3 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 1) AS passed
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1759,6 +1841,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "semantic_decontaminate": q_semantic_decontaminate,
         "cdc_fingerprints_kernel": q_cdc_fingerprints_kernel,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -2074,6 +2157,7 @@ LIMIT 10
         "bigram_logprob": _BIGRAM_SQL,
         "semantic_decontaminate": _SEM_DECON_SQL,
         "cdc_fingerprints_kernel": _cdc_kernel_sql(),
+        "gopher_quality": _GOPHER_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3218,6 +3302,7 @@ _EXTRA_KEYS = frozenset(
         "bigram_logprob",
         "semantic_decontaminate",
         "cdc_fingerprints_kernel",
+        "gopher_quality",
     }
 )
 

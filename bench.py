@@ -151,6 +151,7 @@ def main() -> None:
         "bigram_logprob",
         "semantic_decontaminate",
         "cdc_fingerprints_kernel",
+        "gopher_quality",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -327,3 +327,100 @@ def cdc_chunks_kernel(
             )
 
     return norm.mapInPandas(gen, f"{id_col} {id_field}, start int, fp string")
+
+
+def gopher_quality_signals(text: Column | str) -> dict[str, Column]:
+    """The published Gopher document-quality rule signals (Rae et al.
+    2021, §A1.1, public method) as pure codegen expressions:
+
+    - ``n_words``: whitespace token count
+    - ``mean_word_len``: mean token length
+    - ``symbol_word_ratio``: '#' or '...' occurrences per word
+    - ``ellipsis_line_frac``: fraction of lines ending in an ellipsis
+    - ``bullet_line_frac``: fraction of lines starting with a bullet
+    - ``alpha_word_frac``: fraction of words containing >=1 alphabetic char
+    - ``stopword_hits``: how many of the 8 Gopher stopwords appear
+    """
+    t = _col(text)
+    toks = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
+    ls = lines(t)
+    n_lines = F.greatest(F.size(ls), F.lit(1))
+    count_if = lambda arr, pred: F.size(F.filter(arr, pred))  # noqa: E731
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    # Gopher's stopword rule: the doc must contain >= 2 of these
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    lower_toks = F.transform(toks, lambda w: F.lower(w))
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_token_len(t),
+        "symbol_word_ratio": (
+            (
+                F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+                + (
+                    F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+                ) / F.lit(3)
+            )
+            / nw
+        ),
+        "ellipsis_line_frac": count_if(ls, lambda l: l.endswith("...")) / n_lines,
+        "bullet_line_frac": count_if(
+            ls, lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•")
+        ) / n_lines,
+        "alpha_word_frac": count_if(toks, lambda w: w.rlike("[A-Za-z]")) / nw,
+        "stopword_hits": F.size(
+            F.array_intersect(
+                F.array_distinct(lower_toks),
+                F.array(*[F.lit(s) for s in stops]),
+            )
+        ),
+    }
+
+
+def gopher_quality_filter(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> Column:
+    """Gopher's published document-filter rule set as ONE boolean
+    expression (Rae et al. 2021 §A1.1): 50-100k words, mean word
+    length 3-10, symbol/word ratio <= 0.1, <= 30% bullet lines,
+    <= 30% ellipsis lines, >= 80% alphabetic words, >= 2 stopwords.
+    Defaults are the paper's; the three corpus-sensitive thresholds
+    are overridable (short-form corpora tune min_words/min_stopwords
+    down, exactly as Gopher's successors did per-domain)."""
+    s = gopher_quality_signals(text)
+    return (
+        (s["n_words"] >= int(min_words))
+        & (s["n_words"] <= int(max_words))
+        & (s["mean_word_len"] >= 3)
+        & (s["mean_word_len"] <= 10)
+        & (s["symbol_word_ratio"] <= 0.1)
+        & (s["bullet_line_frac"] <= 0.3)
+        & (s["ellipsis_line_frac"] <= 0.3)
+        & (s["alpha_word_frac"] >= 0.8)
+        & (s["stopword_hits"] >= int(min_stopwords))
+    )
+
+
+def c4_clean_lines(text: Column | str) -> Column:
+    """C4's published line-level cleaning (Raffel et al. 2020 §2.2,
+    public method) as one array expression: keep only lines that end
+    in terminal punctuation AND have >= 3 words AND don't contain
+    boilerplate markers ("javascript", "lorem ipsum", "cookie",
+    curly brace).  Returns the kept-lines array; join with '\\n' for
+    the cleaned text."""
+    ls = lines(text)
+    bad = lambda l: (  # noqa: E731
+        F.lower(l).contains("javascript")
+        | F.lower(l).contains("lorem ipsum")
+        | F.lower(l).contains("cookie")
+        | l.contains("{")
+    )
+    return F.filter(
+        ls,
+        lambda l: l.rlike("[.!?\"']$")
+        & (F.size(F.split(l, r"\s+")) >= 3)
+        & ~bad(l),
+    )

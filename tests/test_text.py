@@ -307,3 +307,70 @@ def test_cdc_kernel_matches_expr_variant_chunk_count_scale(spark, sf_dir):
         .count()
     )
     assert abs(n_kernel - n_expr) / n_expr < 0.10
+
+
+# --------------------------------------------- Gopher rules / C4 clean
+
+
+def test_gopher_filter_rules(spark):
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.functions.text import gopher_quality_filter
+
+    good = "the cat and the dog have been to the park with all of their friends " * 5
+    rows = [
+        (1, good),                                    # passes everything
+        (2, "short text the and"),                    # < 50 words
+        (3, ("#" * 40 + " ") + good),                 # symbol soup
+        (4, "zz qq ww rr ss tt " * 20),               # no stopwords
+        (5, "\n".join(["- bullet line the of and"] * 10)),  # all bullets
+        (6, good.replace(" ", "... ")),               # ellipsis/symbol heavy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", gopher_quality_filter("text").alias("p")
+        ).collect()
+    }
+    assert out[1] is True
+    for bad_id in (2, 3, 4, 5, 6):
+        assert out[bad_id] is False, bad_id
+
+
+def test_gopher_signals_empty_doc(spark):
+    from chromem_go_spark.functions.text import gopher_quality_signals
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    s = gopher_quality_signals("text")
+    r = df.select(
+        s["n_words"].alias("nw"), s["stopword_hits"].alias("sh"),
+        s["bullet_line_frac"].alias("bf"),
+    ).collect()[0]
+    assert r["nw"] == 0 and r["sh"] == 0 and r["bf"] == 0.0
+
+
+def test_c4_clean_lines(spark):
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.functions.text import c4_clean_lines
+
+    text = "\n".join(
+        [
+            "This is a proper sentence.",          # kept
+            "Short one.",                          # < 3 words
+            "Enable javascript to view this.",     # boilerplate marker
+            "This site uses a cookie banner.",     # marker
+            "function() { return 1; }",            # curly brace
+            "No terminal punctuation here",        # no end punct
+            "Another good sentence stays!",        # kept
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    kept = df.select(c4_clean_lines("text").alias("k")).collect()[0]["k"]
+    assert kept == ["This is a proper sentence.", "Another good sentence stays!"]
+    # cleaned text reassembles in order
+    joined = df.select(
+        F.array_join(c4_clean_lines("text"), "\n").alias("t")
+    ).collect()[0]["t"]
+    assert joined.startswith("This is a proper") and joined.endswith("stays!")
