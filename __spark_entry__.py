@@ -1679,6 +1679,85 @@ FROM s
 """
 
 
+def q_ivf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search on the IVF index: metadata predicate
+    (label % 3 == 0) applied below scoring inside the probed
+    partitions.  nprobe == n_clusters makes it exact, so the oracle is
+    the flat filtered kNN."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ANN.IVFIndex.build(emb, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    qv = _qvec(spark, sf_dir, 9)
+    out = idx.search_filtered(qv, 10, nprobe=8, where=F.col("label") % 3 == 0)
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
+_IVF_FILTERED_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(
+    embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id = 9
+)
+SELECT e.vec_id, ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 4) AS sim
+FROM embeddings e, q
+WHERE e.label % 3 = 0
+ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Robertson/Lucene BM25 (tf saturation + length
+    normalization) top-20 for a 4-term query.  Oracle replays
+    tf/df/avgdl/idf and the scoring formula in SQL."""
+    from chromem_go_spark.operators.hybrid import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["spark", "join", "window", "table"])
+    return (
+        out.orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("bm25", 4).alias("bm25"))
+    )
+
+
+_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+  FROM documents
+),
+qt AS (SELECT tok FROM toks WHERE tok IN ('join', 'spark', 'table', 'window') GROUP BY tok),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('join', 'spark', 'table', 'window')
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+lens AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS dl
+  FROM documents
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT AVG(dl) FROM lens) AS avgdl
+)
+SELECT doc_id, ROUND(bm25, 4) AS bm25 FROM (
+  SELECT t.doc_id,
+         SUM(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * 2.2
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))) AS bm25
+  FROM tf t
+  JOIN dfreq d USING (tok)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN consts c
+  GROUP BY t.doc_id
+)
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1795,9 +1874,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (the k-means assignment path, rows-only like embedding_clusters),
     mmr_rerank (greedy MMR replayed by a DuckDB recursive CTE),
     quality_model_scores (fastText/DCLM-style hashed linear quality
-    classifier, logit replayed in SQL), plus list_ids/count_documents
-    swapped out of the canonical window (trivial projections, still
-    value-checked here)."""
+    classifier, logit replayed in SQL), dsir_scores (DSIR importance
+    weights, the whole estimator replayed in SQL), bigram_logprob
+    (interpolated bigram LM, full model replay), semantic_decontaminate
+    (embedding-space eval leakage), cdc_fingerprints_kernel (vectorized
+    CDC, polynomial hash + chunk md5s replayed in SQL), gopher_quality
+    (Rae et al. 2021 rule set, every signal replayed), plus
+    list_ids/count_documents swapped out of the canonical window
+    (trivial projections, still value-checked here)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1842,6 +1926,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate": q_semantic_decontaminate,
         "cdc_fingerprints_kernel": q_cdc_fingerprints_kernel,
         "gopher_quality": q_gopher_quality,
+        "ivf_search_filtered": q_ivf_search_filtered,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2158,6 +2244,8 @@ LIMIT 10
         "semantic_decontaminate": _SEM_DECON_SQL,
         "cdc_fingerprints_kernel": _cdc_kernel_sql(),
         "gopher_quality": _GOPHER_SQL,
+        "ivf_search_filtered": _IVF_FILTERED_SQL,
+        "bm25_topk": _BM25_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3303,6 +3391,8 @@ _EXTRA_KEYS = frozenset(
         "semantic_decontaminate",
         "cdc_fingerprints_kernel",
         "gopher_quality",
+        "ivf_search_filtered",
+        "bm25_topk",
     }
 )
 

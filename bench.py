@@ -152,6 +152,8 @@ def main() -> None:
         "semantic_decontaminate",
         "cdc_fingerprints_kernel",
         "gopher_quality",
+        "ivf_search_filtered",
+        "bm25_topk",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -683,6 +683,40 @@ class IVFIndex:
             cand, list(query_vec), k, vec_col=self.vec_col, id_col=self.id_col
         ).drop("cluster_id")
 
+    def search_filtered(
+        self,
+        query_vec: Sequence[float],
+        k: int,
+        nprobe: int = 4,
+        where=None,
+        allowed_ids: DataFrame | None = None,
+    ) -> DataFrame:
+        """Filtered vector search over the IVF index: a metadata
+        predicate (``where``, a Column over the index's carried
+        columns — :meth:`build` keeps every input column) and/or an
+        ``allowed_ids`` frame (left-semi joined) applied BELOW the
+        scoring projection, INSIDE the probed partitions.
+
+        The filter composes with partition pruning at the scan —
+        Catalyst pushes the predicate into the cluster-pruned parquet
+        read, so selective filters reduce scanned rows, not just
+        scored rows (the reference's pre-filter-below-scoring
+        semantics, collection.go:521, lifted to the ANN path).  Note
+        the standard ANN caveat: k results are the top-k of the
+        FILTERED probed clusters; at low nprobe a harsh filter can
+        empty a probe — raise nprobe with filter selectivity."""
+        probes = self.probe_clusters(query_vec, nprobe)
+        cand = self.assigned.filter(F.col("cluster_id").isin(probes))
+        if where is not None:
+            cand = cand.filter(where)
+        if allowed_ids is not None:
+            cand = cand.join(
+                F.broadcast(allowed_ids.select(self.id_col)), self.id_col, "left_semi"
+            )
+        return knn_ops.knn_single(
+            cand, list(query_vec), k, vec_col=self.vec_col, id_col=self.id_col
+        ).drop("cluster_id")
+
     def search_batch(
         self,
         query_ids: Sequence,

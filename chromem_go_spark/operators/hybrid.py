@@ -175,3 +175,51 @@ def mmr_rerank(
         for i, (c, s) in enumerate(zip(chosen, scores))
     ]
     return docs.sparkSession.createDataFrame(rows, out_schema)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Full Robertson/Lucene BM25 per document for a term query —
+    the production upgrade of :func:`lexical_scores` (which is the
+    presence×idf core): term-frequency saturation (k1) and document
+    length normalization (b) included.
+
+    ``score = Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    with Lucene's ``idf = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Returns (id, bm25) for docs matching ≥1 term.  Shape: the token
+    explode is filtered to the query's terms immediately (the surviving
+    stream is query-vocabulary-sized, not corpus-sized); df/avgdl are
+    one bounded aggregation each; everything else is expressions."""
+    if n_docs is None:
+        n_docs = docs.count()
+    terms = sorted(set(query_terms))
+    toks = docs.select(
+        id_col, F.explode(T.word_tokens(text_col)).alias("tok")
+    ).filter(F.col("tok").isin(terms))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    lens = docs.select(
+        id_col, F.size(T.word_tokens(text_col)).alias("dl")
+    )
+    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / F.lit(float(avgdl))
+    )
+    contrib = idf * F.col("tf") * F.lit(float(k1 + 1)) / norm
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, id_col)
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("bm25"))
+    )

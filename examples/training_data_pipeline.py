@@ -122,6 +122,24 @@ def main() -> None:
 
     quality_model_scores(docs).orderBy(F.desc("quality_prob")).show(3)
 
+    print("== DSIR: importance-weighted selection toward the en slice")
+    from chromem_go_spark.pipeline import dsir_select
+
+    target = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    dsir_select(docs, target, k=5, dim=512).show()
+
+    print("== statistical quality: interpolated-bigram LM scores (top 3)")
+    from chromem_go_spark.pipeline import bigram_logprob_scores
+
+    bigram_logprob_scores(docs).orderBy("avg_neg_logp2").show(3)
+
+    print("== published rule sets: Gopher pass rate at corpus-tuned thresholds")
+    from chromem_go_spark.functions.text import gopher_quality_filter
+
+    docs.groupBy(
+        gopher_quality_filter("text", min_words=30, min_stopwords=1).alias("gopher_pass")
+    ).count().show()
+
     print("== tokenizer training: top BPE merges from corpus statistics")
     from chromem_go_spark.operators.bpe import bpe_learn
 

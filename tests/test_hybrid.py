@@ -134,3 +134,73 @@ def test_hybrid_search_no_keyword_matches_is_vector_only(corpus):
     assert len(out) == 3
     assert all(r["lex_rank"] is None for r in out)
     assert out[0]["doc_id"] == 1  # pure vector order: the twin wins
+
+
+def test_bm25_saturation_and_length_norm(spark):
+    """tf saturation: doubling tf must NOT double the score; length
+    norm: same tf in a longer doc scores lower."""
+    from chromem_go_spark.operators.hybrid import bm25_scores
+
+    pad = " ".join(["filler"] * 50)
+    docs = spark.createDataFrame(
+        [
+            (1, "spark " + pad),
+            (2, "spark spark " + pad),                 # 2x tf
+            (3, "spark " + pad + " " + pad),           # same tf, 2x length
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert out[2] > out[1]                   # more tf, higher
+    assert out[2] < 2 * out[1]               # but saturated
+    assert out[3] < out[1]                   # longer doc, lower
+
+
+def test_bm25_matches_hand_formula(spark):
+    import math
+
+    from chromem_go_spark.operators.hybrid import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b c spark"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    # N=2, df=1, dl=4, avgdl=4; idf=ln(1 + 1.5/1.5)=ln 2
+    want = math.log(2) * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 4 / 4))
+    assert abs(out[1] - want) < 1e-9
+    assert 2 not in out
+
+
+def test_ivf_search_filtered_matches_flat(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.operators import ann as A
+    from chromem_go_spark.operators import knn as K
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    idx = A.IVFIndex.build(emb, n_clusters=4, vec_col="embedding", id_col="vec_id")
+    qv = [float(x) for x in emb.filter("vec_id = 2").head()["embedding"]]
+    got = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in idx.search_filtered(
+            qv, 5, nprobe=4, where=F.col("label") % 2 == 0
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in K.knn_single(
+            emb.filter(F.col("label") % 2 == 0), qv, 5,
+            vec_col="embedding", id_col="vec_id",
+        ).collect()
+    ]
+    assert got == want
+    # allowed_ids variant composes with the predicate path
+    allow = emb.filter(F.col("vec_id") < 100).select("vec_id")
+    got_ids = {
+        r["vec_id"]
+        for r in idx.search_filtered(qv, 5, nprobe=4, allowed_ids=allow).collect()
+    }
+    assert all(i < 100 for i in got_ids)
