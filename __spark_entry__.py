@@ -1758,6 +1758,90 @@ LIMIT 20
 """
 
 
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval harness: recall/MRR/nDCG@10 of the cosine ranker
+    against label-match relevance for query vectors 0-7 (measures the
+    label purity of cosine neighborhoods).  Oracle replays the
+    brute-force ranking AND all three metric formulas in SQL."""
+    from pyspark.sql import Window
+
+    from chromem_go_spark.functions import vector as V
+    from chromem_go_spark.operators.evaluation import ranking_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        V.normalize("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q.select("query_id", "qv")))
+        .select(
+            "query_id",
+            "vec_id",
+            V.dot(F.col("embedding").cast("array<double>"), F.col("qv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    results = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank")
+    )
+    qrels = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(q.select("query_id", "qlabel")), F.col("label") == F.col("qlabel"))
+        .select("query_id", "vec_id", F.lit(1).alias("rel"))
+    )
+    return ranking_metrics(results, qrels, k=10, doc_col="vec_id")
+
+
+_RANKING_METRICS_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(
+           embedding::DOUBLE[], embedding::DOUBLE[]))) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+         ) AS rnk
+  FROM embeddings e, q
+),
+res AS (SELECT query_id, vec_id, rnk FROM scored WHERE rnk <= 10),
+rel AS (
+  SELECT q.query_id, e.vec_id FROM embeddings e JOIN q ON e.label = q.qlabel
+),
+n_rel AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, r.rnk FROM res r JOIN rel USING (query_id, vec_id)
+),
+per_q AS (
+  SELECT query_id, COUNT(*) AS n_hits, MIN(rnk) AS first_rank,
+         SUM(1.0 / log2(rnk + 1)) AS dcg
+  FROM hits GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         SUM(1.0 / log2(i + 1)) AS idcg
+  FROM (
+    SELECT query_id, unnest(range(1, LEAST(n_rel, 10) + 1)) AS i FROM n_rel
+  ) GROUP BY query_id
+)
+SELECT n.query_id, n.n_rel,
+       ROUND(COALESCE(p.n_hits, 0) * 1.0 / n.n_rel, 4) AS recall,
+       ROUND(COALESCE(1.0 / p.first_rank, 0.0), 4) AS mrr,
+       ROUND(COALESCE(p.dcg, 0.0) / i.idcg, 4) AS ndcg
+FROM n_rel n
+JOIN ideal i USING (query_id)
+LEFT JOIN per_q p USING (query_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -1928,6 +2012,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "ivf_search_filtered": q_ivf_search_filtered,
         "bm25_topk": q_bm25_topk,
+        "ranking_metrics": q_ranking_metrics,
     }
 
 
@@ -2246,6 +2331,7 @@ LIMIT 10
         "gopher_quality": _GOPHER_SQL,
         "ivf_search_filtered": _IVF_FILTERED_SQL,
         "bm25_topk": _BM25_SQL,
+        "ranking_metrics": _RANKING_METRICS_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3393,6 +3479,7 @@ _EXTRA_KEYS = frozenset(
         "gopher_quality",
         "ivf_search_filtered",
         "bm25_topk",
+        "ranking_metrics",
     }
 )
 

@@ -154,6 +154,7 @@ def main() -> None:
         "gopher_quality",
         "ivf_search_filtered",
         "bm25_topk",
+        "ranking_metrics",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -650,6 +650,35 @@ class Collection:
             n_docs=n_docs,
         )
 
+    def query_bm25(
+        self,
+        query_text: str,
+        n_results: int,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Pure lexical retrieval with full Robertson/Lucene BM25
+        (operators/hybrid.bm25_scores): tf saturation + document
+        length normalization — the keyword side of the stack on its
+        own, for no-embedding callers.  Returns (id, bm25) top-n."""
+        import re
+
+        if not query_text:
+            raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
+        if n_results <= 0:
+            raise ValueError(E.ERR_NRESULTS_POSITIVE)
+        n_docs = self.count()
+        if n_results > n_docs:
+            raise ValueError(E.ERR_NRESULTS_TOO_LARGE)
+        from .operators.hybrid import bm25_scores
+
+        terms = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", query_text.lower())
+        out = bm25_scores(
+            self.df, terms, k1=k1, b=b,
+            text_col="content", id_col="id", n_docs=n_docs,
+        )
+        return out.orderBy(F.desc("bm25"), "id").limit(int(n_results))
+
     def query_mmr(
         self,
         query_text: str,

@@ -464,3 +464,26 @@ def test_query_hybrid_fuses_keyword_and_vector(db):
     import pytest as _p
     with _p.raises(ValueError, match="queryText is empty"):
         c.query_hybrid("", 2)
+
+
+def test_query_bm25(spark):
+    from chromem_go_spark import DB, Document
+    from chromem_go_spark.embeddings.stub import const_embedding
+
+    db = DB(spark)
+    c = db.create_collection("kb25", embedding_func=const_embedding([1.0, 0.0]))
+    c.add_documents(
+        [
+            Document(id="1", content="spark joins and windows", embedding=[1.0, 0.0], metadata={}),
+            Document(id="2", content="spark spark spark everywhere", embedding=[1.0, 0.0], metadata={}),
+            Document(id="3", content="nothing relevant here", embedding=[1.0, 0.0], metadata={}),
+        ]
+    )
+    rows = c.query_bm25("spark", 2).collect()
+    assert [r["id"] for r in rows] == ["2", "1"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        c.query_bm25("", 2)
+    with _pytest.raises(ValueError):
+        c.query_bm25("spark", 0)

@@ -204,3 +204,51 @@ def test_ivf_search_filtered_matches_flat(spark):
         for r in idx.search_filtered(qv, 5, nprobe=4, allowed_ids=allow).collect()
     }
     assert all(i < 100 for i in got_ids)
+
+
+def test_ranking_metrics_hand_checked(spark):
+    """Known tiny case: q1 retrieves [d1(rel), d2, d3(rel)] of 3
+    relevant docs; q2 retrieves nothing relevant."""
+    import math
+
+    from chromem_go_spark.operators.evaluation import macro_metrics, ranking_metrics
+
+    results = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+         ("q2", "d9", 1)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d3", 1), ("q1", "d7", 1),
+         ("q2", "d5", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    out = {r["query_id"]: r for r in ranking_metrics(results, qrels, k=10).collect()}
+    assert out["q1"]["n_rel"] == 3
+    assert out["q1"]["recall"] == round(2 / 3, 4)
+    assert out["q1"]["mrr"] == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert out["q1"]["ndcg"] == round(dcg / idcg, 4)
+    assert out["q2"]["recall"] == 0.0 and out["q2"]["mrr"] == 0.0 and out["q2"]["ndcg"] == 0.0
+    m = macro_metrics(ranking_metrics(results, qrels, k=10)).collect()[0]
+    assert m["n_queries"] == 2
+    # macro averages the (rounded) per-query values — compare loosely
+    assert abs(m["recall"] - (2 / 3) / 2) < 1e-3
+
+
+def test_ranking_metrics_graded_relevance(spark):
+    """Graded rels: ideal ordering uses the grades; a perfect ranking
+    scores ndcg=1."""
+    from chromem_go_spark.operators.evaluation import ranking_metrics
+
+    results = spark.createDataFrame(
+        [("q", "hi", 1), ("q", "mid", 2), ("q", "lo", 3)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "hi", 3), ("q", "mid", 2), ("q", "lo", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    r = ranking_metrics(results, qrels, k=10).collect()[0]
+    assert r["ndcg"] == 1.0 and r["recall"] == 1.0 and r["mrr"] == 1.0
