@@ -1842,6 +1842,18 @@ LEFT JOIN per_q p USING (query_id)
 """
 
 
+def q_ivf_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8: scalar-quantized codes (1 byte/dim, 4x smaller scans)
+    + uint8-GEMM candidate generation + exact re-rank.  nprobe=all and
+    generous rerank make the result equal FLAT, which the oracle
+    checks (same contract as ivf_pq_search)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ANN.IVFSQIndex.build(emb, n_clusters=8, vec_col="embedding", id_col="vec_id")
+    qv = _qvec(spark, sf_dir, 4)
+    out = idx.search_batch(["4"], [qv], 10, nprobe=8, rerank=200)
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -2013,6 +2025,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_search_filtered": q_ivf_search_filtered,
         "bm25_topk": q_bm25_topk,
         "ranking_metrics": q_ranking_metrics,
+        "ivf_sq_search": q_ivf_sq_search,
     }
 
 
@@ -2311,6 +2324,7 @@ LIMIT 10
 """,
         "ivf_search_exact": _KNN_TOPK_SQL.format(q=q7),
         "ivf_pq_search": _KNN_TOPK_SQL.format(q=_NORM_Q.format(vid=3)),
+        "ivf_sq_search": _KNN_TOPK_SQL.format(q=_NORM_Q.format(vid=4)),
         "where_eq": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
         "where_contains": "SELECT doc_id FROM documents WHERE contains(text, 'spark')",
         "where_not_contains": (
@@ -3480,6 +3494,7 @@ _EXTRA_KEYS = frozenset(
         "ivf_search_filtered",
         "bm25_topk",
         "ranking_metrics",
+        "ivf_sq_search",
     }
 )
 

@@ -155,6 +155,7 @@ def main() -> None:
         "ivf_search_filtered",
         "bm25_topk",
         "ranking_metrics",
+        "ivf_sq_search",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -545,3 +545,36 @@ def test_ivf_probe_stream_parity(spark, emb, tmp_path):
     )
     assert got == exp
     assert {r["batch_id"] for r in got_rows} == {0, 1}
+
+
+def test_ivf_sq_flat_parity_and_compression(spark, emb):
+    """SQ8 with nprobe=all + generous rerank equals FLAT; the code
+    column is exactly dim bytes per vector (4x under float32)."""
+    idx = A.IVFSQIndex.build(emb, n_clusters=4, vec_col="embedding", id_col="vec_id")
+    q = _qvec(emb, 11)
+    got = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in idx.search_batch(["11"], [q], 5, nprobe=4, rerank=200).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in K.knn_single(emb, q, 5, vec_col="embedding", id_col="vec_id").collect()
+    ]
+    assert got == want
+    dim = len(q)
+    sizes = {len(r["codes"]) for r in idx.coded.limit(20).collect()}
+    assert sizes == {dim}
+
+
+def test_ivf_sq_low_rerank_still_reasonable(spark, emb):
+    """Even at small rerank the SQ8 shortlist keeps most of the true
+    top-5 (8-bit quantization error is tiny relative to neighbor
+    gaps)."""
+    idx = A.IVFSQIndex.build(emb, n_clusters=4, vec_col="embedding", id_col="vec_id")
+    q = _qvec(emb, 3)
+    got = {r["vec_id"] for r in idx.search_batch(["3"], [q], 5, nprobe=4, rerank=10).collect()}
+    want = {
+        r["vec_id"]
+        for r in K.knn_single(emb, q, 5, vec_col="embedding", id_col="vec_id").collect()
+    }
+    assert len(got & want) >= 4
