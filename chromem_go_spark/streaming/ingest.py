@@ -207,6 +207,54 @@ def match_standing_queries(
     )
 
 
+def value_anomaly_stream(
+    events: DataFrame,
+    baseline_stats: DataFrame,
+    z_threshold: float = 3.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of :func:`..operators.events.value_anomalies`:
+    every arriving event is z-scored against a FROZEN per-type baseline
+    (the serving contract — live monitoring compares against trained
+    statistics, it doesn't retrain per batch) and anomalies above
+    ``z_threshold`` are emitted.
+
+    ``baseline_stats`` is a static (type, __mu, __sigma) frame — build
+    it with one batch aggregation over history (exactly the stats
+    subframe value_anomalies computes).  Stream-static broadcast join +
+    codegen arithmetic: completely STATELESS, no watermark, no state
+    store; a batch frame runs the identical plan, which is how the
+    parity test validates it.  Filter on the RAW z, round for output
+    (the repo's oracle convention)."""
+    ev = to_instant(events, ts_col)
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sigma")
+    return (
+        ev.join(F.broadcast(baseline_stats), type_col)
+        .filter(F.col("__sigma") > 0)
+        .filter(F.abs(z) >= float(z_threshold))
+        .withColumn("z", F.round(z, 4))
+        .select(id_col, type_col, F.round(value_col, 4).alias("value"), "z")
+    )
+
+
+def baseline_value_stats(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Train the frozen per-type baseline for
+    :func:`value_anomaly_stream`: one aggregation over history —
+    (type, __mu, __sigma), population stddev (the same statistics
+    value_anomalies computes inline)."""
+    return events.groupBy(type_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sigma"),
+    )
+
+
 def stream_upsert_to_collection(
     stream_df: DataFrame,
     collection,

@@ -632,3 +632,42 @@ def test_semantic_dedup_sink_stream(spark, tmp_path):
         for r in _semantic_oneshot_pairs(spark, emb, state, 0.3).collect()
     }
     assert got == want
+
+
+def test_value_anomaly_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Frozen-baseline streaming anomalies == the batch detector run
+    with the same statistics (stateless stream-static join)."""
+    import shutil
+
+    from chromem_go_spark.operators.events import value_anomalies
+
+    src = f"{sf_dir}/events.parquet"
+    d = tmp_path / "ev_stream"
+    d.mkdir()
+    shutil.copy(src, d / "part-000.parquet")
+
+    ev_batch = spark.read.parquet(str(d))
+    stats = spark.createDataFrame(
+        S.baseline_value_stats(ev_batch).collect(),
+        "event_type string, __mu double, __sigma double",
+    )
+    # batch twin with the SAME stats (value_anomalies trains inline on
+    # the same frame, so its output is the reference)
+    expect = {
+        (r["event_id"], r["event_type"], r["value"], r["z"])
+        for r in value_anomalies(ev_batch, z_threshold=2.0).collect()
+    }
+    assert expect
+
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = S.value_anomaly_stream(stream, stats, z_threshold=2.0)
+    got_df = _drain_to_memory(spark, out, "anomaly_stream", "append")
+    got = {
+        (r["event_id"], r["event_type"], r["value"], r["z"])
+        for r in got_df.collect()
+    }
+    assert got == expect
