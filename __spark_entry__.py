@@ -1854,6 +1854,41 @@ def q_ivf_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_pack_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sharded sequence packing (the production
+    complement of per-doc pack_chunks): md5 shards, per-shard token
+    stream in md5 order, concatenate-then-split at 128 tokens.  Oracle
+    replays shard, order, running sum and the split in SQL."""
+    from chromem_go_spark.pipeline import pack_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_corpus(docs, budget_tokens=128, n_shards=16)
+
+
+_PACK_CORPUS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+    md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+),
+w AS (
+  SELECT doc_id, shard, n,
+         SUM(n) OVER (PARTITION BY shard ORDER BY ord
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id,
+       CAST(shard AS INT) AS shard,
+       CAST(FLOOR((cum - n) / 128.0) AS BIGINT) AS pack_id,
+       CAST((cum - n) % 128 AS BIGINT) AS pack_offset,
+       CAST(n AS BIGINT) AS n_tokens
+FROM w
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -2026,6 +2061,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "ranking_metrics": q_ranking_metrics,
         "ivf_sq_search": q_ivf_sq_search,
+        "pack_corpus": q_pack_corpus,
     }
 
 
@@ -2346,6 +2382,7 @@ LIMIT 10
         "ivf_search_filtered": _IVF_FILTERED_SQL,
         "bm25_topk": _BM25_SQL,
         "ranking_metrics": _RANKING_METRICS_SQL,
+        "pack_corpus": _PACK_CORPUS_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3495,6 +3532,7 @@ _EXTRA_KEYS = frozenset(
         "bm25_topk",
         "ranking_metrics",
         "ivf_sq_search",
+        "pack_corpus",
     }
 )
 

@@ -156,6 +156,7 @@ def main() -> None:
         "bm25_topk",
         "ranking_metrics",
         "ivf_sq_search",
+        "pack_corpus",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

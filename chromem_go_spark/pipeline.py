@@ -975,3 +975,63 @@ def semantic_decontaminate(
             F.count(F.lit(1)).alias("n_eval_hits"),
         )
     )
+
+
+def pack_corpus(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-document sequence packing, sharded: documents are hashed
+    into ``n_shards`` deterministic md5 shards, each shard forms one
+    token stream in md5 order, and concatenate-then-split packing
+    assigns every document a ``(shard, pack_id)`` cell plus its offset
+    inside the pack.
+
+    This is the production complement to :func:`pack_chunks` (per-doc):
+    a single GLOBAL total order over 100 TB would serialize the sort,
+    but per-SHARD total orders are exactly how real packers run —
+    shard count scales with the cluster, each window is bounded by its
+    shard, and the md5 order makes the layout deterministic and
+    engine-replayable (the oracle replays shard, order, running sum and
+    the pack split in SQL).
+
+    Output: (id, shard, pack_id, pack_offset, n_tokens).  One shuffle
+    on the shard key; the running sum and division are codegen window
+    expressions."""
+    from pyspark.sql import Window
+
+    tok = T.token_count(F.col(text_col))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(int(n_shards)),
+    )
+    order = F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("__n").over(w)
+    return (
+        docs.select(
+            id_col,
+            shard.cast("int").alias("shard"),
+            order.alias("__ord"),
+            tok.cast("bigint").alias("__n"),
+        )
+        .select(
+            id_col,
+            "shard",
+            F.floor((cum - F.col("__n")) / F.lit(int(budget_tokens)))
+            .cast("bigint")
+            .alias("pack_id"),
+            F.pmod(cum - F.col("__n"), F.lit(int(budget_tokens)))
+            .cast("bigint")
+            .alias("pack_offset"),
+            F.col("__n").alias("n_tokens"),
+        )
+    )

@@ -651,3 +651,27 @@ def test_semantic_decontaminate_flags_planted_leak(spark):
         "left_anti",
     )
     assert [r["vec_id"] for r in clean.collect()] == [3]
+
+
+def test_pack_corpus_invariants(spark, sf_dir):
+    """Every doc lands in exactly one (shard, pack); within a pack the
+    offsets + token counts tile the budget without overlap; packing is
+    deterministic."""
+    from chromem_go_spark.pipeline import pack_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_corpus(docs, budget_tokens=128, n_shards=8).collect()
+    assert len(out) == docs.count()
+    by_pack: dict = {}
+    for r in out:
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for rows in by_pack.values():
+        rows.sort(key=lambda r: r["pack_offset"])
+        # first member starts exactly where the previous pack spilled
+        assert rows[0]["pack_offset"] < 128
+        for a, b in zip(rows, rows[1:]):
+            # members are laid out head-to-tail in the token stream
+            assert b["pack_offset"] == (a["pack_offset"] + a["n_tokens"]) % 128 or \
+                   b["pack_offset"] == a["pack_offset"] + a["n_tokens"]
+    again = pack_corpus(docs, budget_tokens=128, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
