@@ -1889,6 +1889,83 @@ FROM w
 """
 
 
+def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio/RM3 family): BM25
+    top-10 feedback docs -> top-5 expansion terms by feedback-tf x idf
+    -> BM25 re-run with the widened query.  Oracle replays both BM25
+    passes and the term selection in SQL."""
+    from chromem_go_spark.operators.hybrid import prf_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return prf_search(docs, ["spark", "join"], k=15).select(
+        "doc_id", F.round("bm25", 4).alias("bm25")
+    )
+
+
+_PRF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+  FROM documents
+),
+lens AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS dl
+  FROM documents
+),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT AVG(dl) FROM lens) AS avgdl
+),
+-- pass 1: BM25 over the original terms
+tf1 AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('join', 'spark') GROUP BY doc_id, tok
+),
+df1 AS (SELECT tok, COUNT(*) AS df FROM tf1 GROUP BY tok),
+bm1 AS (
+  SELECT t.doc_id,
+         SUM(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))) AS bm25
+  FROM tf1 t JOIN df1 d USING (tok) JOIN lens l USING (doc_id)
+  CROSS JOIN consts c GROUP BY t.doc_id
+),
+fb AS (SELECT doc_id FROM bm1 ORDER BY bm25 DESC, doc_id LIMIT 10),
+-- expansion terms: feedback-set tf x corpus idf, excluding originals
+tf_fb AS (
+  SELECT tok, COUNT(*) AS tf_fb FROM toks JOIN fb USING (doc_id) GROUP BY tok
+),
+dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+picked AS (
+  SELECT f.tok
+  FROM tf_fb f JOIN dfreq d USING (tok) CROSS JOIN consts c
+  WHERE f.tok NOT IN ('join', 'spark') AND d.df <= 0.5 * c.n
+  ORDER BY f.tf_fb * (ln((c.n + 1.0) / (d.df + 1)) + 1.0) DESC, f.tok
+  LIMIT 5
+),
+expanded AS (
+  SELECT 'join' AS tok UNION SELECT 'spark' UNION SELECT tok FROM picked
+),
+-- pass 2: BM25 over the widened query
+tf2 AS (
+  SELECT t.doc_id, t.tok, COUNT(*) AS tf
+  FROM toks t JOIN expanded e USING (tok) GROUP BY t.doc_id, t.tok
+),
+df2 AS (SELECT tok, COUNT(*) AS df FROM tf2 GROUP BY tok)
+SELECT doc_id, ROUND(bm25, 4) AS bm25 FROM (
+  SELECT t.doc_id,
+         SUM(ln(1.0 + (c.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * 2.2
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))) AS bm25
+  FROM tf2 t JOIN df2 d USING (tok) JOIN lens l USING (doc_id)
+  CROSS JOIN consts c GROUP BY t.doc_id
+)
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -2062,6 +2139,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics": q_ranking_metrics,
         "ivf_sq_search": q_ivf_sq_search,
         "pack_corpus": q_pack_corpus,
+        "prf_search": q_prf_search,
     }
 
 
@@ -2383,6 +2461,7 @@ LIMIT 10
         "bm25_topk": _BM25_SQL,
         "ranking_metrics": _RANKING_METRICS_SQL,
         "pack_corpus": _PACK_CORPUS_SQL,
+        "prf_search": _PRF_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3533,6 +3612,7 @@ _EXTRA_KEYS = frozenset(
         "ranking_metrics",
         "ivf_sq_search",
         "pack_corpus",
+        "prf_search",
     }
 )
 

@@ -157,6 +157,7 @@ def main() -> None:
         "ranking_metrics",
         "ivf_sq_search",
         "pack_corpus",
+        "prf_search",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -223,3 +223,86 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum(contrib).alias("bm25"))
     )
+
+
+def prf_expand_terms(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> list[str]:
+    """Pseudo-relevance feedback term selection (Rocchio/RM3 family,
+    public method): run BM25, take the top ``fb_docs``, score every
+    term in them by ``(Σ tf over the feedback set) × idf`` (the same
+    ln((N+1)/(df+1))+1 idf the lexical ranker uses), and return the
+    original terms plus the top ``fb_terms`` new ones (ties by term).
+    Terms appearing in more than ``max_df_frac`` of the corpus are
+    excluded — the standard stopword guard; without it a ubiquitous
+    term's raw tf swamps the idf damping.
+
+    Driver-side output is a bounded term list (|query| + fb_terms) —
+    the model a served expansion cache would hold; both jobs are
+    corpus scans with query-vocabulary- or feedback-set-sized
+    shuffles."""
+    if n_docs is None:
+        n_docs = docs.count()
+    base = bm25_scores(
+        docs, query_terms, k1, b, text_col, id_col, n_docs=n_docs
+    )
+    fb = base.orderBy(F.desc("bm25"), id_col).limit(int(fb_docs)).select(id_col)
+    toks = docs.join(F.broadcast(fb), id_col, "left_semi").select(
+        id_col, F.explode(T.word_tokens(text_col)).alias("tok")
+    )
+    tf_fb = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_fb"))
+    # corpus df for idf (document frequency over the WHOLE corpus)
+    dfreq = (
+        docs.select(
+            F.explode(F.array_distinct(T.word_tokens(text_col))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1.0
+    orig = sorted(set(query_terms))
+    picked = (
+        tf_fb.join(dfreq, "tok")
+        .filter(~F.col("tok").isin(orig))
+        .filter(F.col("df") <= F.lit(float(max_df_frac)) * F.lit(float(n_docs)))
+        .select("tok", (F.col("tf_fb") * idf).alias("score"))
+        .orderBy(F.desc("score"), "tok")
+        .limit(int(fb_terms))
+        .collect()
+    )
+    return orig + sorted(r["tok"] for r in picked)
+
+
+def prf_search(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """BM25 search with PRF expansion: expand via
+    :func:`prf_expand_terms`, re-run BM25 with the widened query,
+    return the top ``k`` (score desc, id)."""
+    if n_docs is None:
+        n_docs = docs.count()
+    expanded = prf_expand_terms(
+        docs, query_terms, fb_docs, fb_terms, k1, b, max_df_frac,
+        text_col, id_col, n_docs,
+    )
+    out = bm25_scores(docs, expanded, k1, b, text_col, id_col, n_docs=n_docs)
+    return out.orderBy(F.desc("bm25"), id_col).limit(int(k))

@@ -252,3 +252,26 @@ def test_ranking_metrics_graded_relevance(spark):
     )
     r = ranking_metrics(results, qrels, k=10).collect()[0]
     assert r["ndcg"] == 1.0 and r["recall"] == 1.0 and r["mrr"] == 1.0
+
+
+def test_prf_expansion_pulls_cooccurring_terms(spark):
+    """Terms frequent in the feedback docs (but absent from the query)
+    get added; the expanded search then surfaces docs matching only
+    those co-occurring terms."""
+    from chromem_go_spark.operators.hybrid import prf_expand_terms, prf_search
+
+    pad = " ".join(["filler"] * 30)
+    rows = (
+        # relevant cluster: 'spark' docs also discuss 'shuffle'
+        [(i, f"spark shuffle tuning {pad}") for i in range(5)]
+        # doc with only the co-occurring term
+        + [(50, f"shuffle mechanics deep dive {pad}")]
+        # noise (enough of it that 'shuffle' clears the df stopword cut)
+        + [(100 + i, f"gardening tips {pad}") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expanded = prf_expand_terms(docs, ["spark"], fb_docs=5, fb_terms=2)
+    assert "spark" in expanded and "shuffle" in expanded
+    hits = {r["doc_id"] for r in prf_search(docs, ["spark"], k=6, fb_docs=5, fb_terms=2).collect()}
+    assert 50 in hits  # reachable only via the expansion
+    assert not any(h >= 100 for h in hits)
