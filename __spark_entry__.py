@@ -2087,7 +2087,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (interpolated bigram LM, full model replay), semantic_decontaminate
     (embedding-space eval leakage), cdc_fingerprints_kernel (vectorized
     CDC, polynomial hash + chunk md5s replayed in SQL), gopher_quality
-    (Rae et al. 2021 rule set, every signal replayed), plus
+    (Rae et al. 2021 rule set, every signal replayed),
+    ivf_search_filtered (predicate below scoring in probed partitions,
+    nprobe=all == flat filtered), bm25_topk (full Robertson BM25),
+    ranking_metrics (recall/MRR/nDCG@10, formulas replayed),
+    ivf_sq_search (8-bit scalar-quantization tier, rerank == flat),
+    pack_corpus (cross-doc sharded sequence packing), prf_search
+    (RM3-style expansion, both passes replayed), plus
     list_ids/count_documents swapped out of the canonical window
     (trivial projections, still value-checked here)."""
     return {

@@ -274,3 +274,83 @@ def test_extended_where_matches_reference_evaluator(spark):
             want = bool(want) if want is not None else False
             got = rows[did][f"f{i}"]
             assert got == want, (t, md, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=12,
+    ),
+    thr=st.floats(0.2, 0.95),
+)
+def test_semantic_prune_matches_python_reference(spark, vecs, thr):
+    """semantic_prune(min_id) == a direct python evaluation of the
+    pairwise rule on arbitrary small inputs (degenerate zero vectors
+    excluded — cosine undefined)."""
+    import numpy as np
+
+    rows = [
+        (i, i % 2, [float(x) for x in v])
+        for i, v in enumerate(vecs)
+        if np.linalg.norm(v) > 1e-6
+    ]
+    if len(rows) < 2:
+        return
+    from chromem_go_spark.operators.dedup import semantic_prune
+
+    df = spark.createDataFrame(rows, "vec_id long, cluster_id int, embedding array<double>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_prune(df, threshold=thr, keep="min_id").collect()
+    }
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for i, ci, vi in rows:
+        dropped = any(
+            cj == ci and j < i and cos(vj, vi) >= thr for j, cj, vj in rows
+        )
+        assert got[i] == (not dropped), (i, thr)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+)
+def test_bm25_matches_python_reference(spark, texts):
+    """bm25_scores == a direct python BM25 on arbitrary tiny corpora."""
+    import math
+    import re
+
+    from chromem_go_spark.operators.hybrid import bm25_scores
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["a", "b"]
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, terms).collect()}
+
+    tok = lambda t: re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t.lower())  # noqa: E731
+    toks = {i: tok(t) for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df_t = {
+        w: sum(1 for v in toks.values() if w in v) for w in terms
+    }
+    for i, v in toks.items():
+        score = 0.0
+        for w in terms:
+            tf = v.count(w)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df_t[w] + 0.5) / (df_t[w] + 0.5))
+            score += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if score > 0:
+            assert abs(got[i] - score) < 1e-9, i
+        else:
+            assert i not in got
