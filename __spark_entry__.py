@@ -1966,6 +1966,36 @@ LIMIT 15
 """
 
 
+def q_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup join: the doc_id%7 slice as the incoming
+    crawl vs the remainder as the existing corpus, exact Jaccard >= 0.5
+    (dedup.cross_corpus_neardup_pairs — union rarity order, prefix
+    filter, new-vs-ref only).  Oracle is the brute-force cross-side
+    shingle join."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    ref = docs.filter(F.col("doc_id") % 7 != 0)
+    out = D.cross_corpus_neardup_pairs(new, ref, threshold=0.5)
+    return out.select("id_new", "id_ref", _r4("jaccard"))
+
+
+_CROSS_NEARDUP_SQL = f"""
+WITH sh AS ({{sh}}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_ref, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh
+  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 != 0
+  GROUP BY 1, 2
+)
+SELECT id_new, id_ref, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON id_new = sa.doc_id
+JOIN sizes sb ON id_ref = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -2146,6 +2176,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sq_search": q_ivf_sq_search,
         "pack_corpus": q_pack_corpus,
         "prf_search": q_prf_search,
+        "cross_corpus_neardup": q_cross_corpus_neardup,
     }
 
 
@@ -2468,6 +2499,7 @@ LIMIT 10
         "ranking_metrics": _RANKING_METRICS_SQL,
         "pack_corpus": _PACK_CORPUS_SQL,
         "prf_search": _PRF_SQL,
+        "cross_corpus_neardup": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3619,6 +3651,7 @@ _EXTRA_KEYS = frozenset(
         "ivf_sq_search",
         "pack_corpus",
         "prf_search",
+        "cross_corpus_neardup",
     }
 )
 

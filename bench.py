@@ -158,6 +158,7 @@ def main() -> None:
         "ivf_sq_search",
         "pack_corpus",
         "prf_search",
+        "cross_corpus_neardup",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

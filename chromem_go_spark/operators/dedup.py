@@ -1200,3 +1200,82 @@ def semantic_dedup(
     return pruned.join(
         assigned.select(id_col, "centroid_sim"), id_col
     ).select(id_col, "cluster_id", "centroid_sim", "kept")
+
+
+def cross_corpus_neardup_pairs(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    unit: str = "char",
+    prefix_ext: int = 16,
+) -> DataFrame:
+    """Exact CROSS-corpus n-gram Jaccard join: every (new, ref) pair
+    with similarity >= ``threshold`` — the "dedupe the incoming crawl
+    against the existing training corpus" operation (and the near-dup
+    tier of train/eval decontamination).
+
+    Same prefix-filtered plan as :func:`ngram_jaccard_pairs`, with the
+    shingle rarity order computed over the UNION of both corpora — the
+    prefix and count-bound exactness arguments require one shared
+    global order, and union document-frequency is also the better
+    rarity signal.  The candidate join pairs only new-side prefixes
+    with ref-side prefixes (never within a corpus), so a crawl much
+    smaller than the reference pays for its own size, not the
+    reference's square.  Returns (id_new, id_ref, jaccard)."""
+    t = float(threshold)
+    tag = lambda df, side: df.select(  # noqa: E731
+        F.concat(F.lit(side), F.col(id_col).cast("string")).alias("__key"),
+        F.col(text_col),
+    )
+    keyed = tag(new_docs, "n:").unionByName(tag(ref_docs, "r:"))
+    g = _doc_token_arrays(keyed, text_col, "__key", k, unit).transform(materialize)
+    pref = _prefix_table(g, t, prefix_ext, "__key")
+    a = pref.filter(F.col("__key").startswith("n:")).alias("a")
+    b = pref.filter(F.col("__key").startswith("r:")).alias("b")
+    cand_counts = (
+        a.join(
+            b,
+            (F.col("a.ph") == F.col("b.ph"))
+            & (F.col("b.sz") >= F.col("a.sz") * F.lit(t))
+            & (F.col("b.sz") * F.lit(t) <= F.col("a.sz")),
+        )
+        .groupBy(
+            F.col("a.__key").alias("key_a"),
+            F.col("b.__key").alias("key_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+            F.col("a.L").alias("L_a"),
+            F.col("b.L").alias("L_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b")))
+    ubound = F.col("c") + F.greatest(
+        F.col("sz_a") - F.col("L_a"), F.col("sz_b") - F.col("L_b")
+    )
+    cand = cand_counts.filter(ubound >= alpha).select(
+        "key_a", "key_b", "sz_a", "sz_b"
+    )
+    hs = g.select("__key", F.transform("toks", lambda x: x["h"]).alias("hs"))
+    ha = hs.select(F.col("__key").alias("key_a"), F.col("hs").alias("hs_a"))
+    hb = hs.select(F.col("__key").alias("key_b"), F.col("hs").alias("hs_b"))
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    strip = lambda c: F.expr(f"substring({c}, 3)").cast(id_type)  # noqa: E731
+    return (
+        cand.join(ha, "key_a")
+        .join(hb, "key_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select(
+            strip("key_a").alias("id_new"),
+            strip("key_b").alias("id_ref"),
+            "jaccard",
+        )
+    )

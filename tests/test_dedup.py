@@ -608,3 +608,29 @@ def test_semantic_dedup_kmeans_invariants(spark, sf_dir):
                     and cos(o["vec_id"], r["vec_id"]) >= thr
                     for o in members
                 ), r
+
+
+def test_cross_corpus_neardup_matches_union_selfjoin(spark, sf_dir):
+    """Cross pairs == the union self-join restricted to cross-side
+    pairs (disjoint id ranges make orientation unambiguous)."""
+    from chromem_go_spark.operators.dedup import (
+        cross_corpus_neardup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    ref = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        (r["id_new"], r["id_ref"], round(r["jaccard"], 6))
+        for r in cross_corpus_neardup_pairs(new, ref, threshold=0.5).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = set()
+    for r in ngram_jaccard_pairs(docs, threshold=0.5).collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a in new_ids) != (b in new_ids):
+            n, f = (a, b) if a in new_ids else (b, a)
+            want.add((n, f, round(r["jaccard"], 6)))
+    assert got == want
+    assert want  # discriminative at 0.5 on this corpus
