@@ -588,13 +588,20 @@ class Collection:
         n_results: int,
         index=None,
         nprobe: int = 4,
+        where: Mapping | None = None,
         **index_kwargs,
     ) -> DataFrame:
         """ANN-backed query: probe ``nprobe`` IVF cells instead of
         scanning the corpus. ``index`` is a previously built
         ``build_ann_index`` result (built on the fly if omitted — only
         sensible for experimentation). With ``nprobe >= n_clusters`` the
-        result is exact."""
+        result is exact.
+
+        ``where`` applies the same metadata-filter DSL as
+        :meth:`query` BELOW the scoring projection inside the probed
+        partitions (IVFIndex.search_filtered) — filtered vector search
+        on the ANN path.  Raise ``nprobe`` with filter selectivity: a
+        harsh filter can empty a probed cell (standard ANN caveat)."""
         if query_embedding is None or len(query_embedding) == 0:
             raise ValueError(E.ERR_QUERY_EMBEDDING_EMPTY)
         if n_results <= 0:
@@ -603,6 +610,18 @@ class Collection:
             index = self.build_ann_index(**index_kwargs)
         from .operators.ann import IVFPQIndex
 
+        if where:
+            from .operators.filters import where_predicate
+
+            if isinstance(index, IVFPQIndex):
+                raise ValueError(
+                    "filtered ANN search requires the IVF (flat) index; "
+                    "PQ candidates carry codes only"
+                )
+            return index.search_filtered(
+                list(query_embedding), int(n_results), nprobe=nprobe,
+                where=where_predicate(where),
+            )
         if isinstance(index, IVFPQIndex):
             return index.search_batch(
                 ["0"], [list(query_embedding)], int(n_results), nprobe=nprobe

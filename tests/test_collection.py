@@ -487,3 +487,36 @@ def test_query_bm25(spark):
         c.query_bm25("", 2)
     with _pytest.raises(ValueError):
         c.query_bm25("spark", 0)
+
+
+def test_query_embedding_ann_with_where_filter(spark):
+    """Filtered ANN search through the Collection API: same metadata
+    DSL as query(), results equal the flat filtered query at
+    nprobe=all."""
+    import pytest as _pytest
+
+    from chromem_go_spark import DB, Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    db = DB(spark)
+    ef = make_hash_embedding_func(16)
+    c = db.create_collection("annf", embedding_func=ef)
+    c.add_documents(
+        [
+            Document(id=str(i), content=f"doc number {i}",
+                     metadata={"lang": "en" if i % 2 == 0 else "de"})
+            for i in range(20)
+        ]
+    )
+    qv = ef("doc number 4")
+    idx = c.build_ann_index(n_clusters=2)
+    got = [
+        r["id"]
+        for r in c.query_embedding_ann(qv, 3, index=idx, nprobe=2, where={"lang": "en"}).collect()
+    ]
+    want = [r["id"] for r in c.query_embedding(qv, 3, where={"lang": "en"}).collect()]
+    assert got == want
+    assert all(int(i) % 2 == 0 for i in got)
+    pq_idx = c.build_ann_index(n_clusters=2, pq=True, m=16)
+    with _pytest.raises(ValueError, match="filtered ANN"):
+        c.query_embedding_ann(qv, 3, index=pq_idx, where={"lang": "en"})
