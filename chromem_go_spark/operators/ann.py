@@ -1064,6 +1064,64 @@ def tune_ivf(
     return out
 
 
+def tune_ivf_sq(
+    emb: DataFrame,
+    tuned: dict,
+    target_recall: float | None = None,
+    k: int = 10,
+    n_queries: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """Sweep the SQ8 tier's rerank depth at a :func:`tune_ivf`-chosen
+    operating point: build an ``IVFSQIndex`` with the tuned n_clusters
+    and find the smallest rerank (k, 2k, 5k, 10k) meeting the target
+    at the tuned nprobe — the same protocol the PQ sweep runs, for the
+    middle compression tier.  Returns {"sq_rerank", "sq_recall",
+    "sq_sweep"}; merge into the tune_ivf dict for the full picture."""
+    if target_recall is None:
+        target_recall = float(tuned.get("target_recall", 0.95))
+    qdf = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(int(n_queries))
+    )
+    qrows = qdf.collect()
+    qids = [str(r[id_col]) for r in qrows]
+    qvecs = [list(r[vec_col]) for r in qrows]
+    exact: dict[str, set] = {}
+    ground = knn_ops.knn_block(emb, qids, qvecs, k, vec_col=vec_col, id_col=id_col)
+    for r in ground.collect():
+        exact.setdefault(r["query_id"], set()).add(r[id_col])
+
+    def recall_of(rows) -> float:
+        got: dict[str, set] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r[id_col])
+        per_q = [len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact]
+        return sum(per_q) / len(per_q)
+
+    sq = IVFSQIndex.build(
+        emb, n_clusters=tuned["n_clusters"], vec_col=vec_col, id_col=id_col
+    )
+    sweep: list[dict] = []
+    chosen: dict | None = None
+    for rerank in (k, 2 * k, 5 * k, 10 * k):
+        r = recall_of(
+            sq.search_batch(
+                qids, qvecs, k, nprobe=tuned["nprobe"], rerank=rerank
+            ).collect()
+        )
+        point = {"sq_rerank": int(rerank), "sq_recall": round(r, 4)}
+        sweep.append(point)
+        if r >= target_recall:
+            chosen = point
+            break
+    best = chosen or max(sweep, key=lambda p: p["sq_recall"])
+    return {**best, "sq_sweep": sweep}
+
+
 # ---------------------------------------------------------------- tombstones
 
 _TOMBSTONES = "_tombstones"  # underscore prefix: parquet readers skip it

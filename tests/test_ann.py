@@ -578,3 +578,11 @@ def test_ivf_sq_low_rerank_still_reasonable(spark, emb):
         for r in K.knn_single(emb, q, 5, vec_col="embedding", id_col="vec_id").collect()
     }
     assert len(got & want) >= 4
+
+
+def test_tune_ivf_sq_meets_target(spark, emb):
+    out = A.tune_ivf(emb, target_recall=0.9, k=5, n_queries=8, candidate_nlist=(4, 8))
+    sq = A.tune_ivf_sq(emb, out, k=5, n_queries=8)
+    assert sq["sq_recall"] >= 0.9
+    assert sq["sq_rerank"] >= 5
+    assert sq["sq_sweep"][0]["sq_rerank"] == 5
