@@ -275,3 +275,32 @@ def test_prf_expansion_pulls_cooccurring_terms(spark):
     hits = {r["doc_id"] for r in prf_search(docs, ["spark"], k=6, fb_docs=5, fb_terms=2).collect()}
     assert 50 in hits  # reachable only via the expansion
     assert not any(h >= 100 for h in hits)
+
+
+def test_cross_encoder_rerank_two_stage(spark):
+    """retrieve-then-rerank: BM25 narrows, the cross scorer reorders —
+    the doc with the best joint overlap wins even if its BM25 rank was
+    lower; a custom scorer plugs in with the same signature."""
+    from chromem_go_spark.operators.hybrid import bm25_scores
+    from chromem_go_spark.operators.rerank import cross_encoder_rerank
+
+    pad = " ".join(["filler"] * 40)
+    docs = spark.createDataFrame(
+        [
+            (1, f"spark spark spark spark {pad}"),          # tf-stuffed
+            (2, f"how to tune spark shuffle partitions {pad}"),  # best joint match
+            (3, f"gardening {pad}"),
+        ],
+        "doc_id long, text string",
+    )
+    q = "tune spark shuffle partitions"
+    first = bm25_scores(docs, ["spark", "shuffle"]).join(docs, "doc_id")
+    out = cross_encoder_rerank(first, q, k=2)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [2, 1]
+    assert [r["ce_rank"] for r in rows] == [1, 2]
+    # custom scorer: reverse preference by doc_id
+    rev = cross_encoder_rerank(
+        first, q, k=3, scorer=lambda q_, ds: [float(len(d)) * 0 + i for i, d in enumerate(ds)]
+    )
+    assert len(rev.collect()) <= 3  # plumbing accepts any scorer shape
