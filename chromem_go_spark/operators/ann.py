@@ -595,6 +595,76 @@ class IVFSQIndex:
             df.select(id_col, vec_col), vec_col, id_col,
         )
 
+    _BASE_BATCH = -1  # reserved __batch id: initial build / compacted history
+
+    def save(self, path: str) -> None:
+        """Persist with the same layout contract as the PQ tier: codes
+        partitioned by (__batch, cluster_id) — probe == partition
+        pruning over a 1-byte-per-dim table — vectors alongside for the
+        re-rank join, quantizer (centroids + mins/steps) as JSON."""
+        import json
+        import os
+
+        (
+            self.coded.withColumn("__batch", F.lit(self._BASE_BATCH))
+            .write.mode("overwrite")
+            .partitionBy("__batch", "cluster_id")
+            .parquet(os.path.join(path, "codes"))
+        )
+        (
+            self.vectors.withColumn("__batch", F.lit(self._BASE_BATCH))
+            .write.mode("overwrite")
+            .partitionBy("__batch")
+            .parquet(os.path.join(path, "vectors"))
+        )
+        with open(os.path.join(path, "_sq_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": self.centroids.tolist(),
+                    "mins": self.mins.tolist(),
+                    "steps": self.steps.tolist(),
+                    "vec_col": self.vec_col,
+                    "id_col": self.id_col,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFSQIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "_sq_meta.json")) as f:
+            meta = json.load(f)
+        tombs = load_tombstones(spark, path, meta["id_col"])
+
+        def rd(sub: str) -> DataFrame:
+            df = read_live(spark, os.path.join(path, sub))
+            if "__batch" in df.columns:
+                df = df.drop("__batch")
+            return apply_tombstones(df, tombs, meta["id_col"])
+
+        return cls(
+            np.asarray(meta["centroids"], dtype=np.float64),
+            np.asarray(meta["mins"], dtype=np.float64),
+            np.asarray(meta["steps"], dtype=np.float64),
+            rd("codes"),
+            rd("vectors"),
+            meta["vec_col"],
+            meta["id_col"],
+        )
+
+    @classmethod
+    def delete_ids(cls, spark: SparkSession, path: str, ids: Sequence) -> None:
+        """Logical delete by id — the shared tombstone protocol
+        (tombstones at the index root; ``load`` anti-joins them)."""
+        import json
+        import os
+
+        with open(os.path.join(path, "_sq_meta.json")) as f:
+            id_col = json.load(f)["id_col"]
+        append_tombstones(spark, path, ids, id_col)
+
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)
         nrm = np.linalg.norm(q)

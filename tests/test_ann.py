@@ -586,3 +586,30 @@ def test_tune_ivf_sq_meets_target(spark, emb):
     assert sq["sq_recall"] >= 0.9
     assert sq["sq_rerank"] >= 5
     assert sq["sq_sweep"][0]["sq_rerank"] == 5
+
+
+def test_ivf_sq_save_load_roundtrip(spark, emb, tmp_path):
+    """A served (saved+loaded) SQ8 index answers identically to the
+    in-memory build, and tombstoned ids vanish from results."""
+    idx = A.IVFSQIndex.build(emb, n_clusters=4, vec_col="embedding", id_col="vec_id")
+    path = str(tmp_path / "sq_idx")
+    idx.save(path)
+    loaded = A.IVFSQIndex.load(spark, path)
+    q = _qvec(emb, 6)
+    want = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in idx.search_batch(["6"], [q], 5, nprobe=4, rerank=100).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in loaded.search_batch(["6"], [q], 5, nprobe=4, rerank=100).collect()
+    ]
+    assert got == want
+    top_id = want[0][0]
+    A.IVFSQIndex.delete_ids(spark, path, [top_id])
+    reloaded = A.IVFSQIndex.load(spark, path)
+    after = [
+        r["vec_id"]
+        for r in reloaded.search_batch(["6"], [q], 5, nprobe=4, rerank=100).collect()
+    ]
+    assert top_id not in after and len(after) == 5
