@@ -698,6 +698,35 @@ class Collection:
         )
         return out.orderBy(F.desc("bm25"), "id").limit(int(n_results))
 
+    def query_prf(
+        self,
+        query_text: str,
+        n_results: int,
+        fb_docs: int = 10,
+        fb_terms: int = 5,
+    ) -> DataFrame:
+        """Lexical retrieval with pseudo-relevance-feedback expansion
+        (operators/hybrid.prf_search): BM25 feedback docs pick
+        expansion terms, the widened query re-runs BM25 — recall
+        without embeddings."""
+        import re
+
+        if not query_text:
+            raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
+        if n_results <= 0:
+            raise ValueError(E.ERR_NRESULTS_POSITIVE)
+        n_docs = self.count()
+        if n_results > n_docs:
+            raise ValueError(E.ERR_NRESULTS_TOO_LARGE)
+        from .operators.hybrid import prf_search
+
+        terms = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", query_text.lower())
+        return prf_search(
+            self.df, terms, k=int(n_results), fb_docs=fb_docs,
+            fb_terms=fb_terms, text_col="content", id_col="id",
+            n_docs=n_docs,
+        )
+
     def query_mmr(
         self,
         query_text: str,

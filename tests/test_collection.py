@@ -520,3 +520,23 @@ def test_query_embedding_ann_with_where_filter(spark):
     pq_idx = c.build_ann_index(n_clusters=2, pq=True, m=16)
     with _pytest.raises(ValueError, match="filtered ANN"):
         c.query_embedding_ann(qv, 3, index=pq_idx, where={"lang": "en"})
+
+
+def test_query_prf(spark):
+    from chromem_go_spark import DB, Document
+    from chromem_go_spark.embeddings.stub import const_embedding
+
+    db = DB(spark)
+    c = db.create_collection("prf", embedding_func=const_embedding([1.0, 0.0]))
+    pad = " ".join(["filler"] * 30)
+    docs = (
+        [Document(id=str(i), content=f"spark shuffle tuning {pad}",
+                  embedding=[1.0, 0.0], metadata={}) for i in range(5)]
+        + [Document(id="50", content=f"shuffle mechanics deep dive {pad}",
+                    embedding=[1.0, 0.0], metadata={})]
+        + [Document(id=str(100 + i), content=f"gardening tips {pad}",
+                    embedding=[1.0, 0.0], metadata={}) for i in range(10)]
+    )
+    c.add_documents(docs)
+    hits = {r["id"] for r in c.query_prf("spark", 6, fb_docs=5, fb_terms=2).collect()}
+    assert "50" in hits  # reachable only through the expansion
