@@ -671,3 +671,49 @@ def test_value_anomaly_stream_matches_batch(spark, tmp_path, sf_dir):
         for r in got_df.collect()
     }
     assert got == expect
+
+
+def test_soak_incremental_semantic_dedup(spark, tmp_path):
+    """Soak: 12 micro-batches with two mid-run redeliveries and folds
+    every 4 batches; final pair log and vector state still equal the
+    one-shot enumeration (manifest commit mode)."""
+    import os as _os
+
+    from chromem_go_spark.batchstate import read_live
+    from chromem_go_spark.streaming.ingest import (
+        incremental_semantic_dedup_batch,
+        init_semantic_state,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    state = str(tmp_path / "sem_soak")
+    thr = 0.3
+    init_semantic_state(emb, state, n_clusters=4)
+
+    n_batches = 12
+    for bid in range(n_batches):
+        b = emb.filter(F.col("vec_id") % n_batches == bid)
+        incremental_semantic_dedup_batch(
+            b, state, threshold=thr, batch_id=bid,
+            compact_after=4, commit_mode="manifest",
+        )
+        if bid in (3, 8):  # at-least-once redeliveries
+            incremental_semantic_dedup_batch(
+                b, state, threshold=thr, batch_id=bid,
+                compact_after=4, commit_mode="manifest",
+            )
+
+    got = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in read_live(spark, f"{state}/pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in _semantic_oneshot_pairs(spark, emb, state, thr).collect()
+    }
+    assert got == want and want
+    assert read_live(spark, f"{state}/vectors").count() == emb.count()
+    # folds actually ran: batch dirs stay bounded
+    parts = [d for d in _os.listdir(f"{state}/pairs") if d.startswith("__batch=")]
+    assert len(parts) <= 6, parts
