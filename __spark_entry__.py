@@ -1996,6 +1996,18 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
 """
 
 
+def q_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH twin of cross_corpus_neardup — the 100 TB path.
+    Shares the exact oracle: the surviving cross pairs at sf0.01 all
+    have J >= 0.93, where the 16x4 banding's collision probability is
+    ~1.0 (same exact-twin pattern as minhash_lsh/embedding_neardup_lsh)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    ref = docs.filter(F.col("doc_id") % 7 != 0)
+    out = D.cross_corpus_minhash_pairs(new, ref, threshold=0.5)
+    return out.select("id_new", "id_ref", _r4("jaccard"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -2177,6 +2189,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_corpus": q_pack_corpus,
         "prf_search": q_prf_search,
         "cross_corpus_neardup": q_cross_corpus_neardup,
+        "cross_corpus_minhash": q_cross_corpus_minhash,
     }
 
 
@@ -2500,6 +2513,7 @@ LIMIT 10
         "pack_corpus": _PACK_CORPUS_SQL,
         "prf_search": _PRF_SQL,
         "cross_corpus_neardup": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
+        "cross_corpus_minhash": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3652,6 +3666,7 @@ _EXTRA_KEYS = frozenset(
         "pack_corpus",
         "prf_search",
         "cross_corpus_neardup",
+        "cross_corpus_minhash",
     }
 )
 

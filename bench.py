@@ -159,6 +159,7 @@ def main() -> None:
         "pack_corpus",
         "prf_search",
         "cross_corpus_neardup",
+        "cross_corpus_minhash",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

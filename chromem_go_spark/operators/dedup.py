@@ -1279,3 +1279,88 @@ def cross_corpus_neardup_pairs(
             "jaccard",
         )
     )
+
+
+def cross_corpus_minhash_pairs(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH twin of :func:`cross_corpus_neardup_pairs` — the
+    100 TB path for deduping an incoming corpus against a reference:
+    signatures built over the tagged union (one shared hash family),
+    banded buckets joined NEW-side vs REF-side only, candidates
+    verified with exact Jaccard.  Returns (id_new, id_ref, jaccard).
+
+    Candidate volume is O(colliding buckets across sides), never
+    new x ref; the reference's buckets are exactly what the
+    incremental ingest state stores, so this is also the batch twin of
+    :func:`..streaming.ingest.incremental_neardup_batch`'s
+    cross-history join."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    t = float(threshold)
+    tag = lambda df, side: df.select(  # noqa: E731
+        F.concat(F.lit(side), F.col(id_col).cast("string")).alias("__key"),
+        F.col(text_col),
+    )
+    keyed = tag(new_docs, "n:").unionByName(tag(ref_docs, "r:"))
+    hsh = hashed_shingle_table(keyed, text_col, "__key", k).transform(materialize)
+    sig = minhash_signatures(
+        keyed, text_col, "__key", k, num_hashes, seed, hashed_shingles=hsh
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = (
+        sig.select("__key", F.explode(band_structs).alias("bb"))
+        .select("__key", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .transform(materialize)
+    )
+    a = buckets.filter(F.col("__key").startswith("n:")).alias("a")
+    b = buckets.filter(F.col("__key").startswith("r:")).alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .select(
+            F.col("a.__key").alias("key_a"), F.col("b.__key").alias("key_b")
+        )
+        .distinct()
+    )
+    hs = (
+        hsh.groupBy("__key")
+        .agg(F.collect_list("h").alias("hs"), F.count(F.lit(1)).alias("sz"))
+        .transform(materialize)
+    )
+    ha = hs.select(F.col("__key").alias("key_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a"))
+    hb = hs.select(F.col("__key").alias("key_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b"))
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    strip = lambda c: F.expr(f"substring({c}, 3)").cast(id_type)  # noqa: E731
+    return (
+        cand.join(ha, "key_a")
+        .join(hb, "key_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select(
+            strip("key_a").alias("id_new"),
+            strip("key_b").alias("id_ref"),
+            "jaccard",
+        )
+    )

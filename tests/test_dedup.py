@@ -634,3 +634,26 @@ def test_cross_corpus_neardup_matches_union_selfjoin(spark, sf_dir):
             want.add((n, f, round(r["jaccard"], 6)))
     assert got == want
     assert want  # discriminative at 0.5 on this corpus
+
+
+def test_cross_corpus_minhash_finds_exact_pairs(spark, sf_dir):
+    """The LSH twin recovers every exact cross pair at this corpus's
+    similarity levels (J >= 0.9 -> band collision ~1.0) with identical
+    verified Jaccard values."""
+    from chromem_go_spark.operators.dedup import (
+        cross_corpus_minhash_pairs,
+        cross_corpus_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    ref = docs.filter(F.col("doc_id") % 5 != 0)
+    lsh = {
+        (r["id_new"], r["id_ref"], round(r["jaccard"], 6))
+        for r in cross_corpus_minhash_pairs(new, ref, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_new"], r["id_ref"], round(r["jaccard"], 6))
+        for r in cross_corpus_neardup_pairs(new, ref, threshold=0.5).collect()
+    }
+    assert lsh == exact and exact
