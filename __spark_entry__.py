@@ -2008,6 +2008,89 @@ def q_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_new", "id_ref", _r4("jaccard"))
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (pipeline.corpus_report): doc/token
+    counts, language mix, exact-dup rate, quality means, Gopher pass
+    rate, PII incidence — one scan, all codegen.  Oracle recomposes
+    every statistic from the already-validated per-operator SQL
+    forms."""
+    from chromem_go_spark.pipeline import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
+_CORPUS_REPORT_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE
+      WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|was|for)\b'))
+           >= GREATEST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b')),
+                       len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que|pour|dans|avec)\b')),
+                       len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que|por|para|con|del)\b')), 1) THEN 'en'
+      WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b'))
+           >= GREATEST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que|pour|dans|avec)\b')),
+                       len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que|por|para|con|del)\b')), 1) THEN 'de'
+      WHEN len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|que|pour|dans|avec)\b'))
+           >= GREATEST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que|por|para|con|del)\b')), 1) THEN 'fr'
+      WHEN len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que|por|para|con|del)\b')) >= 1 THEN 'es'
+      ELSE 'und'
+    END AS lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+    GREATEST(0.0, LEAST(1.0,
+      (CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END)
+      * (CASE WHEN
+           (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                 ELSE length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+                      / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 3 AND 10
+         THEN 1.0 ELSE 0.5 END)
+      - (CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0 / length(text) END)
+    )) AS quality,
+    (CASE WHEN length(trim(text)) = 0 THEN 0.0
+          ELSE length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+               / len(string_split_regex(trim(text), '\s+')) END) AS mwl,
+    (length(text) - length(replace(text, '#', ''))
+     + (length(text) - length(replace(text, '...', ''))) / 3.0)
+    / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS swr,
+    len(list_filter(string_split_regex(trim(text), '\s+'),
+                    w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+    / GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS awf,
+    len(list_intersect(
+          list_distinct(list_transform(string_split_regex(trim(text), '\s+'), w -> lower(w))),
+          ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS sw,
+    len(list_filter(
+          list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)), x -> x != ''),
+          l -> starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•'))) * 1.0
+    / GREATEST(len(list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)), x -> x != '')), 1) AS blf,
+    len(list_filter(
+          list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)), x -> x != ''),
+          l -> ends_with(l, '...'))) * 1.0
+    / GREATEST(len(list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)), x -> x != '')), 1) AS elf,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS pct_en,
+       ROUND(1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 4) AS exact_dup_rate,
+       ROUND(AVG(quality), 4) AS mean_quality,
+       ROUND(AVG(CASE WHEN n_tok >= 30 AND n_tok <= 100000
+                       AND mwl >= 3 AND mwl <= 10 AND swr <= 0.1
+                       AND blf <= 0.3 AND elf <= 0.3
+                       AND awf >= 0.8 AND sw >= 1
+                 THEN 1.0 ELSE 0.0 END), 4) AS gopher_pass_rate,
+       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_email_docs
+FROM base
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -2190,6 +2273,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_search": q_prf_search,
         "cross_corpus_neardup": q_cross_corpus_neardup,
         "cross_corpus_minhash": q_cross_corpus_minhash,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -2514,6 +2598,7 @@ LIMIT 10
         "prf_search": _PRF_SQL,
         "cross_corpus_neardup": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
         "cross_corpus_minhash": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
+        "corpus_report": _CORPUS_REPORT_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3667,6 +3752,7 @@ _EXTRA_KEYS = frozenset(
         "prf_search",
         "cross_corpus_neardup",
         "cross_corpus_minhash",
+        "corpus_report",
     }
 )
 

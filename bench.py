@@ -160,6 +160,7 @@ def main() -> None:
         "prf_search",
         "cross_corpus_neardup",
         "cross_corpus_minhash",
+        "corpus_report",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

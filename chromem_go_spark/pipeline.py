@@ -1035,3 +1035,49 @@ def pack_corpus(
             F.col("__n").alias("n_tokens"),
         )
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row corpus datasheet — the "data card" numbers a training
+    run records before consuming a corpus (public practice: Datasheets
+    for Datasets, Gebru et al. 2021; every major corpus paper ships
+    this table):
+
+    n_docs, total_tokens, n_langs, pct_en, exact_dup_rate (1 −
+    distinct-fingerprint fraction), mean_quality (heuristic score),
+    gopher_pass_rate (corpus-tuned thresholds), pii_email_docs.
+
+    One aggregation over a single projection pass — every input is a
+    codegen expression (fingerprint md5, lang-id, quality, Gopher
+    rules, PII regex), so the whole report costs one corpus scan plus
+    a tiny distinct-count shuffle."""
+    lang = T.lang_id(text_col)
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(T.token_count(text_col)).cast("bigint").alias("total_tokens"),
+        F.count_distinct(lang).cast("bigint").alias("n_langs"),
+        F.round(
+            F.avg(F.when(lang == "en", 1.0).otherwise(0.0)), 4
+        ).alias("pct_en"),
+        F.round(
+            1.0 - F.count_distinct(T.fingerprint(text_col)) / F.count(F.lit(1)),
+            4,
+        ).alias("exact_dup_rate"),
+        F.round(F.avg(T.quality_score(text_col)), 4).alias("mean_quality"),
+        F.round(
+            F.avg(
+                F.when(
+                    T.gopher_quality_filter(text_col, min_words=30, min_stopwords=1),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("gopher_pass_rate"),
+        F.sum(
+            F.when(T.pii_email_count(text_col) > 0, 1).otherwise(0)
+        ).cast("bigint").alias("pii_email_docs"),
+    )

@@ -675,3 +675,25 @@ def test_pack_corpus_invariants(spark, sf_dir):
                    b["pack_offset"] == a["pack_offset"] + a["n_tokens"]
     again = pack_corpus(docs, budget_tokens=128, n_shards=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_corpus_report_known_corpus(spark):
+    from chromem_go_spark.pipeline import corpus_report
+
+    good = "the cat and the dog have been to the park with all of their friends " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),                       # exact dup of 1
+            (3, "mail me at a.b@example.com please do " * 10),
+            (4, ""),                         # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    r = corpus_report(docs).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["exact_dup_rate"] == 0.25       # 4 docs, 3 distinct fingerprints
+    assert r["pii_email_docs"] == 1
+    assert r["n_langs"] >= 2                 # en + und at least
+    assert 0.0 <= r["gopher_pass_rate"] <= 1.0
+    assert r["total_tokens"] > 0
