@@ -356,7 +356,7 @@ def main() -> None:
     all_qvecs = [r["embedding"] for r in corpus.limit(256).collect()]
     from chromem_go_spark.operators import knn as K
 
-    def _throughput(n_q: int, warm_rounds: int) -> dict:
+    def _throughput(n_q: int, warm_rounds: int, precision: str = "float64") -> dict:
         # min over every round but the first: a transiently-loaded JVM
         # slows EARLY rounds; min is robust to that, and steady-state is
         # what the reference's ns/op benchmark reports too.
@@ -366,7 +366,7 @@ def main() -> None:
             t0 = time.time()
             nres = K.knn_block(
                 corpus, [str(j) for j in range(n_q)], qvecs, k,
-                vec_col="embedding", id_col="id",
+                vec_col="embedding", id_col="id", precision=precision,
             ).count()
             if i >= 1:
                 wall = min(wall, time.time() - t0)
@@ -388,9 +388,13 @@ def main() -> None:
     try:
         point64 = _throughput(64, warm_rounds=2)
         point256 = _throughput(256, warm_rounds=0)
+        # float32 = the reference's own arithmetic (Go float32 slices) —
+        # the apples-to-apples configuration; float64 points above are
+        # the oracle-exact mode
+        point256_f32 = _throughput(256, warm_rounds=0, precision="float32")
     except Exception as e:  # noqa: BLE001 — emit partial artifact, never crash
         errors["knn_batch_100k_1536"] = f"{type(e).__name__}: {e}"[:300]
-        point64 = point256 = None
+        point64 = point256 = point256_f32 = None
 
     del corpus
 
@@ -441,6 +445,7 @@ def main() -> None:
         "isolated_pins": pins,
         "knn_batch_100k_1536": point64,
         "knn_batch_100k_1536_q256": point256,
+        "knn_batch_100k_1536_q256_f32": point256_f32,
     }
     if errors:
         detail["errors"] = errors
@@ -459,6 +464,7 @@ def main() -> None:
         "n_errors": len(errors),
         "knn_batch_100k_1536": point64,
         "knn_batch_100k_1536_q256": point256,
+        "knn_batch_100k_1536_q256_f32": point256_f32,
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(out))

@@ -268,21 +268,32 @@ def knn_block(
     negative_vec: Sequence[float] | None = None,
     negative_threshold: float = DEFAULT_NEGATIVE_FILTER_THRESHOLD,
     normalize_queries: bool = True,
+    precision: str = "float64",
 ) -> DataFrame:
     """Batch kNN, block-matrix kernel (the scale path).
 
     Each Arrow batch of docs is scored against ALL queries with one
-    float64 GEMM; a local argpartition keeps k rows per query, so the
+    GEMM; a local argpartition keeps k rows per query, so the
     shuffle that feeds the final per-query top-k is tiny and independent
     of corpus size. Optional negative-filter mode drops docs whose
     similarity to ``negative_vec`` exceeds the threshold *before* top-k
     (reference query.go:221-231).
+
+    ``precision="float64"`` (default) keeps scores bit-comparable to
+    the SQL oracle; ``"float32"`` runs the GEMM in single precision —
+    half the memory traffic, ~2x the FLOP rate, and the arithmetic the
+    reference itself uses (Go float32 slices), so it is the
+    apples-to-apples throughput configuration.  Rankings can differ in
+    ~1e-7 ties; scores are emitted as float64 either way.
     """
     import numpy as np
     import pandas as pd
 
     if k <= 0:
         raise ValueError("nResults must be > 0")
+    if precision not in ("float64", "float32"):
+        raise ValueError(f"unknown precision: {precision!r}")
+    dtype = np.float32 if precision == "float32" else np.float64
     qmat = np.asarray(query_vecs, dtype=np.float64)
     if qmat.ndim != 2 or qmat.shape[0] == 0:
         raise ValueError("queryEmbedding is empty")
@@ -290,6 +301,7 @@ def knn_block(
         norms = np.linalg.norm(qmat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         qmat = qmat / norms
+    qmat = qmat.astype(dtype)
     qids = list(query_ids)
     neg = None
     if negative_vec is not None:
@@ -297,6 +309,7 @@ def knn_block(
         nn = np.linalg.norm(neg)
         if nn > 0:
             neg = neg / nn
+        neg = neg.astype(dtype)
 
     id_field = docs.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id_col} string, {id_col} {id_field}, {sim_col} double"
@@ -316,11 +329,13 @@ def knn_block(
             col = rb.column(1)
             flat = col.flatten()
             if flat.null_count == 0 and col.null_count == 0:
+                # float32 inputs + precision="float32": TRUE zero-copy
+                # (no dtype conversion at all)
                 mat = flat.to_numpy(zero_copy_only=False).reshape(n, -1).astype(
-                    np.float64, copy=False
+                    dtype, copy=False
                 )
             else:
-                mat = np.vstack(col.to_pylist()).astype(np.float64)
+                mat = np.vstack(col.to_pylist()).astype(dtype)
             ids = rb.column(0).to_numpy(zero_copy_only=False)
             if neg is not None:
                 keep = mat @ neg <= negative_threshold

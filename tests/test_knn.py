@@ -201,3 +201,31 @@ def test_dsl_where_without_surface_matches_nothing(spark):
         "q_contains array<string>, q_not_contains array<string>",
     )
     assert knn.knn_expr_filtered_dsl(docs, q2, 5).count() == 0
+
+
+def test_knn_block_float32_matches_float64_ids(spark):
+    """On well-separated data the float32 kernel returns the same
+    ids/ordering as the oracle-exact float64 mode; scores agree to
+    ~1e-6 relative; unknown precision rejects."""
+    import numpy as np
+    import pytest as _pytest
+
+    from chromem_go_spark.operators.knn import knn_block
+
+    rng = np.random.default_rng(21)
+    mat = rng.standard_normal((300, 64))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, v.astype(np.float32).tolist()) for i, v in enumerate(mat)],
+        "id long, embedding array<float>",
+    )
+    qs = [mat[0].tolist(), mat[7].tolist()]
+    r64 = knn_block(df, ["a", "b"], qs, 5, vec_col="embedding").collect()
+    r32 = knn_block(df, ["a", "b"], qs, 5, vec_col="embedding", precision="float32").collect()
+    assert [(r["query_id"], r["id"]) for r in r64] == [
+        (r["query_id"], r["id"]) for r in r32
+    ]
+    for a, b in zip(r64, r32):
+        assert abs(a["similarity"] - b["similarity"]) < 1e-5
+    with _pytest.raises(ValueError, match="precision"):
+        knn_block(df, ["a"], [qs[0]], 5, vec_col="embedding", precision="f16")
