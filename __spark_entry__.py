@@ -2218,9 +2218,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ranking_metrics (recall/MRR/nDCG@10, formulas replayed),
     ivf_sq_search (8-bit scalar-quantization tier, rerank == flat),
     pack_corpus (cross-doc sharded sequence packing), prf_search
-    (RM3-style expansion, both passes replayed), plus
-    list_ids/count_documents swapped out of the canonical window
-    (trivial projections, still value-checked here)."""
+    (RM3-style expansion, both passes replayed), cross_corpus_neardup
+    + cross_corpus_minhash (exact and LSH dedupe-crawl-vs-reference
+    joins, shared brute-force oracle), corpus_report (one-scan data
+    card, every statistic replayed), plus list_ids/count_documents
+    swapped out of the canonical window (trivial projections, still
+    value-checked here)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
