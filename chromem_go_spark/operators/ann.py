@@ -665,6 +665,106 @@ class IVFSQIndex:
             id_col = json.load(f)["id_col"]
         append_tombstones(spark, path, ids, id_col)
 
+    @classmethod
+    def append_batch(cls, batch_df: DataFrame, path: str, batch_id: int) -> None:
+        """Incremental SQ maintenance: assign + encode one micro-batch
+        with the SAVED index's frozen centroids and (mins, steps), add
+        it as partition ``__batch=<batch_id>`` of codes and vectors —
+        O(batch), replay-idempotent (the batch's own partitions are
+        dropped first).  Same frozen-quantizer drift caveat and rebuild
+        cadence as the IVF/PQ append paths."""
+        import json
+        import os
+
+        import pandas as pd
+
+        spark = batch_df.sparkSession
+        with open(os.path.join(path, "_sq_meta.json")) as f:
+            meta = json.load(f)
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        mins = np.asarray(meta["mins"], dtype=np.float64)
+        steps = np.asarray(meta["steps"], dtype=np.float64)
+        vec_col, id_col = meta["vec_col"], meta["id_col"]
+        assigned = _assign_clusters(
+            batch_df.select(id_col, vec_col), cents, vec_col
+        )
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        out_schema = f"{id_col} {id_type}, cluster_id int, codes binary"
+
+        def encode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                codes = np.clip(np.rint((mat - mins) / steps), 0, 255).astype(
+                    np.uint8
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cluster_id": pdf["cluster_id"],
+                        "codes": [c.tobytes() for c in codes],
+                    }
+                )
+
+        coded = assigned.select(id_col, "cluster_id", vec_col).mapInPandas(
+            encode, out_schema
+        )
+        codes_path = os.path.join(path, "codes")
+        vecs_path = os.path.join(path, "vectors")
+        drop_batch_partition(spark, codes_path, batch_id)
+        drop_batch_partition(spark, vecs_path, batch_id)
+        (
+            coded.withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("__batch", "cluster_id")
+            .parquet(codes_path)
+        )
+        (
+            batch_df.select(id_col, vec_col)
+            .withColumn("__batch", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("__batch")
+            .parquet(vecs_path)
+        )
+
+    @classmethod
+    def compact(
+        cls, spark: SparkSession, path: str, commit_mode: str = "rename"
+    ) -> None:
+        """Fold appended micro-batches into the base (codes + vectors)
+        and apply tombstones physically — identical protocol to the
+        IVF/PQ compacts; tombstones clear only after BOTH folds."""
+        import json
+        import os
+
+        with open(os.path.join(path, "_sq_meta.json")) as f:
+            id_col = json.load(f)["id_col"]
+        tombs = load_tombstones(spark, path, id_col)
+        xf = None if tombs is None else (
+            lambda df: apply_tombstones(df, tombs, id_col)
+        )
+        folded_codes = fold_batch_partitions(
+            spark,
+            os.path.join(path, "codes"),
+            ["__batch", "cluster_id"],
+            cls._BASE_BATCH,
+            commit_mode=commit_mode,
+            transform=xf,
+            force=tombs is not None,
+        )
+        folded_vecs = fold_batch_partitions(
+            spark,
+            os.path.join(path, "vectors"),
+            ["__batch"],
+            cls._BASE_BATCH,
+            commit_mode=commit_mode,
+            transform=xf,
+            force=tombs is not None,
+        )
+        if tombs is not None and folded_codes and folded_vecs:
+            clear_tombstones(spark, path)
+
     def probe_clusters(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
         q = np.asarray(query_vec, dtype=np.float64)
         nrm = np.linalg.norm(q)

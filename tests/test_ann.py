@@ -613,3 +613,47 @@ def test_ivf_sq_save_load_roundtrip(spark, emb, tmp_path):
         for r in reloaded.search_batch(["6"], [q], 5, nprobe=4, rerank=100).collect()
     ]
     assert top_id not in after and len(after) == 5
+
+
+def test_ivf_sq_append_replay_compact(spark, emb, tmp_path):
+    """SQ ingest lifecycle: build on half, append the rest in 3
+    micro-batches (one redelivered), compact, then a tombstone delete
+    applied physically at the second compact. Search equals the
+    flat-filtered truth at every stage."""
+    import os
+
+    path = str(tmp_path / "sq_life")
+    base = emb.filter(F.col("vec_id") % 4 == 3)
+    A.IVFSQIndex.build(base, n_clusters=4, vec_col="embedding", id_col="vec_id").save(path)
+    for bid in range(3):
+        b = emb.filter(F.col("vec_id") % 4 == bid)
+        A.IVFSQIndex.append_batch(b, path, bid)
+        if bid == 1:  # redelivery replaces its own partition
+            A.IVFSQIndex.append_batch(b, path, bid)
+    A.IVFSQIndex.compact(spark, path)
+    idx = A.IVFSQIndex.load(spark, path)
+    assert idx.coded.count() == emb.count()  # no loss, no duplicates
+    q = _qvec(emb, 9)
+    got = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in idx.search_batch(["9"], [q], 5, nprobe=4, rerank=200).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["similarity"], 5))
+        for r in K.knn_single(emb, q, 5, vec_col="embedding", id_col="vec_id").collect()
+    ]
+    assert got == want
+    # tombstone + compact: physically gone from both tables
+    victim = got[0][0]
+    A.IVFSQIndex.delete_ids(spark, path, [victim])
+    A.IVFSQIndex.compact(spark, path)
+    reloaded = A.IVFSQIndex.load(spark, path)
+    assert reloaded.coded.filter(F.col("vec_id") == victim).count() == 0
+    assert not os.path.exists(os.path.join(path, "_tombstones")) or not os.listdir(
+        os.path.join(path, "_tombstones")
+    )
+    after = [
+        r["vec_id"]
+        for r in reloaded.search_batch(["9"], [q], 5, nprobe=4, rerank=200).collect()
+    ]
+    assert victim not in after and len(after) == 5
