@@ -2091,6 +2091,45 @@ FROM base
 """
 
 
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup clustering: within-label cosine pairs ->
+    connected components -> one cluster_rep per vector (the embedding
+    modality's dedup_clusters).  Oracle = the pair SQL + the
+    recursive-CTE components replay."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.semantic_dedup_clusters(
+        emb, threshold=0.4, cluster_col="label",
+        vec_col="embedding", id_col="vec_id",
+    )
+
+
+_SEMANTIC_CLUSTERS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+),
+reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS cluster_rep
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -2277,6 +2316,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_neardup": q_cross_corpus_neardup,
         "cross_corpus_minhash": q_cross_corpus_minhash,
         "corpus_report": q_corpus_report,
+        "semantic_clusters": q_semantic_clusters,
     }
 
 
@@ -2602,6 +2642,7 @@ LIMIT 10
         "cross_corpus_neardup": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
         "cross_corpus_minhash": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
         "corpus_report": _CORPUS_REPORT_SQL,
+        "semantic_clusters": _SEMANTIC_CLUSTERS_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3756,6 +3797,7 @@ _EXTRA_KEYS = frozenset(
         "cross_corpus_neardup",
         "cross_corpus_minhash",
         "corpus_report",
+        "semantic_clusters",
     }
 )
 

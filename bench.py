@@ -161,6 +161,7 @@ def main() -> None:
         "cross_corpus_neardup",
         "cross_corpus_minhash",
         "corpus_report",
+        "semantic_clusters",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -1364,3 +1364,64 @@ def cross_corpus_minhash_pairs(
             "jaccard",
         )
     )
+
+
+def semantic_dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    cluster_col: str | None = None,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Semantic near-dup CLUSTERING: within-cluster cosine pairs (the
+    SemDeDup candidate graph) resolved to connected components — one
+    ``cluster_rep`` per item, the same contract as
+    :func:`dedup_clusters` for the embedding modality.  Group-level
+    retention policies (keep-best, keep-centroid-closest) then apply
+    over the components instead of the non-transitive pairwise rule.
+
+    ``cluster_col`` names a precomputed assignment (SQL-replayable
+    path); with ``None`` the spherical k-means quantizer assigns
+    (:func:`semantic_dedup`'s path).  Scale: the pair graph is the
+    bucketed within-cluster join; components run in O(log n) rounds
+    over pair rows only."""
+    if cluster_col is None:
+        from . import ann
+
+        assigned = ann.cluster_embeddings(
+            df.select(id_col, vec_col),
+            n_clusters=n_clusters, vec_col=vec_col, id_col=id_col, seed=seed,
+        ).join(df.select(id_col, vec_col), id_col)
+        cluster_col = "cluster_id"
+    else:
+        assigned = df.select(id_col, cluster_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(cluster_col).alias("__c"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(cluster_col).alias("__c"),
+        F.col(vec_col).alias("vb"),
+    )
+    pairs = (
+        a.join(b, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(V.cosine_similarity("va", "vb") >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    cc = (
+        connected_components_star(pairs)
+        if algorithm == "star"
+        else connected_components(pairs)
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_rep"),
+        )
+    )

@@ -657,3 +657,34 @@ def test_cross_corpus_minhash_finds_exact_pairs(spark, sf_dir):
         for r in cross_corpus_neardup_pairs(new, ref, threshold=0.5).collect()
     }
     assert lsh == exact and exact
+
+
+def test_semantic_dedup_clusters_transitive(spark):
+    """Chain a~b~c (a!~c) resolves to ONE component — the transitive
+    upgrade of the pairwise semantic_prune rule; singleton keeps its
+    own id as rep; the k-means path produces the same reps as the
+    precomputed-cluster path when the assignment agrees."""
+    from chromem_go_spark.operators.dedup import semantic_dedup_clusters
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.96, 0.28]),     # ~ 1 and ~ 3
+        (3, 0, [0.85, 0.53]),     # ~ 2, NOT ~ 1 at 0.95
+        (9, 1, [0.0, 1.0]),       # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cluster_id int, embedding array<double>")
+    out = {
+        r["vec_id"]: r["cluster_rep"]
+        for r in semantic_dedup_clusters(
+            df, threshold=0.95, cluster_col="cluster_id"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 9: 9}
+    # star algorithm agrees
+    out_star = {
+        r["vec_id"]: r["cluster_rep"]
+        for r in semantic_dedup_clusters(
+            df, threshold=0.95, cluster_col="cluster_id", algorithm="star"
+        ).collect()
+    }
+    assert out_star == out
