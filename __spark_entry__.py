@@ -2130,6 +2130,22 @@ FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
 """
 
 
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap (ISO dow) — one map-side
+    aggregation; oracle replays the dow/hour bucketing in UTC."""
+    return EV.activity_heatmap(_events(spark, sf_dir))
+
+
+_HEATMAP_SQL = """
+SELECT CAST(isodow(ts) AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -2317,6 +2333,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_minhash": q_cross_corpus_minhash,
         "corpus_report": q_corpus_report,
         "semantic_clusters": q_semantic_clusters,
+        "events_heatmap": q_events_heatmap,
     }
 
 
@@ -2643,6 +2660,7 @@ LIMIT 10
         "cross_corpus_minhash": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
         "corpus_report": _CORPUS_REPORT_SQL,
         "semantic_clusters": _SEMANTIC_CLUSTERS_SQL,
+        "events_heatmap": _HEATMAP_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3798,6 +3816,7 @@ _EXTRA_KEYS = frozenset(
         "cross_corpus_minhash",
         "corpus_report",
         "semantic_clusters",
+        "events_heatmap",
     }
 )
 

@@ -162,6 +162,7 @@ def main() -> None:
         "cross_corpus_minhash",
         "corpus_report",
         "semantic_clusters",
+        "events_heatmap",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

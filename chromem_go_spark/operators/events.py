@@ -560,3 +560,30 @@ def top_session_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(int(top_n))
     )
+
+
+def activity_heatmap(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap: (dow, hour, n,
+    n_types) — the standard load-shape rollup dashboards draw.  One
+    map-side-combined aggregation; dow is ISO-style 1=Monday..7=Sunday
+    (computed from Spark's Sunday-first dayofweek so the SQL replay is
+    unambiguous across engines)."""
+    ev = to_instant(events, ts_col)
+    # Spark dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday
+    iso_dow = F.when(F.dayofweek(ts_col) == 1, 7).otherwise(
+        F.dayofweek(ts_col) - 1
+    )
+    return (
+        ev.groupBy(
+            iso_dow.cast("int").alias("dow"),
+            F.hour(ts_col).cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct(type_col).cast("bigint").alias("n_types"),
+        )
+    )

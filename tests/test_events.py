@@ -396,3 +396,20 @@ def test_top_session_paths_orders_and_truncates(spark):
     assert got["a>b>c>d>e"] == 1          # truncated at 5 steps
     assert got["z"] == 1                  # the late return is its own session
     assert out[0]["path"] == "a>b>c"
+
+
+def test_activity_heatmap_iso_dow(spark):
+    """Known timestamps: 2026-01-05 is a Monday (ISO dow 1),
+    2026-01-11 a Sunday (ISO dow 7)."""
+    from chromem_go_spark.operators.events import activity_heatmap
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2026-01-05 09:15:00", "a", 1.0, 1),
+            (2, "2026-01-05 09:45:00", "b", 1.0, 1),
+            (3, "2026-01-11 23:05:00", "a", 1.0, 1),
+        ],
+        "event_id long, ts string, event_type string, value double, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["dow"], r["hour"]): (r["n"], r["n_types"]) for r in activity_heatmap(ev).collect()}
+    assert out == {(1, 9): (2, 2), (7, 23): (1, 1)}
