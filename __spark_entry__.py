@@ -2276,9 +2276,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (RM3-style expansion, both passes replayed), cross_corpus_neardup
     + cross_corpus_minhash (exact and LSH dedupe-crawl-vs-reference
     joins, shared brute-force oracle), corpus_report (one-scan data
-    card, every statistic replayed), plus list_ids/count_documents
-    swapped out of the canonical window (trivial projections, still
-    value-checked here)."""
+    card, every statistic replayed), semantic_clusters (transitive
+    semantic components, recursive-CTE replay), events_heatmap (ISO
+    dow x hour load shape), plus list_ids/count_documents swapped out
+    of the canonical window (trivial projections, still value-checked
+    here)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
