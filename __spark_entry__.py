@@ -2146,6 +2146,30 @@ GROUP BY 1, 2
 """
 
 
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from the portable md5
+    id hash (pipeline.split_corpus) — oracle replays the hash buckets
+    and cumulative thresholds."""
+    from chromem_go_spark.pipeline import split_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_corpus(docs, {"train": 0.9, "validation": 0.05, "test": 0.05})
+
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN hf < 0.9 THEN 'train'
+            WHEN hf < 0.95 THEN 'validation'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         (('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000) / 1000000.0 AS hf
+  FROM documents
+)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch kNN (8 queries x corpus, block-matrix kernel) at
     sf0.001."""
@@ -2336,6 +2360,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "semantic_clusters": q_semantic_clusters,
         "events_heatmap": q_events_heatmap,
+        "split_corpus": q_split_corpus,
     }
 
 
@@ -2663,6 +2688,7 @@ LIMIT 10
         "corpus_report": _CORPUS_REPORT_SQL,
         "semantic_clusters": _SEMANTIC_CLUSTERS_SQL,
         "events_heatmap": _HEATMAP_SQL,
+        "split_corpus": _SPLIT_SQL,
         "delete_by_filter": (
             "SELECT doc_id FROM documents WHERE NOT (lang = 'de' AND contains(text, 'join'))"
         ),
@@ -3819,6 +3845,7 @@ _EXTRA_KEYS = frozenset(
         "corpus_report",
         "semantic_clusters",
         "events_heatmap",
+        "split_corpus",
     }
 )
 

@@ -163,6 +163,7 @@ def main() -> None:
         "corpus_report",
         "semantic_clusters",
         "events_heatmap",
+        "split_corpus",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

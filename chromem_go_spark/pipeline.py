@@ -1081,3 +1081,42 @@ def corpus_report(
             F.when(T.pii_email_count(text_col) > 0, 1).otherwise(0)
         ).cast("bigint").alias("pii_email_docs"),
     )
+
+
+def split_corpus(
+    docs: DataFrame,
+    fractions: "dict[str, float]" = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: every document
+    gets a split label from the portable md5 hash of its id — stable
+    across runs, engines, and corpus growth (an id keeps its split
+    forever; no RNG state, no global shuffle, pure codegen filter
+    semantics).
+
+    ``fractions`` maps split name -> fraction (must sum to <= 1;
+    remainder falls into the LAST split listed).  Default:
+    train 0.98 / validation 0.01 / test 0.01.  Returns
+    (id_col, split).  Pair with :func:`decontaminate` /
+    ``semantic_decontaminate`` to keep eval splits leakage-free."""
+    if fractions is None:
+        fractions = {"train": 0.98, "validation": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    h = (
+        T.md5_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        % 1_000_000
+    ) / 1_000_000.0
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    bounds = []
+    for name in names:
+        cum += float(fractions[name])
+        bounds.append((name, cum))
+    for name, ub in reversed(bounds[:-1]):
+        expr = F.when(h < F.lit(ub), F.lit(name)).otherwise(expr)
+    # ids hashing past the total stay in the last split (the remainder)
+    return docs.select(id_col, expr.alias("split"))

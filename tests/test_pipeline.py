@@ -697,3 +697,27 @@ def test_corpus_report_known_corpus(spark):
     assert r["n_langs"] >= 2                 # en + und at least
     assert 0.0 <= r["gopher_pass_rate"] <= 1.0
     assert r["total_tokens"] > 0
+
+
+def test_split_corpus_stable_and_partitioned(spark, sf_dir):
+    """Every doc gets exactly one split; assignments are stable under
+    corpus growth (a doc keeps its split when new docs arrive) and
+    roughly proportional; fractions > 1 reject."""
+    import pytest as _pytest
+
+    from chromem_go_spark.pipeline import split_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {r["doc_id"]: r["split"] for r in split_corpus(docs).collect()}
+    assert len(out) == docs.count()
+    n = len(out)
+    n_train = sum(1 for s in out.values() if s == "train")
+    assert n_train / n > 0.9  # 0.98 target, small-sample slack
+    # stability: the half-corpus assignment agrees with the full one
+    half = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs.filter("doc_id % 2 = 0")).collect()
+    }
+    assert all(out[k] == v for k, v in half.items())
+    with _pytest.raises(ValueError, match="fractions"):
+        split_corpus(docs, {"a": 0.9, "b": 0.2}).collect()
