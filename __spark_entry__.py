@@ -1010,8 +1010,12 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus map: spherical k-means over the embedding column (the IVF
     coarse quantizer as an analytics operator), per-cluster size +
     cohesion (ann.cluster_summary).  Deterministic (seeded k-means++,
-    hash-spread sample) but iterative, so no SQL oracle — rows-only by
-    design; pytest covers blob recovery and determinism."""
+    order-stable hash-spread sample).  Training is iterative (no SQL
+    form) but the ASSIGNMENT pass is not: the oracle retrains the
+    identical centroid matrix Spark-free
+    (ann.train_cluster_centroids_local — bit-identical on the same
+    rows), embeds it as a SQL literal, and replays argmax + the
+    summary aggregation — value-checked since r7."""
     emb = _t(spark, sf_dir, "embeddings")
     return ANN.cluster_summary(emb, n_clusters=8)
 
@@ -1325,8 +1329,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster replay the oracle can re-run in plain SQL (a
     self-join on label + cosine + the min-id keep rule).  The k-means
     assignment path of the same operator is
-    :func:`q_semantic_dedup_kmeans` (rows-only, like
-    embedding_clusters: iterative training isn't SQL)."""
+    :func:`q_semantic_dedup_kmeans` (value-checked since r7 via the
+    literal-centroid replay)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = D.semantic_prune(
         emb, threshold=0.4, cluster_col="label", vec_col="embedding",
@@ -1340,9 +1344,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full SemDeDup: spherical k-means clusters (GEMM-argmax Arrow
     pass) + within-cluster cosine prune keeping the centroid-closest
-    member.  Rows-only (iterative k-means has no SQL replay); the
-    pruning semantics are value-checked via q_semantic_dedup and the
-    invariant pytest (no kept pair within a cluster above threshold)."""
+    member.  Value-checked since r7: the oracle retrains the identical
+    centroid matrix Spark-free (bit-identical order-stable sample),
+    embeds it as a SQL literal, and replays assignment + the
+    centroid-closest prune in DuckDB (_semantic_dedup_kmeans_sql);
+    the invariant pytest (no kept pair within a cluster above
+    threshold) still covers the semantics independently."""
     emb = _t(spark, sf_dir, "embeddings")
     out = D.semantic_dedup(emb, threshold=0.4, n_clusters=8)
     return out.select(
@@ -1998,9 +2005,13 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
 
 def q_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH twin of cross_corpus_neardup — the 100 TB path.
-    Shares the exact oracle: the surviving cross pairs at sf0.01 all
-    have J >= 0.93, where the 16x4 banding's collision probability is
-    ~1.0 (same exact-twin pattern as minhash_lsh/embedding_neardup_lsh)."""
+    Shares the exact oracle: LSH verifies candidates with exact
+    Jaccard so it can only MISS pairs, and every surviving cross pair
+    in testdata has analytic miss probability (1-J^4)^16 < 1e-6
+    (guarded by tests/test_dedup.py::
+    test_cross_corpus_no_pair_in_lsh_miss_band, which fails loudly if
+    a regenerated corpus introduces a missable pair — same exact-twin
+    pattern as minhash_lsh/embedding_neardup_lsh)."""
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 7 == 0)
     ref = docs.filter(F.col("doc_id") % 7 != 0)
@@ -2283,7 +2294,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r6 additions: semantic_dedup (SemDeDup pruning, Abbas et al. 2023
     — label-cluster replay, value-checked) + semantic_dedup_kmeans
-    (the k-means assignment path, rows-only like embedding_clusters),
+    (the k-means assignment path; value-checked since r7 via the
+    literal-centroid replay, as is embedding_clusters),
     mmr_rerank (greedy MMR replayed by a DuckDB recursive CTE),
     quality_model_scores (fastText/DCLM-style hashed linear quality
     classifier, logit replayed in SQL), dsir_scores (DSIR importance
@@ -2440,6 +2452,88 @@ SELECT e.vec_id, e.label AS cluster_id,
        e.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
 FROM embeddings e
 """
+
+
+def _kmeans_assign_cte(n_clusters: int = 8, seed: int = 42) -> str:
+    """Shared CTE chain replaying the spherical k-means ASSIGNMENT pass
+    in DuckDB: the trained centroid matrix embedded as a VALUES literal
+    (full repr precision — the same float64s the Spark GEMM kernel
+    closes over), argmax by (sim DESC, cid ASC) matching np.argmax's
+    first-max tie rule.
+
+    Training is iterative and has no SQL form, so the matrix comes
+    from ann.train_cluster_centroids_local — the Spark-free twin of
+    the trainer the query functions run (order-stable sample =>
+    bit-identical centroids).  The parquet read defaults to the
+    driver's fixed compare scale (sf0.01); tools/selfcheck.py points
+    SPARK_GRAFT_ORACLE_SF_DIR elsewhere for cross-sf checks."""
+    import os
+
+    from chromem_go_spark.operators.ann import train_cluster_centroids_local
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cents = train_cluster_centroids_local(
+        f"{sf_dir}/embeddings.parquet", n_clusters=n_clusters, seed=seed
+    )
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents.tolist())
+    )
+    return f"""
+cents AS (SELECT * FROM (VALUES
+    {rows}
+) AS t(cid, cv)),
+assign AS (
+  SELECT vec_id, cid AS cluster_id, sim FROM (
+    SELECT e.vec_id, c.cid,
+           list_dot_product(e.embedding::DOUBLE[], c.cv)
+             / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS sim,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                        / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) DESC,
+                      c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+
+
+def _embedding_clusters_sql() -> str:
+    """SQL twin of q_embedding_clusters: literal-centroid assignment
+    replay + the cluster_summary aggregation."""
+    return f"""
+WITH {_kmeans_assign_cte()}
+SELECT cluster_id, COUNT(*) AS n, ROUND(AVG(sim), 4) AS mean_sim
+FROM assign GROUP BY cluster_id
+"""
+
+
+def _semantic_dedup_kmeans_sql() -> str:
+    """SQL twin of q_semantic_dedup_kmeans: literal-centroid assignment
+    + the centroid_closest prune rule (x preferred over y iff higher
+    centroid_sim, ties to the smaller id) at threshold 0.4, with the
+    proven dot/(|a||b|) cosine form from _SEMANTIC_DEDUP_SQL."""
+    return f"""
+WITH {_kmeans_assign_cte()},
+losers AS (
+  SELECT DISTINCT y.vec_id
+  FROM assign x JOIN assign y
+    ON x.cluster_id = y.cluster_id
+   AND (x.sim > y.sim OR (x.sim = y.sim AND x.vec_id < y.vec_id))
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_dot_product(ex.embedding::DOUBLE[], ey.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(ex.embedding::DOUBLE[], ex.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(ey.embedding::DOUBLE[], ey.embedding::DOUBLE[]))) >= 0.4
+)
+SELECT a.vec_id, a.cluster_id, ROUND(a.sim, 4) AS centroid_sim,
+       a.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
+FROM assign a
+"""
+
 
 # Greedy MMR replay (Carbonell & Goldstein 1998): the recursive CTE
 # carries the chosen set (ids + normalized vectors) one pick per
@@ -2671,6 +2765,8 @@ LIMIT 10
         "list_ids": "SELECT doc_id FROM documents",
         "count_documents": "SELECT COUNT(*) AS n FROM documents",
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "semantic_dedup_kmeans": _semantic_dedup_kmeans_sql(),
+        "embedding_clusters": _embedding_clusters_sql(),
         "mmr_rerank": _MMR_SQL,
         "quality_model_scores": _quality_model_sql(),
         "dsir_scores": _DSIR_SQL,
@@ -3811,7 +3907,7 @@ _EXTRA_KEYS = frozenset(
         "events_interval_join",
         "containment",
         "tfidf_topk",
-        "embedding_clusters",  # no oracle (iterative k-means) — rows-only
+        "embedding_clusters",  # r7: value-checked (literal-centroid replay)
         "weighted_sample",
         "pmi_collocations",
         "video_neardup",
@@ -3826,7 +3922,7 @@ _EXTRA_KEYS = frozenset(
         "list_ids",
         "count_documents",
         "semantic_dedup",
-        "semantic_dedup_kmeans",  # no oracle (iterative k-means) — rows-only
+        "semantic_dedup_kmeans",  # r7: value-checked (literal-centroid replay)
         "mmr_rerank",
         "quality_model_scores",
         "dsir_scores",

@@ -452,8 +452,16 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    # BENCH_DETAIL.json doubles as the trailing-median pin store for the
+    # driver's sf0.1 runs — a local run at another sf must not clobber it
+    # (sf0.001 timings would drag every median down and mass-trigger the
+    # 3x auto-pin on the next real run).  Off-default sfs get their own
+    # side file.
+    detail_name = (
+        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
@@ -499,7 +507,9 @@ def _trailing_medians() -> dict[str, float]:
     p = os.path.join(here, "BENCH_DETAIL.json")
     if os.path.exists(p):
         try:
-            feed(json.load(open(p)).get("queries", {}))
+            data = json.load(open(p))
+            if data.get("sf") == 0.1:  # medians are sf0.1-only
+                feed(data.get("queries", {}))
         except Exception:  # noqa: BLE001
             pass
     return {k: statistics.median(v) for k, v in series.items() if v}

@@ -608,15 +608,19 @@ class Collection:
             raise ValueError(E.ERR_NRESULTS_POSITIVE)
         if index is None:
             index = self.build_ann_index(**index_kwargs)
-        from .operators.ann import IVFPQIndex
+        from .operators.ann import IVFIndex, IVFPQIndex
 
         if where:
             from .operators.filters import where_predicate
 
-            if isinstance(index, IVFPQIndex):
+            # Only the flat IVF tier carries full vectors + metadata into
+            # the probed partitions; PQ/SQ candidates carry codes only, so
+            # reject ANY non-flat index with the descriptive error (not
+            # an AttributeError on a missing search_filtered).
+            if not isinstance(index, IVFIndex):
                 raise ValueError(
                     "filtered ANN search requires the IVF (flat) index; "
-                    "PQ candidates carry codes only"
+                    "quantized (PQ/SQ) candidates carry codes only"
                 )
             return index.search_filtered(
                 list(query_embedding), int(n_results), nprobe=nprobe,

@@ -462,8 +462,13 @@ class IVFPQIndex:
                 if col.null_count == 0 and np.all(np.diff(offs) == mcount):
                     data = np.frombuffer(bufs[2], dtype=np.uint8)
                     codes = data[offs[0] : offs[-1]].reshape(n, mcount)
-                else:  # ragged/null rows — correctness fallback
-                    blob = b"".join(col.to_pylist())
+                else:  # ragged rows — correctness fallback
+                    vals = col.to_pylist()
+                    if any(v is None for v in vals):
+                        raise ValueError(
+                            "NULL code row in PQ codes table (corrupt index)"
+                        )
+                    blob = b"".join(vals)
                     codes = np.frombuffer(blob, dtype=np.uint8).reshape(
                         n, mcount
                     )
@@ -818,8 +823,13 @@ class IVFSQIndex:
                 if col.null_count == 0 and np.all(np.diff(offs) == dim):
                     data = np.frombuffer(bufs[2], dtype=np.uint8)
                     codes = data[offs[0] : offs[-1]].reshape(n, dim)
-                else:
-                    blob = b"".join(col.to_pylist())
+                else:  # ragged rows — correctness fallback
+                    vals = col.to_pylist()
+                    if any(v is None for v in vals):
+                        raise ValueError(
+                            "NULL code row in SQ codes table (corrupt index)"
+                        )
+                    blob = b"".join(vals)
                     codes = np.frombuffer(blob, dtype=np.uint8).reshape(n, dim)
                 scores = codes @ qs.T + consts  # (n, nq)
                 take = min(rr, n)
@@ -1362,6 +1372,86 @@ def clear_tombstones(spark: SparkSession, path: str) -> None:
 # ------------------------------------------------------------------
 
 
+def _ordered_sample(
+    df: DataFrame, vec_col: str, id_col: str, sample_size: int
+) -> np.ndarray:
+    """:func:`_hash_sample` with a DRIVER-SIDE sort by id after the
+    bounded collect: the training sample no longer depends on Spark's
+    partition/collect order, so a quantizer retrained on the same rows
+    is bit-identical regardless of file splits, cluster layout, or a
+    storage rewrite — and a Spark-free twin
+    (:func:`train_cluster_centroids_local`) can reproduce it exactly
+    for the DuckDB oracle replay.  The sort is over <= sample_size
+    collected rows — driver-bounded, never a cluster sort."""
+    n_rows = df.count()
+    cand = df
+    if n_rows > sample_size:
+        p = max(1, int(997 * sample_size / n_rows))
+        cand = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(997)) < p
+        )
+    rows = cand.select(id_col, vec_col).limit(sample_size).collect()
+    rows.sort(key=lambda r: r[0])
+    return np.asarray([r[1] for r in rows], dtype=np.float64)
+
+
+def train_cluster_centroids(
+    df: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_size: int = 50_000,
+) -> np.ndarray:
+    """Train the spherical k-means centroid matrix (n_clusters x dim,
+    L2-normalized rows) on the order-stable hash-spread sample.  The
+    trained matrix is a MODEL ARTIFACT: inject it back into
+    :func:`cluster_embeddings` (and the SemDeDup operators) via their
+    ``centroids=`` parameter to decouple training from assignment —
+    the pattern that lets the assignment pass be replayed in plain SQL
+    with the matrix as a literal."""
+    sample = _ordered_sample(df, vec_col, id_col, sample_size)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return _kmeans(sample / norms, n_clusters, seed)
+
+
+def train_cluster_centroids_local(
+    parquet_path: str,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_size: int = 50_000,
+) -> np.ndarray:
+    """Spark-free twin of :func:`train_cluster_centroids`: read the
+    same parquet with pyarrow, apply the same sort-by-id sample rule,
+    run the same seeded trainer — bit-identical centroids, no JVM.
+    This is what the oracle generator calls so the DuckDB replay of
+    the assignment pass scores against the exact matrix the Spark
+    query trained.
+
+    Only the n_rows <= sample_size regime is supported (the hash-
+    spread filter uses Spark's xxhash64, which has no local twin);
+    every test scale factor is far below the default 50k cap."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    if t.num_rows > sample_size:
+        raise NotImplementedError(
+            f"{parquet_path}: {t.num_rows} rows > sample_size="
+            f"{sample_size}; the xxhash64 spread filter has no "
+            "Spark-free twin — train with train_cluster_centroids"
+        )
+    ids = t[id_col].to_pylist()
+    vecs = t[vec_col].to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    sample = np.asarray([vecs[i] for i in order], dtype=np.float64)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return _kmeans(sample / norms, n_clusters, seed)
+
+
 def cluster_embeddings(
     df: DataFrame,
     n_clusters: int = 8,
@@ -1369,21 +1459,32 @@ def cluster_embeddings(
     id_col: str = "vec_id",
     seed: int = 42,
     sample_size: int = 50_000,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Assign every row to its nearest spherical k-means centroid.
 
-    Deterministic (k-means++ seeded, hash-spread training sample).
-    Returns the input columns minus the vector, plus ``cluster_id`` and
-    ``centroid_sim`` (cosine of the row to its centroid — a cluster
-    cohesion signal).  The corpus is never shuffled: assignment is one
-    mapInPandas GEMM per Arrow batch against the broadcast-by-closure
-    centroid matrix."""
+    Deterministic (k-means++ seeded, order-stable hash-spread training
+    sample).  Returns the input columns minus the vector, plus
+    ``cluster_id`` and ``centroid_sim`` (cosine of the row to its
+    centroid — a cluster cohesion signal).  The corpus is never
+    shuffled: assignment is one mapInPandas GEMM per Arrow batch
+    against the broadcast-by-closure centroid matrix.
+
+    ``centroids`` injects a pre-trained matrix
+    (:func:`train_cluster_centroids`), skipping the sample+train step —
+    assignment against a frozen model is then a pure function of the
+    input, exactly replayable in SQL (the oracle path), and at scale
+    the natural shape anyway: train once on a bounded sample, assign
+    in every downstream job."""
     import pandas as pd  # noqa: F401
 
-    sample = _hash_sample(df, vec_col, id_col, sample_size)
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cents = _kmeans(sample / norms, n_clusters, seed)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_cluster_centroids(
+            df, n_clusters, vec_col, id_col, seed, sample_size
+        )
+    )
 
     keep = [f.name for f in df.schema.fields if f.name != vec_col]
     fields = ", ".join(
@@ -1417,12 +1518,15 @@ def cluster_summary(
     id_col: str = "vec_id",
     seed: int = 42,
     sample_size: int = 50_000,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Per-cluster corpus map: (cluster_id, n, mean_sim) — size and
     cohesion of each spherical k-means cluster.  One aggregation over
-    the assignment pass."""
+    the assignment pass.  ``centroids`` as in
+    :func:`cluster_embeddings`."""
     assigned = cluster_embeddings(
-        df, n_clusters, vec_col, id_col, seed, sample_size
+        df, n_clusters, vec_col, id_col, seed, sample_size,
+        centroids=centroids,
     )
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n"),

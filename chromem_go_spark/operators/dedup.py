@@ -1169,11 +1169,16 @@ def semantic_dedup(
     id_col: str = "vec_id",
     seed: int = 42,
     keep: str = "centroid_closest",
+    centroids=None,
 ) -> DataFrame:
     """Full SemDeDup: spherical k-means cluster assignment
     (:func:`..ann.cluster_embeddings` — GEMM-argmax mapInPandas, corpus
     never shuffled) followed by :func:`semantic_prune` within clusters.
     Returns ``(id_col, cluster_id, centroid_sim, kept)``.
+
+    ``centroids`` injects a pre-trained matrix
+    (:func:`..ann.train_cluster_centroids`) so assignment+prune is a
+    pure function of the input — the SQL-replayable oracle path.
 
     At 100 TB: assignment is one Arrow pass against broadcast
     centroids; the prune is one shuffle on ``cluster_id`` with
@@ -1187,6 +1192,7 @@ def semantic_dedup(
         vec_col=vec_col,
         id_col=id_col,
         seed=seed,
+        centroids=centroids,
     )
     withvec = assigned.join(df.select(id_col, vec_col), id_col)
     pruned = semantic_prune(

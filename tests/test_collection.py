@@ -520,6 +520,15 @@ def test_query_embedding_ann_with_where_filter(spark):
     pq_idx = c.build_ann_index(n_clusters=2, pq=True, m=16)
     with _pytest.raises(ValueError, match="filtered ANN"):
         c.query_embedding_ann(qv, 3, index=pq_idx, where={"lang": "en"})
+    # SQ must hit the same descriptive error, not an AttributeError on
+    # a missing search_filtered (the isinstance guard is IVFIndex-only).
+    from chromem_go_spark.operators.ann import IVFSQIndex
+
+    sq_idx = IVFSQIndex.build(
+        c.df, n_clusters=2, vec_col="embedding", id_col="id"
+    )
+    with _pytest.raises(ValueError, match="filtered ANN"):
+        c.query_embedding_ann(qv, 3, index=sq_idx, where={"lang": "en"})
 
 
 def test_query_prf(spark):

@@ -659,6 +659,51 @@ def test_cross_corpus_minhash_finds_exact_pairs(spark, sf_dir):
     assert lsh == exact and exact
 
 
+def test_cross_corpus_no_pair_in_lsh_miss_band(spark, sf_dir):
+    """Guard for the shared exact-twin oracle: the registry's
+    cross_corpus_minhash entry reuses the brute-force Jaccard SQL,
+    which is sound only while every surviving cross pair (registry
+    split: doc_id % 7) sits where the 16x4 banding's collision
+    probability is effectively 1 — LSH verifies candidates with exact
+    Jaccard, so its only failure mode is MISSING a pair.  Assert the
+    analytic per-pair miss probability (1 - J^rows)^bands stays below
+    1e-6 for every exact-path pair, so a regenerated/grown testdata
+    corpus that introduces a genuinely missable pair fails HERE
+    (loudly, in CI) rather than as a flaky driver hash-mismatch.
+    Checked at the test sf and at sf0.01 (the driver's compare scale)
+    when present."""
+    import os
+
+    from chromem_go_spark.operators.dedup import cross_corpus_neardup_pairs
+
+    bands, rows = 16, 4  # cross_corpus_minhash_pairs defaults (64 hashes)
+    dirs = {sf_dir}
+    if os.path.isdir("/root/testdata/sf0.01"):
+        dirs.add("/root/testdata/sf0.01")
+    for d in sorted(dirs):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        new = docs.filter(F.col("doc_id") % 7 == 0)
+        ref = docs.filter(F.col("doc_id") % 7 != 0)
+        sims = [
+            r["jaccard"]
+            for r in cross_corpus_neardup_pairs(
+                new, ref, threshold=0.5
+            ).collect()
+        ]
+        assert sims, f"{d}: expected at least one cross pair"
+        missable = {
+            j: (1.0 - j**rows) ** bands
+            for j in sims
+            if (1.0 - j**rows) ** bands >= 1e-6
+        }
+        assert not missable, (
+            f"{d}: cross pairs with non-negligible LSH miss "
+            f"probability {missable} — the shared exact oracle for "
+            "cross_corpus_minhash is no longer collision-safe; switch "
+            "that entry to a banding-aware oracle threshold"
+        )
+
+
 def test_semantic_dedup_clusters_transitive(spark):
     """Chain a~b~c (a!~c) resolves to ONE component — the transitive
     upgrade of the pairwise semantic_prune rule; singleton keeps its

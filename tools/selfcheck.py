@@ -24,6 +24,10 @@ TABLES = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # Data-dependent oracle literals (k-means centroids) must be trained
+    # on the SAME sf the queries run at; the driver never sets this var,
+    # so its compare keeps the sf0.01 default.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(sys.argv[1:])
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("selfcheck")
