@@ -25,6 +25,7 @@ from chromem_go_spark.operators import ann as ANN  # noqa: E402
 from chromem_go_spark.operators import dedup as D  # noqa: E402
 from chromem_go_spark.operators import events as EV  # noqa: E402
 from chromem_go_spark.operators import knn as K  # noqa: E402
+from chromem_go_spark.operators import textindex as TI  # noqa: E402
 from chromem_go_spark.operators.filters import combined_predicate  # noqa: E402
 
 
@@ -149,6 +150,23 @@ def q_where_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$contains (reference query.go:147-150)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.filter(F.col("text").contains("spark")).select("doc_id")
+
+
+def q_where_contains_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$contains via the token-gram posting-list index — the
+    reference's one roadmap item with no prior repo analog (reference
+    README.md:172: roaring-bitmap full-text pre-filter).  Candidate
+    ids come from a gram-intersection semi-join; the exact substring
+    verify runs over the pruned set only, so the oracle is the same
+    brute-force SQL as where_contains (identical semantics by
+    construction — the index can only shrink WHERE the verify runs,
+    never WHAT it returns)."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = TI.build_gram_index(docs, text_col="text", id_col="doc_id")
+    out = TI.where_contains_indexed(
+        docs, idx, "spark", text_col="text", id_col="doc_id"
+    )
+    return out.select("doc_id")
 
 
 def q_where_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2373,6 +2391,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "events_heatmap": q_events_heatmap,
         "split_corpus": q_split_corpus,
+        "where_contains_indexed": q_where_contains_indexed,
     }
 
 
@@ -2756,6 +2775,9 @@ LIMIT 10
         "ivf_sq_search": _KNN_TOPK_SQL.format(q=_NORM_Q.format(vid=4)),
         "where_eq": "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
         "where_contains": "SELECT doc_id FROM documents WHERE contains(text, 'spark')",
+        # The gram index only prunes WHERE the exact verify runs —
+        # same result set by construction, same oracle.
+        "where_contains_indexed": "SELECT doc_id FROM documents WHERE contains(text, 'spark')",
         "where_not_contains": (
             "SELECT doc_id FROM documents WHERE lang = 'de' AND NOT contains(text, 'join')"
         ),
@@ -3942,6 +3964,7 @@ _EXTRA_KEYS = frozenset(
         "semantic_clusters",
         "events_heatmap",
         "split_corpus",
+        "where_contains_indexed",  # r7: gram-index $contains, shared oracle
     }
 )
 

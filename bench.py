@@ -54,6 +54,7 @@ def main() -> None:
     # Pins the in-run vs isolated gap BENCHNOTES attributes to session
     # load as recorded data each round.
     errors: dict[str, str] = {}
+    detail_funnel: dict | None = None
     iso_time: float | None = None
     try:
         r = subprocess.run(
@@ -164,6 +165,7 @@ def main() -> None:
         "semantic_clusters",
         "events_heatmap",
         "split_corpus",
+        "where_contains_indexed",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying
@@ -301,6 +303,70 @@ def main() -> None:
         )
     except Exception as e:  # noqa: BLE001
         errors["ivf_pq_build_probe_split"] = f"{type(e).__name__}: {e}"[:300]
+
+    # Gram-index $contains split: the registry entry re-pays the posting
+    # build per call; a SERVED (persisted, gram-sorted) index amortizes
+    # it — steady state is the parquet-pruned gram intersection + the
+    # substring verify over candidates only, vs the full-corpus scan.
+    # Selective pattern on purpose: that's the regime an index exists for.
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from chromem_go_spark.operators import textindex as TIX
+
+        docs_ti = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tdir = tempfile.mkdtemp(prefix="gram_idx_")
+        t0 = time.time()
+        TIX.write_gram_index(
+            TIX.build_gram_index(docs_ti, text_col="text", id_col="doc_id"),
+            f"{tdir}/idx",
+        )
+        times["gram_index_build"] = round(time.time() - t0, 3)
+        stored = spark.read.parquet(f"{tdir}/idx")
+        pat = "merge batch part"
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            docs_ti.filter(F.col("text").contains(pat)).count()
+            best = min(best, time.time() - t0)
+        times["contains_scan"] = round(best, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            TIX.where_contains_indexed(
+                docs_ti, stored, pat, text_col="text", id_col="doc_id"
+            ).count()
+            best = min(best, time.time() - t0)
+        times["contains_indexed_served"] = round(best, 3)
+        # The scale-relevant number at a fixed small sf is the FUNNEL,
+        # not wall (at sf0.1 the full scan is already sub-second, so
+        # per-job overhead dominates both paths): how many docs reach
+        # the substring verify.  At 100 TB the verify scan is the query
+        # cost and this ratio is the speedup bound.
+        n_total = docs_ti.count()
+        cand = TIX.contains_candidates(stored, pat)
+        n_cand = cand.count() if cand is not None else n_total
+        detail_funnel = {
+            "pattern": pat,
+            "docs_total": n_total,
+            "candidates_after_index": n_cand,
+            "build_sec": times["gram_index_build"],
+            "scan_sec": times["contains_scan"],
+            "indexed_sec": times["contains_indexed_served"],
+        }
+        shutil.rmtree(tdir, ignore_errors=True)
+        print(
+            f"# gram_index_build: {times['gram_index_build']}s / scan: "
+            f"{times['contains_scan']}s / indexed: "
+            f"{times['contains_indexed_served']}s / funnel "
+            f"{n_cand}/{n_total} docs reach the verify",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["gram_index_split"] = f"{type(e).__name__}: {e}"[:300]
 
     # training_pipeline with the dedup-pairs subtree MATERIALIZED (how a
     # real pipeline runs it — the pair graph is an intermediate, not
@@ -450,6 +516,8 @@ def main() -> None:
         "knn_batch_100k_1536_q256": point256,
         "knn_batch_100k_1536_q256_f32": point256_f32,
     }
+    if detail_funnel:
+        detail["contains_index_funnel"] = detail_funnel
     if errors:
         detail["errors"] = errors
     # BENCH_DETAIL.json doubles as the trailing-median pin store for the
@@ -476,7 +544,7 @@ def main() -> None:
         "knn_batch_100k_1536": point64,
         "knn_batch_100k_1536_q256": point256,
         "knn_batch_100k_1536_q256_f32": point256_f32,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     print(json.dumps(out))
 

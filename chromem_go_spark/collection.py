@@ -87,6 +87,9 @@ class Collection:
             n_buckets = None
         self.n_buckets = int(n_buckets) if n_buckets else None
         self._df: DataFrame | None = None
+        self._text_index: DataFrame | None = None
+        self._text_index_n = 3
+        self._text_index_src: DataFrame | None = None
         if persist_dir and os.path.exists(self._data_path()):
             self._df = self._read_table()
 
@@ -543,7 +546,9 @@ class Collection:
             )
         else:
             pred = combined_predicate(where, where_document)
-        filtered = self.df.filter(pred)
+        # Gram-index pre-prune for $contains (no-op without a fresh
+        # index); pred still applies the exact substring verify.
+        filtered = self._contains_pruned(self.df, where_document).filter(pred)
 
         if negative_embedding is not None and negative_mode == "filter":
             return knn_ops.knn_negative_filter(
@@ -554,6 +559,51 @@ class Collection:
                 threshold=negative_filter_threshold,
             )
         return knn_ops.knn_single(filtered, qv, n_results)
+
+    def build_text_index(self, n: int = 3) -> None:
+        """Build (and cache) the token-gram posting-list index for
+        ``$contains`` pre-filtering — the reference's roadmap full-text
+        index (reference README.md:172, roaring bitmaps), realized as
+        a gram → id table (see operators/textindex.py).
+
+        Like the ANN index this is a SNAPSHOT of the current table:
+        queries use it only while the collection is unmutated (source
+        identity check) and silently fall back to the scan filter after
+        any add/delete — correctness never depends on index freshness.
+        At scale the build is a scheduled job over the corpus, not
+        per-write maintenance."""
+        from .operators import textindex as TI
+
+        src = self.df
+        idx = TI.build_gram_index(
+            src, text_col="content", id_col="id", n=n
+        ).cache()
+        idx.count()  # materialize eagerly; queries reuse the cached table
+        self._text_index = idx
+        self._text_index_n = n
+        self._text_index_src = src
+
+    def _contains_pruned(self, df: DataFrame, where_document) -> DataFrame:
+        """Apply the gram-index candidate semi-join for a ``$contains``
+        pattern when a fresh index exists; the exact substring verify
+        (the caller's predicate) ALWAYS still runs — the index only
+        shrinks the rows it runs over."""
+        idx = getattr(self, "_text_index", None)
+        if (
+            idx is None
+            or not where_document
+            or getattr(self, "_text_index_src", None) is not self.df
+        ):
+            return df
+        pattern = where_document.get("$contains")
+        if not pattern:
+            return df
+        from .operators import textindex as TI
+
+        cand = TI.contains_candidates(idx, pattern, self._text_index_n)
+        if cand is None:  # pattern shorter than the gram size
+            return df
+        return df.join(cand, "id", "left_semi")
 
     def build_ann_index(
         self,

@@ -1,0 +1,202 @@
+"""Token-gram inverted index for $contains pre-filtering
+(operators/textindex.py — the reference's roadmap full-text index,
+reference README.md:172).
+
+The load-bearing contract: where_contains_indexed returns EXACTLY the
+scan filter's rows for every pattern (the index only prunes where the
+exact verify runs), and the pruned corpus scan receives a pushed-down
+In filter on the id column for bounded candidate sets.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chromem_go_spark.operators import textindex as TI
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def gram_index(docs):
+    return TI.build_gram_index(docs, text_col="text", id_col="doc_id").cache()
+
+
+def test_pattern_grams():
+    assert TI.pattern_grams("abcd", 3) == ["abc", "bcd"]
+    assert TI.pattern_grams("aaaa", 3) == ["aaa"]  # distinct
+    assert TI.pattern_grams("ab", 3) == []  # too short for the index
+
+
+def test_build_gram_index_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "xy")], "id long, content string"
+    )
+    rows = {
+        (r["gram"], r["id"])
+        for r in TI.build_gram_index(df, "content", "id").collect()
+    }
+    # doc 2 is shorter than the gram size: no postings (and no "" rows)
+    assert rows == {("abc", 1), ("bcd", 1)}
+
+
+def test_candidates_are_superset_not_exact(spark):
+    """Grams may appear apart: doc 2 holds every gram of 'abcde'
+    without the substring — a candidate the exact verify must drop."""
+    df = spark.createDataFrame(
+        [(1, "xx abcde yy"), (2, "abcd cdef"), (3, "nothing")],
+        "id long, content string",
+    )
+    idx = TI.build_gram_index(df, "content", "id")
+    cand = {
+        r["id"] for r in TI.contains_candidates(idx, "abcde").collect()
+    }
+    assert cand == {1, 2}  # superset: 2 has abc,bcd,cde but not "abcde"
+    out = {
+        r["id"]
+        for r in TI.where_contains_indexed(df, idx, "abcde").collect()
+    }
+    assert out == {1}  # the verify drops the false candidate
+
+
+@pytest.mark.parametrize("pattern", ["spark", "join", "zzqxv__nope"])
+def test_indexed_equals_scan_filter(docs, gram_index, pattern):
+    scan = {
+        r["doc_id"]
+        for r in docs.filter(F.col("text").contains(pattern))
+        .select("doc_id")
+        .collect()
+    }
+    idx = {
+        r["doc_id"]
+        for r in TI.where_contains_indexed(
+            docs, gram_index, pattern, text_col="text", id_col="doc_id"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert idx == scan
+
+
+def test_short_pattern_falls_back_to_scan(docs, gram_index):
+    out = TI.where_contains_indexed(
+        docs, gram_index, "ab", text_col="text", id_col="doc_id"
+    )
+    scan = docs.filter(F.col("text").contains("ab"))
+    assert out.count() == scan.count()
+    assert TI.contains_candidates(gram_index, "ab") is None
+
+
+def test_semi_join_path_same_rows(docs, gram_index):
+    """max_inlist=0 forces the distributed semi-join branch — same
+    result set as the collected In-list branch."""
+    semi = {
+        r["doc_id"]
+        for r in TI.where_contains_indexed(
+            docs, gram_index, "spark", text_col="text", id_col="doc_id",
+            max_inlist=0,
+        )
+        .select("doc_id")
+        .collect()
+    }
+    scan = {
+        r["doc_id"]
+        for r in docs.filter(F.col("text").contains("spark"))
+        .select("doc_id")
+        .collect()
+    }
+    assert semi == scan
+
+
+def test_candidate_in_filter_is_pushed_down(spark, docs, gram_index, tmp_path):
+    """The whole point at scale: the corpus parquet scan receives the
+    candidate ids as PushedFilters [In(doc_id, ...)] so row groups are
+    skipped by stats — assert it on the physical plan of the In-list
+    branch over a REAL parquet read."""
+    out = TI.where_contains_indexed(
+        docs, gram_index, "spark", text_col="text", id_col="doc_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("In(doc_id" in p for p in pushed), plan[:2000]
+
+
+def test_gram_filter_pruned_on_persisted_index(spark, docs, tmp_path):
+    """write_gram_index range-partitions + sorts by gram; the per-query
+    gram isin filter must reach the posting parquet scan as a pushed
+    In(gram, ...) filter (row-group stats pruning)."""
+    idx = TI.build_gram_index(docs, text_col="text", id_col="doc_id")
+    path = str(tmp_path / "gram_index")
+    TI.write_gram_index(idx, path, num_partitions=4)
+    stored = spark.read.parquet(path)
+    cand = TI.contains_candidates(stored, "spark")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "In(gram" in plan, plan[:2000]
+    # and the stored index answers identically to the in-memory one
+    mem = {r["id"] for r in TI.contains_candidates(idx, "spark").collect()}
+    assert {r["id"] for r in cand.collect()} == mem
+
+
+def test_collection_integration_and_staleness(spark):
+    """Collection.build_text_index: indexed query == unindexed query;
+    after a mutation the (stale) index is silently bypassed so a new
+    matching document still surfaces."""
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    db = DB(spark)
+    c = db.create_collection(
+        "ti_test", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(id="1", content="the quick brown fox jumps"),
+            Document(id="2", content="pack my box with five dozen jugs"),
+            Document(id="3", content="quick silver linings"),
+        ]
+    )
+    baseline = {
+        r["id"]
+        for r in c.query(
+            "quick", 3, where_document={"$contains": "quick"}
+        ).collect()
+    }
+    c.build_text_index()
+    indexed = {
+        r["id"]
+        for r in c.query(
+            "quick", 3, where_document={"$contains": "quick"}
+        ).collect()
+    }
+    assert indexed == baseline == {"1", "3"}
+    # the prune actually engaged: candidates resolve through the index
+    cand = TI.contains_candidates(c._text_index, "quick")
+    assert {r["id"] for r in cand.collect()} == {"1", "3"}
+    # mutate WITHOUT rebuilding: the stale index must not hide doc 4
+    c.add_documents([Document(id="4", content="a quick addendum")])
+    after = {
+        r["id"]
+        for r in c.query(
+            "quick", 4, where_document={"$contains": "quick"}
+        ).collect()
+    }
+    assert after == {"1", "3", "4"}
+    # rebuild picks the new doc up into the index itself
+    c.build_text_index()
+    assert {
+        r["id"]
+        for r in TI.contains_candidates(c._text_index, "quick").collect()
+    } == {"1", "3", "4"}
+
+
+def test_bad_gram_size():
+    with pytest.raises(ValueError, match="n >= 2"):
+        TI.build_gram_index(None, n=1)
