@@ -25,6 +25,7 @@ from chromem_go_spark.operators import ann as ANN  # noqa: E402
 from chromem_go_spark.operators import dedup as D  # noqa: E402
 from chromem_go_spark.operators import events as EV  # noqa: E402
 from chromem_go_spark.operators import knn as K  # noqa: E402
+from chromem_go_spark.operators import router as RT  # noqa: E402
 from chromem_go_spark.operators import textindex as TI  # noqa: E402
 from chromem_go_spark.operators.filters import combined_predicate  # noqa: E402
 
@@ -150,6 +151,34 @@ def q_where_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$contains (reference query.go:147-150)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.filter(F.col("text").contains("spark")).select("doc_id")
+
+
+def q_knn_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified query router on auto (operators/router.py): picks the
+    tier from corpus size + target recall via the documented ladder
+    (FLAT <= 100k docs < IVF < IVF-SQ8 < IVF-PQ).  At sf0.01 (500
+    vectors) auto resolves to FLAT, so the oracle is the brute-force
+    top-k SQL; the other tiers' routed dispatch is value-checked by
+    q_knn_routed_ivf here and the per-tier exact-identity parity tests
+    (tests/test_router.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _qvec(spark, sf_dir, 0)
+    out = RT.routed_search(emb, qv, 10)
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
+def q_knn_routed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Router with a caller-forced IVF tier at target_recall=0.999 —
+    the recall mapping probes every cell, so the routed result is
+    exactly FLAT (the nprobe-all identity) and shares knn_topk's
+    oracle.  Exercises the forced-decision + build + dispatch path the
+    auto entry (flat at this sf) skips."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _qvec(spark, sf_dir, 0)
+    n = emb.count()
+    decision = RT.forced_decision("ivf", n, k=10, target_recall=0.999)
+    out = RT.routed_search(emb, qv, 10, decision=decision, n_docs=n)
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
 
 
 def q_where_contains_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2392,6 +2421,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heatmap": q_events_heatmap,
         "split_corpus": q_split_corpus,
         "where_contains_indexed": q_where_contains_indexed,
+        "knn_routed": q_knn_routed,
+        "knn_routed_ivf": q_knn_routed_ivf,
     }
 
 
@@ -2724,6 +2755,10 @@ def _oracles_all() -> dict[str, str]:
     q7 = _NORM_Q.format(vid=7)
     return {
         "knn_topk": _KNN_TOPK_SQL.format(q=q0),
+        # router at sf0.01 resolves to FLAT (auto) / nprobe-all IVF
+        # (forced at target 0.999) — both identically brute force
+        "knn_routed": _KNN_TOPK_SQL.format(q=q0),
+        "knn_routed_ivf": _KNN_TOPK_SQL.format(q=q0),
         "knn_batch": f"""
 WITH qs AS (
   SELECT CAST(vec_id AS VARCHAR) AS query_id,
@@ -3965,6 +4000,8 @@ _EXTRA_KEYS = frozenset(
         "events_heatmap",
         "split_corpus",
         "where_contains_indexed",  # r7: gram-index $contains, shared oracle
+        "knn_routed",  # r7: unified tier router (auto)
+        "knn_routed_ivf",  # r7: forced-IVF routed path, nprobe-all identity
     }
 )
 

@@ -166,6 +166,8 @@ def main() -> None:
         "events_heatmap",
         "split_corpus",
         "where_contains_indexed",
+        "knn_routed",
+        "knn_routed_ivf",
     ]
 
     # Warm the JVM/session so the first measured query isn't paying

@@ -509,6 +509,9 @@ class Collection:
         negative_mode: str | None = None,
         negative_filter_threshold: float = knn_ops.DEFAULT_NEGATIVE_FILTER_THRESHOLD,
         extended_filters: bool = False,
+        index=None,
+        target_recall: float = 0.95,
+        tuned: dict | None = None,
     ) -> DataFrame:
         """Vector entry point with validations and golden errors
         (reference collection.go:491-559). Returns a DataFrame of result
@@ -519,6 +522,19 @@ class Collection:
         reference's roadmap item, README.md:180; see
         operators/filters.extended_where_predicate); the default keeps
         strict reference parity including its golden errors.
+
+        ``index`` opts into the unified ANN router
+        (operators/router.py): ``"auto"`` picks the tier from corpus
+        size and ``target_recall`` via the documented ladder
+        (FLAT <= 100k docs < IVF < IVF-SQ8 < IVF-PQ); a tier name
+        (``"flat"``/``"ivf"``/``"ivf_sq"``/``"ivf_pq"``) forces it; a
+        served index object from :meth:`build_ann_index` wins outright
+        (its build cost is sunk).  ``tuned`` is a measured operating
+        point from ``ann.tune_ivf``/``tune_ivf_sq``.  Query shapes the
+        quantized tiers can't express — negative modes and
+        ``where_document`` — always take the exact FLAT path regardless
+        of ``index`` (semantics beat routing); quantized routed results
+        carry ``(id, similarity)`` only.
         """
         if query_embedding is None or len(query_embedding) == 0:
             raise ValueError(E.ERR_QUERY_EMBEDDING_EMPTY)
@@ -532,6 +548,44 @@ class Collection:
         qv = [float(x) for x in query_embedding]
         if negative_embedding is not None and negative_mode == "subtract":
             qv = knn_ops.negative_subtract_query(qv, negative_embedding)
+
+        # Routed ANN path — only for query shapes every tier can
+        # express (no negative modes, no $contains): semantics first.
+        if (
+            index is not None
+            and negative_embedding is None
+            and not where_document
+        ):
+            from .operators import router as R
+
+            if extended_filters:
+                from .operators.filters import extended_where_predicate
+
+                pre = extended_where_predicate(where) if where else None
+            else:
+                from .operators.filters import where_predicate
+
+                pre = where_predicate(where) if where else None
+            decision = None
+            served = None
+            if index == "auto":
+                decision = R.choose_tier(
+                    n_docs, len(qv), k=int(n_results),
+                    target_recall=target_recall,
+                    filtered=pre is not None, tuned=tuned,
+                )
+            elif isinstance(index, str):
+                decision = R.forced_decision(
+                    index, n_docs, k=int(n_results),
+                    target_recall=target_recall, tuned=tuned,
+                )
+            else:
+                served = index
+            return R.routed_search(
+                self.df, qv, int(n_results), vec_col="embedding",
+                id_col="id", index=served, target_recall=target_recall,
+                where=pre, decision=decision, n_docs=n_docs,
+            )
 
         # Pre-filter BELOW the similarity projection (reference
         # collection.go:521; Catalyst keeps it pushed down).

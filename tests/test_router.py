@@ -1,0 +1,227 @@
+"""Unified ANN tier router (operators/router.py): decision ladder,
+operating-point heuristics, tuned overrides, and — the load-bearing
+part — parity: every routed tier at its exact-identity setting returns
+the same rows as brute force.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chromem_go_spark.operators import knn as K
+from chromem_go_spark.operators import router as R
+
+DIM = 64
+
+
+# ------------------------------------------------------- decision ladder
+
+
+def test_small_corpus_routes_flat():
+    d = R.choose_tier(50_000, DIM)
+    assert d["tier"] == "flat" and d["n_clusters"] is None
+
+
+def test_mid_corpus_routes_ivf():
+    d = R.choose_tier(1_000_000, DIM)
+    assert d["tier"] == "ivf"
+    assert d["n_clusters"] == 1024  # 2^round(log2(sqrt(1e6)))
+    assert d["nprobe"] == 128  # target 0.95 -> nlist/8
+
+
+def test_large_corpus_routes_sq():
+    d = R.choose_tier(10_000_000, DIM)
+    assert d["tier"] == "ivf_sq" and d["rerank"] == 100
+
+
+def test_strict_recall_withholds_sq():
+    d = R.choose_tier(10_000_000, DIM, target_recall=0.999)
+    assert d["tier"] == "ivf"
+    assert d["nprobe"] == d["n_clusters"]  # 0.999 -> probe everything
+
+
+def test_huge_bytes_route_pq():
+    # 2e9 docs x 1536 dims x 4 bytes = ~12 TB of vectors
+    d = R.choose_tier(2_000_000_000, 1536)
+    assert d["tier"] == "ivf_pq" and d["rerank"] == 200
+
+
+def test_filtered_never_quantized():
+    d = R.choose_tier(2_000_000_000, 1536, filtered=True)
+    assert d["tier"] == "ivf"
+
+
+def test_tuned_overrides_heuristics():
+    tuned = {"n_clusters": 32, "nprobe": 4, "rerank": 500}
+    d = R.choose_tier(10_000_000, DIM, tuned=tuned)
+    assert (d["n_clusters"], d["nprobe"], d["rerank"]) == (32, 4, 500)
+    assert "tuned" in d["reason"]
+
+
+def test_forced_decision_and_bad_tier():
+    d = R.forced_decision("ivf_pq", 1_000_000)
+    assert d["tier"] == "ivf_pq" and d["rerank"] == 200
+    with pytest.raises(ValueError, match="unknown tier"):
+        R.forced_decision("hnsw", 10)
+
+
+# ------------------------------------------------------- routed parity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def _flat_top(emb, qvec, k=10):
+    return {
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in K.knn_single(
+            emb, qvec, k, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+
+
+def test_auto_routes_flat_below_threshold(emb, qvec):
+    out = R.routed_search(emb, qvec, 10)
+    got = {
+        (r["vec_id"], round(r["similarity"], 6)) for r in out.collect()
+    }
+    assert got == _flat_top(emb, qvec)
+
+
+@pytest.mark.parametrize("tier", ["ivf", "ivf_sq", "ivf_pq"])
+def test_each_tier_exact_identity(emb, qvec, tier):
+    """Forced tier at nprobe=all (+ generous rerank) == brute force —
+    the nprobe-all identity that certifies every quantized tier."""
+    n = emb.count()
+    decision = R.forced_decision(tier, n, k=10, target_recall=0.999)
+    decision["rerank"] = n if decision["rerank"] else None
+    out = R.routed_search(emb, qvec, 10, decision=decision, n_docs=n)
+    got = {
+        (r["vec_id"], round(r["similarity"], 6)) for r in out.collect()
+    }
+    assert got == _flat_top(emb, qvec)
+
+
+def test_served_index_wins(emb, qvec):
+    from chromem_go_spark.operators import ann as A
+
+    idx = A.IVFIndex.build(
+        emb, n_clusters=8, vec_col="embedding", id_col="vec_id"
+    )
+    out = R.routed_search(
+        emb, qvec, 10, index=idx, target_recall=0.999
+    )
+    got = {
+        (r["vec_id"], round(r["similarity"], 6)) for r in out.collect()
+    }
+    assert got == _flat_top(emb, qvec)
+
+
+def test_filtered_quantized_raises(emb, qvec):
+    n = emb.count()
+    decision = R.forced_decision("ivf_sq", n)
+    with pytest.raises(ValueError, match="filtered ANN"):
+        R.routed_search(
+            emb, qvec, 10, decision=decision, n_docs=n,
+            where=F.col("vec_id") > 10,
+        )
+
+
+# ------------------------------------------------------- Collection API
+
+
+@pytest.fixture(scope="module")
+def coll(spark):
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    db = DB(spark)
+    c = db.create_collection(
+        "router_test", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(
+                id=str(i),
+                content=f"document number {i} about topic {i % 5}",
+                metadata={"topic": str(i % 5)},
+            )
+            for i in range(40)
+        ]
+    )
+    return c
+
+
+def test_collection_auto_matches_default(coll):
+    qv = coll.embedding_func("topic 3")
+    plain = {
+        (r["id"], round(r["similarity"], 6))
+        for r in coll.query_embedding(qv, 5).collect()
+    }
+    routed = {
+        (r["id"], round(r["similarity"], 6))
+        for r in coll.query_embedding(qv, 5, index="auto").collect()
+    }
+    assert routed == plain  # 40 docs -> auto routes flat
+
+
+def test_collection_forced_tier_identity(coll):
+    qv = coll.embedding_func("topic 3")
+    plain = {
+        (r["id"], round(r["similarity"], 6))
+        for r in coll.query_embedding(qv, 5).collect()
+    }
+    routed = {
+        (r["id"], round(r["similarity"], 6))
+        for r in coll.query_embedding(
+            qv, 5, index="ivf", target_recall=0.999
+        ).collect()
+    }
+    assert routed == plain
+
+
+def test_collection_routed_with_metadata_filter(coll):
+    qv = coll.embedding_func("topic 3")
+    plain = {
+        r["id"]
+        for r in coll.query_embedding(
+            qv, 3, where={"topic": "3"}
+        ).collect()
+    }
+    routed = {
+        r["id"]
+        for r in coll.query_embedding(
+            qv, 3, where={"topic": "3"}, index="ivf", target_recall=0.999
+        ).collect()
+    }
+    assert routed == plain and len(plain) == 3
+
+
+def test_collection_negative_mode_stays_exact(coll):
+    """Negative modes can't route — the router must not change them."""
+    qv = coll.embedding_func("topic 3")
+    neg = coll.embedding_func("topic 1")
+    base = [
+        r["id"]
+        for r in coll.query_embedding(
+            qv, 5, negative_embedding=neg, negative_mode="subtract"
+        ).collect()
+    ]
+    routed = [
+        r["id"]
+        for r in coll.query_embedding(
+            qv, 5, negative_embedding=neg, negative_mode="subtract",
+            index="auto",
+        ).collect()
+    ]
+    assert routed == base
