@@ -1943,6 +1943,72 @@ FROM w
 """
 
 
+def q_pack_corpus_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_corpus with TOKEN-EXACT counts: the corpus is BPE-encoded
+    with merges learned on itself (50 merges) and the packing budget
+    counts real pieces — the end-to-end BPE integration (train →
+    encode → pack).  The oracle retrains the identical merges
+    Spark-free (bpe.bpe_piece_counts_local — learn_merges is pure
+    deterministic Python), embeds the word→piece-count map as a SQL
+    literal (the vocabulary is bounded), and replays token sums + the
+    proven pack window."""
+    from chromem_go_spark.pipeline import pack_corpus_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_corpus_bpe(
+        docs, n_merges=50, budget_tokens=128, n_shards=16
+    )
+
+
+def _pack_corpus_bpe_sql() -> str:
+    import os
+
+    from chromem_go_spark.operators.bpe import bpe_piece_counts_local
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    pc = bpe_piece_counts_local(
+        f"{sf_dir}/documents.parquet", n_merges=50
+    )
+    rows = ",\n    ".join(
+        f"('{w.replace(chr(39), chr(39) * 2)}', {n})"
+        for w, n in sorted(pc.items())
+    )
+    return f"""
+WITH pc AS (SELECT * FROM (VALUES
+    {rows}
+) AS t(w, np)),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS w
+  FROM documents
+),
+tc AS (
+  SELECT toks.doc_id, SUM(pc.np) AS n
+  FROM toks JOIN pc ON toks.w = pc.w GROUP BY toks.doc_id
+),
+t AS (
+  SELECT d.doc_id, COALESCE(tc.n, 0) AS n,
+    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+    md5('pack:' || CAST(d.doc_id AS VARCHAR)) AS ord
+  FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id
+),
+w AS (
+  SELECT doc_id, shard, n,
+         SUM(n) OVER (PARTITION BY shard ORDER BY ord
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id,
+       CAST(shard AS INT) AS shard,
+       CAST(FLOOR((cum - n) / 128.0) AS BIGINT) AS pack_id,
+       CAST((cum - n) % 128 AS BIGINT) AS pack_offset,
+       CAST(n AS BIGINT) AS n_tokens
+FROM w
+"""
+
+
 def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (Rocchio/RM3 family): BM25
     top-10 feedback docs -> top-5 expansion terms by feedback-tf x idf
@@ -2423,6 +2489,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_contains_indexed": q_where_contains_indexed,
         "knn_routed": q_knn_routed,
         "knn_routed_ivf": q_knn_routed_ivf,
+        "pack_corpus_bpe": q_pack_corpus_bpe,
     }
 
 
@@ -2835,6 +2902,7 @@ LIMIT 10
         "bm25_topk": _BM25_SQL,
         "ranking_metrics": _RANKING_METRICS_SQL,
         "pack_corpus": _PACK_CORPUS_SQL,
+        "pack_corpus_bpe": _pack_corpus_bpe_sql(),
         "prf_search": _PRF_SQL,
         "cross_corpus_neardup": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
         "cross_corpus_minhash": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
@@ -4002,6 +4070,7 @@ _EXTRA_KEYS = frozenset(
         "where_contains_indexed",  # r7: gram-index $contains, shared oracle
         "knn_routed",  # r7: unified tier router (auto)
         "knn_routed_ivf",  # r7: forced-IVF routed path, nprobe-all identity
+        "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
     }
 )
 

@@ -22,6 +22,110 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry  # noqa: E402
 from chromem_go_spark.session import get_spark  # noqa: E402
 
+# The explicit bench list: a registry entry is NOT benched until added
+# here (tools/inventory.py stamps the benched count into COVERAGE.md).
+BENCH_NAMES = [
+    "knn_topk",
+    "knn_batch",
+    "knn_filtered",
+    "knn_negative_subtract",
+    "ivf_search_exact",
+    "dedup_exact",
+    "ngram_jaccard",
+    "word_ngram_jaccard",
+    "cdc_fingerprints",
+    "minhash_lsh",
+    "simhash_pairs",
+    "embedding_neardup_lsh",
+    "text_stats",
+    "lang_id",
+    "events_sessionize",
+    "events_session_window",
+    "events_window_hourly",
+    "events_topk_users",
+    "events_trending",
+    "events_percentiles",
+    "events_percentiles_approx",
+    "events_funnel",
+    "events_retention",
+    "events_asof",
+    "events_time_rollup",
+    "multimodal_meta",
+    "image_neardup",
+    "knn_batch_expr",
+    "knn_batch_per_filter",
+    "knn_batch_per_filter2",
+    "dedup_clusters_star",
+    "ivf_search_batch",
+    "ivf_pq_search",
+    "quality_filter",
+    "doc_repetition",
+    "vocab_stats",
+    "stratified_sample",
+    "pack_chunks",
+    "eval_sample",
+    "chunk_documents",
+    "dedup_clusters",
+    "training_pipeline",
+    "orders_by_segment",
+    "lineitem_pricing",
+    "shipping_priority",
+    "orders_rollup",
+    "standing_queries",
+    "salted_join_events",
+    "decontaminate",
+    "pii_scrub",
+    "mix_corpus",
+    "unigram_logprob",
+    "duplicate_spans",
+    "strip_duplicate_spans",
+    "bpe_pair_counts",
+    "dedup_keep_best",
+    "audio_neardup",
+    "events_interval_join",
+    "containment",
+    "tfidf_topk",
+    "embedding_clusters",
+    "weighted_sample",
+    "pmi_collocations",
+    "video_neardup",
+    "events_props",
+    "corpus_diff",
+    "events_join_within",
+    "corpus_shards",
+    "hybrid_search",
+    "regional_supplier_volume",
+    "promo_revenue_share",
+    "events_anomalies",
+    "events_paths",
+    "semantic_dedup",
+    "semantic_dedup_kmeans",
+    "mmr_rerank",
+    "quality_model_scores",
+    "dsir_scores",
+    "bigram_logprob",
+    "semantic_decontaminate",
+    "cdc_fingerprints_kernel",
+    "gopher_quality",
+    "ivf_search_filtered",
+    "bm25_topk",
+    "ranking_metrics",
+    "ivf_sq_search",
+    "pack_corpus",
+    "prf_search",
+    "cross_corpus_neardup",
+    "cross_corpus_minhash",
+    "corpus_report",
+    "semantic_clusters",
+    "events_heatmap",
+    "split_corpus",
+    "where_contains_indexed",
+    "knn_routed",
+    "knn_routed_ivf",
+    "pack_corpus_bpe",
+]
+
+
 
 def isolated_main(name: str) -> None:
     """Fresh-session single-query measurement (min-of-2) — the
@@ -70,105 +174,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = {**entry.queries(), **entry.extra_queries()}
-    bench_names = [
-        "knn_topk",
-        "knn_batch",
-        "knn_filtered",
-        "knn_negative_subtract",
-        "ivf_search_exact",
-        "dedup_exact",
-        "ngram_jaccard",
-        "word_ngram_jaccard",
-        "cdc_fingerprints",
-        "minhash_lsh",
-        "simhash_pairs",
-        "embedding_neardup_lsh",
-        "text_stats",
-        "lang_id",
-        "events_sessionize",
-        "events_session_window",
-        "events_window_hourly",
-        "events_topk_users",
-        "events_trending",
-        "events_percentiles",
-        "events_percentiles_approx",
-        "events_funnel",
-        "events_retention",
-        "events_asof",
-        "events_time_rollup",
-        "multimodal_meta",
-        "image_neardup",
-        "knn_batch_expr",
-        "knn_batch_per_filter",
-        "knn_batch_per_filter2",
-        "dedup_clusters_star",
-        "ivf_search_batch",
-        "ivf_pq_search",
-        "quality_filter",
-        "doc_repetition",
-        "vocab_stats",
-        "stratified_sample",
-        "pack_chunks",
-        "eval_sample",
-        "chunk_documents",
-        "dedup_clusters",
-        "training_pipeline",
-        "orders_by_segment",
-        "lineitem_pricing",
-        "shipping_priority",
-        "orders_rollup",
-        "standing_queries",
-        "salted_join_events",
-        "decontaminate",
-        "pii_scrub",
-        "mix_corpus",
-        "unigram_logprob",
-        "duplicate_spans",
-        "strip_duplicate_spans",
-        "bpe_pair_counts",
-        "dedup_keep_best",
-        "audio_neardup",
-        "events_interval_join",
-        "containment",
-        "tfidf_topk",
-        "embedding_clusters",
-        "weighted_sample",
-        "pmi_collocations",
-        "video_neardup",
-        "events_props",
-        "corpus_diff",
-        "events_join_within",
-        "corpus_shards",
-        "hybrid_search",
-        "regional_supplier_volume",
-        "promo_revenue_share",
-        "events_anomalies",
-        "events_paths",
-        "semantic_dedup",
-        "semantic_dedup_kmeans",
-        "mmr_rerank",
-        "quality_model_scores",
-        "dsir_scores",
-        "bigram_logprob",
-        "semantic_decontaminate",
-        "cdc_fingerprints_kernel",
-        "gopher_quality",
-        "ivf_search_filtered",
-        "bm25_topk",
-        "ranking_metrics",
-        "ivf_sq_search",
-        "pack_corpus",
-        "prf_search",
-        "cross_corpus_neardup",
-        "cross_corpus_minhash",
-        "corpus_report",
-        "semantic_clusters",
-        "events_heatmap",
-        "split_corpus",
-        "where_contains_indexed",
-        "knn_routed",
-        "knn_routed_ivf",
-    ]
+    bench_names = list(BENCH_NAMES)
 
     # Warm the JVM/session so the first measured query isn't paying
     # startup: one scan + one shuffle + one python-worker round trip.

@@ -143,9 +143,15 @@ def _write_marker(spark: SparkSession, table_path: str, payload: dict) -> None:
         raise IOError(f"could not commit marker {_MARKER} under {table_path}")
 
 
-def _read_manifest(spark: SparkSession, table_path: str) -> dict | None:
-    jvm, fs, _ = _fs(spark, table_path)
-    p = jvm.org.apache.hadoop.fs.Path(table_path, _MANIFEST)
+def read_json_commit(
+    spark: SparkSession, dir_path: str, name: str
+) -> dict | None:
+    """Read a single-file JSON commit point, or None when absent or
+    unreadable (treat-as-absent keeps a torn pre-first-commit state
+    harmless).  Shared by the ``__batch`` fold manifest and the
+    corpus-shard snapshot manifest (pipeline.write_corpus_shards)."""
+    jvm, fs, _ = _fs(spark, dir_path)
+    p = jvm.org.apache.hadoop.fs.Path(dir_path, name)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
@@ -154,10 +160,19 @@ def _read_manifest(spark: SparkSession, table_path: str) -> dict | None:
     finally:
         stream.close()
     try:
-        man = json.loads(raw.decode())
+        return json.loads(raw.decode())
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _read_manifest(spark: SparkSession, table_path: str) -> dict | None:
+    man = read_json_commit(spark, table_path, _MANIFEST)
+    if man is None:
+        return None
+    try:
         int(str(man["base"]).split("=", 1)[1])
         return man
-    except (ValueError, KeyError, TypeError, IndexError, UnicodeDecodeError):
+    except (ValueError, KeyError, TypeError, IndexError):
         return None  # unreadable manifest: treat as absent (pre-first-commit)
 
 
@@ -275,15 +290,17 @@ def _fold_manifest(
     return True
 
 
-def _write_manifest(spark: SparkSession, table_path: str, payload: dict) -> None:
+def write_json_commit(
+    spark: SparkSession, dir_path: str, name: str, payload: dict
+) -> None:
     """Single-file commit: on object stores one PUT (create+close) is
     atomic visibility; locally/HDFS temp-write + overwrite-rename
     (FileContext + Rename.OVERWRITE — FileSystem.rename returns False
     on an existing destination) keeps partial or missing manifests
     unobservable."""
-    jvm, fs, _ = _fs(spark, table_path)
-    tmp = jvm.org.apache.hadoop.fs.Path(table_path, _MANIFEST + ".tmp")
-    dst = jvm.org.apache.hadoop.fs.Path(table_path, _MANIFEST)
+    jvm, fs, _ = _fs(spark, dir_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(dir_path, name + ".tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(dir_path, name)
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(payload).encode()))
@@ -296,6 +313,10 @@ def _write_manifest(spark: SparkSession, table_path: str, payload: dict) -> None
     opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
     opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
     fc.rename(tmp, dst, opts)  # atomic; throws on failure
+
+
+def _write_manifest(spark: SparkSession, table_path: str, payload: dict) -> None:
+    write_json_commit(spark, table_path, _MANIFEST, payload)
 
 
 def fold_batch_partitions(

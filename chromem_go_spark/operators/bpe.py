@@ -182,6 +182,34 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def bpe_piece_counts_local(
+    parquet_path: str,
+    n_merges: int = 50,
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Spark-free twin of ``bpe_learn`` + per-word ``encode_word``:
+    read the corpus with pyarrow, tokenize with the same regex
+    (functions/text.word_tokens), learn the same merges
+    (:func:`learn_merges` is pure Python and deterministic), and
+    return {word: piece count} for every distinct word — the literal
+    map the DuckDB oracle uses to replay pack_corpus_bpe's token-exact
+    counts without a JVM (the train_cluster_centroids_local pattern)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    vocab: dict[str, int] = {}
+    for t in pq.read_table(parquet_path, columns=[text_col])[
+        text_col
+    ].to_pylist():
+        for w in pat.findall((t or "").lower()):
+            vocab[w] = vocab.get(w, 0) + 1
+    merges = learn_merges(vocab, n_merges)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    return {w: len(encode_word(w, ranks)) for w in vocab}
+
+
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame,

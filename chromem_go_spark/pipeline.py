@@ -605,23 +605,100 @@ def shard_stats(
     )
 
 
+_SHARDS_MANIFEST = "_shards_manifest.json"
+
+
 def write_corpus_shards(
     docs: DataFrame,
     path: str,
     n_shards: int = 64,
     id_col: str = "doc_id",
+    commit_mode: str = "rename",
 ) -> None:
     """Write the corpus partitioned by shard (`shard=N/` directories,
     one parquet dataset) — the layout a training loader mounts.
     Repartitioning by the shard column before the write gives one
-    writer task per shard (no tiny-file spray)."""
+    writer task per shard (no tiny-file spray).
+
+    ``commit_mode="manifest"`` makes the snapshot EXACTLY-ONCE on
+    object stores (the same single-PUT protocol as batchstate's
+    ``__batch`` fold): each write lands in a fresh ``gen=N/``
+    directory — never touching the live one — and becomes visible only
+    when ``_shards_manifest.json`` is atomically replaced to name it.
+    A crash before the commit leaves the old snapshot live and an
+    uncommitted gen dir the next write garbage-collects; a crash after
+    the commit leaves only an un-GC'd obsolete dir, likewise healed.
+    Readers MUST use :func:`read_corpus_shards` (a raw read of the
+    root would see uncommitted generations).  The default ``rename``
+    mode keeps the plain overwrite layout (fine on POSIX/HDFS where
+    the job-commit rename is atomic).  A snapshot location stays in
+    one mode for life."""
     sharded = shard_corpus(docs, n_shards, id_col)
-    (
+    writer = (
         sharded.repartition(n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
     )
+    if commit_mode == "rename":
+        writer.parquet(path)
+        return
+    if commit_mode != "manifest":
+        raise ValueError("commit_mode must be 'rename' or 'manifest'")
+    from . import batchstate as B
+
+    spark = docs.sparkSession
+    man = B.read_json_commit(spark, path, _SHARDS_MANIFEST)
+    live = man.get("live") if man else None
+    _gc_shard_generations(spark, path, keep=live)  # heal prior crashes
+    gen = (int(live.split("=", 1)[1]) + 1) if live else 1
+    writer.parquet(f"{path}/gen={gen}")  # staged: invisible to readers
+    B.write_json_commit(  # THE commit point: one atomic small file
+        spark, path, _SHARDS_MANIFEST,
+        {"live": f"gen={gen}", "obsolete": [live] if live else []},
+    )
+    # post-commit GC (best-effort: readers already ignore these; a
+    # failure here is healed by the next write's pre-write GC)
+    _gc_shard_generations(spark, path, keep=f"gen={gen}")
+
+
+def _gc_shard_generations(spark, path: str, keep: str | None) -> None:
+    """Delete every ``gen=*`` dir except ``keep`` — uncommitted stages
+    from a crashed write and obsolete snapshots from a crashed GC."""
+    from . import batchstate as B
+
+    jvm, fs, hpath = B._fs(spark, path)
+    if not fs.exists(hpath):
+        return
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("gen=") and name != keep:
+            fs.delete(st.getPath(), True)
+
+
+def read_corpus_shards(spark, path: str) -> DataFrame:
+    """Reader for :func:`write_corpus_shards` output: resolves the
+    manifest to the committed generation (exactly-once even inside the
+    write protocol's crash windows); a manifest-less location is read
+    as the plain rename-mode layout."""
+    from . import batchstate as B
+
+    man = B.read_json_commit(spark, path, _SHARDS_MANIFEST)
+    if man and man.get("live"):
+        return spark.read.parquet(f"{path}/{man['live']}")
+    # no commit point: a manifest-mode location that crashed before its
+    # FIRST commit holds only staged gen dirs — surface that, never
+    # serve uncommitted data
+    jvm, fs, hpath = B._fs(spark, path)
+    if fs.exists(hpath) and any(
+        st.getPath().getName().startswith("gen=")
+        for st in fs.listStatus(hpath)
+    ):
+        raise ValueError(
+            f"{path}: staged generations exist but no snapshot was ever "
+            "committed (crash before first manifest commit) — re-run "
+            "write_corpus_shards"
+        )
+    return spark.read.parquet(path)
 
 
 # ------------------------------------------------------------------
@@ -1001,9 +1078,23 @@ def pack_corpus(
     Output: (id, shard, pack_id, pack_offset, n_tokens).  One shuffle
     on the shard key; the running sum and division are codegen window
     expressions."""
+    counted = docs.select(
+        id_col, T.token_count(F.col(text_col)).cast("bigint").alias("__n")
+    )
+    return _pack_by_counts(counted, budget_tokens, n_shards, id_col)
+
+
+def _pack_by_counts(
+    counted: DataFrame,
+    budget_tokens: int,
+    n_shards: int,
+    id_col: str,
+) -> DataFrame:
+    """The packing layout given per-doc token counts ``__n``: md5
+    shard, per-shard md5-order running sum, concatenate-then-split.
+    Shared by the whitespace-count and BPE-count packers."""
     from pyspark.sql import Window
 
-    tok = T.token_count(F.col(text_col))
     shard = F.pmod(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
         .cast("long"),
@@ -1017,11 +1108,11 @@ def pack_corpus(
     )
     cum = F.sum("__n").over(w)
     return (
-        docs.select(
+        counted.select(
             id_col,
             shard.cast("int").alias("shard"),
             order.alias("__ord"),
-            tok.cast("bigint").alias("__n"),
+            "__n",
         )
         .select(
             id_col,
@@ -1035,6 +1126,37 @@ def pack_corpus(
             F.col("__n").alias("n_tokens"),
         )
     )
+
+
+def pack_corpus_bpe(
+    docs: DataFrame,
+    merges: DataFrame | None = None,
+    n_merges: int = 50,
+    budget_tokens: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`pack_corpus` with TOKEN-EXACT counts: documents are
+    encoded with learned BPE merges (operators/bpe.bpe_encode — the
+    Python encoder runs once per distinct word, never per document)
+    and the packing budget counts real BPE pieces instead of
+    whitespace tokens — what a training loader actually packs against.
+
+    ``merges`` is a trained merge table (operators/bpe.bpe_learn);
+    trained on ``docs`` with ``n_merges`` when omitted.  Same output
+    shape and layout determinism as :func:`pack_corpus`; the encode is
+    deterministic, so the whole thing replays in SQL with the
+    word→piece-count map as a literal (the oracle path)."""
+    from .operators import bpe as B
+
+    if merges is None:
+        merges = B.bpe_learn(docs, n_merges=n_merges, text_col=text_col)
+    pieces = B.bpe_encode(docs, merges, text_col=text_col, id_col=id_col)
+    counted = pieces.select(
+        id_col, F.size("pieces").cast("bigint").alias("__n")
+    )
+    return _pack_by_counts(counted, budget_tokens, n_shards, id_col)
 
 
 def corpus_report(

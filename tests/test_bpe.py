@@ -91,3 +91,66 @@ def test_encode_word_handles_oov_symbols():
     out = B.encode_word("zq9", ranks)  # chars never seen in training
     assert out == ["z", "q", "9", B.END_MARK]
     assert "".join(B.encode_word("lowzz", ranks)).replace(B.END_MARK, "") == "lowzz"
+
+
+def test_bpe_piece_counts_local_matches_spark(spark, tmp_path):
+    """The Spark-free twin (pyarrow read + same regex + same trainer +
+    same encoder) produces the exact per-word piece counts the Spark
+    bpe_encode path yields — the identity the pack_corpus_bpe oracle
+    literal rests on."""
+    rows = [
+        (1, "the lowest low rate"),
+        (2, "newest new widest wide"),
+        (3, ""),
+        (4, "low low low newest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(p)
+    # pyarrow twin reads a single file; point it at the part file
+    import glob
+
+    part = glob.glob(f"{p}/part-*.parquet")[0]
+    local = B.bpe_piece_counts_local(part, n_merges=20)
+
+    merges = B.bpe_learn(df, n_merges=20)
+    enc = B.bpe_encode(df, merges)
+    spark_counts = {}
+    import re
+
+    for doc in df.collect():
+        for w in re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", doc["text"].lower()):
+            spark_counts.setdefault(w, None)
+    ranks = {
+        (r["left_sym"], r["right_sym"]): r["rank"] for r in merges.collect()
+    }
+    for w in spark_counts:
+        spark_counts[w] = len(B.encode_word(w, ranks))
+    assert local == spark_counts
+    # and per-doc sizes line up with the sum of word piece counts
+    sizes = {r["doc_id"]: len(r["pieces"]) for r in enc.collect()}
+    for doc in df.collect():
+        words = re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", doc["text"].lower())
+        assert sizes[doc["doc_id"]] == sum(local[w] for w in words)
+    assert sizes[3] == 0  # empty doc -> zero pieces
+
+
+def test_pack_corpus_bpe_counts_and_layout(spark):
+    """pack_corpus_bpe packs by real piece counts: same deterministic
+    (shard, order) layout as pack_corpus, but n_tokens == BPE pieces
+    (>= whitespace words, since every word carries its end-mark and
+    unseen words split into characters)."""
+    from chromem_go_spark.pipeline import pack_corpus, pack_corpus_bpe
+
+    rows = [(i, "low lower lowest newest wide" * (1 + i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ws = {r["doc_id"]: r for r in pack_corpus(df, 64, 4).collect()}
+    bp = {r["doc_id"]: r for r in pack_corpus_bpe(df, n_merges=10,
+                                                  budget_tokens=64,
+                                                  n_shards=4).collect()}
+    assert set(ws) == set(bp) == set(range(30))
+    for i in range(30):
+        assert bp[i]["shard"] == ws[i]["shard"]  # layout keys identical
+        assert bp[i]["n_tokens"] >= ws[i]["n_tokens"]  # pieces >= words
+    # packing invariant: offsets stay inside the budget
+    assert all(0 <= r["pack_offset"] < 64 for r in bp.values())

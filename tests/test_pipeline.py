@@ -425,6 +425,144 @@ def test_shard_corpus_deterministic_and_writes_partitions(spark, tmp_path):
     assert got == a  # layout preserves the deterministic assignment
 
 
+def _shard_docs(spark, tag: str, n: int = 60):
+    return spark.createDataFrame(
+        [(i, f"{tag} doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+
+
+def _simulate_shard_crash(spark, path: str, point: str) -> None:
+    """Drive the snapshot location into exactly the on-disk state a
+    crash at each manifest-protocol step leaves (mirror of
+    test_batchstate._simulate_crash_state):
+
+      write gen dir           -> crash: 'staged' (manifest still old)
+      commit manifest         -> crash: 'committed' (obsolete not GC'd)
+      gc obsolete dirs        -> (complete)
+
+    plus 'first_staged': a crash before the FIRST commit ever.
+    """
+    import os
+
+    from chromem_go_spark.batchstate import write_json_commit
+    from chromem_go_spark.pipeline import (
+        _SHARDS_MANIFEST,
+        shard_corpus,
+        write_corpus_shards,
+    )
+
+    def stage(tag: str, gen: int) -> None:
+        # the writer's stage step in isolation: gen dir written,
+        # manifest untouched — exactly a crash-before-commit state
+        (
+            shard_corpus(_shard_docs(spark, tag), 4)
+            .repartition(4, "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{path}/gen={gen}")
+        )
+
+    if point == "first_staged":
+        stage("v1", 1)
+        return
+    write_corpus_shards(_shard_docs(spark, "v1"), path, 4, commit_mode="manifest")
+    if point == "staged":
+        stage("v2", 2)  # manifest still names gen=1
+    elif point == "committed":
+        stage("v2", 2)
+        write_json_commit(  # committed, but obsolete gen=1 not GC'd
+            spark, path, _SHARDS_MANIFEST,
+            {"live": "gen=2", "obsolete": ["gen=1"]},
+        )
+        assert os.path.isdir(f"{path}/gen=1")
+
+
+def test_shard_manifest_commit_exactly_once(spark, tmp_path):
+    """Happy path: generations alternate, the reader always sees ONE
+    complete snapshot, and a raw read of the root is NOT the contract
+    (staged dirs would leak into it)."""
+    import os
+
+    from chromem_go_spark.pipeline import read_corpus_shards, write_corpus_shards
+
+    path = str(tmp_path / "snap")
+    write_corpus_shards(_shard_docs(spark, "v1"), path, 4, commit_mode="manifest")
+    back = read_corpus_shards(spark, path)
+    assert back.count() == 60
+    assert {r["text"][:2] for r in back.collect()} == {"v1"}
+    write_corpus_shards(_shard_docs(spark, "v2", 80), path, 4, commit_mode="manifest")
+    back = read_corpus_shards(spark, path)
+    assert back.count() == 80
+    assert {r["text"][:2] for r in back.collect()} == {"v2"}
+    # the obsolete generation was GC'd
+    gens = [d for d in os.listdir(path) if d.startswith("gen=")]
+    assert gens == ["gen=2"]
+
+
+def test_shard_manifest_crash_staged_keeps_old_live(spark, tmp_path):
+    from chromem_go_spark.pipeline import read_corpus_shards, write_corpus_shards
+
+    path = str(tmp_path / "snap_staged")
+    _simulate_shard_crash(spark, path, "staged")
+    # reader: the uncommitted gen=2 stage is invisible; v1 still live
+    back = read_corpus_shards(spark, path)
+    assert {r["text"][:2] for r in back.collect()} == {"v1"}
+    # recovery: the next write GCs the stale stage and commits cleanly
+    write_corpus_shards(_shard_docs(spark, "v3"), path, 4, commit_mode="manifest")
+    back = read_corpus_shards(spark, path)
+    assert {r["text"][:2] for r in back.collect()} == {"v3"}
+    assert back.count() == 60
+
+
+def test_shard_manifest_crash_committed_is_exactly_once(spark, tmp_path):
+    import os
+
+    from chromem_go_spark.pipeline import read_corpus_shards, write_corpus_shards
+
+    path = str(tmp_path / "snap_committed")
+    _simulate_shard_crash(spark, path, "committed")
+    # reader sees the NEW snapshot only, despite the un-GC'd old dir
+    back = read_corpus_shards(spark, path)
+    assert {r["text"][:2] for r in back.collect()} == {"v2"}
+    assert os.path.isdir(f"{path}/gen=1")  # crash left it behind
+    # next write heals the GC
+    write_corpus_shards(_shard_docs(spark, "v3"), path, 4, commit_mode="manifest")
+    gens = sorted(d for d in os.listdir(path) if d.startswith("gen="))
+    assert gens == ["gen=3"]
+    assert {
+        r["text"][:2]
+        for r in read_corpus_shards(spark, path).collect()
+    } == {"v3"}
+
+
+def test_shard_manifest_crash_before_first_commit_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from chromem_go_spark.pipeline import read_corpus_shards, write_corpus_shards
+
+    path = str(tmp_path / "snap_first")
+    _simulate_shard_crash(spark, path, "first_staged")
+    with _pytest.raises(ValueError, match="no snapshot was ever committed"):
+        read_corpus_shards(spark, path)
+    # re-running the write recovers
+    write_corpus_shards(_shard_docs(spark, "v1"), path, 4, commit_mode="manifest")
+    assert read_corpus_shards(spark, path).count() == 60
+
+
+def test_shard_rename_mode_unchanged(spark, tmp_path):
+    """Default mode keeps the plain layout and the plain reader works
+    on it (back-compat)."""
+    from chromem_go_spark.pipeline import read_corpus_shards, write_corpus_shards
+
+    path = str(tmp_path / "snap_plain")
+    write_corpus_shards(_shard_docs(spark, "v1"), path, 4)
+    assert read_corpus_shards(spark, path).count() == 60
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rename"):
+        write_corpus_shards(_shard_docs(spark, "v1"), path, 4, commit_mode="zzz")
+
+
 def test_weighted_sample_k_exceeds_rows(spark):
     from chromem_go_spark.pipeline import weighted_sample
 
