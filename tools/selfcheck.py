@@ -30,6 +30,16 @@ def main() -> int:
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(sys.argv[1:])
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # registry-inventory drift gate (no Spark needed): COVERAGE.md's
+    # generated counts must match the live registry + bench list
+    import inventory
+
+    sys.argv, argv = [sys.argv[0], "--check"], sys.argv
+    try:
+        if inventory.main() != 0:
+            return 1
+    finally:
+        sys.argv = argv
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
