@@ -181,6 +181,24 @@ def q_knn_routed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graph ANN (reference roadmap README.md:176; Malkov &
+    Yashunin 2016) — the driver-side SERVED tier for bounded corpora,
+    complementing the distributed IVF family.  At ef >= n the
+    best-first walk provably visits all of the (connected-by-
+    construction) layer 0, so the result is exactly brute force and
+    shares knn_topk's oracle; approximate-ef recall is pytest-bounded
+    (tests/test_hnsw.py) and the connectivity precondition is
+    asserted, not assumed."""
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = HNSWIndex.build(emb, M=8, ef_construction=64)
+    qv = _qvec(spark, sf_dir, 0)
+    out = idx.search_batch(spark, ["0"], [qv], 10, ef=idx.n_points())
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_where_contains_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$contains via the token-gram posting-list index — the
     reference's one roadmap item with no prior repo analog (reference
@@ -2429,7 +2447,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic components, recursive-CTE replay), events_heatmap (ISO
     dow x hour load shape), plus list_ids/count_documents swapped out
     of the canonical window (trivial projections, still value-checked
-    here)."""
+    here).
+
+    r7 additions: where_contains_indexed (token-gram posting-list
+    $contains pre-filter — the reference's roadmap full-text index,
+    README.md:172; candidates semi-joined, exact verify kept, shares
+    where_contains's oracle), knn_routed + knn_routed_ivf (unified
+    FLAT/IVF/SQ8/PQ tier router, operators/router.py — auto resolves
+    FLAT at sf0.01; the forced-IVF twin exercises build+dispatch at
+    nprobe=all == brute force), pack_corpus_bpe (BPE train → encode →
+    token-exact packing; merges retrained Spark-free and the word →
+    piece-count map replayed as a SQL literal)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -2490,6 +2518,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_routed": q_knn_routed,
         "knn_routed_ivf": q_knn_routed_ivf,
         "pack_corpus_bpe": q_pack_corpus_bpe,
+        "hnsw_search": q_hnsw_search,
     }
 
 
@@ -2826,6 +2855,7 @@ def _oracles_all() -> dict[str, str]:
         # (forced at target 0.999) — both identically brute force
         "knn_routed": _KNN_TOPK_SQL.format(q=q0),
         "knn_routed_ivf": _KNN_TOPK_SQL.format(q=q0),
+        "hnsw_search": _KNN_TOPK_SQL.format(q=q0),
         "knn_batch": f"""
 WITH qs AS (
   SELECT CAST(vec_id AS VARCHAR) AS query_id,
@@ -4071,6 +4101,7 @@ _EXTRA_KEYS = frozenset(
         "knn_routed",  # r7: unified tier router (auto)
         "knn_routed_ivf",  # r7: forced-IVF routed path, nprobe-all identity
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
+        "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
     }
 )
 

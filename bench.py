@@ -123,6 +123,7 @@ BENCH_NAMES = [
     "knn_routed",
     "knn_routed_ivf",
     "pack_corpus_bpe",
+    "hnsw_search",
 ]
 
 

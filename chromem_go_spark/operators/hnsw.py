@@ -1,0 +1,246 @@
+"""HNSW graph ANN — the reference's other roadmap index
+(reference README.md:176: "Hierarchical Navigable Small World (HNSW)";
+IVFFlat from the same list is operators/ann.py).
+
+Public algorithm: Malkov & Yashunin 2016 (arXiv:1603.09320).
+
+Spark role — and why this one is DRIVER-side: HNSW is a
+pointer-chasing graph walk, the opposite of a columnar scan; it
+cannot be expressed as a DataFrame plan without serializing the walk
+into O(hops) shuffles.  So the repo's division of labor is:
+
+- **IVF / SQ8 / PQ** (ann.py): the cluster-scale path — the corpus
+  stays distributed, probing is partition pruning, scans are Arrow
+  GEMM passes.  Unbounded corpus size.
+- **HNSW** (this module): the SERVED-index low-latency path — vectors
+  are collected ONCE to the driver (hard-capped by ``max_points``),
+  the graph lives in NumPy, and each query is a microsecond-scale
+  walk.  This is exactly how a query-router node in front of a Spark
+  corpus serves hot lookups: build distributed, snapshot to the
+  serving tier, walk locally.  At 100 TB the corpus does not fit one
+  node — that regime belongs to IVF; HNSW serves the (bounded) hot
+  slice or a routing/centroid layer.
+
+Determinism: level draws come from a seeded RNG keyed by insertion
+index, neighbor sets are pruned by (distance, id) — same input, same
+graph, bit-for-bit.
+
+Exactness guarantee used by the oracle: layer 0 is CONNECTED by
+construction (every insert after the first links bidirectionally to
+at least one existing node), and the ef-bounded best-first search
+never prunes while fewer than ``ef`` results are held — so with
+``ef >= n_points`` the walk visits the entire component, i.e. every
+point, and the result is exactly brute force.  ``search`` with small
+ef is the approximate fast path; measured recall goes in RECALL.md.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class HNSWIndex:
+    def __init__(
+        self,
+        ids: list,
+        vectors: np.ndarray,
+        layers: list[dict[int, list[int]]],
+        entry: int,
+        M: int,
+        id_col: str,
+    ):
+        self.ids = ids
+        self.vectors = vectors  # (n, dim) L2-normalized float64
+        self.layers = layers  # layers[l][node] = neighbor list
+        self.entry = entry
+        self.M = M
+        self.id_col = id_col
+
+    # ------------------------------------------------------------ build
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        M: int = 16,
+        ef_construction: int = 200,
+        seed: int = 42,
+        max_points: int = 1_000_000,
+    ) -> "HNSWIndex":
+        """Collect the (bounded) corpus and insert points one at a
+        time.  ``max_points`` is a hard cap, not a sample: beyond it
+        the right tier is IVF — refuse loudly rather than silently
+        degrade."""
+        n_rows = df.count()
+        if n_rows > max_points:
+            raise ValueError(
+                f"HNSW is the bounded serving tier: corpus has {n_rows} "
+                f"rows > max_points={max_points}; build an IVF-family "
+                "index instead (operators/ann.py)"
+            )
+        rows = df.select(id_col, vec_col).collect()
+        rows.sort(key=lambda r: r[0])  # order-stable: same graph every build
+        ids = [r[0] for r in rows]
+        mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+
+        rng = np.random.default_rng(seed)
+        mult = 1.0 / np.log(max(M, 2))
+        # pre-draw levels so the graph depends only on (ids, seed)
+        levels = [
+            int(-np.log(max(rng.random(), 1e-12)) * mult)
+            for _ in range(len(ids))
+        ]
+        layers: list[dict[int, list[int]]] = [
+            {} for _ in range(max(levels, default=0) + 1)
+        ]
+        entry, entry_level = 0, -1
+
+        idx = cls(ids, mat, layers, 0, M, id_col)
+        for i in range(len(ids)):
+            lvl = levels[i]
+            if i == 0:
+                for l in range(lvl + 1):
+                    layers[l][i] = []
+                entry, entry_level = 0, lvl
+                idx.entry = entry
+                continue
+            q = mat[i]
+            ep = entry
+            # greedy descent through layers above the insert level
+            for l in range(entry_level, lvl, -1):
+                ep = idx._greedy_closest(q, ep, l)
+            # insert with ef_construction candidates per layer
+            for l in range(min(lvl, entry_level), -1, -1):
+                cand = idx._search_layer(q, [ep], l, ef_construction)
+                neigh = [c for _, c in heapq.nsmallest(M, cand)]
+                layers[l][i] = list(neigh)
+                for nb in neigh:
+                    lst = layers[l][nb]
+                    lst.append(i)
+                    if len(lst) > M:
+                        # prune to the M nearest (deterministic ties by id)
+                        sims = idx.vectors[lst] @ idx.vectors[nb]
+                        keep = sorted(
+                            range(len(lst)),
+                            key=lambda j: (-sims[j], lst[j]),
+                        )[:M]
+                        layers[l][nb] = [lst[j] for j in sorted(keep)]
+                ep = neigh[0] if neigh else ep
+            for l in range(len(layers), lvl + 1):  # pragma: no cover
+                layers.append({})
+            for l in range(min(lvl, entry_level) + 1, lvl + 1):
+                layers[l][i] = []
+            if lvl > entry_level:
+                entry, entry_level = i, lvl
+                idx.entry = entry
+        return idx
+
+    # ----------------------------------------------------------- search
+
+    def _greedy_closest(self, q: np.ndarray, ep: int, layer: int) -> int:
+        best, best_sim = ep, float(self.vectors[ep] @ q)
+        improved = True
+        while improved:
+            improved = False
+            for nb in self.layers[layer].get(best, ()):
+                s = float(self.vectors[nb] @ q)
+                if s > best_sim or (s == best_sim and nb < best):
+                    best, best_sim, improved = nb, s, True
+        return best
+
+    def _search_layer(
+        self, q: np.ndarray, eps: Sequence[int], layer: int, ef: int
+    ) -> list[tuple[float, int]]:
+        """Best-first search, ef-bounded.  Returns [(dist, node)] with
+        dist = -cosine (min-heap order).  While fewer than ``ef``
+        results are held nothing is pruned — the exactness guarantee
+        at ef >= n."""
+        visited = set(eps)
+        results: list[tuple[float, int]] = []  # max-heap by (-dist) trick
+        cands: list[tuple[float, int]] = []
+        for ep in eps:
+            d = -float(self.vectors[ep] @ q)
+            heapq.heappush(cands, (d, ep))
+            heapq.heappush(results, (-d, ep))
+        while cands:
+            d, c = heapq.heappop(cands)
+            if len(results) >= ef and d > -results[0][0]:
+                break
+            for nb in self.layers[layer].get(c, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = -float(self.vectors[nb] @ q)
+                if len(results) < ef or dn < -results[0][0]:
+                    heapq.heappush(cands, (dn, nb))
+                    heapq.heappush(results, (-dn, nb))
+                    if len(results) > ef:
+                        heapq.heappop(results)
+        return sorted((-nd, node) for nd, node in results)
+
+    def search(
+        self, query_vec: Sequence[float], k: int, ef: int = 64
+    ) -> list[tuple[object, float]]:
+        """Driver-side query: [(id, cosine)] best-first, ties by id.
+        ``ef >= n_points`` is exact (see module doc)."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        nrm = np.linalg.norm(q)
+        if nrm > 0:
+            q = q / nrm
+        ep = self.entry
+        for l in range(len(self.layers) - 1, 0, -1):
+            ep = self._greedy_closest(q, ep, l)
+        found = self._search_layer(q, [ep], 0, max(int(ef), int(k)))
+        out = [(self.ids[node], -d) for d, node in found]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[: int(k)]
+
+    def search_batch(
+        self,
+        spark: SparkSession,
+        query_ids: Sequence,
+        query_vecs: Sequence[Sequence[float]],
+        k: int,
+        ef: int = 64,
+    ) -> DataFrame:
+        """DataFrame shape shared with the IVF tiers:
+        (query_id, <id_col>, similarity) — walks run on the driver
+        (microseconds each), the frame is for plan composition."""
+        rows = []
+        for qid, qv in zip(query_ids, query_vecs):
+            for i, s in self.search(qv, k, ef):
+                rows.append((str(qid), i, round(float(s), 12)))
+        id_type = "string" if self.ids and isinstance(self.ids[0], str) else "long"
+        return spark.createDataFrame(
+            rows,
+            f"query_id string, {self.id_col} {id_type}, similarity double",
+        )
+
+    # ------------------------------------------------------ diagnostics
+
+    def n_points(self) -> int:
+        return len(self.ids)
+
+    def check_connected(self) -> bool:
+        """Layer-0 reachability from the entry point — True by
+        construction; exposed so tests assert the exactness
+        precondition rather than trust it."""
+        seen = {self.entry}
+        stack = [self.entry]
+        while stack:
+            c = stack.pop()
+            for nb in self.layers[0].get(c, ()):
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        return len(seen) == len(self.ids)

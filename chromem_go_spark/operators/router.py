@@ -177,7 +177,10 @@ def forced_decision(
 def tier_of(index) -> str:
     """The tier a served index object belongs to."""
     from . import ann as A
+    from .hnsw import HNSWIndex
 
+    if isinstance(index, HNSWIndex):
+        return "hnsw"  # served-only: auto never builds one per query
     if isinstance(index, A.IVFPQIndex):
         return "ivf_pq"
     if isinstance(index, A.IVFSQIndex):
@@ -224,6 +227,17 @@ def routed_search(
                 "filtered ANN search requires the IVF (flat) index; "
                 "quantized (PQ/SQ) candidates carry codes only"
             )
+        if tier == "hnsw":
+            # served graph index (operators/hnsw.py): ef from the
+            # recall target — >= 0.999 walks exhaustively (exact)
+            ef = (
+                index.n_points()
+                if target_recall >= 0.999
+                else max(4 * k, 64)
+            )
+            return index.search_batch(
+                df.sparkSession, ["0"], [qv], k, ef=ef
+            ).drop("query_id")
         nlist = len(index.centroids)
         nprobe = _nprobe(nlist, target_recall)
         rerank = max((20 if tier == "ivf_pq" else 10) * k, 100)
