@@ -35,6 +35,16 @@ from .materialize import materialize
 
 _SAFE_NAME = re.compile(r"[^A-Za-z0-9._-]")
 
+EXPORT_ENCODINGS = ("parquet", "jsonl")
+
+
+def _check_encoding(encoding: str) -> None:
+    if encoding not in EXPORT_ENCODINGS:
+        raise ValueError(
+            f"unknown export encoding {encoding!r}; "
+            f"expected one of {EXPORT_ENCODINGS}"
+        )
+
 
 def _check_encryption_key(encryption_key: str):
     """Validate the export/import encryption key and return the AES-GCM
@@ -191,6 +201,7 @@ class DB:
         compress: bool = False,
         encryption_key: str = "",
         collections: list[str] | None = None,
+        encoding: str = "parquet",
     ) -> None:
         """Stream export (reference ExportToWriter db.go:450-490): the
         same tar+manifest payload as :meth:`export_to_file`, written to
@@ -207,6 +218,7 @@ class DB:
         package (vetted primitive, import-gated)."""
         if writer is None or not hasattr(writer, "write"):
             raise ValueError("writer is nil or not a binary writer")
+        _check_encoding(encoding)
         aesgcm = _check_encryption_key(encryption_key)
         names = collections if collections else list(self._collections)
         for n in names:
@@ -219,13 +231,16 @@ class DB:
             import io
 
             buf = io.BytesIO()
-            self._write_tar(buf, compress, names)
+            self._write_tar(buf, compress, names, encoding)
             nonce = os.urandom(12)  # GCM standard nonce size
             writer.write(nonce + aesgcm.encrypt(nonce, buf.getvalue(), None))
             return
-        self._write_tar(writer, compress, names)
+        self._write_tar(writer, compress, names, encoding)
 
-    def _write_tar(self, fileobj, compress: bool, names: list[str]) -> None:
+    def _write_tar(
+        self, fileobj, compress: bool, names: list[str],
+        encoding: str = "parquet",
+    ) -> None:
         mode = "w|gz" if compress else "w|"
         with tempfile.TemporaryDirectory() as tmp:
             manifest = []
@@ -233,8 +248,19 @@ class DB:
                 c = self._collections[n]
                 sub = _dirname_for(n)
                 out = os.path.join(tmp, sub)
-                c.df.coalesce(1).write.mode("overwrite").parquet(out)
-                manifest.append({"name": n, "dir": sub, "metadata": c.metadata})
+                w = c.df.coalesce(1).write.mode("overwrite")
+                # "jsonl" is the reference roadmap's second encoding
+                # (README.md:181 "JSON as second encoding format"):
+                # line-delimited JSON documents, human-readable and
+                # engine-neutral; parquet stays the default
+                if encoding == "jsonl":
+                    w.json(out)
+                else:
+                    w.parquet(out)
+                manifest.append({
+                    "name": n, "dir": sub, "metadata": c.metadata,
+                    "encoding": encoding,
+                })
             with open(os.path.join(tmp, "manifest.json"), "w") as f:
                 json.dump(manifest, f)
             # manifest first: a streaming importer can read it before any
@@ -245,10 +271,12 @@ class DB:
                     tar.add(os.path.join(tmp, m["dir"]), arcname=m["dir"])
 
     def export_to_file(
-        self, file_path: str, compress: bool = False, encryption_key: str = "", collections: list[str] | None = None
+        self, file_path: str, compress: bool = False, encryption_key: str = "", collections: list[str] | None = None,
+        encoding: str = "parquet",
     ) -> None:
         if not file_path:
             raise ValueError("file path is empty")
+        _check_encoding(encoding)
         # validate BEFORE opening: open(..., 'wb') truncates, and a bad
         # key / unknown collection name must not destroy an existing
         # export at the destination path
@@ -257,7 +285,9 @@ class DB:
             if n not in self._collections:
                 raise ValueError(f"unknown collection: {n}")
         with open(file_path, "wb") as f:
-            self.export_to_writer(f, compress, encryption_key, collections)
+            self.export_to_writer(
+                f, compress, encryption_key, collections, encoding
+            )
 
     def import_from_reader(
         self, reader, encryption_key: str = "", collections: list[str] | None = None
@@ -289,8 +319,19 @@ class DB:
                 if collections and m["name"] not in collections:
                     continue
                 # localCheckpoint pins the rows before the extracted temp
-                # dir disappears (DataFrames are lazy).
-                df = materialize(self.spark.read.parquet(os.path.join(tmp, m["dir"])))
+                # dir disappears (DataFrames are lazy).  The per-entry
+                # manifest encoding routes the reader; JSON is read with
+                # the explicit document schema (inference would type the
+                # metadata map as a struct of observed keys).
+                src = os.path.join(tmp, m["dir"])
+                if m.get("encoding", "parquet") == "jsonl":
+                    from .document import DOCUMENT_SCHEMA
+
+                    df = materialize(
+                        self.spark.read.schema(DOCUMENT_SCHEMA).json(src)
+                    )
+                else:
+                    df = materialize(self.spark.read.parquet(src))
                 c = self.create_collection(m["name"], metadata=m.get("metadata", {}))
                 c.add_df(df, normalize=False)
 

@@ -417,6 +417,48 @@ def new_embedding_func_ollama(model: str, base_url: str = "") -> OllamaEmbedder:
     return OllamaEmbedder(base_url=base_url or BASE_URL_OLLAMA, model=model)
 
 
+BASE_URL_LLAMAFILE = "http://localhost:8080/v1"
+
+
+def new_embedding_func_llamafile(
+    base_url: str = "", model: str = ""
+) -> OpenAICompatEmbedder:
+    """llamafile-served embeddings — the reference's roadmap
+    EmbeddingFunc (reference README.md:174: "downloads and shells out
+    to llamafile").  A running llamafile exposes an OpenAI-compatible
+    server (default port 8080), so the request shape is the compat
+    path; the model name is baked into the llamafile binary, so it may
+    be empty.  Pair with :func:`launch_llamafile` to own the process."""
+    return new_embedding_func_openai_compat(
+        base_url or BASE_URL_LLAMAFILE, "", model
+    )
+
+
+def launch_llamafile(
+    binary_path: str, port: int = 8080, extra_args: list[str] | None = None
+):
+    """Start a llamafile server subprocess (``--server --embedding``)
+    and return the Popen handle; callers terminate it when done.  The
+    reference roadmap's "download and shell out" step minus the
+    download (no network in CI — the binary path must exist).  Raises
+    FileNotFoundError when the binary is absent: like the PIL codecs,
+    the shell-out is environment-gated while the request path
+    (:func:`new_embedding_func_llamafile`) is fully mock-tested."""
+    import subprocess
+
+    if not os.path.exists(binary_path):
+        raise FileNotFoundError(
+            f"llamafile binary not found at {binary_path}; download one "
+            "from the llamafile releases and pass its path"
+        )
+    return subprocess.Popen(
+        [binary_path, "--server", "--embedding", "--port", str(port),
+         "--nobrowser", *(extra_args or [])],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+
+
 def new_embedding_func_cohere(
     api_key: str, model: str = "embed-english-v3.0", base_url: str = ""
 ) -> CohereEmbedder:

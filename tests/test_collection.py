@@ -155,6 +155,41 @@ def test_export_import(spark, tmp_path, db):
     assert got.get_by_id("2").metadata == {"language": "de"}
 
 
+def test_export_import_jsonl_encoding(spark, tmp_path, db):
+    """The reference roadmap's second encoding (README.md:181 "JSON as
+    second encoding format"): a JSONL export round-trips through
+    import with the exact document schema (metadata stays a MAP, not
+    an inferred struct), embeddings and all."""
+    import json as _json
+    import tarfile as _tarfile
+
+    c = db.create_collection("expj", embedding_func=const_embedding)
+    c.add_documents(two_docs())
+    path = str(tmp_path / "export_jsonl.tar")
+    db.export_to_file(path, encoding="jsonl", collections=["expj"])
+    # payload really is line-delimited JSON (human-readable contract)
+    with _tarfile.open(path) as tar:
+        data_names = [
+            n for n in tar.getnames() if "/part-" in n and n.endswith(".json")
+        ]
+        assert data_names, tar.getnames()
+        lines = tar.extractfile(data_names[0]).read().decode().strip().splitlines()
+        parsed = [_json.loads(ln) for ln in lines]
+        assert {p["id"] for p in parsed} == {"1", "2"}
+    d2 = DB(spark)
+    d2.import_from_file(path)
+    got = d2.get_collection("expj")
+    assert got.count() == 2
+    doc = got.get_by_id("2")
+    assert doc.metadata == {"language": "de"}
+    assert len(doc.embedding) == 3
+    # unknown encodings are rejected before any file is touched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown export encoding"):
+        db.export_to_file(str(tmp_path / "nope.tar"), encoding="gob")
+
+
 def test_query_batch(db):
     c = db.create_collection("batch", embedding_func=make_hash_embedding_func(16))
     c.add_documents(

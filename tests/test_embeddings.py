@@ -365,3 +365,30 @@ def test_pandas_udf_ingest_fills_missing_embeddings(spark, mock_server):
     assert got["b"] == pytest.approx([0.970143, 0.242536, 0.0], abs=1e-5)
     sent = [t for r in state.requests for t in r["body"]["input"]]
     assert sorted(sent) == ["xx", "xxxx"]  # pre-embedded row never sent
+
+
+def test_llamafile_request_shape_and_no_auth(mock_server):
+    """llamafile serves the OpenAI-compat surface with no API key and
+    a baked-in model — the request must carry no Authorization header
+    and tolerate an empty model name (reference roadmap README.md:174)."""
+    def respond(req):
+        return 200, {
+            "data": [
+                {"index": i, "embedding": NORM3}
+                for i in range(len(req["body"]["input"]))
+            ]
+        }
+
+    base, state = mock_server(respond)
+    emb = P.new_embedding_func_llamafile(base)
+    v = emb.embed("hello llamafile")
+    assert v == pytest.approx(NORM3)
+    req = state.requests[0]
+    assert req["path"] == "/embeddings"
+    assert "authorization" not in req["headers"]
+    assert req["body"]["input"] == ["hello llamafile"]
+
+
+def test_llamafile_launch_requires_binary(tmp_path):
+    with pytest.raises(FileNotFoundError, match="llamafile binary"):
+        P.launch_llamafile(str(tmp_path / "nope.llamafile"))
