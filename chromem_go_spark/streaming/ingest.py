@@ -747,6 +747,102 @@ def incremental_neardup_sink(
     )
 
 
+def incremental_gram_index_batch(
+    batch_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    batch_id: int = 0,
+    compact_after: int = 16,
+    commit_mode: str = "rename",
+) -> None:
+    """One micro-batch of ``$contains`` gram-index maintenance: the
+    batch's (gram, id) postings (operators/textindex.build_gram_index)
+    land under ``index_dir`` as a ``__batch=batch_id`` partition —
+    dynamic partition overwrite, so a replayed micro-batch REPLACES
+    its own postings (foreachBatch is at-least-once) instead of
+    duplicating them.  History folds into the reserved base partition
+    via the standard ``__batch`` protocol once ``compact_after`` dirs
+    accumulate (duplicates collapse in the fold — postings are
+    naturally idempotent rows).
+
+    The query side is :func:`gram_candidates_live`: the same
+    posting-list intersection as the batch index, over the union of
+    all committed batches.  At scale this is exactly how a text index
+    tracks an ingest stream: per-batch posting appends, scheduled
+    folds, readers always consistent."""
+    import os
+
+    from ..batchstate import fold_batch_partitions
+    from ..operators import textindex as TI
+
+    spark = batch_docs.sparkSession
+    posts = TI.build_gram_index(batch_docs, text_col, id_col, n)
+    (
+        posts.withColumn("__batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch")
+        .parquet(index_dir)
+    )
+    if compact_after:
+        fold_batch_partitions(
+            spark,
+            index_dir,
+            ["__batch"],
+            _COMPACTED_BATCH,
+            exclude_batch=int(batch_id),
+            threshold=int(compact_after),
+            commit_mode=commit_mode,
+        )
+    # marker so readers can distinguish "no index" from "empty index"
+    os.makedirs(index_dir, exist_ok=True)
+
+
+def gram_candidates_live(
+    spark: SparkSession, index_dir: str, pattern: str, n: int = 3
+):
+    """``contains_candidates`` over the streaming-maintained posting
+    table: manifest-aware read of all committed ``__batch`` partitions
+    (duplicate postings across un-folded batches are harmless — the
+    intersection counts DISTINCT grams per id).  Returns None for
+    patterns below the gram size, like the batch API."""
+    from ..batchstate import read_live
+    from ..operators import textindex as TI
+
+    idx = read_live(spark, index_dir)
+    if "__batch" in idx.columns:
+        idx = idx.drop("__batch")
+    return TI.contains_candidates(idx, pattern, n)
+
+
+def gram_index_sink(
+    stream_docs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "gram_index_ingest",
+    **kwargs,
+):
+    """foreachBatch sink wrapping :func:`incremental_gram_index_batch`
+    — continuous ``$contains`` index maintenance over a document
+    stream."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_gram_index_batch(
+            batch_df, index_dir, batch_id=batch_id, **kwargs
+        )
+
+    return (
+        stream_docs.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
 def run_available_now(writer, timeout_s: float = 300.0) -> None:
     """Drain everything currently available, then stop (test/backfill
     helper)."""

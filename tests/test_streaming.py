@@ -717,3 +717,83 @@ def test_soak_incremental_semantic_dedup(spark, tmp_path):
     # folds actually ran: batch dirs stay bounded
     parts = [d for d in _os.listdir(f"{state}/pairs") if d.startswith("__batch=")]
     assert len(parts) <= 6, parts
+
+
+def test_incremental_gram_index_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming-maintained $contains posting index: documents arrive
+    in two batches (with a replayed batch — at-least-once); the live
+    candidate set equals the one-shot batch index's for every pattern,
+    and the indexed filter still returns exactly the scan filter's
+    rows."""
+    from chromem_go_spark.operators import textindex as TI
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full_idx = TI.build_gram_index(docs, text_col="text", id_col="doc_id")
+
+    idx_dir = str(tmp_path / "gram_state")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    S.incremental_gram_index_batch(b1, idx_dir, text_col="text", batch_id=0)
+    S.incremental_gram_index_batch(b1, idx_dir, text_col="text", batch_id=0)
+    S.incremental_gram_index_batch(b2, idx_dir, text_col="text", batch_id=1)
+
+    for pattern in ("spark", "join", "zzqxv__nope"):
+        want = {
+            r["id"]
+            for r in TI.contains_candidates(full_idx, pattern).collect()
+        }
+        got = {
+            r["id"]
+            for r in S.gram_candidates_live(
+                spark, idx_dir, pattern
+            ).collect()
+        }
+        assert got == want, pattern
+    assert S.gram_candidates_live(spark, idx_dir, "ab") is None
+
+
+def test_gram_index_sink_and_compaction(spark, tmp_path, sf_dir):
+    """The foreachBatch wrapper + aggressive folding: many micro-batch
+    partitions collapse into the reserved base while candidates stay
+    exact (duplicate postings dedup in the intersection's
+    count_distinct)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    d = tmp_path / "gram_docs_stream"
+    d.mkdir()
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), d / "docs-000.parquet")
+    pq.write_table(t.slice(third, third), d / "docs-001.parquet")
+    pq.write_table(t.slice(2 * third), d / "docs-002.parquet")
+
+    docs_batch = spark.read.parquet(str(d))
+    from chromem_go_spark.operators import textindex as TI
+
+    full_idx = TI.build_gram_index(
+        docs_batch, text_col="text", id_col="doc_id"
+    )
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    idx_dir = str(tmp_path / "gram_sink_state")
+    writer = S.gram_index_sink(
+        stream, idx_dir, str(tmp_path / "gram_ckpt"),
+        text_col="text", compact_after=2,
+    )
+    S.run_available_now(writer)
+    want = {
+        r["id"] for r in TI.contains_candidates(full_idx, "spark").collect()
+    }
+    got = {
+        r["id"]
+        for r in S.gram_candidates_live(spark, idx_dir, "spark").collect()
+    }
+    assert got == want and want
+    # folding kept the partition count bounded
+    parts = [p for p in os.listdir(idx_dir) if p.startswith("__batch=")]
+    assert len(parts) <= 3, parts
