@@ -2027,6 +2027,128 @@ FROM w
 """
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two context-length bucketing + per-bucket padding
+    audit (pipeline.length_histogram) — the assignment a
+    batch-by-length training loader consumes.  Bucket is the binary
+    digit count of the token count (integer-exact on both engines;
+    float log2 would flip ceils at exact powers)."""
+    from chromem_go_spark.pipeline import length_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_histogram(docs)
+
+
+_LENGTH_HISTOGRAM_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN 0 ELSE length(printf('%b', n)) END AS bucket
+  FROM t
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CASE WHEN bucket = 0 THEN 0.0
+            ELSE ROUND(1.0 - SUM(n) * 1.0 / (COUNT(*) * POWER(2, bucket)), 4)
+       END AS pad_frac
+FROM b GROUP BY bucket
+"""
+
+
+def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card (pipeline.source_report): the
+    corpus_report statistics grouped by origin — what a mixing
+    decision consumes.  Oracle recomposes each statistic from the
+    already-validated SQL forms (token count, md5 fingerprint,
+    quality heuristic)."""
+    from chromem_go_spark.pipeline import source_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_report(docs)
+
+
+_SOURCE_REPORT_SQL = r"""
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+    AS total_tokens,
+  ROUND(AVG(length(text)), 4) AS mean_chars,
+  ROUND(1.0 - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+              * 1.0 / COUNT(*), 4) AS dup_rate,
+  ROUND(AVG(
+    GREATEST(0.0, LEAST(1.0,
+      (CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END)
+      * (CASE WHEN
+           (CASE WHEN length(trim(text)) = 0 THEN 0.0
+                 ELSE length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+                      / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 3 AND 10
+         THEN 1.0 ELSE 0.5 END)
+      - (CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0 / length(text) END)
+    ))
+  ), 4) AS mean_quality
+FROM documents GROUP BY source
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (pipeline.tokenizer_fertility):
+    BPE pieces per regex word by language — the "which language pays
+    more context budget" audit.  Oracle reuses the Spark-free merge
+    retrain (bpe_piece_counts_local) with the word→piece-count map as
+    a literal, like pack_corpus_bpe."""
+    from chromem_go_spark.pipeline import tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, n_merges=50)
+
+
+def _tokenizer_fertility_sql() -> str:
+    import os
+
+    from chromem_go_spark.operators.bpe import bpe_piece_counts_local
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    pc = bpe_piece_counts_local(
+        f"{sf_dir}/documents.parquet", n_merges=50
+    )
+    rows = ",\n    ".join(
+        f"('{w.replace(chr(39), chr(39) * 2)}', {n})"
+        for w, n in sorted(pc.items())
+    )
+    return f"""
+WITH pc AS (SELECT * FROM (VALUES
+    {rows}
+) AS t(tok, np)),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok
+  FROM documents
+),
+perdoc AS (
+  SELECT toks.doc_id, COUNT(*) AS w, SUM(pc.np) AS p
+  FROM toks JOIN pc ON toks.tok = pc.tok GROUP BY toks.doc_id
+)
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(COALESCE(perdoc.w, 0)) AS BIGINT) AS words,
+       CAST(SUM(COALESCE(perdoc.p, 0)) AS BIGINT) AS pieces,
+       ROUND(SUM(COALESCE(perdoc.p, 0)) * 1.0
+             / SUM(COALESCE(perdoc.w, 0)), 4) AS fertility
+FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
 def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (Rocchio/RM3 family): BM25
     top-10 feedback docs -> top-5 expansion terms by feedback-tf x idf
@@ -2519,6 +2641,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_routed_ivf": q_knn_routed_ivf,
         "pack_corpus_bpe": q_pack_corpus_bpe,
         "hnsw_search": q_hnsw_search,
+        "length_histogram": q_length_histogram,
+        "source_report": q_source_report,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -2933,6 +3058,9 @@ LIMIT 10
         "ranking_metrics": _RANKING_METRICS_SQL,
         "pack_corpus": _PACK_CORPUS_SQL,
         "pack_corpus_bpe": _pack_corpus_bpe_sql(),
+        "length_histogram": _LENGTH_HISTOGRAM_SQL,
+        "source_report": _SOURCE_REPORT_SQL,
+        "tokenizer_fertility": _tokenizer_fertility_sql(),
         "prf_search": _PRF_SQL,
         "cross_corpus_neardup": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
         "cross_corpus_minhash": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
@@ -4102,6 +4230,9 @@ _EXTRA_KEYS = frozenset(
         "knn_routed_ivf",  # r7: forced-IVF routed path, nprobe-all identity
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
+        "length_histogram",  # r7: power-of-two length buckets + pad audit
+        "source_report",  # r7: per-source data card
+        "tokenizer_fertility",  # r7: BPE pieces per word by language
     }
 )
 

@@ -124,6 +124,9 @@ BENCH_NAMES = [
     "knn_routed_ivf",
     "pack_corpus_bpe",
     "hnsw_search",
+    "length_histogram",
+    "source_report",
+    "tokenizer_fertility",
 ]
 
 

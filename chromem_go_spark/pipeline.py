@@ -1205,6 +1205,148 @@ def corpus_report(
     )
 
 
+def length_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Power-of-two context-length bucketing: every document gets the
+    bucket ``b`` with ``2^(b-1) < n_tokens <= 2^b``-ish (precisely:
+    b = number of binary digits of n_tokens, so 1-1, 2-2, 3-4, 5-8,
+    ...; empty docs get bucket 0).  Training loaders batch documents
+    of similar length together to kill padding waste — this is the
+    assignment that feeds such a loader, and the histogram below is
+    the padding-efficiency audit.
+
+    The bucket is integer-exact (digit count of the binary
+    representation, never float log2 — a log(n)/log(2) ulp at an exact
+    power would flip the ceil cross-engine): pure codegen, map-only,
+    100 TB safe."""
+    tok = T.token_count(F.col(text_col))
+    bucket = F.when(tok == 0, F.lit(0)).otherwise(
+        F.length(F.conv(tok.cast("string"), 10, 2))
+    )
+    return docs.select(
+        id_col,
+        tok.cast("bigint").alias("n_tokens"),
+        bucket.cast("int").alias("bucket"),
+    )
+
+
+def length_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket padding audit over :func:`length_buckets`:
+    (bucket, n_docs, total_tokens, pad_frac) where ``pad_frac`` is the
+    padding wasted batching this bucket to its ceiling length
+    (1 - total/(n_docs * 2^bucket)).  One map-side-combined
+    aggregation."""
+    b = length_buckets(docs, text_col, id_col)
+    ceiling = F.pow(F.lit(2.0), F.col("bucket")).cast("bigint")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.when(F.col("bucket") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    1.0
+                    - F.col("total_tokens")
+                    / (F.col("n_docs") * ceiling),
+                    4,
+                )
+            )
+            .alias("pad_frac"),
+        )
+    )
+
+
+def source_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source data card — :func:`corpus_report` grouped by origin:
+    (source, n_docs, total_tokens, mean_chars, dup_rate, mean_quality).
+    ``dup_rate`` is the within-source exact-duplicate fraction
+    (1 - distinct fingerprints / docs).  The per-source view is what a
+    mixing decision actually consumes: which origins are token-rich,
+    duplicated, or low-quality.  One scan, one aggregation, all
+    codegen."""
+    return (
+        docs.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(F.col(text_col)))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.round(F.avg(F.length(text_col)), 4).alias("mean_chars"),
+            F.round(
+                1.0
+                - F.count_distinct(T.fingerprint(F.col(text_col)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+            F.round(F.avg(T.quality_score(F.col(text_col))), 4).alias(
+                "mean_quality"
+            ),
+        )
+    )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: DataFrame | None = None,
+    n_merges: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility audit: (lang, n_docs, words,
+    pieces, fertility) with fertility = BPE pieces per whitespace-ish
+    word (regex word tokens).  The standard "is this tokenizer fair to
+    language X" diagnostic — fertility >> 1 for a language means its
+    text costs proportionally more context budget.  Encoding reuses
+    :func:`..operators.bpe.bpe_encode` (Python once per DISTINCT word,
+    never per document)."""
+    from .operators import bpe as B
+
+    if merges is None:
+        merges = B.bpe_learn(docs, n_merges=n_merges, text_col=text_col)
+    pieces = B.bpe_encode(docs, merges, text_col=text_col, id_col=id_col)
+    per_doc = docs.select(
+        id_col,
+        F.col(lang_col),
+        F.size(T.word_tokens(F.col(text_col))).alias("__w"),
+    ).join(
+        pieces.select(id_col, F.size("pieces").alias("__p")), id_col
+    )
+    return (
+        per_doc.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").cast("bigint").alias("words"),
+            F.sum("__p").cast("bigint").alias("pieces"),
+        )
+        .select(
+            lang_col,
+            "n_docs",
+            "words",
+            "pieces",
+            F.round(F.col("pieces") / F.col("words"), 4).alias("fertility"),
+        )
+    )
+
+
 def split_corpus(
     docs: DataFrame,
     fractions: "dict[str, float]" = None,

@@ -859,3 +859,58 @@ def test_split_corpus_stable_and_partitioned(spark, sf_dir):
     assert all(out[k] == v for k, v in half.items())
     with _pytest.raises(ValueError, match="fractions"):
         split_corpus(docs, {"a": 0.9, "b": 0.2}).collect()
+
+
+def test_length_buckets_integer_exact(spark):
+    """Bucket = binary digit count of the token count (1→1, 2→2, 3-4→3,
+    5-8→4 ...), empty text → bucket 0 — integer-exact, no float log."""
+    from chromem_go_spark.pipeline import length_buckets, length_histogram
+
+    rows = [(i, " ".join(["t"] * n)) for i, n in
+            enumerate([0, 1, 2, 3, 4, 5, 8, 9, 16, 100])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["bucket"])
+           for r in length_buckets(df).collect()}
+    assert got == {0: (0, 0), 1: (1, 1), 2: (2, 2), 3: (3, 2), 4: (4, 3),
+                   5: (5, 3), 6: (8, 4), 7: (9, 4), 8: (16, 5), 9: (100, 7)}
+    h = {r["bucket"]: r for r in length_histogram(df).collect()}
+    assert h[0]["pad_frac"] == 0.0
+    # bucket 4 holds 8 and 9 tokens against a 16-token ceiling
+    assert h[4]["n_docs"] == 2 and h[4]["total_tokens"] == 17
+    assert h[4]["pad_frac"] == round(1 - 17 / 32, 4)
+
+
+def test_source_report_dup_rate(spark):
+    from chromem_go_spark.pipeline import source_report
+
+    rows = [
+        (1, "same text", "a"), (2, "same text", "a"), (3, "other", "a"),
+        (4, "unique one", "b"), (5, "unique two", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_report(df).collect()}
+    assert got["a"]["n_docs"] == 3 and got["a"]["dup_rate"] == round(1 - 2 / 3, 4)
+    assert got["b"]["dup_rate"] == 0.0
+    assert got["a"]["total_tokens"] == 5  # 2+2+1 whitespace tokens
+
+
+def test_tokenizer_fertility_by_lang(spark):
+    """Fertility >= 1 always (every word carries its end-mark piece);
+    a language whose words never got merges pays more pieces/word."""
+    from chromem_go_spark.pipeline import tokenizer_fertility
+
+    rows = (
+        [(i, "low low lowest newest", "en") for i in range(8)]
+        + [(100 + i, "zqx wvj pfft", "xx") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # merges trained on the en slice only: "xx" is out-of-vocabulary
+    # for the tokenizer, the realistic under-served-language shape
+    from chromem_go_spark.operators import bpe as B
+
+    merges = B.bpe_learn(df.filter(F.col("lang") == "en"), n_merges=30)
+    got = {r["lang"]: r for r in tokenizer_fertility(df, merges=merges).collect()}
+    assert got["en"]["words"] == 32 and got["xx"]["words"] == 6
+    assert got["en"]["fertility"] >= 1.0
+    # the unseen-vocab language splits to characters: strictly worse
+    assert got["xx"]["fertility"] > got["en"]["fertility"]
