@@ -2149,6 +2149,50 @@ GROUP BY d.lang
 """
 
 
+def q_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax domain mixing weights (Chung et al. 2023): water-fill a
+    token budget across sources, smallest first, capping each at
+    max_epochs passes.  Counts are one distributed aggregation; the
+    bounded driver loop replays in SQL as a recursive CTE carrying the
+    remaining budget (the MMR oracle pattern).  Budget/epochs chosen
+    so BOTH branches (epoch-capped and fair-share) occur at sf0.01."""
+    from chromem_go_spark.pipeline import unimax_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return unimax_weights(docs, budget_tokens=50_000, max_epochs=2.0)
+
+
+_UNIMAX_SQL = r"""
+WITH RECURSIVE counts AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END)
+              AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+ord AS (
+  SELECT source, n, row_number() OVER (ORDER BY n, source) AS rn,
+         COUNT(*) OVER () AS k
+  FROM counts
+),
+alloc AS (
+  SELECT 0 AS rn, CAST(50000 AS DOUBLE) AS remaining,
+         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS a
+  UNION ALL
+  SELECT o.rn,
+         alloc.remaining
+           - LEAST(o.n * 2.0, alloc.remaining / (o.k - alloc.rn)),
+         o.source, o.n,
+         LEAST(o.n * 2.0, alloc.remaining / (o.k - alloc.rn))
+  FROM alloc JOIN ord o ON o.rn = alloc.rn + 1
+)
+SELECT source, n AS n_tokens, ROUND(a, 4) AS alloc_tokens,
+       ROUND(a / 50000, 6) AS weight
+FROM alloc WHERE source IS NOT NULL
+"""
+
+
 def q_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance-feedback retrieval (Rocchio/RM3 family): BM25
     top-10 feedback docs -> top-5 expansion terms by feedback-tf x idf
@@ -2644,6 +2688,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "source_report": q_source_report,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "unimax_weights": q_unimax_weights,
     }
 
 
@@ -3061,6 +3106,7 @@ LIMIT 10
         "length_histogram": _LENGTH_HISTOGRAM_SQL,
         "source_report": _SOURCE_REPORT_SQL,
         "tokenizer_fertility": _tokenizer_fertility_sql(),
+        "unimax_weights": _UNIMAX_SQL,
         "prf_search": _PRF_SQL,
         "cross_corpus_neardup": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
         "cross_corpus_minhash": _CROSS_NEARDUP_SQL.format(sh=_SHINGLES),
@@ -4233,6 +4279,7 @@ _EXTRA_KEYS = frozenset(
         "length_histogram",  # r7: power-of-two length buckets + pad audit
         "source_report",  # r7: per-source data card
         "tokenizer_fertility",  # r7: BPE pieces per word by language
+        "unimax_weights",  # r7: UniMax mixing, recursive-CTE water-fill replay
     }
 )
 

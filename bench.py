@@ -127,6 +127,7 @@ BENCH_NAMES = [
     "length_histogram",
     "source_report",
     "tokenizer_fertility",
+    "unimax_weights",
 ]
 
 

@@ -1347,6 +1347,57 @@ def tokenizer_fertility(
     )
 
 
+def unimax_weights(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax domain mixing (Chung et al. 2023, arXiv:2304.09151):
+    allocate a token budget across sources as uniformly as possible
+    while capping every source at ``max_epochs`` passes over its own
+    tokens — the published alternative to ad-hoc mixture weights that
+    provably avoids over-epoching small domains.
+
+    Water-filling, processed smallest-source first: with remaining
+    budget R over k unprocessed sources, a source gets
+    ``min(n_tokens * max_epochs, R / k)``.  Returns (source, n_tokens,
+    alloc_tokens, weight) with weight = alloc / budget.
+
+    Scale shape: ONE distributed aggregation for the per-source token
+    counts; the water-filling loop runs on the driver over the bounded
+    domain list (sources number in the hundreds, not the billions).
+    The whole policy — counts and loop — replays in SQL (recursive CTE
+    carrying the remaining budget), which is the correctness oracle.
+    Feed the weights to :func:`mix_corpus` / :func:`stratified_sample`
+    to materialize the mixture."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    counts = (
+        docs.groupBy(source_col)
+        .agg(F.sum(T.token_count(F.col(text_col))).cast("bigint").alias("n_tokens"))
+        .collect()
+    )
+    # deterministic processing order: smallest first, ties by name
+    ordered = sorted(counts, key=lambda r: (r["n_tokens"], r[source_col]))
+    remaining = float(budget_tokens)
+    out = []
+    for i, r in enumerate(ordered):
+        k = len(ordered) - i
+        alloc = min(float(r["n_tokens"]) * float(max_epochs), remaining / k)
+        remaining -= alloc
+        out.append(
+            (r[source_col], int(r["n_tokens"]), round(alloc, 4),
+             round(alloc / budget_tokens, 6))
+        )
+    return docs.sparkSession.createDataFrame(
+        out,
+        f"{source_col} string, n_tokens bigint, "
+        "alloc_tokens double, weight double",
+    )
+
+
 def split_corpus(
     docs: DataFrame,
     fractions: "dict[str, float]" = None,

@@ -914,3 +914,41 @@ def test_tokenizer_fertility_by_lang(spark):
     assert got["en"]["fertility"] >= 1.0
     # the unseen-vocab language splits to characters: strictly worse
     assert got["xx"]["fertility"] > got["en"]["fertility"]
+
+
+def test_unimax_weights_policy_invariants(spark):
+    """UniMax water-filling: every source respects its epoch cap, the
+    budget is exhausted whenever any source is uncapped, allocations
+    are monotone in source size within the uncapped region, and a
+    budget small enough to under-fill every cap goes uniform."""
+    from chromem_go_spark.pipeline import unimax_weights
+
+    rows = (
+        [(i, " ".join(["t"] * 10), "tiny") for i in range(2)]          # 20 tok
+        + [(10 + i, " ".join(["t"] * 10), "mid") for i in range(20)]   # 200
+        + [(100 + i, " ".join(["t"] * 10), "big") for i in range(200)] # 2000
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in unimax_weights(df, 1000, 2.0).collect()}
+    # tiny caps at 2 epochs x 20 tokens; the rest splits fair
+    assert got["tiny"]["alloc_tokens"] == 40.0
+    assert abs(sum(r["alloc_tokens"] for r in got.values()) - 1000) < 1e-6
+    assert got["mid"]["alloc_tokens"] == 400.0  # capped too (200*2)
+    assert got["big"]["alloc_tokens"] == 560.0  # the remainder
+    assert abs(got["big"]["weight"] - 0.56) < 1e-9
+    # huge budget: everyone epoch-capped, budget NOT exhausted
+    all_capped = {
+        r["source"]: r["alloc_tokens"]
+        for r in unimax_weights(df, 10_000_000, 2.0).collect()
+    }
+    assert all_capped == {"tiny": 40.0, "mid": 400.0, "big": 4000.0}
+    # tiny budget, nobody capped: uniform thirds
+    uniform = {
+        r["source"]: r["alloc_tokens"]
+        for r in unimax_weights(df, 30, 2.0).collect()
+    }
+    assert uniform == {"tiny": 10.0, "mid": 10.0, "big": 10.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        unimax_weights(df, 0)
