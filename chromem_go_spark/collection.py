@@ -631,11 +631,64 @@ class Collection:
         src = self.df
         idx = TI.build_gram_index(
             src, text_col="content", id_col="id", n=n
-        ).cache()
-        idx.count()  # materialize eagerly; queries reuse the cached table
+        )
+        if self.persist_dir:
+            # persist next to the data (underscore dir: invisible to
+            # the table's own parquet scans) + a corpus signature so a
+            # later session can tell whether the snapshot still matches
+            path = self._text_index_path()
+            TI.write_gram_index(idx, path)
+            import json
+
+            with open(os.path.join(path, "_index_meta.json"), "w") as f:
+                json.dump(
+                    {"n": n, "signature": self._corpus_signature()}, f
+                )
+            idx = self.spark.read.parquet(path)
+        else:
+            idx = idx.cache()
+            idx.count()  # materialize; queries reuse the cached table
         self._text_index = idx
         self._text_index_n = n
         self._text_index_src = src
+
+    def _text_index_path(self) -> str:
+        assert self.persist_dir
+        return os.path.join(self.persist_dir, "_text_index")
+
+    def _corpus_signature(self) -> str:
+        """Order-insensitive corpus snapshot signature: row count +
+        bit_xor of per-row xxhash64(id, content) — one aggregation,
+        no sort, no collect of data."""
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                F.xxhash64(F.col("id"), F.coalesce("content", F.lit("")))
+            ).alias("sig"),
+        ).head()
+        return f"{row['n']}:{row['sig']}"
+
+    def load_text_index(self) -> bool:
+        """Reload a persisted gram index from a previous session.
+        Returns False (and leaves queries on the scan path) when none
+        exists or the stored corpus signature no longer matches the
+        table — a stale snapshot must never prune live queries."""
+        import json
+
+        if not self.persist_dir:
+            return False
+        path = self._text_index_path()
+        meta_file = os.path.join(path, "_index_meta.json")
+        if not os.path.exists(meta_file):
+            return False
+        with open(meta_file) as f:
+            meta = json.load(f)
+        if meta.get("signature") != self._corpus_signature():
+            return False  # table changed since the index was written
+        self._text_index = self.spark.read.parquet(path)
+        self._text_index_n = int(meta.get("n", 3))
+        self._text_index_src = self.df
+        return True
 
     def _contains_pruned(self, df: DataFrame, where_document) -> DataFrame:
         """Apply the gram-index candidate semi-join for a ``$contains``

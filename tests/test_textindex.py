@@ -200,3 +200,70 @@ def test_collection_integration_and_staleness(spark):
 def test_bad_gram_size():
     with pytest.raises(ValueError, match="n >= 2"):
         TI.build_gram_index(None, n=1)
+
+
+def test_persistent_collection_text_index_reload(spark, tmp_path):
+    """A persisted gram index survives the session: a fresh DB over the
+    same directory reloads it (signature match) and prunes queries;
+    after a mutation the stale snapshot is REFUSED and queries fall
+    back to the scan path — correctness never rides on index
+    freshness."""
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    pdir = str(tmp_path / "db")
+    db = DB(spark, persist_dir=pdir)
+    c = db.create_collection(
+        "ti_persist", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(id="1", content="the quick brown fox"),
+            Document(id="2", content="lazy dogs sleep"),
+        ]
+    )
+    c.build_text_index()
+    import os
+
+    assert os.path.isdir(c._text_index_path())
+
+    # fresh session over the same directory
+    db2 = DB(spark, persist_dir=pdir)
+    c2 = db2.get_collection(
+        "ti_persist", embedding_func=make_hash_embedding_func(16)
+    )
+    assert c2.load_text_index() is True
+    got = {
+        r["id"]
+        for r in c2.query(
+            "quick", 2, where_document={"$contains": "quick"}
+        ).collect()
+    }
+    assert got == {"1"}
+    assert {
+        r["id"]
+        for r in TI.contains_candidates(c2._text_index, "quick").collect()
+    } == {"1"}
+
+    # mutate, then try to reload the now-stale snapshot: refused
+    c2.add_documents([Document(id="3", content="quick addendum")])
+    assert c2.load_text_index() is False
+    after = {
+        r["id"]
+        for r in c2.query(
+            "quick", 3, where_document={"$contains": "quick"}
+        ).collect()
+    }
+    assert after == {"1", "3"}  # scan fallback sees the new doc
+    # rebuilding refreshes the persisted snapshot + signature
+    c2.build_text_index()
+    db3 = DB(spark, persist_dir=pdir)
+    c3 = db3.get_collection(
+        "ti_persist", embedding_func=make_hash_embedding_func(16)
+    )
+    assert c3.load_text_index() is True
+    assert {
+        r["id"]
+        for r in TI.contains_candidates(c3._text_index, "quick").collect()
+    } == {"1", "3"}
