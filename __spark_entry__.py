@@ -2623,7 +2623,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FLAT at sf0.01; the forced-IVF twin exercises build+dispatch at
     nprobe=all == brute force), pack_corpus_bpe (BPE train → encode →
     token-exact packing; merges retrained Spark-free and the word →
-    piece-count map replayed as a SQL literal)."""
+    piece-count map replayed as a SQL literal), hnsw_search (HNSW
+    graph index, the reference's other roadmap ANN — served
+    driver-side tier; ef >= n provably exhausts the
+    connected-by-construction layer 0, so it shares knn_topk's
+    oracle), length_histogram (power-of-two context-length buckets +
+    padding audit, integer-exact), source_report (per-source data
+    card), tokenizer_fertility (BPE pieces per word by language, the
+    shared literal-map replay), unimax_weights (UniMax water-filled
+    domain mixing, recursive-CTE replay)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
