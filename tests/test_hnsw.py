@@ -15,7 +15,12 @@ from chromem_go_spark.operators.hnsw import HNSWIndex
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    # unpersist on teardown: a lingering cached plan for this parquet
+    # path would substitute an InMemoryRelation into OTHER modules'
+    # reads of the same file and break their scan-pushdown plan gates
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

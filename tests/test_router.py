@@ -71,7 +71,11 @@ def test_forced_decision_and_bad_tier():
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    # unpersist on teardown (see test_hnsw.emb: cached-plan leakage
+    # breaks other modules' pushdown gates)
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

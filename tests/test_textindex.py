@@ -23,7 +23,10 @@ def docs(spark, sf_dir):
 
 @pytest.fixture(scope="module")
 def gram_index(docs):
-    return TI.build_gram_index(docs, text_col="text", id_col="doc_id").cache()
+    # unpersist on teardown (cached-plan leakage; see test_hnsw.emb)
+    idx = TI.build_gram_index(docs, text_col="text", id_col="doc_id").cache()
+    yield idx
+    idx.unpersist()
 
 
 def test_pattern_grams():
