@@ -181,6 +181,49 @@ def q_knn_routed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_knn_routed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch routed search (router.routed_search_batch, NEW r8): one
+    tier decision dispatches a whole query batch — knn_block for FLAT,
+    the tier's search_batch otherwise.  At this sf auto resolves to
+    FLAT, so the oracle is the batch brute-force SQL (knn_batch's
+    shape); the non-flat batch dispatch is value-checked by
+    q_knn_routed_batch_ivf below and the per-tier batch exact-identity
+    parity tests (tests/test_router.py::test_batch_each_tier_*)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    out = RT.routed_search_batch(
+        emb,
+        [str(r["vec_id"]) for r in qrows],
+        [list(r["embedding"]) for r in qrows],
+        5,
+    )
+    return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
+
+
+def q_knn_routed_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch router with a caller-forced IVF tier at target_recall
+    0.999 — every query probes every cell, so the batched probe-join
+    result is exactly the brute-force batch (knn_batch's oracle).
+    Exercises the batch build+dispatch path auto (flat here) skips."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    n = emb.count()
+    decision = RT.forced_decision("ivf", n, k=5, target_recall=0.999)
+    out = RT.routed_search_batch(
+        emb,
+        [str(r["vec_id"]) for r in qrows],
+        [list(r["embedding"]) for r in qrows],
+        5,
+        decision=decision,
+        n_docs=n,
+    )
+    return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW graph ANN (reference roadmap README.md:176; Malkov &
     Yashunin 2016) — the driver-side SERVED tier for bounded corpora,
@@ -2691,6 +2734,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_contains_indexed": q_where_contains_indexed,
         "knn_routed": q_knn_routed,
         "knn_routed_ivf": q_knn_routed_ivf,
+        "knn_routed_batch": q_knn_routed_batch,
+        "knn_routed_batch_ivf": q_knn_routed_batch_ivf,
         "pack_corpus_bpe": q_pack_corpus_bpe,
         "hnsw_search": q_hnsw_search,
         "length_histogram": q_length_histogram,
@@ -3021,7 +3066,7 @@ FROM ranked WHERE rn = 1
 """
 
 
-def _oracles_all() -> dict[str, str]:
+def _oracles_base() -> dict[str, str]:
     """Every oracle, canonical + extras; split by the public accessors
     below so the driver sees exactly one oracle per queries() entry."""
     q0 = _NORM_Q.format(vid=0)
@@ -4222,6 +4267,16 @@ WHERE bit_count(xor(a.f, b.f)) <= 6
     }
 
 
+def _oracles_all() -> dict[str, str]:
+    out = _oracles_base()
+    # batch router (r8): auto resolves FLAT at this sf; forced IVF at
+    # target 0.999 probes every cell — both identically the batch
+    # brute-force SQL (knn_batch's oracle), per the nprobe-all identity
+    out["knn_routed_batch"] = out["knn_batch"]
+    out["knn_routed_batch_ivf"] = out["knn_batch"]
+    return out
+
+
 _EXTRA_KEYS = frozenset(
     {
         "word_ngram_jaccard",
@@ -4282,6 +4337,8 @@ _EXTRA_KEYS = frozenset(
         "where_contains_indexed",  # r7: gram-index $contains, shared oracle
         "knn_routed",  # r7: unified tier router (auto)
         "knn_routed_ivf",  # r7: forced-IVF routed path, nprobe-all identity
+        "knn_routed_batch",  # r8: batch routed search (auto -> flat kernel)
+        "knn_routed_batch_ivf",  # r8: batch forced-IVF, nprobe-all identity
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
         "length_histogram",  # r7: power-of-two length buckets + pad audit

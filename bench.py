@@ -122,6 +122,8 @@ BENCH_NAMES = [
     "where_contains_indexed",
     "knn_routed",
     "knn_routed_ivf",
+    "knn_routed_batch",
+    "knn_routed_batch_ivf",
     "pack_corpus_bpe",
     "hnsw_search",
     "length_histogram",
@@ -164,16 +166,27 @@ def main() -> None:
     # load as recorded data each round.
     errors: dict[str, str] = {}
     detail_funnel: dict | None = None
-    iso_time: float | None = None
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--isolated", "ngram_jaccard"],
-            capture_output=True, text=True, timeout=600, check=True,
-        )
-        iso_time = float(json.loads(r.stdout.strip().splitlines()[-1])["sec"])
-        print(f"# ngram_jaccard_isolated: {iso_time}s (fresh session)", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        errors["ngram_jaccard_isolated"] = f"{type(e).__name__}: {e}"[:300]
+    # r8 extends the control set to the exact-dedup family pair whose
+    # in-run readings crept ~22% over r6→r7 while plans stayed
+    # identical: a fresh-JVM point each round tells host/session drift
+    # from a real regression without waiting for the 3x auto-pin.
+    iso_controls: dict[str, float] = {}
+    for ctl in ("ngram_jaccard", "dedup_keep_best", "dedup_clusters_star"):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolated", ctl],
+                capture_output=True, text=True, timeout=600, check=True,
+            )
+            iso_controls[ctl] = float(
+                json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+            )
+            print(
+                f"# {ctl}_isolated: {iso_controls[ctl]}s (fresh session)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[f"{ctl}_isolated"] = f"{type(e).__name__}: {e}"[:300]
+    iso_time = iso_controls.get("ngram_jaccard")
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -478,6 +491,38 @@ def main() -> None:
         errors["knn_batch_100k_1536"] = f"{type(e).__name__}: {e}"[:300]
         point64 = point256 = point256_f32 = None
 
+    # Batch ROUTER point at the same shape (q=256): routed_search_batch
+    # on 100k docs resolves FLAT by the ladder and must add ~zero
+    # overhead over the raw kernel — the r8 batch-first completion.
+    point_routed = None
+    try:
+        from chromem_go_spark.operators import router as RT
+
+        qvecs256 = all_qvecs[:256]
+        wall = float("inf")
+        for i in range(3):
+            t0 = time.time()
+            nres = RT.routed_search_batch(
+                corpus, [str(j) for j in range(256)], qvecs256, k,
+                vec_col="embedding", id_col="id", n_docs=n_docs,
+            ).count()
+            if i >= 1:
+                wall = min(wall, time.time() - t0)
+            assert nres == 256 * k, nres
+        point_routed = {
+            "n_docs": n_docs, "dim": dim, "n_queries": 256, "k": k,
+            "wall_sec": round(wall, 3),
+            "doc_scores_per_sec": int(256 * n_docs / wall),
+            "tier": "flat (auto)",
+        }
+        print(
+            f"# knn_routed_batch_100k q=256: {wall:.2f}s "
+            f"(vs raw kernel {point256['wall_sec'] if point256 else '?'}s)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["knn_routed_batch_100k"] = f"{type(e).__name__}: {e}"[:300]
+
     del corpus
 
     # --- auto-isolation pins (BENCHNOTES protocol as recorded data) ---
@@ -521,13 +566,15 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "n_queries": len(times),
-        # control point, kept OUT of the total for round-over-round
+        # control points, kept OUT of the total for round-over-round
         # comparability of `value`
         "ngram_jaccard_isolated": iso_time,
+        "isolated_controls": iso_controls,
         "isolated_pins": pins,
         "knn_batch_100k_1536": point64,
         "knn_batch_100k_1536_q256": point256,
         "knn_batch_100k_1536_q256_f32": point256_f32,
+        "knn_routed_batch_100k_q256": point_routed,
     }
     if detail_funnel:
         detail["contains_index_funnel"] = detail_funnel
@@ -557,6 +604,7 @@ def main() -> None:
         "knn_batch_100k_1536": point64,
         "knn_batch_100k_1536_q256": point256,
         "knn_batch_100k_1536_q256_f32": point256_f32,
+        "knn_routed_batch_100k_q256": point_routed,
         "detail": detail_name,
     }
     print(json.dumps(out))

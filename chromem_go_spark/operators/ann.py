@@ -1079,6 +1079,7 @@ class IVFIndex:
         query_vecs: Sequence[Sequence[float]],
         k: int,
         nprobe: int = 4,
+        where=None,
     ) -> DataFrame:
         """Batch IVF search: every query is routed to its ``nprobe``
         nearest clusters on the driver (centroids are MB-scale), the
@@ -1089,7 +1090,13 @@ class IVFIndex:
         cluster is probed by at least one query are touched (semi-join
         pruning), and each (doc, query) pair scored is restricted to
         probed clusters — versus the full docs x queries cross product
-        of brute force."""
+        of brute force.
+
+        ``where`` is an optional metadata predicate Column over the
+        index's carried columns, applied BELOW the scoring join (the
+        batch analog of :meth:`search_filtered`: Catalyst composes it
+        with the cluster pruning at the scan).  The standard filtered-
+        ANN caveat applies per query: raise nprobe with selectivity."""
         import pandas as pd
 
         spark = self.assigned.sparkSession
@@ -1106,8 +1113,9 @@ class IVFIndex:
         )
         from ..functions import vector as V
 
+        base = self.assigned if where is None else self.assigned.filter(where)
         scored = (
-            self.assigned.join(F.broadcast(probe_df), "cluster_id")
+            base.join(F.broadcast(probe_df), "cluster_id")
             .withColumn(
                 "similarity",
                 V.dot(F.col(self.vec_col).cast("array<double>"), F.col("query_vec")),

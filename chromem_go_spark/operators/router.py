@@ -288,3 +288,119 @@ def routed_search(
         ["0"], [qv], k, nprobe=decision["nprobe"],
         rerank=decision["rerank"],
     ).drop("query_id")
+
+
+def routed_search_batch(
+    df: DataFrame,
+    query_ids: Sequence,
+    query_vecs: Sequence[Sequence[float]],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index=None,
+    target_recall: float = 0.95,
+    where: Column | None = None,
+    tuned: dict | None = None,
+    seed: int = 42,
+    decision: dict | None = None,
+    n_docs: int | None = None,
+    precision: str = "float64",
+    **thresholds,
+) -> DataFrame:
+    """Route a whole BATCH of query vectors through ONE tier decision
+    and run them together — the engine's identity shape (the reference
+    answers one query at a time; Spark's win is scoring the batch in
+    one corpus pass, SURVEY §7.1).
+
+    The decision logic is byte-identical to :func:`routed_search` (one
+    ladder, not two): a served ``index`` wins, else :func:`choose_tier`
+    picks from corpus size / recall / filteredness.  Dispatch per tier:
+
+    - **FLAT** → :func:`..knn.knn_block` (one GEMM per Arrow batch of
+      the corpus scores ALL queries; ``where`` filters the scan first).
+    - **IVF** → :meth:`..ann.IVFIndex.search_batch` (the probe table
+      of every query broadcast-joins the cluster-pruned corpus once;
+      ``where`` applies below scoring inside the probed partitions).
+    - **IVF-SQ8 / IVF-PQ** → the tier's ``search_batch`` (one uint8 /
+      ADC pass for all queries + shared exact re-rank).  ``where``
+      raises — quantized candidates carry codes only.
+    - **HNSW** (served only) → driver-side walks per query, one frame.
+
+    Returns (query_id string, <id_col>, similarity), per-query top-k,
+    the shape every tier's batch API already shares.  ``precision``
+    applies to the FLAT GEMM only (float32 = the reference's own
+    arithmetic; quantized tiers have their own code precision)."""
+    from . import ann as A
+    from . import knn as K
+
+    qvecs = [[float(x) for x in qv] for qv in query_vecs]
+    if not qvecs:
+        raise ValueError("queryEmbedding is empty")
+    if index is not None:
+        tier = tier_of(index)
+        if where is not None and tier != "ivf":
+            raise ValueError(
+                "filtered ANN search requires the IVF (flat) index; "
+                "quantized (PQ/SQ) candidates carry codes only"
+            )
+        if tier == "hnsw":
+            ef = (
+                index.n_points()
+                if target_recall >= 0.999
+                else max(4 * k, 64)
+            )
+            return index.search_batch(
+                df.sparkSession, list(query_ids), qvecs, k, ef=ef
+            )
+        nlist = len(index.centroids)
+        decision = {
+            "tier": tier, "n_clusters": nlist,
+            "nprobe": _nprobe(nlist, target_recall),
+            "rerank": max((20 if tier == "ivf_pq" else 10) * k, 100),
+            "reason": "served index available",
+        }
+    else:
+        if decision is None:
+            if n_docs is None:
+                n_docs = df.count()
+            decision = choose_tier(
+                n_docs, len(qvecs[0]), k=k, target_recall=target_recall,
+                filtered=where is not None, tuned=tuned, **thresholds,
+            )
+        tier = decision["tier"]
+        if where is not None and tier in ("ivf_sq", "ivf_pq"):
+            raise ValueError(
+                "filtered ANN search requires the IVF (flat) index; "
+                "quantized (PQ/SQ) candidates carry codes only"
+            )
+        if tier == "ivf":
+            index = A.IVFIndex.build(
+                df, n_clusters=decision["n_clusters"],
+                vec_col=vec_col, id_col=id_col, seed=seed,
+            )
+        elif tier == "ivf_sq":
+            index = A.IVFSQIndex.build(
+                df, n_clusters=decision["n_clusters"],
+                vec_col=vec_col, id_col=id_col, seed=seed,
+            )
+        elif tier == "ivf_pq":
+            index = A.IVFPQIndex.build(
+                df, n_clusters=decision["n_clusters"],
+                vec_col=vec_col, id_col=id_col, seed=seed,
+            )
+
+    if decision["tier"] == "flat":
+        base = df.filter(where) if where is not None else df
+        return K.knn_block(
+            base, list(query_ids), qvecs, k,
+            vec_col=vec_col, id_col=id_col, precision=precision,
+        )
+    if decision["tier"] == "ivf":
+        return index.search_batch(
+            list(query_ids), qvecs, k,
+            nprobe=decision["nprobe"], where=where,
+        )
+    return index.search_batch(
+        list(query_ids), qvecs, k,
+        nprobe=decision["nprobe"], rerank=decision["rerank"],
+    )

@@ -140,6 +140,141 @@ def test_filtered_quantized_raises(emb, qvec):
         )
 
 
+# ------------------------------------------------------- batch routing
+
+
+@pytest.fixture(scope="module")
+def qbatch(emb):
+    rows = (
+        emb.filter(F.col("vec_id") < 6)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return (
+        [str(r["vec_id"]) for r in rows],
+        [[float(x) for x in r["embedding"]] for r in rows],
+    )
+
+
+def _flat_batch(emb, qids, qvecs, k=10):
+    return {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in K.knn_block(
+            emb, qids, qvecs, k, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+
+
+def test_batch_auto_routes_flat(emb, qbatch):
+    qids, qvecs = qbatch
+    out = R.routed_search_batch(emb, qids, qvecs, 10)
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    assert got == _flat_batch(emb, qids, qvecs)
+
+
+@pytest.mark.parametrize("tier", ["ivf", "ivf_sq", "ivf_pq"])
+def test_batch_each_tier_exact_identity(emb, qbatch, tier):
+    """Batch routing through every quantized tier at the nprobe-all
+    (+ rerank=n) exact-identity setting == the batch FLAT kernel —
+    the same certificate the single-query router carries, per tier."""
+    qids, qvecs = qbatch
+    n = emb.count()
+    decision = R.forced_decision(tier, n, k=10, target_recall=0.999)
+    decision["rerank"] = n if decision["rerank"] else None
+    out = R.routed_search_batch(
+        emb, qids, qvecs, 10, decision=decision, n_docs=n
+    )
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    assert got == _flat_batch(emb, qids, qvecs)
+
+
+def test_batch_single_parity(emb, qbatch):
+    """The batch entry agrees with N single routed_search calls — one
+    ladder, not two (same decision, same rows per query)."""
+    qids, qvecs = qbatch
+    out = R.routed_search_batch(emb, qids[:2], qvecs[:2], 5)
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    want = set()
+    for qid, qv in zip(qids[:2], qvecs[:2]):
+        for r in R.routed_search(emb, qv, 5).collect():
+            want.add((qid, r["vec_id"], round(r["similarity"], 6)))
+    assert got == want
+
+
+def test_batch_filtered_ivf_below_scoring(emb, qbatch):
+    """Batch + per-batch metadata predicate: forced IVF at nprobe-all
+    == the flat kernel over the pre-filtered corpus."""
+    qids, qvecs = qbatch
+    pred = F.col("label") == 1
+    n = emb.count()
+    decision = R.forced_decision("ivf", n, k=5, target_recall=0.999)
+    out = R.routed_search_batch(
+        emb, qids, qvecs, 5, decision=decision, n_docs=n, where=pred
+    )
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    assert got == _flat_batch(emb.filter(pred), qids, qvecs, k=5)
+
+
+def test_batch_filtered_quantized_raises(emb, qbatch):
+    qids, qvecs = qbatch
+    n = emb.count()
+    decision = R.forced_decision("ivf_sq", n)
+    with pytest.raises(ValueError, match="filtered ANN"):
+        R.routed_search_batch(
+            emb, qids, qvecs, 5, decision=decision, n_docs=n,
+            where=F.col("label") == 1,
+        )
+
+
+def test_batch_served_index_wins(emb, qbatch):
+    from chromem_go_spark.operators import ann as A
+
+    qids, qvecs = qbatch
+    idx = A.IVFIndex.build(
+        emb, n_clusters=8, vec_col="embedding", id_col="vec_id"
+    )
+    out = R.routed_search_batch(
+        emb, qids, qvecs, 10, index=idx, target_recall=0.999
+    )
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    assert got == _flat_batch(emb, qids, qvecs)
+
+
+def test_batch_served_hnsw(emb, qbatch):
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    qids, qvecs = qbatch
+    idx = HNSWIndex.build(emb, M=8, ef_construction=64)
+    out = R.routed_search_batch(
+        emb, qids, qvecs, 10, index=idx, target_recall=0.999
+    )
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    assert got == _flat_batch(emb, qids, qvecs)
+
+
+def test_batch_empty_queries_raises(emb):
+    with pytest.raises(ValueError, match="queryEmbedding is empty"):
+        R.routed_search_batch(emb, [], [], 5)
+
+
 # ------------------------------------------------------- Collection API
 
 
