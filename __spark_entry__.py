@@ -224,6 +224,75 @@ def q_knn_routed_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_query_text_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text entry end-to-end through the router (r8, verdict item #6):
+    a Collection over the embeddings table (vectors bit-identical to
+    the raw parquet — already normalized, float32 kept) with a
+    fixture-vector embedding function, queried as ONE
+    ``Collection.query(text, index="auto")`` call — embed -> routed
+    ANN.  Auto resolves FLAT at this sf, so the oracle is the
+    brute-force top-k over the same vectors (string-id ordering); the
+    non-flat dispatch is certified by knn_routed_ivf / the per-tier
+    parity tests, and the $contains-prune leg of the composition by
+    tests/test_textindex.py::test_text_entry_routed_with_contains_prune."""
+    from chromem_go_spark.db import DB
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _qvec(spark, sf_dir, 0)
+
+    db = DB(spark)
+    coll = db.create_collection(
+        "q_text_routed", embedding_func=lambda text: list(qv)
+    )
+    coll.add_df(
+        emb.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.lit(None).cast("string").alias("content"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.col("embedding"),
+        )
+    )
+    out = coll.query("qvec:0", 10, index="auto")
+    return out.select("id", F.round("similarity", 4).alias("sim"))
+
+
+def q_shard_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-loader handoff composed end-to-end (r8, verdict
+    item #7): pack_corpus_bpe (token-exact BPE packing) ->
+    write_corpus_shards(commit_mode="manifest") — the exactly-once
+    snapshot protocol — -> read_corpus_shards.  The shard column
+    write_corpus_shards recomputes is the SAME md5(doc_id) % n_shards
+    the packer assigned (one deterministic formula end to end), and
+    the round trip must preserve every (doc, pack) row — so the oracle
+    is pack_corpus_bpe's full replay (merge retrain as a SQL literal +
+    pack window + shard hash).  The snapshot lands under a stable tmp
+    path; manifest mode GCs prior generations on every rewrite."""
+    import os
+    import tempfile
+
+    from chromem_go_spark.pipeline import (
+        pack_corpus_bpe,
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_corpus_bpe(docs, n_merges=50, budget_tokens=128, n_shards=16)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "chromem_shard_packed_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    write_corpus_shards(packed, path, n_shards=16, commit_mode="manifest")
+    back = read_corpus_shards(spark, path)
+    return back.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        "pack_id",
+        "pack_offset",
+        "n_tokens",
+    )
+
+
 def q_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW graph ANN (reference roadmap README.md:176; Malkov &
     Yashunin 2016) — the driver-side SERVED tier for bounded corpora,
@@ -2674,7 +2743,20 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     padding audit, integer-exact), source_report (per-source data
     card), tokenizer_fertility (BPE pieces per word by language, the
     shared literal-map replay), unimax_weights (UniMax water-filled
-    domain mixing, recursive-CTE replay)."""
+    domain mixing, recursive-CTE replay).
+
+    r8 additions: knn_routed_batch + knn_routed_batch_ivf (batch
+    routed search — one tier decision dispatches the whole query
+    batch through knn_block / the tier's search_batch; auto resolves
+    FLAT at this sf and the forced-IVF twin is the batched nprobe-all
+    identity, both sharing knn_batch's oracle), query_text_routed
+    (Collection.query text entry -> router end to end: the
+    collection's vectors are bit-identical to the raw table, so the
+    FLAT-routed result replays as knn_topk's SQL over string ids),
+    shard_packed_corpus (pack_corpus_bpe -> exactly-once manifest
+    shard snapshot -> read_corpus_shards: the round trip must
+    preserve every (doc, pack) row, so the oracle is the packer's
+    full replay)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -2736,6 +2818,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_routed_ivf": q_knn_routed_ivf,
         "knn_routed_batch": q_knn_routed_batch,
         "knn_routed_batch_ivf": q_knn_routed_batch_ivf,
+        "query_text_routed": q_query_text_routed,
+        "shard_packed_corpus": q_shard_packed_corpus,
         "pack_corpus_bpe": q_pack_corpus_bpe,
         "hnsw_search": q_hnsw_search,
         "length_histogram": q_length_histogram,
@@ -4274,6 +4358,22 @@ def _oracles_all() -> dict[str, str]:
     # brute-force SQL (knn_batch's oracle), per the nprobe-all identity
     out["knn_routed_batch"] = out["knn_batch"]
     out["knn_routed_batch_ivf"] = out["knn_batch"]
+    # text entry through the router (r8): the collection's vectors are
+    # bit-identical to the raw table (normalized float32 kept) and auto
+    # resolves FLAT, so the oracle is knn_topk's SQL with the
+    # collection's STRING ids (string ordering on ties)
+    out["query_text_routed"] = f"""
+WITH q AS ({_NORM_Q.format(vid=0)})
+SELECT CAST(e.vec_id AS VARCHAR) AS id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 4) AS sim
+FROM embeddings e, q
+ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC,
+         CAST(e.vec_id AS VARCHAR)
+LIMIT 10
+"""
+    # packed-shards round trip (r8): write+read must preserve every
+    # (doc, pack) row, so the oracle is the packer's own full replay
+    out["shard_packed_corpus"] = _pack_corpus_bpe_sql()
     return out
 
 
@@ -4339,6 +4439,8 @@ _EXTRA_KEYS = frozenset(
         "knn_routed_ivf",  # r7: forced-IVF routed path, nprobe-all identity
         "knn_routed_batch",  # r8: batch routed search (auto -> flat kernel)
         "knn_routed_batch_ivf",  # r8: batch forced-IVF, nprobe-all identity
+        "query_text_routed",  # r8: text entry -> router, end to end
+        "shard_packed_corpus",  # r8: BPE pack -> manifest shards round trip
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
         "length_histogram",  # r7: power-of-two length buckets + pad audit

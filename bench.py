@@ -124,6 +124,8 @@ BENCH_NAMES = [
     "knn_routed_ivf",
     "knn_routed_batch",
     "knn_routed_batch_ivf",
+    "query_text_routed",
+    "shard_packed_corpus",
     "pack_corpus_bpe",
     "hnsw_search",
     "length_histogram",

@@ -478,10 +478,18 @@ class Collection:
         negative_mode: str | None = None,
         negative_filter_threshold: float = knn_ops.DEFAULT_NEGATIVE_FILTER_THRESHOLD,
         extended_filters: bool = False,
+        index=None,
+        target_recall: float = 0.95,
+        tuned: dict | None = None,
     ) -> DataFrame:
         """Text entry point (reference collection.go:418-429): embed the
         query text (and the negative text, if any — reference
-        QueryWithOptions collection.go:434-480), then vector search."""
+        QueryWithOptions collection.go:434-480), then vector search.
+
+        ``index`` / ``target_recall`` / ``tuned`` (r8) thread the
+        unified ANN router through the text entry — one call composes
+        embed -> $contains gram-index prune -> routed ANN (see
+        :meth:`query_embedding` for the ladder and semantics rules)."""
         if not query_text:
             raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
         if self.embedding_func is None:
@@ -497,6 +505,9 @@ class Collection:
             negative_mode=negative_mode,
             negative_filter_threshold=negative_filter_threshold,
             extended_filters=extended_filters,
+            index=index,
+            target_recall=target_recall,
+            tuned=tuned,
         )
 
     def query_embedding(
@@ -549,23 +560,43 @@ class Collection:
         if negative_embedding is not None and negative_mode == "subtract":
             qv = knn_ops.negative_subtract_query(qv, negative_embedding)
 
-        # Routed ANN path — only for query shapes every tier can
-        # express (no negative modes, no $contains): semantics first.
-        if (
-            index is not None
-            and negative_embedding is None
-            and not where_document
-        ):
+        # Routed ANN path — for every query shape except the negative
+        # modes (those stay on the exact FLAT path: semantics first).
+        # ``where_document`` routes too since r8: its predicate is a
+        # Column over carried columns (full-vector tiers only — the
+        # router's filtered rule), and a fresh gram index pre-prunes
+        # the corpus BEFORE tier dispatch, so one call composes
+        # embed -> $contains prune -> routed ANN.
+        if index is not None and negative_embedding is None:
             from .operators import router as R
+            from .operators.filters import where_document_predicate
 
             if extended_filters:
-                from .operators.filters import extended_where_predicate
+                from .operators.filters import (
+                    conjunctive_contains_patterns,
+                    extended_where_predicate,
+                )
 
-                pre = extended_where_predicate(where) if where else None
+                pre = (
+                    extended_where_predicate(where, content_col="content")
+                    if where
+                    else None
+                )
+                patterns = (
+                    conjunctive_contains_patterns(where) if where else []
+                )
             else:
                 from .operators.filters import where_predicate
 
                 pre = where_predicate(where) if where else None
+                patterns = []
+            if where_document:
+                docpred = where_document_predicate(where_document)
+                pre = docpred if pre is None else (pre & docpred)
+                pat = where_document.get("$contains")
+                if pat:
+                    patterns.append(pat)
+            base = self._prune_by_patterns(self.df, patterns)
             decision = None
             served = None
             if index == "auto":
@@ -582,7 +613,7 @@ class Collection:
             else:
                 served = index
             return R.routed_search(
-                self.df, qv, int(n_results), vec_col="embedding",
+                base, qv, int(n_results), vec_col="embedding",
                 id_col="id", index=served, target_recall=target_recall,
                 where=pre, decision=decision, n_docs=n_docs,
             )
@@ -591,18 +622,25 @@ class Collection:
         # collection.go:521; Catalyst keeps it pushed down).
         if extended_filters:
             from .operators.filters import (
+                conjunctive_contains_patterns,
                 extended_where_predicate,
                 where_document_predicate,
             )
 
-            pred = extended_where_predicate(where) & where_document_predicate(
-                where_document
-            )
+            pred = extended_where_predicate(
+                where, content_col="content"
+            ) & where_document_predicate(where_document)
+            patterns = conjunctive_contains_patterns(where)
         else:
             pred = combined_predicate(where, where_document)
-        # Gram-index pre-prune for $contains (no-op without a fresh
-        # index); pred still applies the exact substring verify.
-        filtered = self._contains_pruned(self.df, where_document).filter(pred)
+            patterns = []
+        # Gram-index pre-prune for every conjunctively-required
+        # $contains — the flat where_document key AND (r8) $contains
+        # leaves under $and in the extended tree (no-op without a
+        # fresh index); pred still applies the exact substring verify.
+        if where_document and where_document.get("$contains"):
+            patterns.append(where_document["$contains"])
+        filtered = self._prune_by_patterns(self.df, patterns).filter(pred)
 
         if negative_embedding is not None and negative_mode == "filter":
             return knn_ops.knn_negative_filter(
@@ -691,26 +729,104 @@ class Collection:
         return True
 
     def _contains_pruned(self, df: DataFrame, where_document) -> DataFrame:
-        """Apply the gram-index candidate semi-join for a ``$contains``
-        pattern when a fresh index exists; the exact substring verify
-        (the caller's predicate) ALWAYS still runs — the index only
+        """Back-compat shim over :meth:`_prune_by_patterns` for the
+        flat ``where_document`` form."""
+        pattern = (where_document or {}).get("$contains")
+        return self._prune_by_patterns(df, [pattern] if pattern else [])
+
+    def _prune_by_patterns(self, df: DataFrame, patterns) -> DataFrame:
+        """Gram-index candidate prune for conjunctively-required
+        ``$contains`` patterns (one posting intersection over all
+        patterns' grams) when a FRESH index exists; stale or absent
+        index is a silent no-op.  Bounded candidate sets reach the
+        corpus scan as a pushed-down ``In(id, ...)`` filter, larger
+        ones as a semi-join (textindex.apply_candidate_prune).  The
+        caller's exact predicate ALWAYS still runs — pruning only
         shrinks the rows it runs over."""
         idx = getattr(self, "_text_index", None)
         if (
             idx is None
-            or not where_document
+            or not patterns
             or getattr(self, "_text_index_src", None) is not self.df
         ):
             return df
-        pattern = where_document.get("$contains")
-        if not pattern:
-            return df
         from .operators import textindex as TI
 
-        cand = TI.contains_candidates(idx, pattern, self._text_index_n)
-        if cand is None:  # pattern shorter than the gram size
-            return df
-        return df.join(cand, "id", "left_semi")
+        cand = TI.contains_candidates_conjunctive(
+            idx, list(patterns), self._text_index_n
+        )
+        return TI.apply_candidate_prune(df, cand, id_col="id")
+
+    def _hnsw_index_path(self) -> str:
+        assert self.persist_dir
+        return os.path.join(self.persist_dir, "_hnsw_index")
+
+    def _embedding_signature(self) -> str:
+        """Order-insensitive snapshot signature over (id, embedding) —
+        the columns the HNSW graph is a function of (the text-index
+        signature hashes content instead; an upsert that swaps a
+        vector under the same text must still invalidate the graph)."""
+        row = self.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                F.xxhash64(F.col("id"), F.col("embedding").cast("string"))
+            ).alias("sig"),
+        ).head()
+        return f"{row['n']}:{row['sig']}"
+
+    def build_hnsw_index(
+        self,
+        M: int = 16,
+        ef_construction: int = 200,
+        seed: int = 42,
+        max_points: int = 1_000_000,
+    ):
+        """Build the served HNSW graph over the collection's current
+        snapshot (the reference's other roadmap index, README.md:176;
+        operators/hnsw.py) and — on a persistent collection — snapshot
+        it under the collection directory behind the same
+        corpus-signature staleness contract as the text index
+        (:meth:`build_text_index`): a later session reloads it with
+        :meth:`load_hnsw_index` only while the corpus is unmutated.
+        Returns the index; pass it to ``query_embedding(index=...)``
+        (a served index wins the routing ladder outright)."""
+        from .operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(
+            self.df, vec_col="embedding", id_col="id",
+            M=M, ef_construction=ef_construction, seed=seed,
+            max_points=max_points,
+        )
+        if self.persist_dir:
+            import json
+
+            path = self._hnsw_index_path()
+            idx.save(path)
+            with open(os.path.join(path, "_index_meta.json"), "w") as f:
+                json.dump({"signature": self._embedding_signature()}, f)
+        return idx
+
+    def load_hnsw_index(self):
+        """Reload a persisted HNSW snapshot from a previous session, or
+        ``None`` when none exists or the stored (id, embedding)
+        signature no longer matches the table — a stale graph must
+        never serve live queries (same refusal contract as
+        :meth:`load_text_index`)."""
+        import json
+
+        if not self.persist_dir:
+            return None
+        path = self._hnsw_index_path()
+        meta_file = os.path.join(path, "_index_meta.json")
+        if not os.path.exists(meta_file):
+            return None
+        with open(meta_file) as f:
+            meta = json.load(f)
+        if meta.get("signature") != self._embedding_signature():
+            return None
+        from .operators.hnsw import HNSWIndex
+
+        return HNSWIndex.load(path)
 
     def build_ann_index(
         self,

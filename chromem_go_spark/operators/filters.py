@@ -79,11 +79,14 @@ def combined_predicate(
 
 # ------------------------------------------------------- extended DSL
 
-_CMP_OPS = ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin")
+_CMP_OPS = (
+    "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin",
+    "$contains", "$not_contains",
+)
 
 
 def extended_where_predicate(
-    where, metadata_col: str = "metadata"
+    where, metadata_col: str = "metadata", content_col: str | None = None
 ) -> Column:
     """Beyond-reference metadata filter DSL — the reference's own
     roadmap item ($and/$or, reference README.md:180), realized as a
@@ -97,6 +100,11 @@ def extended_where_predicate(
       (the string metadata value casts to double; non-numeric values
       become NULL and don't match)
     - ``{"k": {"$in": [...]}}`` / ``$nin``
+    - ``{"k": {"$contains"/"$not_contains": "sub"}}`` — substring (r8);
+      over the ``content_col`` COLUMN when ``k == content_col`` (so a
+      document-content predicate can sit anywhere in the tree —
+      composable with $and/$or, unlike the reference's flat
+      ``where_document``), else over the metadata value string
     - ``{"$and": [f, ...]}`` / ``{"$or": [f, ...]}`` / ``{"$not": f}``
     - multiple entries in one mapping AND-fold (Chroma behavior)
 
@@ -109,6 +117,8 @@ def extended_where_predicate(
     missing-key-never-matches rule extended)."""
 
     def val(k):
+        if content_col is not None and k == content_col:
+            return F.col(content_col)
         return F.element_at(F.col(metadata_col), F.lit(k))
 
     def leaf(k, spec) -> Column:
@@ -126,6 +136,11 @@ def extended_where_predicate(
                 preds.append(val(k).isin([str(x) for x in v]))
             elif op == "$nin":
                 preds.append(~val(k).isin([str(x) for x in v]))
+            elif op == "$contains":
+                preds.append(val(k).contains(F.lit(str(v))))
+            elif op == "$not_contains":
+                # missing key / NULL content never matches either way
+                preds.append(~val(k).contains(F.lit(str(v))))
             else:
                 # try_cast, not cast: under ANSI mode a plain cast of a
                 # non-numeric metadata value would ABORT the query at
@@ -171,3 +186,37 @@ def extended_where_predicate(
     if not where:
         return F.lit(True)
     return F.coalesce(compile_node(where), F.lit(False))
+
+
+def conjunctive_contains_patterns(
+    where, content_col: str = "content"
+) -> list[str]:
+    """The ``$contains`` patterns on the content column that are
+    CONJUNCTIVELY required by an extended-DSL tree — i.e. every
+    returned pattern must appear in any matching document, so each is
+    a sound gram-index prune (conjunction can only shrink the
+    candidate set).
+
+    Walks top-level AND-folds and ``$and`` lists at any depth; stops
+    at ``$or`` / ``$not`` (a pattern under either is NOT required —
+    pruning on it would drop correct rows).  Returns ``[]`` for
+    trees with nothing safely prunable (callers fall back to the
+    scan).  Malformed trees also return ``[]`` — the compiler, not the
+    extractor, owns validation errors."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if not isinstance(node, Mapping):
+            return
+        for k, v in node.items():
+            if k == "$and" and isinstance(v, (list, tuple)):
+                for sub in v:
+                    walk(sub)
+            elif k == content_col and isinstance(v, Mapping):
+                pat = v.get("$contains")
+                if isinstance(pat, str) and pat:
+                    out.append(pat)
+            # $or / $not / other keys: never descend
+
+    walk(where)
+    return list(dict.fromkeys(out))

@@ -145,6 +145,94 @@ class HNSWIndex:
                 idx.entry = entry
         return idx
 
+    # ------------------------------------------------------ persistence
+
+    def save(self, path: str) -> None:
+        """Snapshot the graph to ``path/`` (NEW r8 — the served tier
+        previously rebuilt from scratch every session while every IVF
+        tier persisted).  Layers go as flat CSR-style arrays inside ONE
+        ``graph.npz`` (nodes / neighbor-counts / concatenated
+        neighbors per layer — no per-node JSON blowup), vectors as the
+        (n, dim) matrix, ids as a typed array; ``meta.json`` carries
+        entry/M/id typing.  The build is deterministic (module doc), so
+        a snapshot is bit-equivalent to a rebuild on the same corpus —
+        load + search == build + search, which the round-trip tests
+        assert."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        arrays: dict[str, np.ndarray] = {"vectors": self.vectors}
+        for l, layer in enumerate(self.layers):
+            nodes = np.fromiter(layer.keys(), dtype=np.int64, count=len(layer))
+            order = np.argsort(nodes)
+            nodes = nodes[order]
+            counts = np.array(
+                [len(layer[int(n)]) for n in nodes], dtype=np.int64
+            )
+            neigh = np.concatenate(
+                [np.asarray(layer[int(n)], dtype=np.int64) for n in nodes]
+            ) if len(nodes) else np.empty(0, dtype=np.int64)
+            arrays[f"l{l}_nodes"] = nodes
+            arrays[f"l{l}_counts"] = counts
+            arrays[f"l{l}_neigh"] = neigh
+        id_kind = (
+            "str" if self.ids and isinstance(self.ids[0], str) else "int"
+        )
+        arrays["ids"] = np.asarray(
+            [str(i) for i in self.ids] if id_kind == "str" else self.ids
+        )
+        tmp = os.path.join(path, "graph.npz.tmp")
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, os.path.join(path, "graph.npz"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "entry": int(self.entry),
+                    "M": int(self.M),
+                    "n_layers": len(self.layers),
+                    "id_col": self.id_col,
+                    "id_kind": id_kind,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "HNSWIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        data = np.load(os.path.join(path, "graph.npz"))
+        layers: list[dict[int, list[int]]] = []
+        for l in range(int(meta["n_layers"])):
+            nodes = data[f"l{l}_nodes"]
+            counts = data[f"l{l}_counts"]
+            neigh = data[f"l{l}_neigh"]
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            layers.append(
+                {
+                    int(n): [int(x) for x in neigh[offs[j] : offs[j + 1]]]
+                    for j, n in enumerate(nodes)
+                }
+            )
+        raw_ids = data["ids"]
+        ids = (
+            [str(x) for x in raw_ids]
+            if meta.get("id_kind") == "str"
+            else [int(x) for x in raw_ids]
+        )
+        return cls(
+            ids,
+            np.asarray(data["vectors"], dtype=np.float64),
+            layers,
+            int(meta["entry"]),
+            int(meta["M"]),
+            meta.get("id_col", "vec_id"),
+        )
+
     # ----------------------------------------------------------- search
 
     def _greedy_closest(self, q: np.ndarray, ep: int, layer: int) -> int:

@@ -126,6 +126,54 @@ def contains_candidates(
     )
 
 
+def contains_candidates_conjunctive(
+    index: DataFrame, patterns: list[str], n: int = DEFAULT_GRAM
+) -> DataFrame | None:
+    """Candidate ids for SEVERAL conjunctively-required patterns (every
+    pattern must match — ``$contains`` leaves under ``$and``): a true
+    match contains every gram of every pattern, so ONE posting-list
+    intersection over the union of all patterns' grams is the sound
+    (superset) candidate set — no per-pattern passes.
+
+    Patterns shorter than the gram size contribute nothing (they can't
+    be indexed; the caller's exact verify still enforces them); returns
+    ``None`` when no pattern is indexable."""
+    grams = sorted({g for p in patterns for g in pattern_grams(p, n)})
+    if not grams:
+        return None
+    return (
+        index.filter(F.col("gram").isin(grams))
+        .groupBy("id")
+        .agg(F.count_distinct("gram").alias("__ng"))
+        .filter(F.col("__ng") == len(grams))
+        .select("id")
+    )
+
+
+def apply_candidate_prune(
+    df: DataFrame,
+    cand: DataFrame | None,
+    id_col: str = "id",
+    max_inlist: int = 10_000,
+) -> DataFrame:
+    """Shrink ``df`` to a candidate id set, scale-shaped: bounded sets
+    (<= ``max_inlist``) collect to an ``In`` filter the parquet scan
+    skips row groups with (``PushedFilters: [In(id,...)]`` — the
+    plan-gated contract); larger sets stay distributed as a semi-join
+    (AQE broadcasts the candidate side when it's small enough).
+    ``cand=None`` (nothing indexable) returns ``df`` untouched.  The
+    caller ALWAYS still applies its exact predicate — pruning only
+    shrinks where the verify runs, never what it returns."""
+    if cand is None:
+        return df
+    ids = [r[0] for r in cand.limit(max_inlist + 1).collect()]
+    if len(ids) <= max_inlist:
+        if not ids:
+            return df.filter(F.lit(False))
+        return df.filter(F.col(id_col).isin(ids))
+    return df.join(cand.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+
 def where_contains_indexed(
     df: DataFrame,
     index: DataFrame,
@@ -137,23 +185,12 @@ def where_contains_indexed(
 ) -> DataFrame:
     """``$contains`` via the gram index: identical semantics to the
     scan filter (the exact substring verify always runs), but the
-    corpus scan receives the PRUNED id set first.
-
-    Bounded candidate sets (<= ``max_inlist``) collect to an ``In``
-    filter the parquet scan skips row groups with
-    (``PushedFilters: [In(id,...)]`` — the plan-gated contract); larger
-    sets stay distributed as a semi-join (AQE broadcasts the candidate
-    side when it's small enough).  Patterns below the gram size fall
-    back to the plain scan filter — same rows either way."""
+    corpus scan receives the PRUNED id set first (see
+    :func:`apply_candidate_prune` for the In-pushdown / semi-join
+    split).  Patterns below the gram size fall back to the plain scan
+    filter — same rows either way."""
     verify = F.col(text_col).contains(F.lit(pattern))
     cand = contains_candidates(index, pattern, n)
     if cand is None:
         return df.filter(verify)
-    ids = [r[0] for r in cand.limit(max_inlist + 1).collect()]
-    if len(ids) <= max_inlist:
-        if not ids:
-            return df.filter(F.lit(False))
-        return df.filter(F.col(id_col).isin(ids)).filter(verify)
-    return df.join(
-        cand.withColumnRenamed("id", id_col), id_col, "left_semi"
-    ).filter(verify)
+    return apply_candidate_prune(df, cand, id_col, max_inlist).filter(verify)

@@ -105,6 +105,110 @@ def test_router_serves_hnsw(emb, idx):
     assert got == [(i, round(s, 6)) for i, s in _flat(emb, _qv(emb, 0))]
 
 
+# ------------------------------------------------------ persistence
+
+
+def test_save_load_roundtrip(emb, idx, tmp_path):
+    """load(save(idx)) is graph-identical: same layers, entry, ids,
+    and — the behavioral check — identical search results at exact AND
+    approximate ef (a snapshot must not change ranking)."""
+    p = str(tmp_path / "hnsw")
+    idx.save(p)
+    back = HNSWIndex.load(p)
+    assert back.entry == idx.entry
+    assert back.M == idx.M
+    assert back.ids == idx.ids
+    assert back.layers == idx.layers
+    assert back.check_connected()
+    for vid in (0, 5):
+        qv = _qv(emb, vid)
+        assert back.search(qv, 10, ef=back.n_points()) == idx.search(
+            qv, 10, ef=idx.n_points()
+        )
+        assert back.search(qv, 10, ef=32) == idx.search(qv, 10, ef=32)
+
+
+def test_save_load_string_ids(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.7, 0.7])],
+        "id string, embedding array<double>",
+    )
+    one = HNSWIndex.build(df, vec_col="embedding", id_col="id", M=4)
+    p = str(tmp_path / "h2")
+    one.save(p)
+    back = HNSWIndex.load(p)
+    assert back.ids == ["a", "b", "c"]
+    assert back.search([1.0, 0.0], 2) == one.search([1.0, 0.0], 2)
+
+
+def test_collection_hnsw_persist_reload(spark, tmp_path):
+    """A persisted collection snapshots its HNSW graph and a FRESH
+    session reloads it (signature match); after a mutation the stale
+    snapshot is REFUSED — same contract as the text index
+    (test_persistent_collection_text_index_reload)."""
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    pdir = str(tmp_path / "db")
+    db = DB(spark, persist_dir=pdir)
+    c = db.create_collection(
+        "hnsw_persist", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(id=str(i), content=f"doc number {i} topic {i % 3}")
+            for i in range(20)
+        ]
+    )
+    built = c.build_hnsw_index(M=8, ef_construction=32)
+    import os
+
+    assert os.path.isdir(c._hnsw_index_path())
+
+    db2 = DB(spark, persist_dir=pdir)
+    c2 = db2.get_collection(
+        "hnsw_persist", embedding_func=make_hash_embedding_func(16)
+    )
+    served = c2.load_hnsw_index()
+    assert served is not None
+    qv = c2.embedding_func("topic 1")
+    assert served.search(qv, 5, ef=served.n_points()) == built.search(
+        qv, 5, ef=built.n_points()
+    )
+    # the served index drives the routed query path end-to-end
+    got = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c2.query_embedding(
+            qv, 5, index=served, target_recall=0.999
+        ).collect()
+    }
+    want = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c2.query_embedding(qv, 5).collect()
+    }
+    assert got == want
+
+    # mutate, then try to reload the now-stale snapshot: refused
+    c2.add_documents([Document(id="99", content="new doc topic 1")])
+    assert c2.load_hnsw_index() is None
+
+
+def test_collection_hnsw_in_memory_not_persisted(spark):
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    db = DB(spark)
+    c = db.create_collection(
+        "hnsw_mem", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents([Document(id="1", content="only doc")])
+    idx2 = c.build_hnsw_index(M=4)
+    assert idx2.n_points() == 1
+    assert c.load_hnsw_index() is None  # nothing persisted, no dir
+
+
 def test_single_point_corpus(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"

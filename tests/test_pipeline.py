@@ -952,3 +952,56 @@ def test_unimax_weights_policy_invariants(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         unimax_weights(df, 0)
+
+
+def test_packed_shards_round_trip_token_exact(spark, tmp_path):
+    """r8 composition (the training-loader handoff in one pipeline):
+    pack_corpus_bpe -> write_corpus_shards(manifest) ->
+    read_corpus_shards preserves every (doc, pack) row and the
+    token-exact counts; the shard column write recomputes equals the
+    packer's (one md5 formula end to end)."""
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.pipeline import (
+        pack_corpus_bpe,
+        read_corpus_shards,
+        write_corpus_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} " * (1 + i % 4)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    packed = pack_corpus_bpe(docs, n_merges=10, budget_tokens=32, n_shards=4)
+    before = {
+        (r["doc_id"], r["shard"], r["pack_id"], r["pack_offset"], r["n_tokens"])
+        for r in packed.collect()
+    }
+    path = str(tmp_path / "packed_snap")
+    write_corpus_shards(packed, path, n_shards=4, commit_mode="manifest")
+    back = read_corpus_shards(spark, path)
+    after = {
+        (
+            r["doc_id"],
+            int(r["shard"]),
+            r["pack_id"],
+            r["pack_offset"],
+            r["n_tokens"],
+        )
+        for r in back.collect()
+    }
+    assert after == before
+    # loader-side audit: per-shard token sums survive the round trip
+    sums = {
+        (int(r["shard"]), r["s"])
+        for r in back.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    want = {
+        (r["shard"], r["s"])
+        for r in packed.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    assert sums == want

@@ -270,3 +270,186 @@ def test_persistent_collection_text_index_reload(spark, tmp_path):
         r["id"]
         for r in TI.contains_candidates(c3._text_index, "quick").collect()
     } == {"1", "3"}
+
+
+# ---------------------------------------------- extended-DSL pruning (r8)
+
+
+def test_conjunctive_contains_patterns_extraction():
+    """Only conjunctively-REQUIRED content $contains leaves are sound
+    prunes: top-level AND-folds and $and at any depth collect; $or /
+    $not / $not_contains / metadata-valued $contains never do."""
+    from chromem_go_spark.operators.filters import (
+        conjunctive_contains_patterns as ccp,
+    )
+
+    assert ccp({"content": {"$contains": "abc"}}) == ["abc"]
+    assert ccp(
+        {
+            "$and": [
+                {"content": {"$contains": "abc"}},
+                {"lang": "en"},
+                {"$and": [{"content": {"$contains": "def"}}]},
+            ]
+        }
+    ) == ["abc", "def"]
+    # AND-fold of multiple entries in one mapping
+    assert ccp({"content": {"$contains": "abc"}, "lang": "en"}) == ["abc"]
+    # disjunction / negation: nothing prunable
+    assert ccp({"$or": [{"content": {"$contains": "abc"}}, {"lang": "en"}]}) == []
+    assert ccp({"$not": {"content": {"$contains": "abc"}}}) == []
+    assert ccp({"content": {"$not_contains": "abc"}}) == []
+    # a metadata key's $contains is not a content prune
+    assert ccp({"lang": {"$contains": "abc"}}) == []
+    # dedup
+    assert ccp(
+        {"$and": [{"content": {"$contains": "abc"}},
+                  {"content": {"$contains": "abc"}}]}
+    ) == ["abc"]
+    assert ccp(None) == []
+
+
+def test_contains_candidates_conjunctive_intersection(docs, gram_index):
+    """Multi-pattern candidates == intersection of per-pattern
+    candidate sets (one posting pass over the gram union)."""
+    a = {r["id"] for r in TI.contains_candidates(gram_index, "spark").collect()}
+    b = {r["id"] for r in TI.contains_candidates(gram_index, "batch").collect()}
+    both = {
+        r["id"]
+        for r in TI.contains_candidates_conjunctive(
+            gram_index, ["spark", "batch"]
+        ).collect()
+    }
+    assert both == (a & b)
+    # unindexable patterns contribute nothing; all-unindexable -> None
+    assert TI.contains_candidates_conjunctive(gram_index, ["ab"]) is None
+    same = {
+        r["id"]
+        for r in TI.contains_candidates_conjunctive(
+            gram_index, ["spark", "ab"]
+        ).collect()
+    }
+    assert same == a
+
+
+def test_extended_and_contains_pruned_rows_and_plan(spark, tmp_path):
+    """$contains leaves under $and engage the gram-index prune on the
+    extended-DSL path (r8 — previously only the flat where_document
+    key pruned): identical rows to the scan path, and the persisted
+    collection's parquet scan receives the candidate ids as a
+    pushed-down In(id, ...) filter."""
+    import re
+
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    pdir = str(tmp_path / "db")
+    db = DB(spark, persist_dir=pdir)
+    c = db.create_collection(
+        "ext_prune", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(
+                id=str(i),
+                content=(
+                    f"quick brown fox {i}" if i % 3 == 0 else f"lazy dog {i}"
+                ),
+                metadata={"par": str(i % 2)},
+            )
+            for i in range(30)
+        ]
+    )
+    qv = c.embedding_func("quick")
+    tree = {"$and": [{"content": {"$contains": "quick"}}, {"par": "0"}]}
+    scan = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query_embedding(
+            qv, 3, where=tree, extended_filters=True
+        ).collect()
+    }
+    assert len(scan) == 3
+
+    c.build_text_index()
+    out = c.query_embedding(qv, 3, where=tree, extended_filters=True)
+    got = {(r["id"], round(r["similarity"], 6)) for r in out.collect()}
+    assert got == scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("In(id" in p for p in pushed), plan[:2000]
+
+
+def test_extended_or_contains_not_pruned(spark):
+    """A $contains under $or must NOT prune: a doc matching only the
+    other branch still returns after the index is built."""
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    db = DB(spark)
+    c = db.create_collection(
+        "or_prune", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(id="1", content="quick brown fox", metadata={"x": "n"}),
+            Document(id="2", content="lazy dog", metadata={"x": "y"}),
+        ]
+    )
+    c.build_text_index()
+    tree = {"$or": [{"content": {"$contains": "quick"}}, {"x": "y"}]}
+    qv = c.embedding_func("q")
+    got = {
+        r["id"]
+        for r in c.query_embedding(
+            qv, 2, where=tree, extended_filters=True
+        ).collect()
+    }
+    assert got == {"1", "2"}  # doc 2 matches only the $or metadata branch
+
+
+def test_text_entry_routed_with_contains_prune(spark):
+    """r8 text-entry composition: ONE query() call runs embed ->
+    gram-index $contains prune -> routed ANN, and matches the unrouted
+    text entry exactly (auto resolves flat here; forced IVF at
+    target 0.999 is the nprobe-all identity)."""
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    db = DB(spark)
+    c = db.create_collection(
+        "txt_routed", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(
+                id=str(i),
+                content=(
+                    f"quick brown fox {i}" if i % 2 == 0 else f"lazy dog {i}"
+                ),
+                metadata={"par": str(i % 3)},
+            )
+            for i in range(24)
+        ]
+    )
+    c.build_text_index()
+    wd = {"$contains": "quick"}
+    base = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query("quick fox", 4, where_document=wd).collect()
+    }
+    assert len(base) == 4
+    routed_auto = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query("quick fox", 4, where_document=wd, index="auto").collect()
+    }
+    assert routed_auto == base
+    routed_ivf = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query(
+            "quick fox", 4, where_document=wd, index="ivf", target_recall=0.999
+        ).collect()
+    }
+    assert routed_ivf == base

@@ -148,6 +148,16 @@ def main() -> None:
         pq.search_batch(qids, qvecs, K_CUT + 1, nprobe=4, rerank=50),
         "similarity",
     )
+    # served HNSW tier at the approximate walk (ef=64) — publishes the
+    # graph walk's end-task recall next to the probe tiers (r8)
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    hn = HNSWIndex.build(vecs, vec_col="embedding", id_col="doc_id",
+                         M=16, ef_construction=200)
+    rankers["hnsw_ef64"] = _from_df(
+        hn.search_batch(spark, qids, qvecs, K_CUT + 1, ef=64),
+        "similarity",
+    )
 
     # lexical + fused rankers (driver loop over 16 queries — evaluation
     # tooling, each inner query is itself distributed)
