@@ -1044,6 +1044,9 @@ class Collection:
         where=None,
         where_document=None,
         per_query_filters: Sequence[Mapping] | None = None,
+        index=None,
+        target_recall: float = 0.95,
+        tuned: dict | None = None,
     ) -> DataFrame:
         """Batch query — the shape the reference cannot express (it runs
         ONE query vector at a time, SURVEY §2.4 note): all queries are
@@ -1058,7 +1061,16 @@ class Collection:
         (knn_ops.knn_expr_filtered_dsl), so non-matching pairs are never
         scored. ``where``/``where_document`` still apply globally.
         Without per-query filters the block-matrix GEMM kernel runs
-        instead (fastest path)."""
+        instead (fastest path).
+
+        ``index`` / ``target_recall`` / ``tuned`` (r8) route the whole
+        batch through ONE tier decision (router.routed_search_batch;
+        same ladder and semantics rules as :meth:`query_embedding` —
+        global filters apply below scoring on full-vector tiers, a
+        fresh gram index pre-prunes a global ``$contains``).
+        Per-query filters are a broadcast-join shape and stay on the
+        FLAT kernel — ``index`` is rejected there rather than silently
+        ignored."""
         if query_embeddings is None:
             if not query_texts:
                 raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
@@ -1070,6 +1082,48 @@ class Collection:
         if n_results <= 0:
             raise ValueError(E.ERR_NRESULTS_POSITIVE)
         validate_where_document(where_document)
+        if index is not None and per_query_filters is not None:
+            raise ValueError(
+                "per_query_filters require the FLAT broadcast-join kernel; "
+                "routed batch search takes global filters only"
+            )
+        if index is not None:
+            from .operators import router as R
+
+            qids = [str(i) for i in range(len(query_embeddings))]
+            qvecs = [[float(x) for x in q] for q in query_embeddings]
+            pre = (
+                combined_predicate(where, where_document)
+                if (where or where_document)
+                else None
+            )
+            patterns = (
+                [where_document["$contains"]]
+                if where_document and where_document.get("$contains")
+                else []
+            )
+            base = self._prune_by_patterns(self.df, patterns)
+            n_docs = self.count()
+            decision = None
+            served = None
+            if index == "auto":
+                decision = R.choose_tier(
+                    n_docs, len(qvecs[0]), k=int(n_results),
+                    target_recall=target_recall,
+                    filtered=pre is not None, tuned=tuned,
+                )
+            elif isinstance(index, str):
+                decision = R.forced_decision(
+                    index, n_docs, k=int(n_results),
+                    target_recall=target_recall, tuned=tuned,
+                )
+            else:
+                served = index
+            return R.routed_search_batch(
+                base, qids, qvecs, int(n_results), vec_col="embedding",
+                id_col="id", index=served, target_recall=target_recall,
+                where=pre, decision=decision, n_docs=n_docs,
+            )
         filtered = self.df.filter(combined_predicate(where, where_document))
         if per_query_filters is None:
             return knn_ops.knn_block(

@@ -364,3 +364,50 @@ def test_collection_negative_mode_stays_exact(coll):
         ).collect()
     ]
     assert routed == base
+
+
+def test_collection_query_batch_routed(coll):
+    """Collection.query_batch(index=...) routes the whole batch through
+    one tier decision and matches the unrouted kernel exactly (auto ->
+    flat here; forced IVF at 0.999 is the batched nprobe-all
+    identity); per-query filters reject routing instead of silently
+    ignoring it."""
+    texts = ["topic 1", "topic 4"]
+    base = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in coll.query_batch(query_texts=texts, n_results=5).collect()
+    }
+    auto = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in coll.query_batch(
+            query_texts=texts, n_results=5, index="auto"
+        ).collect()
+    }
+    assert auto == base
+    ivf = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in coll.query_batch(
+            query_texts=texts, n_results=5, index="ivf", target_recall=0.999
+        ).collect()
+    }
+    assert ivf == base
+    # global metadata filter below scoring on the routed path
+    basef = {
+        (r["query_id"], r["id"])
+        for r in coll.query_batch(
+            query_texts=texts, n_results=3, where={"topic": "1"}
+        ).collect()
+    }
+    routedf = {
+        (r["query_id"], r["id"])
+        for r in coll.query_batch(
+            query_texts=texts, n_results=3, where={"topic": "1"},
+            index="ivf", target_recall=0.999,
+        ).collect()
+    }
+    assert routedf == basef
+    with pytest.raises(ValueError, match="per_query_filters"):
+        coll.query_batch(
+            query_texts=texts, n_results=3, index="auto",
+            per_query_filters=[None, {"where": {"topic": "1"}}],
+        )
