@@ -828,31 +828,101 @@ class Collection:
 
         return HNSWIndex.load(path)
 
+    def _ann_index_path(self) -> str:
+        assert self.persist_dir
+        return os.path.join(self.persist_dir, "_ann_index")
+
     def build_ann_index(
         self,
         n_clusters: int = 16,
         pq: bool = False,
         m: int = 16,
         seed: int = 42,
+        kind: str | None = None,
+        persist: bool = True,
     ):
         """Build an ANN index over the collection's current snapshot
         (the reference lists HNSW/IVFFlat as roadmap, README.md:176-178;
         this is the Spark-native realization — see operators/ann.py).
 
-        Returns an ``IVFIndex`` (or ``IVFPQIndex`` with ``pq=True`` —
-        product-quantized codes for the memory-bound regime). The index
-        is a SNAPSHOT: rebuild after bulk ingest (at scale, index builds
-        are scheduled jobs, not per-write maintenance)."""
-        from .operators.ann import IVFIndex, IVFPQIndex
+        ``kind`` picks the tier: ``"ivf"`` (default; full vectors),
+        ``"ivf_sq"`` (1-byte scalar quantization + exact re-rank),
+        ``"ivf_pq"`` (m-byte product quantization + exact re-rank).
+        ``pq=True`` is the pre-r8 spelling of ``kind="ivf_pq"``.  The
+        index is a SNAPSHOT: rebuild after bulk ingest (at scale, index
+        builds are scheduled jobs, not per-write maintenance).
 
-        if pq:
-            return IVFPQIndex.build(
+        On a persistent collection the index is saved under the
+        collection directory behind the SAME (id, embedding) signature
+        staleness contract as the HNSW/text indexes — a later session
+        calls :meth:`load_ann_index` and gets the served tier back only
+        while the corpus is unmutated (``persist=False`` skips the
+        write for throwaway experiments)."""
+        from .operators.ann import IVFIndex, IVFPQIndex, IVFSQIndex
+
+        if kind is None:
+            kind = "ivf_pq" if pq else "ivf"
+        if kind == "ivf_pq":
+            idx = IVFPQIndex.build(
                 self.df, n_clusters=n_clusters, m=m,
                 vec_col="embedding", id_col="id", seed=seed,
             )
-        return IVFIndex.build(
-            self.df, n_clusters=n_clusters,
-            vec_col="embedding", id_col="id", seed=seed,
+        elif kind == "ivf_sq":
+            idx = IVFSQIndex.build(
+                self.df, n_clusters=n_clusters,
+                vec_col="embedding", id_col="id", seed=seed,
+            )
+        elif kind == "ivf":
+            idx = IVFIndex.build(
+                self.df, n_clusters=n_clusters,
+                vec_col="embedding", id_col="id", seed=seed,
+            )
+        else:
+            raise ValueError(
+                f"unknown ANN index kind {kind!r}; expected "
+                "'ivf', 'ivf_sq' or 'ivf_pq' (HNSW: build_hnsw_index)"
+            )
+        if persist and self.persist_dir:
+            import json
+
+            path = self._ann_index_path()
+            idx.save(os.path.join(path, "data"))
+            with open(os.path.join(path, "_index_meta.json"), "w") as f:
+                json.dump(
+                    {"kind": kind, "signature": self._embedding_signature()},
+                    f,
+                )
+        return idx
+
+    def load_ann_index(self):
+        """Reload the persisted ANN index from a previous session, or
+        ``None`` when none exists or the stored (id, embedding)
+        signature no longer matches the table (same refusal contract
+        as :meth:`load_hnsw_index` — a stale index must never serve
+        live queries).  The returned object plugs straight into
+        ``query_embedding(index=...)`` / ``query_batch(index=...)``."""
+        import json
+
+        if not self.persist_dir:
+            return None
+        path = self._ann_index_path()
+        meta_file = os.path.join(path, "_index_meta.json")
+        if not os.path.exists(meta_file):
+            return None
+        with open(meta_file) as f:
+            meta = json.load(f)
+        if meta.get("signature") != self._embedding_signature():
+            return None
+        from .operators.ann import IVFIndex, IVFPQIndex, IVFSQIndex
+
+        data = os.path.join(path, "data")
+        kind = meta.get("kind", "ivf")
+        if kind == "ivf_pq":
+            return IVFPQIndex.load(self.spark, data)
+        if kind == "ivf_sq":
+            return IVFSQIndex.load(self.spark, data)
+        return IVFIndex.load(
+            self.spark, data, vec_col="embedding", id_col="id"
         )
 
     def query_embedding_ann(
@@ -880,6 +950,9 @@ class Collection:
         if n_results <= 0:
             raise ValueError(E.ERR_NRESULTS_POSITIVE)
         if index is None:
+            # throwaway per-query build: never persist a snapshot the
+            # caller didn't ask to serve
+            index_kwargs.setdefault("persist", False)
             index = self.build_ann_index(**index_kwargs)
         from .operators.ann import IVFIndex, IVFPQIndex
 

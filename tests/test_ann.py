@@ -657,3 +657,83 @@ def test_ivf_sq_append_replay_compact(spark, emb, tmp_path):
         for r in reloaded.search_batch(["9"], [q], 5, nprobe=4, rerank=200).collect()
     ]
     assert victim not in after and len(after) == 5
+
+
+# ----------------------------------------- collection lifecycle (r8)
+
+
+def _lifecycle_coll(spark, tmp_path, name):
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    pdir = str(tmp_path / "db")
+    db = DB(spark, persist_dir=pdir)
+    c = db.create_collection(name, embedding_func=make_hash_embedding_func(16))
+    c.add_documents(
+        [
+            Document(id=str(i), content=f"doc {i} topic {i % 4}")
+            for i in range(32)
+        ]
+    )
+    return c, pdir
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("kind", ["ivf", "ivf_sq", "ivf_pq"])
+def test_collection_ann_persist_reload_and_staleness(spark, tmp_path, kind):
+    """Every IVF-family tier persists under the collection directory
+    behind the (id, embedding) signature (r8 — same lifecycle contract
+    as the HNSW/text indexes): a fresh session reloads it and the
+    routed query over the served index matches the exact path at the
+    nprobe-all identity; after a mutation the stale snapshot is
+    REFUSED."""
+    import os
+
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    c, pdir = _lifecycle_coll(spark, tmp_path, f"ann_{kind}")
+    c.build_ann_index(n_clusters=4, kind=kind)
+    assert os.path.isdir(c._ann_index_path())
+
+    db2 = DB(spark, persist_dir=pdir)
+    c2 = db2.get_collection(
+        f"ann_{kind}", embedding_func=make_hash_embedding_func(16)
+    )
+    served = c2.load_ann_index()
+    assert served is not None
+    qv = c2.embedding_func("topic 2")
+    exact = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c2.query_embedding(qv, 5).collect()
+    }
+    routed = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c2.query_embedding(
+            qv, 5, index=served, target_recall=0.999
+        ).collect()
+    }
+    assert routed == exact
+
+    c2.add_documents([Document(id="99", content="fresh doc topic 2")])
+    assert c2.load_ann_index() is None  # stale snapshot refused
+
+
+def test_collection_ann_kind_validation_and_no_persist(spark, tmp_path):
+    import os
+
+    c, _pdir = _lifecycle_coll(spark, tmp_path, "ann_nop")
+    with _pytest.raises(ValueError, match="unknown ANN index kind"):
+        c.build_ann_index(kind="hnsw")
+    c.build_ann_index(n_clusters=4, persist=False)
+    assert not os.path.isdir(c._ann_index_path())
+    assert c.load_ann_index() is None
+    # pq=True back-compat spells ivf_pq
+    idx = c.build_ann_index(n_clusters=4, pq=True, persist=False)
+    from chromem_go_spark.operators.ann import IVFPQIndex
+
+    assert isinstance(idx, IVFPQIndex)
