@@ -21,9 +21,15 @@ into O(hops) shuffles.  So the repo's division of labor is:
   node — that regime belongs to IVF; HNSW serves the (bounded) hot
   slice or a routing/centroid layer.
 
-Determinism: level draws come from a seeded RNG keyed by insertion
-index, neighbor sets are pruned by (distance, id) — same input, same
-graph, bit-for-bit.
+Determinism: each point's level draw is a pure function of
+(seed, insertion index) — ``default_rng([seed, i])`` — and neighbor
+sets are pruned by (distance, id), so the same insertion sequence
+yields the same graph bit-for-bit, including across
+:meth:`HNSWIndex.insert_batch` appends (the IVF tiers' append_batch
+analog).  An APPENDED graph is deterministic given its append
+sequence but differs from a fresh rebuild over the union (insertion
+order differs); the exactness-at-ef>=n guarantee below holds either
+way, because every insert links bidirectionally at layer 0.
 
 Exactness guarantee used by the oracle: layer 0 is CONNECTED by
 construction (every insert after the first links bidirectionally to
@@ -53,6 +59,8 @@ class HNSWIndex:
         entry: int,
         M: int,
         id_col: str,
+        seed: int = 42,
+        max_points: int = 1_000_000,
     ):
         self.ids = ids
         self.vectors = vectors  # (n, dim) L2-normalized float64
@@ -60,8 +68,61 @@ class HNSWIndex:
         self.entry = entry
         self.M = M
         self.id_col = id_col
+        self.seed = seed
+        self.max_points = max_points
 
     # ------------------------------------------------------------ build
+
+    @staticmethod
+    def _level_for(seed: int, i: int, M: int) -> int:
+        """Level draw as a PURE function of (seed, insertion index) —
+        the property that makes appends deterministic without carrying
+        RNG state in the snapshot."""
+        mult = 1.0 / np.log(max(M, 2))
+        u = np.random.default_rng([seed, i]).random()
+        return int(-np.log(max(u, 1e-12)) * mult)
+
+    def _insert_point(self, i: int, lvl: int, ef_construction: int) -> None:
+        """Insert pre-normalized ``self.vectors[i]`` into the graph —
+        shared by :meth:`build` and :meth:`insert_batch` (one insert
+        algorithm, not two)."""
+        layers = self.layers
+        entry_level = len(layers) - 1
+        if i == 0 and not layers[0]:
+            for l in range(len(layers), lvl + 1):
+                layers.append({})
+            for l in range(lvl + 1):
+                layers[l][i] = []
+            self.entry = 0
+            return
+        q = self.vectors[i]
+        ep = self.entry
+        # greedy descent through layers above the insert level
+        for l in range(entry_level, lvl, -1):
+            ep = self._greedy_closest(q, ep, l)
+        # insert with ef_construction candidates per layer
+        for l in range(min(lvl, entry_level), -1, -1):
+            cand = self._search_layer(q, [ep], l, ef_construction)
+            neigh = [c for _, c in heapq.nsmallest(self.M, cand)]
+            layers[l][i] = list(neigh)
+            for nb in neigh:
+                lst = layers[l][nb]
+                lst.append(i)
+                if len(lst) > self.M:
+                    # prune to the M nearest (deterministic ties by id)
+                    sims = self.vectors[lst] @ self.vectors[nb]
+                    keep = sorted(
+                        range(len(lst)),
+                        key=lambda j: (-sims[j], lst[j]),
+                    )[: self.M]
+                    layers[l][nb] = [lst[j] for j in sorted(keep)]
+            ep = neigh[0] if neigh else ep
+        for l in range(len(layers), lvl + 1):
+            layers.append({})
+        for l in range(min(lvl, entry_level) + 1, lvl + 1):
+            layers[l][i] = []
+        if lvl > entry_level:
+            self.entry = i
 
     @classmethod
     def build(
@@ -93,57 +154,54 @@ class HNSWIndex:
         norms[norms == 0] = 1.0
         mat = mat / norms
 
-        rng = np.random.default_rng(seed)
-        mult = 1.0 / np.log(max(M, 2))
-        # pre-draw levels so the graph depends only on (ids, seed)
-        levels = [
-            int(-np.log(max(rng.random(), 1e-12)) * mult)
-            for _ in range(len(ids))
-        ]
-        layers: list[dict[int, list[int]]] = [
-            {} for _ in range(max(levels, default=0) + 1)
-        ]
-        entry, entry_level = 0, -1
-
-        idx = cls(ids, mat, layers, 0, M, id_col)
+        idx = cls(ids, mat, [{}], 0, M, id_col, seed=seed,
+                  max_points=max_points)
         for i in range(len(ids)):
-            lvl = levels[i]
-            if i == 0:
-                for l in range(lvl + 1):
-                    layers[l][i] = []
-                entry, entry_level = 0, lvl
-                idx.entry = entry
-                continue
-            q = mat[i]
-            ep = entry
-            # greedy descent through layers above the insert level
-            for l in range(entry_level, lvl, -1):
-                ep = idx._greedy_closest(q, ep, l)
-            # insert with ef_construction candidates per layer
-            for l in range(min(lvl, entry_level), -1, -1):
-                cand = idx._search_layer(q, [ep], l, ef_construction)
-                neigh = [c for _, c in heapq.nsmallest(M, cand)]
-                layers[l][i] = list(neigh)
-                for nb in neigh:
-                    lst = layers[l][nb]
-                    lst.append(i)
-                    if len(lst) > M:
-                        # prune to the M nearest (deterministic ties by id)
-                        sims = idx.vectors[lst] @ idx.vectors[nb]
-                        keep = sorted(
-                            range(len(lst)),
-                            key=lambda j: (-sims[j], lst[j]),
-                        )[:M]
-                        layers[l][nb] = [lst[j] for j in sorted(keep)]
-                ep = neigh[0] if neigh else ep
-            for l in range(len(layers), lvl + 1):  # pragma: no cover
-                layers.append({})
-            for l in range(min(lvl, entry_level) + 1, lvl + 1):
-                layers[l][i] = []
-            if lvl > entry_level:
-                entry, entry_level = i, lvl
-                idx.entry = entry
+            idx._insert_point(
+                i, cls._level_for(seed, i, M), ef_construction
+            )
         return idx
+
+    def insert_batch(
+        self,
+        new_ids: Sequence,
+        new_vecs,
+        ef_construction: int = 200,
+    ) -> None:
+        """Incremental insert into a SERVED graph — the IVF tiers'
+        ``append_batch`` analog (HNSW's insert is incremental by
+        construction; rebuilding per micro-batch threw that away).
+        Points insert in sorted-id order; level draws key on the
+        graph's running insertion index, so the same append sequence
+        reproduces bit-for-bit (an appended graph differs from a fresh
+        rebuild over the union — documented in the module header — but
+        the layer-0 bidirectional links keep the ef>=n exactness
+        guarantee, which the tests assert on the grown graph).
+        Duplicate ids are the caller's dedup responsibility (same
+        contract as IVF append).  ``max_points`` still binds; persist
+        again via :meth:`save` after appending."""
+        order = sorted(range(len(new_ids)), key=lambda j: new_ids[j])
+        if len(self.ids) + len(order) > self.max_points:
+            raise ValueError(
+                f"HNSW is the bounded serving tier: "
+                f"{len(self.ids)} + {len(order)} rows > "
+                f"max_points={self.max_points}; serve an IVF-family "
+                "index instead (operators/ann.py)"
+            )
+        mat = np.asarray(
+            [list(new_vecs[j]) for j in order], dtype=np.float64
+        )
+        if mat.size:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            self.vectors = np.vstack([self.vectors, mat])
+        for j in order:
+            i = len(self.ids)
+            self.ids.append(new_ids[j])
+            self._insert_point(
+                i, self._level_for(self.seed, i, self.M), ef_construction
+            )
 
     # ------------------------------------------------------ persistence
 
@@ -194,6 +252,8 @@ class HNSWIndex:
                     "n_layers": len(self.layers),
                     "id_col": self.id_col,
                     "id_kind": id_kind,
+                    "seed": int(self.seed),
+                    "max_points": int(self.max_points),
                 },
                 f,
             )
@@ -231,6 +291,8 @@ class HNSWIndex:
             int(meta["entry"]),
             int(meta["M"]),
             meta.get("id_col", "vec_id"),
+            seed=int(meta.get("seed", 42)),
+            max_points=int(meta.get("max_points", 1_000_000)),
         )
 
     # ----------------------------------------------------------- search

@@ -216,3 +216,70 @@ def test_single_point_corpus(spark):
     one = HNSWIndex.build(df, M=4)
     assert one.search([1.0, 0.0], 3) == [(1, 1.0)]
     assert one.check_connected()
+
+
+# ------------------------------------------------- incremental insert (r8)
+
+
+def test_insert_batch_exact_and_connected(spark, emb):
+    """Append half the corpus into a graph built on the other half:
+    layer 0 stays connected (every insert links bidirectionally) so
+    the ef >= n walk is STILL exactly brute force over the union —
+    the guarantee that matters survives appends."""
+    lo = emb.filter(F.col("vec_id") < 200)
+    hi = emb.filter(F.col("vec_id") >= 200)
+    idx = HNSWIndex.build(lo, M=8, ef_construction=64)
+    rows = sorted(hi.select("vec_id", "embedding").collect(),
+                  key=lambda r: r[0])
+    idx.insert_batch(
+        [r["vec_id"] for r in rows],
+        [list(r["embedding"]) for r in rows],
+        ef_construction=64,
+    )
+    assert idx.n_points() == emb.count()
+    assert idx.check_connected()
+    for vid in (0, 7):
+        qv = _qv(emb, vid)
+        got = [
+            (i, round(s, 6)) for i, s in idx.search(qv, 10, ef=idx.n_points())
+        ]
+        assert got == _flat(emb, qv)
+
+
+def test_insert_batch_deterministic(spark, emb):
+    """Same base + same append sequence -> bit-identical graph."""
+    lo = emb.filter(F.col("vec_id") < 100)
+    rows = sorted(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 160))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r[0],
+    )
+    ids = [r["vec_id"] for r in rows]
+    vecs = [list(r["embedding"]) for r in rows]
+    a = HNSWIndex.build(lo, M=8, ef_construction=64)
+    b = HNSWIndex.build(lo, M=8, ef_construction=64)
+    a.insert_batch(ids, vecs, ef_construction=64)
+    b.insert_batch(ids, vecs, ef_construction=64)
+    assert a.entry == b.entry
+    assert a.layers == b.layers
+    assert a.ids == b.ids
+
+
+def test_insert_batch_cap_and_snapshot(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = HNSWIndex.build(df, M=4, max_points=6)
+    with pytest.raises(ValueError, match="bounded serving tier"):
+        idx.insert_batch([10, 11, 12], [[1.0, 0.0]] * 3)
+    idx.insert_batch([10, 11], [[1.0, 0.0], [0.0, 1.0]])
+    assert idx.n_points() == 6 and idx.check_connected()
+    # the appended graph round-trips (seed/max_points in the snapshot)
+    p = str(tmp_path / "grown")
+    idx.save(p)
+    back = HNSWIndex.load(p)
+    assert back.layers == idx.layers
+    assert back.max_points == 6 and back.seed == idx.seed
+    assert back.search([1.0, 0.0], 3) == idx.search([1.0, 0.0], 3)
