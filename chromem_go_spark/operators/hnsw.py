@@ -297,6 +297,9 @@ class HNSWIndex:
 
     # ----------------------------------------------------------- search
 
+    # (snapshot-generation commit protocol for MAINTAINED graphs lives
+    # at module level below: save_snapshot / load_snapshot)
+
     def _greedy_closest(self, q: np.ndarray, ep: int, layer: int) -> int:
         best, best_sim = ep, float(self.vectors[ep] @ q)
         improved = True
@@ -394,3 +397,70 @@ class HNSWIndex:
                     seen.add(nb)
                     stack.append(nb)
         return len(seen) == len(self.ids)
+
+
+# ---------------------------------------------- snapshot generations
+
+_LIVE_FILE = "_live.json"
+
+
+def _read_live(root: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(root, _LIVE_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def save_snapshot(index: HNSWIndex, root: str, last_batch: int = -1) -> None:
+    """Crash-safe snapshot commit for a MAINTAINED graph (streaming
+    ingest — streaming/ingest.hnsw_append_sink): the graph is written
+    into a fresh ``gen=N/`` dir — never touching the live one — and
+    becomes visible only when ``_live.json`` is atomically replaced to
+    name it (single ``os.replace``; the same stage-then-promote shape
+    as batchstate's manifest commit, POSIX-local because HNSW is the
+    driver-side tier).  ``last_batch`` rides in the SAME commit, so an
+    at-least-once foreachBatch replay is skipped EXACTLY — a graph
+    insert is not idempotent (re-inserting duplicates nodes), unlike
+    the IVF tiers' replace-your-own-partition appends, so replay
+    protection must be transactional with the graph write.  A crash
+    before the commit leaves the old snapshot live and an orphaned gen
+    dir the next save garbage-collects; a crash after it leaves only
+    an obsolete dir, likewise healed."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(root, exist_ok=True)
+    live = _read_live(root)
+    live_name = f"gen={live['gen']}" if live else None
+    # heal prior crashes: drop every gen dir except the committed one
+    for name in os.listdir(root):
+        if name.startswith("gen=") and name != live_name:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    gen = (int(live["gen"]) + 1) if live else 1
+    index.save(os.path.join(root, f"gen={gen}"))  # staged: invisible
+    tmp = os.path.join(root, _LIVE_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"gen": gen, "last_batch": int(last_batch)}, f)
+    os.replace(tmp, os.path.join(root, _LIVE_FILE))  # THE commit point
+    if live_name:  # post-commit GC; a failure is healed next save
+        shutil.rmtree(os.path.join(root, live_name), ignore_errors=True)
+
+
+def load_snapshot(root: str) -> tuple[HNSWIndex | None, int]:
+    """Resolve the committed generation: ``(index, last_batch)``, or
+    ``(None, -1)`` when nothing has ever committed (staged dirs from a
+    crashed first write are NOT served)."""
+    import os
+
+    live = _read_live(root)
+    if not live:
+        return None, -1
+    return (
+        HNSWIndex.load(os.path.join(root, f"gen={live['gen']}")),
+        int(live["last_batch"]),
+    )

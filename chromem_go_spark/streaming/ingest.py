@@ -660,6 +660,62 @@ def ivf_append_sink(
     )
 
 
+def hnsw_append_sink(
+    stream_vectors: DataFrame,
+    snapshot_root: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    M: int = 16,
+    ef_construction: int = 200,
+    seed: int = 42,
+    max_points: int = 1_000_000,
+    query_name: str = "hnsw_ingest",
+):
+    """foreachBatch sink maintaining the SERVED HNSW graph (r8): the
+    first micro-batch builds the graph, later ones
+    :meth:`HNSWIndex.insert_batch` into it, and every batch commits a
+    fresh snapshot generation via ``hnsw.save_snapshot`` — the graph
+    write and the ``last_batch`` watermark land in ONE atomic commit,
+    so an at-least-once foreachBatch replay is skipped EXACTLY (a
+    graph insert is not idempotent, unlike the IVF tiers'
+    replace-your-own-partition appends; transactional replay
+    protection is the correct analog here).  Readers serve
+    ``hnsw.load_snapshot(snapshot_root)`` at any time and always see a
+    complete committed graph.  ``max_points`` binds across the whole
+    ingest — the sink refuses loudly when the stream outgrows the
+    serving tier (the unbounded regime belongs to ivf_append_sink)."""
+    from ..operators import hnsw as H
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx, last = H.load_snapshot(snapshot_root)
+        if batch_id <= last:
+            return  # replayed micro-batch: already committed
+        if idx is None:
+            idx = H.HNSWIndex.build(
+                batch_df, vec_col=vec_col, id_col=id_col, M=M,
+                ef_construction=ef_construction, seed=seed,
+                max_points=max_points,
+            )
+        else:
+            rows = batch_df.select(id_col, vec_col).collect()
+            idx.insert_batch(
+                [r[0] for r in rows],
+                [list(r[1]) for r in rows],
+                ef_construction=ef_construction,
+            )
+        H.save_snapshot(idx, snapshot_root, last_batch=batch_id)
+
+    return (
+        stream_vectors.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
 def ivf_probe_sink(
     stream_queries: DataFrame,
     index_path: str,

@@ -283,3 +283,119 @@ def test_insert_batch_cap_and_snapshot(spark, tmp_path):
     assert back.layers == idx.layers
     assert back.max_points == 6 and back.seed == idx.seed
     assert back.search([1.0, 0.0], 3) == idx.search([1.0, 0.0], 3)
+
+
+# ------------------------------------------- snapshot generations (r8)
+
+
+def test_snapshot_commit_heal_and_kill_injection(spark, tmp_path, monkeypatch):
+    """save_snapshot's stage-then-promote: generations alternate with
+    GC; a staged-but-uncommitted gen is never served and is healed; a
+    kill AT the commit point leaves the old snapshot live."""
+    import os
+
+    from chromem_go_spark.operators import hnsw as H
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = HNSWIndex.build(df, M=4)
+    root = str(tmp_path / "snaps")
+    assert H.load_snapshot(root) == (None, -1)
+    H.save_snapshot(idx, root, last_batch=0)
+    back, last = H.load_snapshot(root)
+    assert last == 0 and back.ids == idx.ids
+    H.save_snapshot(idx, root, last_batch=1)
+    assert sorted(
+        d for d in os.listdir(root) if d.startswith("gen=")
+    ) == ["gen=2"]  # obsolete gen GC'd
+
+    # crash BEFORE commit: a staged gen dir without a _live update
+    idx.save(os.path.join(root, "gen=3"))
+    back, last = H.load_snapshot(root)
+    assert last == 1  # stale stage invisible
+    H.save_snapshot(idx, root, last_batch=2)  # heals + commits gen=3
+    _, last = H.load_snapshot(root)
+    assert last == 2
+
+    # kill injection AT the commit point: os.replace raises
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if dst.endswith("_live.json"):
+            raise OSError("injected kill at commit")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError, match="injected"):
+        H.save_snapshot(idx, root, last_batch=3)
+    monkeypatch.undo()
+    _, last = H.load_snapshot(root)
+    assert last == 2  # old snapshot still live
+    H.save_snapshot(idx, root, last_batch=3)  # retry heals + commits
+    _, last = H.load_snapshot(root)
+    assert last == 3
+
+
+def test_hnsw_append_stream_sink_and_replay(spark, emb, tmp_path):
+    """The foreachBatch sink grows the served graph from a vector
+    stream (one file per micro-batch), the committed snapshot is exact
+    at ef >= n over the FULL streamed corpus, and a full REPLAY of the
+    same batches (fresh checkpoint, same batch ids) is skipped by the
+    transactional last_batch watermark — no duplicate inserts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        hnsw_append_sink,
+        run_available_now,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    d = tmp_path / "hnsw_vec_stream"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "v0.parquet")
+    pq.write_table(t.slice(half), d / "v1.parquet")
+
+    root = str(tmp_path / "hnsw_snaps")
+    batch_df = spark.read.parquet(str(d))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    writer = hnsw_append_sink(
+        stream.select("vec_id", "embedding"), root,
+        str(tmp_path / "ckpt_h1"), M=8, ef_construction=64,
+    )
+    run_available_now(writer)
+    idx, last = H.load_snapshot(root)
+    assert idx.n_points() == batch_df.count()
+    assert last >= 1 and idx.check_connected()
+    qv = _qv(emb, 0)
+    got = [
+        (i, round(s, 6)) for i, s in idx.search(qv, 10, ef=idx.n_points())
+    ]
+    assert got == _flat(emb, qv)
+    frozen = idx.layers
+
+    # replay: fresh checkpoint re-delivers batch ids 0 and 1 — both
+    # at-or-below the committed watermark, so the graph is unchanged
+    stream2 = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    writer2 = hnsw_append_sink(
+        stream2.select("vec_id", "embedding"), root,
+        str(tmp_path / "ckpt_h2"), M=8, ef_construction=64,
+    )
+    run_available_now(writer2)
+    idx2, last2 = H.load_snapshot(root)
+    assert idx2.n_points() == batch_df.count()
+    assert idx2.layers == frozen and last2 == last
