@@ -242,3 +242,41 @@ def test_regional_supplier_volume_broadcasts_bounded_dims(spark, sf_dir):
     flags = X.plan_flags(df)
     pushed = " ".join(s["pushed_filters"] for s in flags["scans"])
     assert "o_orderdate" in pushed
+
+
+def test_routed_batch_flat_plan_is_knn_block(emb):
+    """routed_search_batch on a FLAT decision must compile to the same
+    physical shape as the raw GEMM kernel — one Python-eval kernel
+    node, at most the single top-k shuffle, no extra exchanges from
+    the routing layer (routing is a driver-side decision, not a plan
+    node)."""
+    from chromem_go_spark.operators import router as R
+
+    df = R.routed_search_batch(
+        emb, ["q0", "q1"], [[0.1] * 256, [0.2] * 256], 5,
+        vec_col="embedding", id_col="vec_id", n_docs=500,
+    )
+    flags = X.plan_flags(df)
+    assert flags["has_python_eval"]
+    assert flags["n_shuffles"] <= 1
+
+
+def test_routed_batch_ivf_filter_below_scoring(emb):
+    """Batch-routed IVF with a metadata where: the predicate must reach
+    the scan side (below the probe join and the scoring projection),
+    and the probe table joins by broadcast — never sort-merge."""
+    from chromem_go_spark.operators import router as R
+
+    n = emb.count()
+    qv = [float(x) for x in emb.select("embedding").head()[0]]
+    decision = R.forced_decision("ivf", n, k=5, target_recall=0.999)
+    df = R.routed_search_batch(
+        emb, ["q0"], [qv], 5,
+        vec_col="embedding", id_col="vec_id",
+        decision=decision, n_docs=n, where=F.col("label") == 1,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "label" in plan  # predicate present in the executed plan
+    flags = X.plan_flags(df)
+    assert flags["has_broadcast_join"]
+    assert not flags["has_sort_merge_join"]
