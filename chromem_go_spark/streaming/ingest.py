@@ -687,10 +687,17 @@ def hnsw_append_sink(
     serving tier (the unbounded regime belongs to ivf_append_sink)."""
     from ..operators import hnsw as H
 
+    box: list = []  # [(graph, last_batch)] — loaded once, then in-memory
+    # (handle runs serially within a stream; every batch still COMMITS
+    # a snapshot, so a crash loses nothing — the cache only skips
+    # re-reading the graph we just wrote)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        idx, last = H.load_snapshot(snapshot_root)
+        if not box:
+            box.append(H.load_snapshot(snapshot_root))
+        idx, last = box[0]
         if batch_id <= last:
             return  # replayed micro-batch: already committed
         if idx is None:
@@ -707,6 +714,7 @@ def hnsw_append_sink(
                 ef_construction=ef_construction,
             )
         H.save_snapshot(idx, snapshot_root, last_batch=batch_id)
+        box[0] = (idx, batch_id)
 
     return (
         stream_vectors.writeStream.queryName(query_name)

@@ -1,0 +1,113 @@
+"""Serving-tier lifecycle tour (r8 surface): build every index tier
+over a persistent collection, reopen the directory in a "new session",
+reload each index behind the corpus-signature staleness contract, and
+answer queries through the unified router — single, batch, and text
+entry — plus streaming maintenance of the served HNSW graph.
+
+Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python examples/serving_lifecycle.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from chromem_go_spark.db import DB
+from chromem_go_spark.document import Document
+from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+from chromem_go_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark("serving-lifecycle")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="serving_demo_")
+    embed = make_hash_embedding_func(32)
+
+    # ---- ingest into a persistent collection
+    db = DB(spark, persist_dir=root)
+    coll = db.create_collection("articles", embedding_func=embed)
+    coll.add_documents(
+        [
+            Document(
+                id=str(i),
+                content=f"article about topic {i % 7}",
+                metadata={"topic": str(i % 7)},
+            )
+            for i in range(400)
+        ]
+    )
+
+    # ---- build the serving tiers; each persists behind the corpus
+    # signature (a later session reloads them only while unmutated)
+    coll.build_text_index()                      # $contains gram index
+    coll.build_ann_index(n_clusters=8, kind="ivf")
+    hnsw = coll.build_hnsw_index(M=8, ef_construction=64)
+    print(f"built indexes over {coll.count()} docs; hnsw n={hnsw.n_points()}")
+
+    # ---- "new session": reopen the directory, reload every tier
+    db2 = DB(spark, persist_dir=root)
+    c2 = db2.get_collection("articles", embedding_func=embed)
+    assert c2.load_text_index(), "text index should reload (unmutated)"
+    ivf = c2.load_ann_index()
+    served_hnsw = c2.load_hnsw_index()
+    assert ivf is not None and served_hnsw is not None
+
+    # ---- routed queries: text entry, served index, batch
+    one = c2.query("topic 3", 5, index="auto",
+                   where_document={"$contains": "topic 3"})
+    print("text entry (auto + $contains prune):")
+    one.show(5, truncate=False)
+
+    served = c2.query_embedding(embed("topic 3"), 5, index=served_hnsw,
+                                target_recall=0.999)
+    print("served HNSW (exact at ef>=n):")
+    served.show(5, truncate=False)
+
+    batch = c2.query_batch(
+        query_texts=[f"topic {t}" for t in range(4)],
+        n_results=3, index="ivf", target_recall=0.999,
+    )
+    print("batch through the router (forced IVF, nprobe-all identity):")
+    batch.orderBy("query_id", F.desc("similarity")).show(12, truncate=False)
+
+    # ---- streaming maintenance of the served graph: micro-batches of
+    # new vectors grow the snapshot with atomic generation commits
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        hnsw_append_sink,
+        run_available_now,
+    )
+
+    stream_dir = os.path.join(root, "vec_stream")
+    os.makedirs(stream_dir)
+    base = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    base.limit(32).write.parquet(os.path.join(stream_dir, "b0"))
+    base.filter("vec_id >= 32").write.parquet(os.path.join(stream_dir, "b1"))
+    schema = spark.read.parquet(os.path.join(stream_dir, "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stream_dir, "b*"))
+    )
+    snap_root = os.path.join(root, "hnsw_snaps")
+    run_available_now(
+        hnsw_append_sink(stream, snap_root, os.path.join(root, "ckpt"), M=8)
+    )
+    grown, last = H.load_snapshot(snap_root)
+    print(
+        f"streamed graph: {grown.n_points()} points, last_batch={last}, "
+        f"connected={grown.check_connected()}"
+    )
+
+
+if __name__ == "__main__":
+    main()
