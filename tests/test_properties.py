@@ -354,3 +354,172 @@ def test_bm25_matches_python_reference(spark, texts):
             assert abs(got[i] - score) < 1e-9, i
         else:
             assert i not in got
+
+
+def test_extended_where_contains_matches_reference_evaluator(spark):
+    """Differential test for the r8 $contains/$not_contains leaves: 40
+    seeded-random trees now mixing substring ops — over metadata
+    values AND the content COLUMN (key == content_col) — vs the pure
+    Kleene evaluator.  Same harness as the comparison-ops test above;
+    one Spark job total."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.operators.filters import extended_where_predicate
+
+    rng = random.Random(11)
+    KEYS = ["a", "b"]
+    VALS = ["abc", "bcd", "xyz", "aXc"]
+    SUBS = ["a", "bc", "X", "zz"]
+    TEXTS = ["alpha abc text", "bcd body", "no match here", ""]
+
+    def rand_doc(i):
+        md = {k: rng.choice(VALS) for k in KEYS if rng.random() < 0.7}
+        return (str(i), md, rng.choice(TEXTS))
+
+    def rand_leaf():
+        r = rng.random()
+        if r < 0.4:  # content-column substring
+            return {
+                "content": {
+                    rng.choice(["$contains", "$not_contains"]):
+                        rng.choice(SUBS + ["abc", "body"])
+                }
+            }
+        if r < 0.7:  # metadata-value substring
+            return {
+                rng.choice(KEYS): {
+                    rng.choice(["$contains", "$not_contains"]):
+                        rng.choice(SUBS)
+                }
+            }
+        return {rng.choice(KEYS): rng.choice(VALS)}  # plain equality
+
+    def rand_tree(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return rand_leaf()
+        op = rng.choice(["$and", "$or", "$not"])
+        if op == "$not":
+            return {"$not": rand_tree(depth - 1)}
+        return {op: [rand_tree(depth - 1) for _ in range(rng.randint(1, 3))]}
+
+    def k_and(vs):
+        if any(v is False for v in vs):
+            return False
+        return None if any(v is None for v in vs) else True
+
+    def k_or(vs):
+        if any(v is True for v in vs):
+            return True
+        return None if any(v is None for v in vs) else False
+
+    def ev_leaf(k, spec, md, content):
+        val = content if k == "content" else md.get(k)
+        if not isinstance(spec, dict):
+            return None if val is None else val == str(spec)
+        outs = []
+        for op, v in spec.items():
+            if val is None:
+                outs.append(None)
+            elif op == "$contains":
+                outs.append(str(v) in val)
+            elif op == "$not_contains":
+                outs.append(str(v) not in val)
+            else:
+                raise AssertionError(op)
+        return k_and(outs)
+
+    def ev(node, md, content):
+        outs = []
+        for k, v in node.items():
+            if k == "$and":
+                outs.append(k_and([ev(s, md, content) for s in v]))
+            elif k == "$or":
+                outs.append(k_or([ev(s, md, content) for s in v]))
+            elif k == "$not":
+                inner = ev(v, md, content)
+                outs.append(not (inner if inner is not None else False))
+            else:
+                outs.append(ev_leaf(k, v, md, content))
+        return k_and(outs)
+
+    docs = [rand_doc(i) for i in range(60)]
+    trees = [rand_tree(3) for _ in range(40)]
+    df = spark.createDataFrame(
+        docs, "id string, metadata map<string,string>, content string"
+    )
+    cols = [
+        extended_where_predicate(t, content_col="content").alias(f"f{i}")
+        for i, t in enumerate(trees)
+    ]
+    rows = {r["id"]: r for r in df.select("id", *cols).collect()}
+    for i, t in enumerate(trees):
+        for did, md, content in docs:
+            want = ev(t, md, content)
+            want = bool(want) if want is not None else False
+            got = rows[did][f"f{i}"]
+            assert got == want, (t, md, content, got, want)
+
+
+def test_conjunctive_contains_patterns_sound_on_random_trees(spark):
+    """THE pruning-soundness property, on random trees: every pattern
+    conjunctive_contains_patterns extracts must appear in the content
+    of EVERY document the compiled predicate matches — if this holds,
+    gram-index pruning on those patterns can never drop a correct
+    row.  Checked against the compiled Spark predicate itself (one
+    job), not the Python evaluator, so the property binds the real
+    query path."""
+    import random
+
+    from chromem_go_spark.operators.filters import (
+        conjunctive_contains_patterns,
+        extended_where_predicate,
+    )
+
+    rng = random.Random(23)
+    SUBS = ["alp", "bod", "tex", "zz"]
+    TEXTS = ["alpha abc text", "bcd body", "no match here", "alp bod tex"]
+
+    def rand_leaf():
+        r = rng.random()
+        if r < 0.5:
+            return {
+                "content": {
+                    rng.choice(["$contains", "$not_contains"]):
+                        rng.choice(SUBS)
+                }
+            }
+        return {"k": {"$contains": rng.choice(SUBS)}}  # metadata leaf
+
+    def rand_tree(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return rand_leaf()
+        op = rng.choice(["$and", "$and", "$or", "$not"])  # bias to $and
+        if op == "$not":
+            return {"$not": rand_tree(depth - 1)}
+        return {op: [rand_tree(depth - 1) for _ in range(rng.randint(1, 3))]}
+
+    docs = [
+        (str(i), {"k": rng.choice(SUBS + ["other"])}, rng.choice(TEXTS))
+        for i in range(40)
+    ]
+    trees = [rand_tree(3) for _ in range(50)]
+    df = spark.createDataFrame(
+        docs, "id string, metadata map<string,string>, content string"
+    )
+    cols = [
+        extended_where_predicate(t, content_col="content").alias(f"f{i}")
+        for i, t in enumerate(trees)
+    ]
+    rows = df.select("id", "content", *cols).collect()
+    checked = 0
+    for i, t in enumerate(trees):
+        pats = conjunctive_contains_patterns(t)
+        if not pats:
+            continue
+        for r in rows:
+            if r[f"f{i}"]:
+                checked += 1
+                assert all(p in r["content"] for p in pats), (t, pats, r)
+    assert checked > 0  # the generator must actually exercise the property
