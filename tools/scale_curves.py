@@ -180,6 +180,48 @@ def measure_ivf(spark, d: str) -> dict:
     return out
 
 
+def measure_textindex(spark, d: str) -> dict:
+    """Gram-index $contains economics vs corpus size: posting build
+    wall (the amortized scheduled job), served-index query wall vs the
+    raw substring scan, and the candidate funnel (share of docs
+    reaching the exact verify) for a fixed selective pattern — the r7
+    wart was 'indexed slower than scan at sf0.1 because overhead
+    dominates a sub-second scan'; this row shows how that gap and the
+    funnel move with n."""
+    import shutil
+    import tempfile
+
+    from chromem_go_spark.operators import textindex as TI
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    n = docs.count()
+    out: dict = {}
+    tdir = tempfile.mkdtemp(prefix="scale_gram_")
+    try:
+        t0 = time.time()
+        TI.write_gram_index(
+            TI.build_gram_index(docs, text_col="text", id_col="doc_id"),
+            f"{tdir}/idx",
+        )
+        out["gram_build"] = round(time.time() - t0, 3)
+        stored = spark.read.parquet(f"{tdir}/idx")
+        pat = "merge batch part"
+        out["contains_scan"], _ = _time(
+            lambda: docs.filter(F.col("text").contains(pat)).count()
+        )
+        out["contains_indexed"], _ = _time(
+            lambda: TI.where_contains_indexed(
+                docs, stored, pat, text_col="text", id_col="doc_id"
+            ).count()
+        )
+        cand = TI.contains_candidates(stored, pat)
+        out["gram_candidates"] = cand.count() if cand is not None else n
+        out["gram_cand_frac"] = round(out["gram_candidates"] / n, 4)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return out
+
+
 def alphas(rows: list[dict], key: str) -> list[str]:
     """log-log slope between successive scale points ('—' when a point
     wasn't measured)."""
@@ -207,12 +249,15 @@ def main() -> None:
     spark = get_spark("scale-curves")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if "--ivf" in sys.argv:  # additive: merge IVF rows into saved results
+    extra_modes = {"--ivf": measure_ivf, "--textindex": measure_textindex}
+    picked = [fn for flag, fn in extra_modes.items() if flag in sys.argv]
+    if picked:  # additive: merge the chosen rows into saved results
         results = json.load(open(results_path))
         by_sf = {r["sf"]: r for r in results}
         for name in SFS:
             d = os.path.join(here, "scaledata", name)
-            by_sf[name].update(measure_ivf(spark, d))
+            for fn in picked:
+                by_sf[name].update(fn(spark, d))
             print(f"# {name}: {by_sf[name]}", file=sys.stderr, flush=True)
         with open(results_path, "w") as f:
             json.dump(results, f, indent=1)
@@ -226,9 +271,12 @@ def main() -> None:
             raise SystemExit(
                 f"{d} missing — run tools/gen_corpus.py <sf> {d}"
             )
-        r = {"sf": name, **measure(spark, d, name), **measure_ivf(
-            spark, os.path.join(here, "scaledata", name)
-        )}
+        r = {
+            "sf": name,
+            **measure(spark, d, name),
+            **measure_ivf(spark, d),
+            **measure_textindex(spark, d),
+        }
         results.append(r)
         print(f"# {name}: {r}", file=sys.stderr, flush=True)
     with open(results_path, "w") as f:
@@ -377,6 +425,38 @@ def render(here: str, results: list[dict]) -> None:
             "rerank join) swamp the tiny uint8 scan at these sizes, so",
             "its number is session noise, not a curve; the SQ8 scan's",
             "byte volume is the IVF row's ÷ 4 by construction.)",
+            "",
+        ]
+    if any("gram_build" in r for r in results):
+        lines += [
+            "## Gram-index $contains economics vs corpus size (r8)",
+            "",
+            "Posting-list build wall (the amortized scheduled job),",
+            "served-index query wall vs the raw substring scan, and the",
+            "candidate funnel (docs reaching the exact verify / n) for",
+            "the fixed selective pattern `merge batch part`:",
+            "",
+            "| sf | n | build s | scan s | indexed s | candidates | cand frac |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for r in results:
+            lines.append(
+                f"| {r['sf']} | {r['n_docs']} | {r.get('gram_build', '—')} | "
+                f"{r.get('contains_scan', '—')} | "
+                f"{r.get('contains_indexed', '—')} | "
+                f"{r.get('gram_candidates', '—')} | "
+                f"{r.get('gram_cand_frac', '—')} |"
+            )
+        ab = alphas(results, "gram_build")
+        lines += [
+            "",
+            f"Build wall alpha 0.3→1: {ab[1]} (one explode + distinct —",
+            "near-linear, a scheduled job's cost).  The candidate",
+            "fraction is the scale story: at 100 TB the exact substring",
+            "verify scans cand_frac of the corpus instead of all of it,",
+            "while at these sfs both query paths are sub-second and",
+            "per-job overhead hides the difference (the r7-disclosed",
+            "wart, now measured across three sizes instead of one).",
             "",
         ]
     with open(os.path.join(here, "SCALE.md"), "w") as f:
