@@ -399,3 +399,27 @@ def test_hnsw_append_stream_sink_and_replay(spark, emb, tmp_path):
     idx2, last2 = H.load_snapshot(root)
     assert idx2.n_points() == batch_df.count()
     assert idx2.layers == frozen and last2 == last
+
+
+def test_insert_batch_approximate_recall_floor(spark, emb):
+    """The APPROXIMATE walk on a grown graph keeps the same recall
+    floor as a fresh build (appends must not silently degrade the
+    serving quality the ef sweep published)."""
+    lo = emb.filter(F.col("vec_id") < 250)
+    hi = emb.filter(F.col("vec_id") >= 250)
+    idx = HNSWIndex.build(lo, M=8, ef_construction=64)
+    rows = sorted(hi.select("vec_id", "embedding").collect(),
+                  key=lambda r: r[0])
+    idx.insert_batch(
+        [r["vec_id"] for r in rows],
+        [list(r["embedding"]) for r in rows],
+        ef_construction=64,
+    )
+    hits = total = 0
+    for vid in range(8):
+        qv = _qv(emb, vid)
+        exact = {i for i, _ in _flat(emb, qv)}
+        got = {i for i, _ in idx.search(qv, 10, ef=64)}
+        hits += len(exact & got)
+        total += len(exact)
+    assert hits / total >= 0.9
