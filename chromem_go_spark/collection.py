@@ -542,10 +542,17 @@ class Collection:
         served index object from :meth:`build_ann_index` wins outright
         (its build cost is sunk).  ``tuned`` is a measured operating
         point from ``ann.tune_ivf``/``tune_ivf_sq``.  Query shapes the
-        quantized tiers can't express — negative modes and
-        ``where_document`` — always take the exact FLAT path regardless
-        of ``index`` (semantics beat routing); quantized routed results
-        carry ``(id, similarity)`` only.
+        quantized tiers can't express always keep their semantics:
+        negative modes take the exact FLAT path regardless of
+        ``index``; a ``where``/``where_document`` routes only through
+        full-vector tiers (the ladder picks FLAT/IVF when filtered;
+        r8: a fresh gram index pre-prunes ``$contains`` before
+        dispatch), and a SERVED index that cannot express the filter
+        (PQ/SQ codes, the HNSW graph) falls back to the exact scan
+        path rather than erroring — semantics beat routing.  Forcing a
+        quantized tier name together with a filter is a contradiction
+        and raises.  Quantized routed results carry
+        ``(id, similarity)`` only.
         """
         if query_embedding is None or len(query_embedding) == 0:
             raise ValueError(E.ERR_QUERY_EMBEDDING_EMPTY)
@@ -567,7 +574,16 @@ class Collection:
         # router's filtered rule), and a fresh gram index pre-prunes
         # the corpus BEFORE tier dispatch, so one call composes
         # embed -> $contains prune -> routed ANN.
-        if index is not None and negative_embedding is None:
+        routable = index is not None and negative_embedding is None
+        if routable and not isinstance(index, str):
+            # a SERVED index that cannot express a filter falls back to
+            # the exact scan path (pre-r8 behavior preserved): only the
+            # flat-vector IVF tier applies predicates below scoring
+            from .operators import router as R
+
+            if (where or where_document) and R.tier_of(index) != "ivf":
+                routable = False
+        if routable:
             from .operators import router as R
             from .operators.filters import where_document_predicate
 
@@ -596,7 +612,14 @@ class Collection:
                 pat = where_document.get("$contains")
                 if pat:
                     patterns.append(pat)
-            base = self._prune_by_patterns(self.df, patterns)
+            # a served index searches its OWN stored corpus — the df
+            # argument is unused there, so don't pay the gram-prune
+            # jobs for it (the predicate still applies below scoring)
+            base = (
+                self.df
+                if not isinstance(index, str)
+                else self._prune_by_patterns(self.df, patterns)
+            )
             decision = None
             served = None
             if index == "auto":
@@ -1175,22 +1198,28 @@ class Collection:
                 if where_document and where_document.get("$contains")
                 else []
             )
-            base = self._prune_by_patterns(self.df, patterns)
-            n_docs = self.count()
             decision = None
             served = None
-            if index == "auto":
-                decision = R.choose_tier(
-                    n_docs, len(qvecs[0]), k=int(n_results),
-                    target_recall=target_recall,
-                    filtered=pre is not None, tuned=tuned,
-                )
-            elif isinstance(index, str):
-                decision = R.forced_decision(
-                    index, n_docs, k=int(n_results),
-                    target_recall=target_recall, tuned=tuned,
-                )
+            n_docs = None
+            if isinstance(index, str):
+                # served objects search their own stored corpus: the
+                # count and the gram-prune jobs are only paid when a
+                # tier is being chosen/built over the collection table
+                base = self._prune_by_patterns(self.df, patterns)
+                n_docs = self.count()
+                if index == "auto":
+                    decision = R.choose_tier(
+                        n_docs, len(qvecs[0]), k=int(n_results),
+                        target_recall=target_recall,
+                        filtered=pre is not None, tuned=tuned,
+                    )
+                else:
+                    decision = R.forced_decision(
+                        index, n_docs, k=int(n_results),
+                        target_recall=target_recall, tuned=tuned,
+                    )
             else:
+                base = self.df
                 served = index
             return R.routed_search_batch(
                 base, qids, qvecs, int(n_results), vec_col="embedding",

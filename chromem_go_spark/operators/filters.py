@@ -104,7 +104,10 @@ def extended_where_predicate(
       over the ``content_col`` COLUMN when ``k == content_col`` (so a
       document-content predicate can sit anywhere in the tree —
       composable with $and/$or, unlike the reference's flat
-      ``where_document``), else over the metadata value string
+      ``where_document``), else over the metadata value string.  ONLY
+      the two substring ops rebind to the column: every other operator
+      on a key named ``content`` keeps strict metadata binding, so
+      pre-r8 queries never change meaning
     - ``{"$and": [f, ...]}`` / ``{"$or": [f, ...]}`` / ``{"$not": f}``
     - multiple entries in one mapping AND-fold (Chroma behavior)
 
@@ -117,9 +120,14 @@ def extended_where_predicate(
     missing-key-never-matches rule extended)."""
 
     def val(k):
+        return F.element_at(F.col(metadata_col), F.lit(k))
+
+    def sub_target(k):
+        # substring ops address the content COLUMN when the key names
+        # it; all other ops stay metadata-bound (see the docstring)
         if content_col is not None and k == content_col:
             return F.col(content_col)
-        return F.element_at(F.col(metadata_col), F.lit(k))
+        return val(k)
 
     def leaf(k, spec) -> Column:
         if not isinstance(spec, Mapping):
@@ -137,10 +145,10 @@ def extended_where_predicate(
             elif op == "$nin":
                 preds.append(~val(k).isin([str(x) for x in v]))
             elif op == "$contains":
-                preds.append(val(k).contains(F.lit(str(v))))
+                preds.append(sub_target(k).contains(F.lit(str(v))))
             elif op == "$not_contains":
                 # missing key / NULL content never matches either way
-                preds.append(~val(k).contains(F.lit(str(v))))
+                preds.append(~sub_target(k).contains(F.lit(str(v))))
             else:
                 # try_cast, not cast: under ANSI mode a plain cast of a
                 # non-numeric metadata value would ABORT the query at

@@ -240,32 +240,44 @@ class HNSWIndex:
         arrays["ids"] = np.asarray(
             [str(i) for i in self.ids] if id_kind == "str" else self.ids
         )
+        meta = {
+            "entry": int(self.entry),
+            "M": int(self.M),
+            "n_layers": len(self.layers),
+            "id_col": self.id_col,
+            "id_kind": id_kind,
+            "seed": int(self.seed),
+            "max_points": int(self.max_points),
+        }
+        # the meta rides INSIDE the npz so the snapshot is ONE
+        # atomically-replaced file — arrays and meta can never tear
+        # apart (a save over an existing snapshot that crashed between
+        # two files would otherwise pair new arrays with old meta and
+        # load() would serve a wrong entry/layer count)
+        arrays["__meta_json"] = np.asarray(json.dumps(meta))
         tmp = os.path.join(path, "graph.npz.tmp")
         with open(tmp, "wb") as f:
             np.savez(f, **arrays)
         os.replace(tmp, os.path.join(path, "graph.npz"))
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(
-                {
-                    "entry": int(self.entry),
-                    "M": int(self.M),
-                    "n_layers": len(self.layers),
-                    "id_col": self.id_col,
-                    "id_kind": id_kind,
-                    "seed": int(self.seed),
-                    "max_points": int(self.max_points),
-                },
-                f,
-            )
+        # human-inspectable copy, written AFTER the authoritative file
+        # (load() prefers the in-npz meta; this one is advisory)
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "meta.json"))
 
     @classmethod
     def load(cls, path: str) -> "HNSWIndex":
         import json
         import os
 
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
         data = np.load(os.path.join(path, "graph.npz"))
+        if "__meta_json" in data.files:
+            # authoritative: rides in the same atomic file as the arrays
+            meta = json.loads(str(data["__meta_json"]))
+        else:  # pre-r8 snapshot layout
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
         layers: list[dict[int, list[int]]] = []
         for l in range(int(meta["n_layers"])):
             nodes = data[f"l{l}_nodes"]
@@ -436,10 +448,13 @@ def save_snapshot(index: HNSWIndex, root: str, last_batch: int = -1) -> None:
 
     os.makedirs(root, exist_ok=True)
     live = _read_live(root)
-    live_name = f"gen={live['gen']}" if live else None
+    keep = {f"gen={live['gen']}"} if live else set()
+    if live:  # previous gen retained one cycle (see below)
+        keep.add(f"gen={int(live['gen']) - 1}")
     # heal prior crashes: drop every gen dir except the committed one
+    # (and its retained predecessor)
     for name in os.listdir(root):
-        if name.startswith("gen=") and name != live_name:
+        if name.startswith("gen=") and name not in keep:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     gen = (int(live["gen"]) + 1) if live else 1
     index.save(os.path.join(root, f"gen={gen}"))  # staged: invisible
@@ -447,20 +462,39 @@ def save_snapshot(index: HNSWIndex, root: str, last_batch: int = -1) -> None:
     with open(tmp, "w") as f:
         json.dump({"gen": gen, "last_batch": int(last_batch)}, f)
     os.replace(tmp, os.path.join(root, _LIVE_FILE))  # THE commit point
-    if live_name:  # post-commit GC; a failure is healed next save
-        shutil.rmtree(os.path.join(root, live_name), ignore_errors=True)
+    # post-commit GC keeps the JUST-REPLACED generation for one more
+    # cycle: a reader that resolved _live right before this commit may
+    # still be opening that dir ("readers at any time" contract) —
+    # deleting it immediately would crash them mid-load.  It falls out
+    # at the NEXT commit; load_snapshot additionally retries once on a
+    # torn read for the two-commits-straddling case.
+    for name in os.listdir(root):
+        if name.startswith("gen=") and name not in (
+            f"gen={gen}", f"gen={gen - 1}"
+        ):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def load_snapshot(root: str) -> tuple[HNSWIndex | None, int]:
     """Resolve the committed generation: ``(index, last_batch)``, or
     ``(None, -1)`` when nothing has ever committed (staged dirs from a
-    crashed first write are NOT served)."""
+    crashed first write are NOT served).  Retries once when a
+    concurrent commit promotes a new generation between the ``_live``
+    read and the graph open (the retained-predecessor window in
+    :func:`save_snapshot` makes a single retry sufficient unless the
+    reader straddles two full commits)."""
     import os
 
-    live = _read_live(root)
-    if not live:
-        return None, -1
-    return (
-        HNSWIndex.load(os.path.join(root, f"gen={live['gen']}")),
-        int(live["last_batch"]),
-    )
+    for attempt in (0, 1):
+        live = _read_live(root)
+        if not live:
+            return None, -1
+        try:
+            return (
+                HNSWIndex.load(os.path.join(root, f"gen={live['gen']}")),
+                int(live["last_batch"]),
+            )
+        except FileNotFoundError:
+            if attempt:
+                raise
+    raise AssertionError("unreachable")

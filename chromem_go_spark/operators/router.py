@@ -174,6 +174,19 @@ def forced_decision(
     }
 
 
+def _filtered_tier_error(tier: str) -> str:
+    if tier == "hnsw":
+        return (
+            "filtered ANN search is not supported on the served HNSW "
+            "tier (driver-side graph walk has no predicate pushdown); "
+            "use the IVF (flat) index or the exact scan path"
+        )
+    return (
+        "filtered ANN search requires the IVF (flat) index; "
+        "quantized (PQ/SQ) candidates carry codes only"
+    )
+
+
 def tier_of(index) -> str:
     """The tier a served index object belongs to."""
     from . import ann as A
@@ -223,10 +236,7 @@ def routed_search(
     if index is not None:
         tier = tier_of(index)
         if where is not None and tier != "ivf":
-            raise ValueError(
-                "filtered ANN search requires the IVF (flat) index; "
-                "quantized (PQ/SQ) candidates carry codes only"
-            )
+            raise ValueError(_filtered_tier_error(tier))
         if tier == "hnsw":
             # served graph index (operators/hnsw.py): ef from the
             # recall target — >= 0.999 walks exhaustively (exact)
@@ -336,13 +346,16 @@ def routed_search_batch(
     qvecs = [[float(x) for x in qv] for qv in query_vecs]
     if not qvecs:
         raise ValueError("queryEmbedding is empty")
+    if len(list(query_ids)) != len(qvecs):
+        # the tiers' zip() would silently DROP the unpaired queries
+        raise ValueError(
+            f"query_ids ({len(list(query_ids))}) and query_vecs "
+            f"({len(qvecs)}) must be the same length"
+        )
     if index is not None:
         tier = tier_of(index)
         if where is not None and tier != "ivf":
-            raise ValueError(
-                "filtered ANN search requires the IVF (flat) index; "
-                "quantized (PQ/SQ) candidates carry codes only"
-            )
+            raise ValueError(_filtered_tier_error(tier))
         if tier == "hnsw":
             ef = (
                 index.n_points()

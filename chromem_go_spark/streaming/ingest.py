@@ -713,7 +713,16 @@ def hnsw_append_sink(
                 [list(r[1]) for r in rows],
                 ef_construction=ef_construction,
             )
-        H.save_snapshot(idx, snapshot_root, last_batch=batch_id)
+        try:
+            H.save_snapshot(idx, snapshot_root, last_batch=batch_id)
+        except BaseException:
+            # the in-memory graph already holds this batch but the
+            # commit didn't land — a same-process retry of this
+            # batch_id would pass the watermark guard and insert it
+            # AGAIN into the cached graph. Drop the cache so the retry
+            # reloads the last COMMITTED snapshot from disk.
+            box.clear()
+            raise
         box[0] = (idx, batch_id)
 
     return (

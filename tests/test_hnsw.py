@@ -307,15 +307,22 @@ def test_snapshot_commit_heal_and_kill_injection(spark, tmp_path, monkeypatch):
     back, last = H.load_snapshot(root)
     assert last == 0 and back.ids == idx.ids
     H.save_snapshot(idx, root, last_batch=1)
+    # the just-replaced generation is RETAINED one cycle (an in-flight
+    # reader that resolved _live right before the commit may still be
+    # opening it); older ones are GC'd
     assert sorted(
         d for d in os.listdir(root) if d.startswith("gen=")
-    ) == ["gen=2"]  # obsolete gen GC'd
+    ) == ["gen=1", "gen=2"]
+    H.save_snapshot(idx, root, last_batch=1)
+    assert sorted(
+        d for d in os.listdir(root) if d.startswith("gen=")
+    ) == ["gen=2", "gen=3"]  # gen=1 fell out after one more cycle
 
     # crash BEFORE commit: a staged gen dir without a _live update
-    idx.save(os.path.join(root, "gen=3"))
+    idx.save(os.path.join(root, "gen=4"))
     back, last = H.load_snapshot(root)
     assert last == 1  # stale stage invisible
-    H.save_snapshot(idx, root, last_batch=2)  # heals + commits gen=3
+    H.save_snapshot(idx, root, last_batch=2)  # heals + commits gen=4
     _, last = H.load_snapshot(root)
     assert last == 2
 
@@ -423,3 +430,125 @@ def test_insert_batch_approximate_recall_floor(spark, emb):
         hits += len(exact & got)
         total += len(exact)
     assert hits / total >= 0.9
+
+
+def test_sink_failed_commit_then_replay_no_duplicates(
+    spark, emb, tmp_path, monkeypatch
+):
+    """A commit failure taints the sink's cached in-memory graph (the
+    batch was inserted but never durable); the cache must drop so the
+    replay reloads the last COMMITTED snapshot — otherwise the retried
+    batch would insert twice.  Injected: first save_snapshot call
+    fails, the stream restart replays both batches, and the final
+    graph holds every id exactly once."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import chromem_go_spark.operators.hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        hnsw_append_sink,
+        run_available_now,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    d = tmp_path / "flaky_stream"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "v0.parquet")
+    pq.write_table(t.slice(half), d / "v1.parquet")
+    root = str(tmp_path / "flaky_snaps")
+    batch_df = spark.read.parquet(str(d))
+
+    calls = {"n": 0}
+    real = H.save_snapshot
+
+    def flaky(idx, r, last_batch=-1):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected commit failure")
+        return real(idx, r, last_batch)
+
+    monkeypatch.setattr(H, "save_snapshot", flaky)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        run_available_now(
+            hnsw_append_sink(
+                stream.select("vec_id", "embedding"), root,
+                str(tmp_path / ckpt), M=8, ef_construction=64,
+            )
+        )
+
+    with pytest.raises(Exception, match="injected"):
+        run("ck1")
+    # replay from scratch (fresh checkpoint redelivers both batches)
+    run("ck2")
+    idx, _ = H.load_snapshot(root)
+    assert idx.n_points() == batch_df.count()
+    assert len(set(idx.ids)) == idx.n_points()  # no duplicate inserts
+    qv = _qv(emb, 0)
+    got = [
+        (i, round(s, 6)) for i, s in idx.search(qv, 10, ef=idx.n_points())
+    ]
+    assert got == _flat(emb, qv)
+
+
+def test_load_prefers_in_npz_meta(spark, tmp_path):
+    """The snapshot meta rides inside the atomically-replaced npz; a
+    torn/corrupt advisory meta.json must not affect load."""
+    import os
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = HNSWIndex.build(df, M=4)
+    p = str(tmp_path / "snap_meta")
+    idx.save(p)
+    with open(os.path.join(p, "meta.json"), "w") as f:
+        f.write("{ torn garbage")
+    back = HNSWIndex.load(p)
+    assert back.ids == idx.ids and back.layers == idx.layers
+
+
+def test_served_index_with_where_document_falls_back_exact(spark):
+    """A served index that cannot express a document filter (HNSW,
+    PQ) must fall back to the exact scan path — pre-r8 behavior, not
+    an error (semantics beat routing)."""
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    db = DB(spark)
+    c = db.create_collection(
+        "served_fallback", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(
+                id=str(i),
+                content=f"quick fox {i}" if i % 2 == 0 else f"lazy dog {i}",
+            )
+            for i in range(16)
+        ]
+    )
+    served = c.build_hnsw_index(M=4, ef_construction=32)
+    qv = c.embedding_func("quick")
+    wd = {"$contains": "quick"}
+    base = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query_embedding(qv, 3, where_document=wd).collect()
+    }
+    got = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query_embedding(
+            qv, 3, where_document=wd, index=served
+        ).collect()
+    }
+    assert got == base and len(got) == 3

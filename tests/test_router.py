@@ -411,3 +411,9 @@ def test_collection_query_batch_routed(coll):
             query_texts=texts, n_results=3, index="auto",
             per_query_filters=[None, {"where": {"topic": "1"}}],
         )
+
+
+def test_batch_id_vector_length_mismatch_raises(emb, qbatch):
+    qids, qvecs = qbatch
+    with pytest.raises(ValueError, match="same length"):
+        R.routed_search_batch(emb, qids[:3], qvecs[:2], 5, n_docs=500)

@@ -453,3 +453,34 @@ def test_text_entry_routed_with_contains_prune(spark):
         ).collect()
     }
     assert routed_ivf == base
+
+
+def test_content_key_rebinds_substring_ops_only(spark):
+    """Only $contains/$not_contains address the content COLUMN; every
+    other operator on a key literally named 'content' keeps strict
+    metadata binding, so pre-r8 extended queries never change
+    meaning."""
+    from chromem_go_spark.operators.filters import extended_where_predicate
+
+    df = spark.createDataFrame(
+        [
+            ("1", {"content": "summary"}, "full document text"),
+            ("2", {}, "summary of things"),
+        ],
+        "id string, metadata map<string,string>, content string",
+    )
+    # $eq on key 'content' -> metadata value, NOT the text column
+    eq = extended_where_predicate(
+        {"content": {"$eq": "summary"}}, content_col="content"
+    )
+    assert {r["id"] for r in df.filter(eq).collect()} == {"1"}
+    # plain equality leaf likewise stays metadata-bound
+    plain = extended_where_predicate(
+        {"content": "summary"}, content_col="content"
+    )
+    assert {r["id"] for r in df.filter(plain).collect()} == {"1"}
+    # $contains on the same key -> the content COLUMN
+    sub = extended_where_predicate(
+        {"content": {"$contains": "summary"}}, content_col="content"
+    )
+    assert {r["id"] for r in df.filter(sub).collect()} == {"2"}
