@@ -698,13 +698,19 @@ class Collection:
             # the table's own parquet scans) + a corpus signature so a
             # later session can tell whether the snapshot still matches
             path = self._text_index_path()
+            # the overwrite-write replaces the dir (and any previous
+            # meta with it), so a crash mid-write leaves a metaless
+            # snapshot load_text_index refuses; the meta itself
+            # commits atomically
             TI.write_gram_index(idx, path)
             import json
 
-            with open(os.path.join(path, "_index_meta.json"), "w") as f:
+            meta_file = os.path.join(path, "_index_meta.json")
+            with open(meta_file + ".tmp", "w") as f:
                 json.dump(
                     {"n": n, "signature": self._corpus_signature()}, f
                 )
+            os.replace(meta_file + ".tmp", meta_file)
             idx = self.spark.read.parquet(path)
         else:
             idx = idx.cache()
@@ -824,9 +830,11 @@ class Collection:
             import json
 
             path = self._hnsw_index_path()
-            idx.save(path)
-            with open(os.path.join(path, "_index_meta.json"), "w") as f:
+            idx.save(path)  # atomic (single npz replace)
+            meta_file = os.path.join(path, "_index_meta.json")
+            with open(meta_file + ".tmp", "w") as f:
                 json.dump({"signature": self._embedding_signature()}, f)
+            os.replace(meta_file + ".tmp", meta_file)
         return idx
 
     def load_hnsw_index(self):
@@ -909,12 +917,21 @@ class Collection:
             import json
 
             path = self._ann_index_path()
+            meta_file = os.path.join(path, "_index_meta.json")
+            # invalidate BEFORE rewriting the data: the parquet
+            # overwrite is not atomic, and a crash mid-save must leave
+            # a snapshot load_ann_index REFUSES (no meta) rather than
+            # one that pairs new data with the previous build's kind
+            if os.path.exists(meta_file):
+                os.remove(meta_file)
             idx.save(os.path.join(path, "data"))
-            with open(os.path.join(path, "_index_meta.json"), "w") as f:
+            tmp = meta_file + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(
                     {"kind": kind, "signature": self._embedding_signature()},
                     f,
                 )
+            os.replace(tmp, meta_file)  # commit point
         return idx
 
     def load_ann_index(self):
