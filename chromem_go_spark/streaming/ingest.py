@@ -794,6 +794,56 @@ def ivf_probe_sink(
     )
 
 
+def routed_probe_sink(
+    stream_queries: DataFrame,
+    index,
+    results_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    target_recall: float = 0.95,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_name: str = "routed_probe",
+):
+    """Streaming ANN serving through the ROUTER (r8): a foreachBatch
+    sink over a query stream that dispatches each micro-batch through
+    :func:`..router.routed_search_batch` against a SERVED index of any
+    tier — IVF, SQ8, PQ, or the driver-side HNSW graph — with the
+    recall-mapped operating point (the same decision logic every batch
+    caller uses; one ladder, not two).  Generalizes
+    :func:`ivf_probe_sink` (fixed IVF + fixed nprobe) to the whole
+    tier family.  The index is frozen for the life of the stream — the
+    serving contract; per-query top-k results append to
+    ``results_dir`` with a ``batch_id`` column (at-least-once, batches
+    identifiable downstream)."""
+    from ..operators import router as RT
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rows = batch_df.select(query_id_col, vec_col).collect()
+        res = RT.routed_search_batch(
+            batch_df.limit(0),  # served index searches its own corpus
+            [str(r[query_id_col]) for r in rows],
+            [list(r[vec_col]) for r in rows],
+            k,
+            index=index,
+            target_recall=target_recall,
+        )
+        (
+            res.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(results_dir)
+        )
+
+    return (
+        stream_queries.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
 def incremental_neardup_sink(
     stream_docs: DataFrame,
     state_dir: str,

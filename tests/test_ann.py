@@ -737,3 +737,77 @@ def test_collection_ann_kind_validation_and_no_persist(spark, tmp_path):
     from chromem_go_spark.operators.ann import IVFPQIndex
 
     assert isinstance(idx, IVFPQIndex)
+
+
+@_pytest.mark.parametrize("tier", ["ivf", "ivf_sq", "hnsw"])
+def test_routed_probe_stream_parity(spark, emb, tmp_path, tier):
+    """Streaming routed probe == batch routed probe, per served tier
+    (r8): the same query vectors pushed through routed_probe_sink (2
+    micro-batches) produce exactly the rows routed_search_batch
+    returns for the same served index and recall target (0.999 — the
+    exact-identity setting, so the parity is also vs brute force)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import router as RT
+    from chromem_go_spark.streaming.ingest import (
+        routed_probe_sink,
+        run_available_now,
+    )
+
+    if tier == "ivf":
+        idx = A.IVFIndex.build(
+            emb, n_clusters=8, vec_col="embedding", id_col="vec_id"
+        )
+    elif tier == "ivf_sq":
+        idx = A.IVFSQIndex.build(
+            emb, n_clusters=8, vec_col="embedding", id_col="vec_id"
+        )
+    else:
+        from chromem_go_spark.operators.hnsw import HNSWIndex
+
+        idx = HNSWIndex.build(emb, M=8, ef_construction=64)
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    t = pq.read_table(f"{sf}/embeddings.parquet").slice(0, 6)
+    d = tmp_path / f"rq_stream_{tier}"
+    d.mkdir()
+    pq.write_table(t.slice(0, 3), d / "q0.parquet")
+    pq.write_table(t.slice(3), d / "q1.parquet")
+
+    results = str(tmp_path / f"routed_out_{tier}")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(d)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_available_now(
+        routed_probe_sink(
+            stream.select("vec_id", "embedding"),
+            idx,
+            results,
+            str(tmp_path / f"routed_ckpt_{tier}"),
+            k=5,
+            target_recall=0.999,
+        )
+    )
+
+    qrows = spark.read.parquet(str(d)).orderBy("vec_id").collect()
+    expect = RT.routed_search_batch(
+        emb.limit(0),
+        [str(r["vec_id"]) for r in qrows],
+        [list(r["embedding"]) for r in qrows],
+        5,
+        index=idx,
+        target_recall=0.999,
+    ).collect()
+    exp = sorted(
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in expect
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in spark.read.parquet(results).collect()
+    )
+    assert got == exp and len(got) == 30
