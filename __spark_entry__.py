@@ -293,6 +293,28 @@ def q_shard_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter exact dedup (Bloom 1970; the Dolma pipeline's
+    bounded-memory membership gate, Soldaini et al. 2024): a filter
+    built over the even-doc_id half of the corpus rejects every
+    member (no false negatives) and passes new docs minus the
+    analytic false-positive share.  The hash family is the portable
+    md5 fold, so the oracle replays every bit position — INCLUDING
+    any false positives — bit-for-bit in SQL (the set-bit positions
+    ARE the filter; the packed byte array is the serving form)."""
+    from chromem_go_spark.operators.dedup import (
+        bloom_filter_new,
+        build_fingerprint_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bloom = build_fingerprint_bloom(
+        docs.filter(F.col("doc_id") % 2 == 0), m_bits=1 << 20, k_hashes=4
+    )
+    out = bloom_filter_new(docs, bloom, m_bits=1 << 20, k_hashes=4)
+    return out.select("doc_id")
+
+
 def q_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW graph ANN (reference roadmap README.md:176; Malkov &
     Yashunin 2016) — the driver-side SERVED tier for bounded corpora,
@@ -2756,7 +2778,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shard_packed_corpus (pack_corpus_bpe -> exactly-once manifest
     shard snapshot -> read_corpus_shards: the round trip must
     preserve every (doc, pack) row, so the oracle is the packer's
-    full replay)."""
+    full replay), bloom_dedup (Bloom 1970 / Dolma-style bounded-memory
+    membership gate: the filter is its distinct set-bit position set,
+    membership is one broadcast semi-join, and the oracle replays the
+    portable-md5 hash family so even false positives match)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -2820,6 +2845,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_routed_batch_ivf": q_knn_routed_batch_ivf,
         "query_text_routed": q_query_text_routed,
         "shard_packed_corpus": q_shard_packed_corpus,
+        "bloom_dedup": q_bloom_dedup,
         "pack_corpus_bpe": q_pack_corpus_bpe,
         "hnsw_search": q_hnsw_search,
         "length_histogram": q_length_histogram,
@@ -4374,6 +4400,39 @@ LIMIT 10
     # packed-shards round trip (r8): write+read must preserve every
     # (doc, pack) row, so the oracle is the packer's own full replay
     out["shard_packed_corpus"] = _pack_corpus_bpe_sql()
+    # bloom dedup (r8): the filter IS its distinct set-bit positions,
+    # derived from the portable md5 fold — the oracle rebuilds the
+    # position set and replays membership (all k positions present),
+    # so even false positives match bit-for-bit
+    out["bloom_dedup"] = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+  FROM documents
+),
+ks AS (SELECT unnest(range(0, 4)) AS i),
+pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(f || ':' || i), 1, 15))::BIGINT % 1048576 AS p
+  FROM fp, ks WHERE doc_id % 2 = 0
+),
+qpos AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(f || ':' || i), 1, 15))::BIGINT % 1048576 AS p
+  FROM fp, ks
+),
+member AS (
+  SELECT doc_id FROM (
+    SELECT q.doc_id,
+           COUNT(*) AS np,
+           COUNT(pos.p) AS hits
+    FROM qpos q LEFT JOIN pos ON q.p = pos.p
+    GROUP BY q.doc_id
+  ) WHERE hits = np
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM member)
+"""
     return out
 
 
@@ -4441,6 +4500,7 @@ _EXTRA_KEYS = frozenset(
         "knn_routed_batch_ivf",  # r8: batch forced-IVF, nprobe-all identity
         "query_text_routed",  # r8: text entry -> router, end to end
         "shard_packed_corpus",  # r8: BPE pack -> manifest shards round trip
+        "bloom_dedup",  # r8: Bloom membership gate, positions replayed in SQL
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
         "length_histogram",  # r7: power-of-two length buckets + pad audit

@@ -126,6 +126,7 @@ BENCH_NAMES = [
     "knn_routed_batch_ivf",
     "query_text_routed",
     "shard_packed_corpus",
+    "bloom_dedup",
     "pack_corpus_bpe",
     "hnsw_search",
     "length_histogram",

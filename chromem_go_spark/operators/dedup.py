@@ -1431,3 +1431,131 @@ def semantic_dedup_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster_rep"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Bloom-filter exact dedup — the bounded-memory membership gate
+# (public method: Bloom 1970; the Dolma pipeline, Soldaini et al.
+# 2024, dedupes web-scale corpora exactly this way: accept a small
+# false-positive rate — a few genuinely-new docs dropped — in
+# exchange for O(m)-memory membership against an arbitrarily large
+# history).  Spark-first realization: the filter IS a distinct set of
+# k hash POSITIONS per fingerprint (semantically identical to the bit
+# array — bit j set <=> j in the set), kept columnar so membership is
+# one broadcast semi-join, all codegen, replayable in SQL.
+# pack_bloom/bloom_might_contain give the byte-array form a serving
+# tier holds in RAM.
+# ------------------------------------------------------------------
+
+
+def _bloom_position_cols(text_col: str, m_bits: int, k_hashes: int):
+    """The k deterministic bit positions of a document's fingerprint:
+    md5(fingerprint || ':' || i) folded to a long, mod m — the
+    engine-portable hash family (functions/text.md5_hash60), so the
+    DuckDB oracle replays every position bit-for-bit."""
+    fp = T.fingerprint(text_col)
+    return [
+        (T.md5_hash60(F.concat(fp, F.lit(f":{i}"))) % m_bits).alias(f"__p{i}")
+        for i in range(k_hashes)
+    ]
+
+
+def build_fingerprint_bloom(
+    docs: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """The Bloom filter over a corpus's document fingerprints, as its
+    distinct set-bit positions: one projection + distinct (single
+    map-side-combined shuffle), at most ``m_bits`` rows out no matter
+    the corpus size — the bounded-state property that makes the gate
+    usable against an unbounded history.  Returns a one-column frame
+    ``(p long)``; feed to :func:`bloom_filter_new` (broadcast) or
+    :func:`pack_bloom` (byte array for a serving node).
+
+    Sizing (standard Bloom math): false-positive rate ≈
+    (1 - e^(-k*n/m))^k; the defaults (m=1M bits, k=4) give ~2.4e-3 at
+    n=100k fingerprints.  A false positive DROPS a genuinely-new
+    document — the deliberate Dolma-style trade; never use this gate
+    where exact recall of new documents is required (use
+    :func:`exact_duplicates`'s join instead)."""
+    return (
+        docs.select(
+            F.explode(
+                F.array_distinct(
+                    F.array(*_bloom_position_cols(text_col, m_bits, k_hashes))
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
+
+
+def bloom_filter_new(
+    docs: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Keep the documents whose fingerprint is DEFINITELY NOT in the
+    bloom (all-new docs): a doc is a (probable) member iff ALL of its
+    k positions are set, so it survives iff at least one position is
+    unset.  The bloom side is bounded by ``m_bits`` rows — broadcast —
+    and the check is one semi-join + count compare, no Python.
+    ``m_bits``/``k_hashes`` MUST match the build (they define the hash
+    family).  Exact duplicates of the build corpus are always caught
+    (no false negatives); a ~fp-rate share of new docs is dropped."""
+    parr = F.array_distinct(
+        F.array(*_bloom_position_cols(text_col, m_bits, k_hashes))
+    )
+    exploded = docs.select(
+        F.col(id_col), F.size(parr).alias("__np"), F.explode(parr).alias("p")
+    )
+    hits = (
+        exploded.join(F.broadcast(bloom), "p", "left_semi")
+        .groupBy(id_col, "__np")
+        .agg(F.count(F.lit(1)).alias("__hit"))
+        .filter(F.col("__hit") == F.col("__np"))  # all positions set
+        .select(id_col)
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
+def pack_bloom(bloom: DataFrame, m_bits: int = 1 << 20) -> bytes:
+    """The byte-array form of the filter (m_bits/8 bytes) for a
+    serving/driver node: bit ``p`` of the array is set iff ``p`` is in
+    the position set.  Collect is bounded by m_bits rows (the whole
+    point of a Bloom filter), never by corpus size."""
+    import numpy as np
+
+    arr = np.zeros(m_bits, dtype=np.uint8)
+    pos = np.fromiter(
+        (r[0] for r in bloom.collect()), dtype=np.int64
+    )
+    if pos.size:
+        arr[pos] = 1
+    return np.packbits(arr).tobytes()
+
+
+def bloom_might_contain(
+    packed: bytes, text: str, m_bits: int = 1 << 20, k_hashes: int = 4
+) -> bool:
+    """Driver-side membership against :func:`pack_bloom` output —
+    the microsecond-scale gate a streaming ingester runs per doc.
+    Uses the SAME hash family as the Spark side (md5 of the
+    whitespace-normalized, lowercased text), so the two forms agree
+    on every document."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    fp = hashlib.md5(norm.encode()).hexdigest()
+    for i in range(k_hashes):
+        h = hashlib.md5(f"{fp}:{i}".encode()).hexdigest()
+        p = int(h[:15], 16) % m_bits
+        if not (packed[p >> 3] >> (7 - (p & 7))) & 1:
+            return False
+    return True

@@ -733,3 +733,76 @@ def test_semantic_dedup_clusters_transitive(spark):
         ).collect()
     }
     assert out_star == out
+
+
+# -------------------------------------------------- bloom dedup (r8)
+
+
+def test_bloom_no_false_negatives_and_driver_parity(spark):
+    """Every build-corpus duplicate is caught (Bloom's no-false-
+    negative guarantee), whitespace/case variants hash to the same
+    fingerprint, and the packed byte-array form agrees with the
+    columnar form on every document."""
+    from chromem_go_spark.operators.dedup import (
+        bloom_filter_new,
+        bloom_might_contain,
+        build_fingerprint_bloom,
+        pack_bloom,
+    )
+
+    seen_texts = [f"document number {i} body text" for i in range(200)]
+    seen = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(seen_texts)], "doc_id long, text string"
+    )
+    bloom = build_fingerprint_bloom(seen, m_bits=1 << 16, k_hashes=4).cache()
+
+    probe = spark.createDataFrame(
+        [
+            (1000, "Document   Number 7 body TEXT"),  # dup modulo normalize
+            (1001, seen_texts[0]),                    # exact dup
+            (1002, "certainly brand new content xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bloom_filter_new(probe, bloom, m_bits=1 << 16, k_hashes=4)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1000 not in kept and 1001 not in kept  # members always caught
+    assert kept <= {1002}  # 1002 kept unless a false positive (tiny m ok)
+
+    packed = pack_bloom(bloom, m_bits=1 << 16)
+    for _, t in [(0, seen_texts[3]), (0, "Document   Number 7 body TEXT")]:
+        assert bloom_might_contain(packed, t, m_bits=1 << 16, k_hashes=4)
+    # columnar and packed forms agree doc-by-doc
+    for r in probe.collect():
+        assert bloom_might_contain(
+            packed, r["text"], m_bits=1 << 16, k_hashes=4
+        ) == (r["doc_id"] not in kept)
+    bloom.unpersist()
+
+
+def test_bloom_false_positive_rate_in_range(spark):
+    """Measured fp rate on disjoint new docs lands near the analytic
+    (1 - e^(-kn/m))^k — the sizing formula users plan capacity with
+    (loose factor-of-3 band: n=500 is a small sample)."""
+    import math
+
+    from chromem_go_spark.operators.dedup import (
+        bloom_filter_new,
+        build_fingerprint_bloom,
+    )
+
+    m, k, n = 1 << 12, 4, 500
+    seen = spark.createDataFrame(
+        [(i, f"seen doc {i} alpha") for i in range(n)],
+        "doc_id long, text string",
+    )
+    fresh = spark.createDataFrame(
+        [(10_000 + i, f"fresh doc {i} omega") for i in range(500)],
+        "doc_id long, text string",
+    )
+    bloom = build_fingerprint_bloom(seen, m_bits=m, k_hashes=k)
+    kept = bloom_filter_new(fresh, bloom, m_bits=m, k_hashes=k).count()
+    fp_rate = 1 - kept / 500
+    expect = (1 - math.exp(-k * n / m)) ** k
+    assert fp_rate <= 3 * expect + 0.01
+    assert kept > 400  # the gate must not eat the corpus
