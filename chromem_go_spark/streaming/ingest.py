@@ -844,6 +844,72 @@ def routed_probe_sink(
     )
 
 
+def bloom_gate_sink(
+    stream_docs: DataFrame,
+    state_path: str,
+    results_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    query_name: str = "bloom_gate",
+):
+    """Streaming new-document gate (r8): each micro-batch keeps only
+    documents whose fingerprint is DEFINITELY unseen — against all
+    prior batches plus whatever corpus seeded ``state_path`` — emits
+    them to ``results_dir`` (with ``batch_id``; append sink,
+    at-least-once), and folds their bit positions into the state.
+
+    The state is the Bloom position set (operators/dedup): bounded by
+    ``m_bits`` rows forever, and a SET — so at-least-once replays are
+    NATURALLY idempotent on state (re-appending positions changes
+    nothing at read time; no fold protocol needed, unlike the
+    near-dup state tables).  In-batch duplicates are collapsed by
+    fingerprint before the gate (the membership check only sees prior
+    state).  False-positive caveat as in ``bloom_filter_new``."""
+    import os
+
+    from ..functions import text as T
+    from ..operators import dedup as D
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn(
+            "__fp", T.fingerprint(text_col)
+        ).dropDuplicates(["__fp"]).drop("__fp")
+        if os.path.exists(state_path):
+            state = spark.read.parquet(state_path).distinct()
+            fresh = D.bloom_filter_new(
+                batch, state, text_col=text_col, id_col=id_col,
+                m_bits=m_bits, k_hashes=k_hashes,
+            )
+        else:
+            fresh = batch
+        fresh = fresh.localCheckpoint(eager=True)  # gate once, use twice
+        (
+            fresh.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(results_dir)
+        )
+        (
+            D.build_fingerprint_bloom(
+                fresh, text_col=text_col, m_bits=m_bits, k_hashes=k_hashes
+            )
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return (
+        stream_docs.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
 def incremental_neardup_sink(
     stream_docs: DataFrame,
     state_dir: str,

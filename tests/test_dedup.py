@@ -806,3 +806,84 @@ def test_bloom_false_positive_rate_in_range(spark):
     expect = (1 - math.exp(-k * n / m)) ** k
     assert fp_rate <= 3 * expect + 0.01
     assert kept > 400  # the gate must not eat the corpus
+
+
+def test_bloom_gate_stream(spark, tmp_path):
+    """Streaming Bloom gate: cross-batch and in-batch duplicates never
+    emit twice; the state is seedable from a batch corpus and stays a
+    bounded position set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators.dedup import build_fingerprint_bloom
+    from chromem_go_spark.streaming.ingest import (
+        bloom_gate_sink,
+        run_available_now,
+    )
+
+    m, k = 1 << 16, 4
+    # seed the state with an already-ingested corpus
+    seeded = spark.createDataFrame(
+        [(900 + i, f"seeded doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "bloom_state")
+    build_fingerprint_bloom(seeded, m_bits=m, k_hashes=k).write.parquet(state)
+
+    d = tmp_path / "doc_stream"
+    d.mkdir()
+    b0 = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha new one",
+                "alpha new one",          # in-batch duplicate
+                "seeded doc 5",           # duplicate of the seed corpus
+                "beta new two",
+            ],
+        }
+    )
+    b1 = pa.table(
+        {
+            "doc_id": [5, 6],
+            "text": [
+                "ALPHA   new one",        # cross-batch dup (normalized)
+                "gamma new three",
+            ],
+        }
+    )
+    pq.write_table(b0, d / "b0.parquet")
+    pq.write_table(b1, d / "b1.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    results = str(tmp_path / "gate_out")
+    run_available_now(
+        bloom_gate_sink(
+            stream, state, results, str(tmp_path / "gate_ckpt"),
+            m_bits=m, k_hashes=k,
+        )
+    )
+    out = spark.read.parquet(results)
+    texts = sorted(
+        r["text"].lower().replace("   ", " ") for r in out.collect()
+    )
+    # exactly one copy of each distinct new text; seeds never re-emit
+    assert texts == ["alpha new one", "beta new two", "gamma new three"]
+    # state stays a bounded position set and now rejects everything seen
+    from chromem_go_spark.operators.dedup import bloom_filter_new
+
+    st = spark.read.parquet(state).distinct()
+    assert st.count() <= m
+    again = spark.createDataFrame(
+        [(7, "gamma new three"), (8, "totally unseen zeta")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in bloom_filter_new(again, st, m_bits=m, k_hashes=k).collect()
+    }
+    assert kept == {8}
