@@ -87,6 +87,32 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_knn_batch_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch negative-FILTER mode inside the GEMM kernel (reference
+    query.go:221-231 lifted to the batch shape, r8): documents similar
+    to the negative vector (threshold 0.5) are dropped INSIDE each
+    Arrow batch before the per-query top-k — the kernel branch
+    knn.knn_block(negative_vec=...) that previously had no oracle.
+    The oracle replays the threshold filter + per-query window in
+    SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    neg = _qvec(spark, sf_dir, 9)
+    out = K.knn_block(
+        emb,
+        [str(r["vec_id"]) for r in qrows],
+        [list(r["embedding"]) for r in qrows],
+        5,
+        vec_col="embedding",
+        id_col="vec_id",
+        negative_vec=neg,
+        negative_threshold=0.5,
+    )
+    return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN with a metadata pre-filter below the similarity projection
     (reference collection.go:521)."""
@@ -2846,6 +2872,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_text_routed": q_query_text_routed,
         "shard_packed_corpus": q_shard_packed_corpus,
         "bloom_dedup": q_bloom_dedup,
+        "knn_batch_negative": q_knn_batch_negative,
         "pack_corpus_bpe": q_pack_corpus_bpe,
         "hnsw_search": q_hnsw_search,
         "length_histogram": q_length_histogram,
@@ -4384,6 +4411,26 @@ def _oracles_all() -> dict[str, str]:
     # brute-force SQL (knn_batch's oracle), per the nprobe-all identity
     out["knn_routed_batch"] = out["knn_batch"]
     out["knn_routed_batch_ivf"] = out["knn_batch"]
+    # batch negative-filter kernel branch (r8): knn_batch's shape with
+    # the threshold filter applied before the per-query window
+    out["knn_batch_negative"] = f"""
+WITH qs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id,
+         list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id < 8
+),
+neg AS ({_NORM_Q.format(vid=9)})
+SELECT query_id, vec_id, sim FROM (
+  SELECT qs.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], qs.v), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY qs.query_id
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], qs.v) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e, qs, neg
+  WHERE list_dot_product(e.embedding::DOUBLE[], neg.v) <= 0.5
+) WHERE rn <= 5
+"""
     # text entry through the router (r8): the collection's vectors are
     # bit-identical to the raw table (normalized float32 kept) and auto
     # resolves FLAT, so the oracle is knn_topk's SQL with the
@@ -4501,6 +4548,7 @@ _EXTRA_KEYS = frozenset(
         "query_text_routed",  # r8: text entry -> router, end to end
         "shard_packed_corpus",  # r8: BPE pack -> manifest shards round trip
         "bloom_dedup",  # r8: Bloom membership gate, positions replayed in SQL
+        "knn_batch_negative",  # r8: negative-filter kernel branch, now oracled
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
         "length_histogram",  # r7: power-of-two length buckets + pad audit

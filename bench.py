@@ -127,6 +127,7 @@ BENCH_NAMES = [
     "query_text_routed",
     "shard_packed_corpus",
     "bloom_dedup",
+    "knn_batch_negative",
     "pack_corpus_bpe",
     "hnsw_search",
     "length_histogram",

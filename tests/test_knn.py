@@ -229,3 +229,45 @@ def test_knn_block_float32_matches_float64_ids(spark):
         assert abs(a["similarity"] - b["similarity"]) < 1e-5
     with _pytest.raises(ValueError, match="precision"):
         knn_block(df, ["a"], [qs[0]], 5, vec_col="embedding", precision="f16")
+
+
+def test_knn_block_negative_matches_single_path(spark, sf_dir):
+    """The GEMM kernel's in-batch negative filter == the single-query
+    expression path (knn_negative_filter) per query — the two
+    implementations of reference query.go:221-231 must agree."""
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.operators import knn as K
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    )
+    neg = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 9).head()["embedding"]
+    ]
+    out = K.knn_block(
+        emb,
+        [str(r["vec_id"]) for r in qrows],
+        [list(r["embedding"]) for r in qrows],
+        5,
+        vec_col="embedding",
+        id_col="vec_id",
+        negative_vec=neg,
+        negative_threshold=0.5,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(
+            (r["vec_id"], round(r["similarity"], 6))
+        )
+    for qr in qrows:
+        single = {
+            (r["vec_id"], round(r["similarity"], 6))
+            for r in K.knn_negative_filter(
+                emb, list(qr["embedding"]), neg, 5,
+                threshold=0.5, vec_col="embedding", id_col="vec_id",
+            ).collect()
+        }
+        assert got[str(qr["vec_id"])] == single
