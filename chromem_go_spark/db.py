@@ -215,7 +215,13 @@ class DB:
         prepended (the reference's ``gcm.Seal(nonce, nonce, ...)``
         layout). Compression happens BEFORE encryption, like the
         reference's gob->flate->AES chain. Requires the ``cryptography``
-        package (vetted primitive, import-gated)."""
+        package (vetted primitive, import-gated).
+
+        The payload is the collection DATA (documents + metadata);
+        index snapshots (text/ANN/HNSW) are rebuildable caches and are
+        deliberately not exported — rebuild them after import (the
+        signature-guarded loaders return None on the fresh directory,
+        never a stale graph)."""
         if writer is None or not hasattr(writer, "write"):
             raise ValueError("writer is nil or not a binary writer")
         _check_encoding(encoding)
