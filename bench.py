@@ -541,6 +541,11 @@ def main() -> None:
         med = trailing.get(name)
         if med is None or med <= 0 or sec <= 3 * med or sec < 1.0:
             continue
+        if name not in qs:
+            # synthetic bench-section timings (ivf_build, *_cached,
+            # probe splits) aren't registry entries — the isolated
+            # subprocess can't run them by name
+            continue
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--isolated", name],
