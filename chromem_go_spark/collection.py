@@ -392,10 +392,22 @@ class Collection:
     def count(self) -> int:
         return self.df.count()
 
-    def delete(self, where=None, where_document=None, ids: Sequence[str] | None = None) -> None:
+    def delete(
+        self,
+        where=None,
+        where_document=None,
+        ids: Sequence[str] | None = None,
+        extended_filters: bool = False,
+    ) -> None:
         """Delete by ids OR by metadata/content predicate (reference
         collection.go:338-388). Expressed as an anti-filter; on Delta this
         is ``DELETE FROM ... WHERE``.
+
+        ``extended_filters=True`` (r8) interprets ``where`` with the
+        same extended DSL :meth:`query` accepts ($and/$or/$not,
+        comparisons, $in, $contains leaves) — query/delete symmetry;
+        the default keeps strict reference parity including the golden
+        errors.
 
         On a bucketed layout, ids-only deletes rewrite ONLY the buckets
         holding those ids (dynamic partition overwrite) — predicate
@@ -404,7 +416,9 @@ class Collection:
             raise ValueError("must provide either where, whereDocument or ids")
         validate_where_document(where_document)
         if self.table_format == "delta" and self.persist_dir:
-            victim = combined_predicate(where, where_document)
+            victim = self._delete_predicate(
+                where, where_document, extended_filters
+            )
             if ids:
                 victim = victim & F.col("id").isin([str(i) for i in ids])
             tablefmt.delete_where(
@@ -416,10 +430,26 @@ class Collection:
             return
         with self._write_lock():
             self._refresh_from_disk()
-            self._delete_unlocked(where, where_document, ids)
+            self._delete_unlocked(
+                where, where_document, ids, extended_filters
+            )
 
-    def _delete_unlocked(self, where, where_document, ids) -> None:
-        victim = combined_predicate(where, where_document)
+    def _delete_predicate(self, where, where_document, extended_filters):
+        if not extended_filters:
+            return combined_predicate(where, where_document)
+        from .operators.filters import (
+            extended_where_predicate,
+            where_document_predicate,
+        )
+
+        return extended_where_predicate(
+            where, content_col="content"
+        ) & where_document_predicate(where_document)
+
+    def _delete_unlocked(
+        self, where, where_document, ids, extended_filters=False
+    ) -> None:
+        victim = self._delete_predicate(where, where_document, extended_filters)
         if ids:
             victim = victim & F.col("id").isin([str(i) for i in ids])
         ids_only = bool(ids) and not where and not where_document

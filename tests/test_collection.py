@@ -584,3 +584,40 @@ def test_query_prf(spark):
     c.add_documents(docs)
     hits = {r["id"] for r in c.query_prf("spark", 6, fb_docs=5, fb_terms=2).collect()}
     assert "50" in hits  # reachable only through the expansion
+
+
+def test_delete_extended_filters(spark):
+    """delete(extended_filters=True) accepts the same DSL query does —
+    query/delete symmetry (r8); the default path keeps reference
+    parity (a '$or' key is just a missing metadata key: no-op
+    delete)."""
+    from chromem_go_spark import DB, Document
+    from chromem_go_spark.embeddings.stub import const_embedding
+
+    db = DB(spark)
+    c = db.create_collection("del_ext", embedding_func=const_embedding)
+
+    def fill():
+        c.add_documents(
+            [
+                Document(id="1", content="alpha text", metadata={"lang": "en", "stars": "5"}),
+                Document(id="2", content="beta text", metadata={"lang": "de", "stars": "2"}),
+                Document(id="3", content="gamma body", metadata={"lang": "fr", "stars": "4"}),
+            ]
+        )
+
+    fill()
+    # default path: "$or" is a literal (missing) metadata key -> no match
+    c.delete(where={"$or": "x"})
+    assert c.count() == 3
+    # extended: $or over lang/stars + a content $contains leaf
+    c.delete(
+        where={
+            "$or": [
+                {"lang": "de"},
+                {"$and": [{"stars": {"$gte": 4}}, {"content": {"$contains": "body"}}]},
+            ]
+        },
+        extended_filters=True,
+    )
+    assert sorted(c.list_ids()) == ["1"]
