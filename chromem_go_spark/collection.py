@@ -416,7 +416,7 @@ class Collection:
             raise ValueError("must provide either where, whereDocument or ids")
         validate_where_document(where_document)
         if self.table_format == "delta" and self.persist_dir:
-            victim = self._delete_predicate(
+            victim = self._combined_predicate_ex(
                 where, where_document, extended_filters
             )
             if ids:
@@ -434,7 +434,10 @@ class Collection:
                 where, where_document, ids, extended_filters
             )
 
-    def _delete_predicate(self, where, where_document, extended_filters):
+    def _combined_predicate_ex(self, where, where_document, extended_filters):
+        """The full pre-filter predicate, strict-reference or extended
+        DSL — ONE composition shared by query_embedding's exact path
+        and delete (keeping the two surfaces in sync by construction)."""
         if not extended_filters:
             return combined_predicate(where, where_document)
         from .operators.filters import (
@@ -449,7 +452,7 @@ class Collection:
     def _delete_unlocked(
         self, where, where_document, ids, extended_filters=False
     ) -> None:
-        victim = self._delete_predicate(where, where_document, extended_filters)
+        victim = self._combined_predicate_ex(where, where_document, extended_filters)
         if ids:
             victim = victim & F.col("id").isin([str(i) for i in ids])
         ids_only = bool(ids) and not where and not where_document
@@ -673,19 +676,14 @@ class Collection:
 
         # Pre-filter BELOW the similarity projection (reference
         # collection.go:521; Catalyst keeps it pushed down).
+        pred = self._combined_predicate_ex(
+            where, where_document, extended_filters
+        )
         if extended_filters:
-            from .operators.filters import (
-                conjunctive_contains_patterns,
-                extended_where_predicate,
-                where_document_predicate,
-            )
+            from .operators.filters import conjunctive_contains_patterns
 
-            pred = extended_where_predicate(
-                where, content_col="content"
-            ) & where_document_predicate(where_document)
             patterns = conjunctive_contains_patterns(where)
         else:
-            pred = combined_predicate(where, where_document)
             patterns = []
         # Gram-index pre-prune for every conjunctively-required
         # $contains — the flat where_document key AND (r8) $contains
@@ -1230,6 +1228,18 @@ class Collection:
                 "per_query_filters require the FLAT broadcast-join kernel; "
                 "routed batch search takes global filters only"
             )
+        if (
+            index is not None
+            and not isinstance(index, str)
+            and (where or where_document)
+        ):
+            from .operators import router as R
+
+            if R.tier_of(index) != "ivf":
+                # same rule as query_embedding: a served index that
+                # cannot express the filter falls back to the exact
+                # kernel path — semantics beat routing
+                index = None
         if index is not None:
             from .operators import router as R
 

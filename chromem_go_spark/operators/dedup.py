@@ -1448,14 +1448,15 @@ def semantic_dedup_clusters(
 # ------------------------------------------------------------------
 
 
-def _bloom_position_cols(text_col: str, m_bits: int, k_hashes: int):
-    """The k deterministic bit positions of a document's fingerprint:
+def _bloom_position_cols(fp_col, m_bits: int, k_hashes: int):
+    """The k deterministic bit positions of a fingerprint COLUMN:
     md5(fingerprint || ':' || i) folded to a long, mod m — the
     engine-portable hash family (functions/text.md5_hash60), so the
     DuckDB oracle replays every position bit-for-bit."""
-    fp = T.fingerprint(text_col)
     return [
-        (T.md5_hash60(F.concat(fp, F.lit(f":{i}"))) % m_bits).alias(f"__p{i}")
+        (T.md5_hash60(F.concat(fp_col, F.lit(f":{i}"))) % m_bits).alias(
+            f"__p{i}"
+        )
         for i in range(k_hashes)
     ]
 
@@ -1480,11 +1481,12 @@ def build_fingerprint_bloom(
     document — the deliberate Dolma-style trade; never use this gate
     where exact recall of new documents is required (use
     :func:`exact_duplicates`'s join instead)."""
+    fp = T.fingerprint(text_col)
     return (
         docs.select(
             F.explode(
                 F.array_distinct(
-                    F.array(*_bloom_position_cols(text_col, m_bits, k_hashes))
+                    F.array(*_bloom_position_cols(fp, m_bits, k_hashes))
                 )
             ).alias("p")
         )
@@ -1507,21 +1509,31 @@ def bloom_filter_new(
     and the check is one semi-join + count compare, no Python.
     ``m_bits``/``k_hashes`` MUST match the build (they define the hash
     family).  Exact duplicates of the build corpus are always caught
-    (no false negatives); a ~fp-rate share of new docs is dropped."""
+    (no false negatives — membership is decided per DISTINCT
+    fingerprint, so duplicate id or text rows cannot split the
+    position count); a ~fp-rate share of new docs is dropped.
+    ``id_col`` is unused since r8 (kept for signature stability)."""
+    del id_col  # membership keys on the fingerprint, not the id
+    fpc = T.fingerprint(text_col)
     parr = F.array_distinct(
-        F.array(*_bloom_position_cols(text_col, m_bits, k_hashes))
+        F.array(*_bloom_position_cols(F.col("__fp"), m_bits, k_hashes))
     )
-    exploded = docs.select(
-        F.col(id_col), F.size(parr).alias("__np"), F.explode(parr).alias("p")
+    cand = docs.select(fpc.alias("__fp")).distinct()
+    exploded = cand.select(
+        "__fp", F.size(parr).alias("__np"), F.explode(parr).alias("p")
     )
-    hits = (
+    member = (
         exploded.join(F.broadcast(bloom), "p", "left_semi")
-        .groupBy(id_col, "__np")
+        .groupBy("__fp", "__np")
         .agg(F.count(F.lit(1)).alias("__hit"))
         .filter(F.col("__hit") == F.col("__np"))  # all positions set
-        .select(id_col)
+        .select("__fp")
     )
-    return docs.join(hits, id_col, "left_anti")
+    return (
+        docs.withColumn("__fp", fpc)
+        .join(member, "__fp", "left_anti")
+        .drop("__fp")
+    )
 
 
 def pack_bloom(bloom: DataFrame, m_bits: int = 1 << 20) -> bytes:
@@ -1547,11 +1559,17 @@ def bloom_might_contain(
     the microsecond-scale gate a streaming ingester runs per doc.
     Uses the SAME hash family as the Spark side (md5 of the
     whitespace-normalized, lowercased text), so the two forms agree
-    on every document."""
+    on every document.  The whitespace class is spelled out as Java
+    regex ``\\s`` = ASCII ``[ \\t\\n\\x0b\\f\\r]`` — Python's Unicode
+    ``\\s`` would also collapse non-breaking spaces etc. and hash a
+    different string than the JVM side (a false NEGATIVE against a
+    Spark-built filter)."""
     import hashlib
     import re
 
-    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    # after the collapse only plain spaces remain at the edges, and
+    # Spark's trim() strips spaces only — mirror that exactly
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ")
     fp = hashlib.md5(norm.encode()).hexdigest()
     for i in range(k_hashes):
         h = hashlib.md5(f"{fp}:{i}".encode()).hexdigest()

@@ -344,12 +344,14 @@ def routed_search_batch(
     from . import knn as K
 
     qvecs = [[float(x) for x in qv] for qv in query_vecs]
+    # materialize ONCE: iterator inputs must not be exhausted by the
+    # length check (the tiers' zip() would then silently drop queries)
+    qids = list(query_ids)
     if not qvecs:
         raise ValueError("queryEmbedding is empty")
-    if len(list(query_ids)) != len(qvecs):
-        # the tiers' zip() would silently DROP the unpaired queries
+    if len(qids) != len(qvecs):
         raise ValueError(
-            f"query_ids ({len(list(query_ids))}) and query_vecs "
+            f"query_ids ({len(qids)}) and query_vecs "
             f"({len(qvecs)}) must be the same length"
         )
     if index is not None:
@@ -363,7 +365,7 @@ def routed_search_batch(
                 else max(4 * k, 64)
             )
             return index.search_batch(
-                df.sparkSession, list(query_ids), qvecs, k, ef=ef
+                df.sparkSession, qids, qvecs, k, ef=ef
             )
         nlist = len(index.centroids)
         decision = {
@@ -405,15 +407,15 @@ def routed_search_batch(
     if decision["tier"] == "flat":
         base = df.filter(where) if where is not None else df
         return K.knn_block(
-            base, list(query_ids), qvecs, k,
+            base, qids, qvecs, k,
             vec_col=vec_col, id_col=id_col, precision=precision,
         )
     if decision["tier"] == "ivf":
         return index.search_batch(
-            list(query_ids), qvecs, k,
+            qids, qvecs, k,
             nprobe=decision["nprobe"], where=where,
         )
     return index.search_batch(
-        list(query_ids), qvecs, k,
+        qids, qvecs, k,
         nprobe=decision["nprobe"], rerank=decision["rerank"],
     )

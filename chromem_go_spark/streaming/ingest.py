@@ -859,48 +859,107 @@ def bloom_gate_sink(
     documents whose fingerprint is DEFINITELY unseen — against all
     prior batches plus whatever corpus seeded ``state_path`` — emits
     them to ``results_dir`` (with ``batch_id``; append sink,
-    at-least-once), and folds their bit positions into the state.
+    at-least-once), and commits the UPDATED position set as a fresh
+    state generation.
 
-    The state is the Bloom position set (operators/dedup): bounded by
-    ``m_bits`` rows forever, and a SET — so at-least-once replays are
-    NATURALLY idempotent on state (re-appending positions changes
-    nothing at read time; no fold protocol needed, unlike the
-    near-dup state tables).  In-batch duplicates are collapsed by
-    fingerprint before the gate (the membership check only sees prior
-    state).  False-positive caveat as in ``bloom_filter_new``."""
+    State is the Bloom position set (operators/dedup), BOUNDED at
+    ``m_bits`` rows forever: every batch rewrites the distinct set
+    into ``_gen=N/`` (underscore dir: invisible to a plain parquet
+    read of the root, so a seed corpus written at the root keeps
+    working) and promotes it with one atomic ``_live.json`` replace
+    carrying the replay watermark — the same stage-then-promote
+    protocol as hnsw.save_snapshot, so an at-least-once replay is
+    skipped EXACTLY and a crash leaves the previous committed set
+    live.  Read the committed set with :func:`read_bloom_state`.
+    In-batch duplicates collapse by fingerprint before the gate;
+    false-positive caveat as in ``bloom_filter_new``."""
+    import json
     import os
+    import shutil
 
     from ..functions import text as T
     from ..operators import dedup as D
+
+    box: list = []  # [(positions_df_or_None, last_batch)]
+
+    def _live(root: str) -> dict | None:
+        f = os.path.join(root, "_live.json")
+        if not os.path.exists(f):
+            return None
+        with open(f) as fh:
+            return json.load(fh)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch = batch_df.withColumn(
-            "__fp", T.fingerprint(text_col)
-        ).dropDuplicates(["__fp"]).drop("__fp")
-        if os.path.exists(state_path):
-            state = spark.read.parquet(state_path).distinct()
-            fresh = D.bloom_filter_new(
+        if not box:
+            lv = _live(state_path)
+            box.append(
+                (
+                    read_bloom_state(spark, state_path),
+                    int(lv["last_batch"]) if lv else -1,
+                )
+            )
+        state, last = box[0]
+        if batch_id <= last:
+            return  # replayed micro-batch: already committed
+        batch = (
+            batch_df.withColumn("__fp", T.fingerprint(text_col))
+            .dropDuplicates(["__fp"])
+            .drop("__fp")
+        )
+        fresh = (
+            D.bloom_filter_new(
                 batch, state, text_col=text_col, id_col=id_col,
                 m_bits=m_bits, k_hashes=k_hashes,
             )
-        else:
-            fresh = batch
+            if state is not None
+            else batch
+        )
         fresh = fresh.localCheckpoint(eager=True)  # gate once, use twice
         (
             fresh.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(results_dir)
         )
-        (
-            D.build_fingerprint_bloom(
-                fresh, text_col=text_col, m_bits=m_bits, k_hashes=k_hashes
-            )
-            .write.mode("append")
-            .parquet(state_path)
+        new_pos = D.build_fingerprint_bloom(
+            fresh, text_col=text_col, m_bits=m_bits, k_hashes=k_hashes
         )
+        merged = (
+            new_pos
+            if state is None
+            else state.unionByName(new_pos).distinct()
+        )
+        try:
+            lv = _live(state_path)
+            keep = set()
+            if lv:
+                keep = {f"_gen={lv['gen']}", f"_gen={int(lv['gen']) - 1}"}
+            os.makedirs(state_path, exist_ok=True)
+            for name in os.listdir(state_path):  # heal staged crashes
+                if name.startswith("_gen=") and name not in keep:
+                    shutil.rmtree(
+                        os.path.join(state_path, name), ignore_errors=True
+                    )
+            gen = (int(lv["gen"]) + 1) if lv else 1
+            gdir = os.path.join(state_path, f"_gen={gen}")
+            merged.write.mode("overwrite").parquet(gdir)  # staged
+            tmp = os.path.join(state_path, "_live.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"gen": gen, "last_batch": int(batch_id)}, fh)
+            os.replace(tmp, os.path.join(state_path, "_live.json"))  # commit
+            for name in os.listdir(state_path):  # GC, keep one prior
+                if name.startswith("_gen=") and name not in (
+                    f"_gen={gen}", f"_gen={gen - 1}"
+                ):
+                    shutil.rmtree(
+                        os.path.join(state_path, name), ignore_errors=True
+                    )
+        except BaseException:
+            box.clear()  # reload committed state on retry
+            raise
+        box[0] = (spark.read.parquet(gdir), batch_id)
 
     return (
         stream_docs.writeStream.queryName(query_name)
@@ -908,6 +967,28 @@ def bloom_gate_sink(
         .outputMode("append")
         .foreachBatch(handle)
     )
+
+
+def read_bloom_state(spark: SparkSession, state_path: str):
+    """The committed Bloom position set at ``state_path``: the live
+    ``_gen=N`` when a :func:`bloom_gate_sink` generation has
+    committed, else a seed position set written at the root
+    (``build_fingerprint_bloom(...).write.parquet(state_path)``), else
+    ``None``.  Staged-but-uncommitted generations are never served
+    (underscore dirs are invisible to the root read)."""
+    import json
+    import os
+
+    live_f = os.path.join(state_path, "_live.json")
+    if os.path.exists(live_f):
+        with open(live_f) as fh:
+            gen = json.load(fh)["gen"]
+        return spark.read.parquet(os.path.join(state_path, f"_gen={gen}"))
+    if os.path.isdir(state_path) and any(
+        not n.startswith(("_", ".")) for n in os.listdir(state_path)
+    ):
+        return spark.read.parquet(state_path).distinct()
+    return None
 
 
 def incremental_neardup_sink(

@@ -873,11 +873,13 @@ def test_bloom_gate_stream(spark, tmp_path):
     )
     # exactly one copy of each distinct new text; seeds never re-emit
     assert texts == ["alpha new one", "beta new two", "gamma new three"]
-    # state stays a bounded position set and now rejects everything seen
+    # committed state is the bounded distinct position set (generation
+    # layout; the seed root stays readable) and rejects everything seen
     from chromem_go_spark.operators.dedup import bloom_filter_new
+    from chromem_go_spark.streaming.ingest import read_bloom_state
 
-    st = spark.read.parquet(state).distinct()
-    assert st.count() <= m
+    st = read_bloom_state(spark, state)
+    assert st is not None and st.count() <= m
     again = spark.createDataFrame(
         [(7, "gamma new three"), (8, "totally unseen zeta")],
         "doc_id long, text string",
@@ -887,3 +889,77 @@ def test_bloom_gate_stream(spark, tmp_path):
         for r in bloom_filter_new(again, st, m_bits=m, k_hashes=k).collect()
     }
     assert kept == {8}
+
+    # full REPLAY (fresh checkpoint, same batch ids): the transactional
+    # watermark skips both batches — nothing re-emitted, state unchanged
+    n_emitted = spark.read.parquet(results).count()
+    gen_before = sorted(
+        d for d in __import__("os").listdir(state) if d.startswith("_gen=")
+    )
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_available_now(
+        bloom_gate_sink(
+            stream2, state, results, str(tmp_path / "gate_ckpt2"),
+            m_bits=m, k_hashes=k,
+        )
+    )
+    assert spark.read.parquet(results).count() == n_emitted
+    assert sorted(
+        x for x in __import__("os").listdir(state) if x.startswith("_gen=")
+    ) == gen_before
+
+
+def test_bloom_duplicate_id_rows_no_false_negative(spark):
+    """Membership keys on the FINGERPRINT: duplicate id rows (same or
+    different member texts under one id) must not split the position
+    count and leak members through the gate."""
+    from chromem_go_spark.operators.dedup import (
+        bloom_filter_new,
+        build_fingerprint_bloom,
+    )
+
+    seen = spark.createDataFrame(
+        [(i, f"known doc {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bloom = build_fingerprint_bloom(seen, m_bits=1 << 14, k_hashes=4)
+    probe = spark.createDataFrame(
+        [
+            (1, "known doc 3"),   # duplicate doc_id, both texts members
+            (1, "known doc 4"),
+            (2, "known doc 5"),   # duplicate doc_id, member + new
+            (2, "genuinely new"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        (r["doc_id"], r["text"])
+        for r in bloom_filter_new(
+            probe, bloom, m_bits=1 << 14, k_hashes=4
+        ).collect()
+    }
+    assert (1, "known doc 3") not in kept
+    assert (1, "known doc 4") not in kept
+    assert (2, "known doc 5") not in kept
+    assert kept <= {(2, "genuinely new")}
+
+
+def test_bloom_unicode_whitespace_parity(spark):
+    """The driver-side normalizer mirrors the JVM's ASCII \\s: a
+    non-breaking space must NOT collapse, so packed membership agrees
+    with a Spark-built filter on such texts."""
+    from chromem_go_spark.operators.dedup import (
+        bloom_might_contain,
+        build_fingerprint_bloom,
+        pack_bloom,
+    )
+
+    t = "alpha beta gamma"  # NBSP stays; regular space collapses
+    df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    bloom = build_fingerprint_bloom(df, m_bits=1 << 14, k_hashes=4)
+    packed = pack_bloom(bloom, m_bits=1 << 14)
+    assert bloom_might_contain(packed, t, m_bits=1 << 14, k_hashes=4)

@@ -417,3 +417,36 @@ def test_batch_id_vector_length_mismatch_raises(emb, qbatch):
     qids, qvecs = qbatch
     with pytest.raises(ValueError, match="same length"):
         R.routed_search_batch(emb, qids[:3], qvecs[:2], 5, n_docs=500)
+
+
+def test_batch_accepts_iterator_inputs(emb, qbatch):
+    """query_ids may be a generator: the length guard must not exhaust
+    it before dispatch (the silent-drop it exists to prevent)."""
+    qids, qvecs = qbatch
+    out = R.routed_search_batch(
+        emb, (q for q in qids[:2]), qvecs[:2], 5, n_docs=500
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in out.collect()}
+    assert {q for q, _ in got} == set(qids[:2]) and len(got) == 10
+
+
+def test_collection_query_batch_served_nonivf_filter_falls_back(coll):
+    """query_batch with a served non-IVF index + a global filter falls
+    back to the exact kernel (same rule as query_embedding), not an
+    error."""
+    served = coll.build_hnsw_index(M=4, ef_construction=32)
+    texts = ["topic 1", "topic 2"]
+    base = {
+        (r["query_id"], r["id"])
+        for r in coll.query_batch(
+            query_texts=texts, n_results=3, where={"topic": "1"}
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["id"])
+        for r in coll.query_batch(
+            query_texts=texts, n_results=3, where={"topic": "1"},
+            index=served,
+        ).collect()
+    }
+    assert got == base
