@@ -138,6 +138,133 @@ BENCH_NAMES = [
 
 
 
+def _measure_throughput_points(spark, inrun: bool = False) -> tuple[dict, dict]:
+    """The four reference-comparable throughput points (BASELINE.md
+    harness shape: 100k docs x d=1536, k=10) measured in THIS session.
+    Returns (points, errors).  Run it in a fresh subprocess JVM for the
+    official numbers (r8 lesson: in a session that just ran the
+    117-query loop, the same kernel reads 5-6x slower — block-manager /
+    GC state, not code), and in-run for the drift gap as recorded data.
+    """
+    n_docs, dim, k = 100_000, 1536, 10
+    errors: dict[str, str] = {}
+    points: dict[str, dict | None] = {}
+    if inrun:
+        # settle: let the ContextCleaner drain the query loop's blocks
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(3)
+    corpus = _synth_corpus(spark, n_docs, dim).localCheckpoint(eager=True)
+    all_qvecs = [r["embedding"] for r in corpus.limit(256).collect()]
+    from chromem_go_spark.operators import knn as K
+
+    def _throughput(n_q: int, warm_rounds: int, precision: str = "float64") -> dict:
+        # min over every round but the first: steady-state, same as the
+        # reference's averaged ns/op
+        qvecs = all_qvecs[:n_q]
+        wall = float("inf")
+        for i in range(max(warm_rounds, 1) + 2):
+            t0 = time.time()
+            nres = K.knn_block(
+                corpus, [str(j) for j in range(n_q)], qvecs, k,
+                vec_col="embedding", id_col="id", precision=precision,
+            ).count()
+            if i >= 1:
+                wall = min(wall, time.time() - t0)
+            assert nres == n_q * k, nres
+        sps = int(n_q * n_docs / wall)
+        print(
+            f"# knn_100k_1536 q={n_q} ({precision}"
+            f"{', in-run' if inrun else ', fresh JVM'}): {wall:.2f}s = "
+            f"{sps:,} doc-scores/sec (reference: ~2.5M/sec)",
+            file=sys.stderr,
+        )
+        return {
+            "n_docs": n_docs, "dim": dim, "n_queries": n_q, "k": k,
+            "wall_sec": round(wall, 3), "doc_scores_per_sec": sps,
+            "baseline_doc_scores_per_sec": 2_500_000,
+        }
+
+    # two query-count points: 64 (the r01 headline) and 256 (shows the
+    # per-job overhead amortizing); float32 = the reference's own
+    # arithmetic (Go float32 slices), float64 = the oracle-exact mode
+    try:
+        points["knn_batch_100k_1536"] = _throughput(64, warm_rounds=2)
+        points["knn_batch_100k_1536_q256"] = _throughput(256, warm_rounds=0)
+        points["knn_batch_100k_1536_q256_f32"] = _throughput(
+            256, warm_rounds=0, precision="float32"
+        )
+    except Exception as e:  # noqa: BLE001 — emit partial artifact, never crash
+        errors["knn_batch_100k_1536"] = f"{type(e).__name__}: {e}"[:300]
+
+    # Batch ROUTER point at the same shape (q=256): routed_search_batch
+    # resolves FLAT by the ladder and must add ~zero overhead over the
+    # raw kernel.
+    try:
+        from chromem_go_spark.operators import router as RT
+
+        # the three kernel points above leave shuffle/broadcast blocks
+        # draining; settle so the routed point isn't charged for them
+        # (observed: 11.8s vs 1.8s for the identical plan)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(2)
+        qvecs256 = all_qvecs[:256]
+        wall = float("inf")
+        for i in range(4):
+            t0 = time.time()
+            nres = RT.routed_search_batch(
+                corpus, [str(j) for j in range(256)], qvecs256, k,
+                vec_col="embedding", id_col="id", n_docs=n_docs,
+            ).count()
+            if i >= 1:
+                wall = min(wall, time.time() - t0)
+            assert nres == 256 * k, nres
+        points["knn_routed_batch_100k_q256"] = {
+            "n_docs": n_docs, "dim": dim, "n_queries": 256, "k": k,
+            "wall_sec": round(wall, 3),
+            "doc_scores_per_sec": int(256 * n_docs / wall),
+            "tier": "flat (auto)",
+        }
+        print(
+            f"# knn_routed_batch_100k q=256"
+            f"{' (in-run)' if inrun else ' (fresh JVM)'}: {wall:.2f}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["knn_routed_batch_100k"] = f"{type(e).__name__}: {e}"[:300]
+    del corpus
+    return points, errors
+
+
+THROUGHPUT_POINT_NAMES = [
+    "knn_batch_100k_1536",
+    "knn_batch_100k_1536_q256",
+    "knn_batch_100k_1536_q256_f32",
+    "knn_routed_batch_100k_q256",
+]
+
+
+def isolated_throughput_main() -> None:
+    """Fresh-JVM measurement of ALL four throughput points in one
+    subprocess (one JVM start, one corpus synth; the q64 point's warm
+    rounds warm the JVM for the rest).  This is the OFFICIAL number: r8's
+    in-run artifact recorded 2.59M doc-scores/s for a kernel that a fresh
+    JVM in the same sandbox runs at 14.5M/s (VERDICT r8) — end-of-run
+    session state, not code.  Prints one JSON line and exits."""
+    spark = get_spark("bench-isolated-throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+    points, errors = _measure_throughput_points(spark, inrun=False)
+    out: dict = {k: v for k, v in points.items()}
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
 def isolated_main(name: str) -> None:
     """Fresh-session single-query measurement (min-of-2) — the
     BENCHNOTES isolation protocol as recorded data: a brand-new JVM,
@@ -160,15 +287,41 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
         isolated_main(sys.argv[2])
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--isolated-throughput":
+        isolated_throughput_main()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # OFFICIAL throughput points FIRST, in one fresh subprocess JVM on
+    # the quiet host (before this process starts its own JVM — never two
+    # WORKING Spark JVMs at once).  The in-run re-measurement later in
+    # this session is kept as drift data only.
+    errors: dict[str, str] = {}
+    iso_points: dict[str, dict] = {}
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated-throughput"],
+            capture_output=True, text=True, timeout=900, check=True,
+        )
+        parsed = json.loads(r.stdout.strip().splitlines()[-1])
+        for perr, msg in (parsed.pop("errors", None) or {}).items():
+            errors[f"iso_{perr}"] = str(msg)[:300]
+        iso_points = {k: v for k, v in parsed.items() if isinstance(v, dict)}
+        for pname, pt in iso_points.items():
+            print(
+                f"# {pname} isolated: {pt['wall_sec']}s = "
+                f"{pt['doc_scores_per_sec']:,}/s (fresh JVM)",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        errors["isolated_throughput"] = f"{type(e).__name__}: {e}"[:300]
 
     # Isolated-mode control point FIRST, before this process starts its
     # own JVM work: ngram_jaccard in a fresh subprocess session on an
     # otherwise-quiet machine (never two WORKING Spark JVMs at once).
     # Pins the in-run vs isolated gap BENCHNOTES attributes to session
     # load as recorded data each round.
-    errors: dict[str, str] = {}
     detail_funnel: dict | None = None
     # r8 extends the control set to the exact-dedup family pair whose
     # in-run readings crept ~22% over r6→r7 while plans stayed
@@ -433,101 +586,36 @@ def main() -> None:
         errors["training_pipeline_cached"] = f"{type(e).__name__}: {e}"[:300]
 
 
-    # The 100k x 1536 synthetic-corpus throughput points run LAST:
-    # their ~600 MB of localCheckpoint blocks drain asynchronously and
-    # were contaminating the heavy similarity joins that followed
-    # (measured: ngram_jaccard 17.3 s mid-session vs 7.6 s isolated).
-    # --- reference-comparable throughput (BASELINE.md harness shape) ---
-    # chromem-go: 100k docs x d=1536, k=10, one query in ~40 ms
-    # (README.md:278) => ~2.5M doc-scores/sec. Spark is a batch engine,
-    # so the comparable number is batch scoring throughput on the SAME
-    # corpus shape: 64 queries x 100k docs via the block-matrix kernel.
-    n_docs, dim, k = 100_000, 1536, 10
-    # settle: let the ContextCleaner drain the query loop's checkpoint
-    # blocks before measuring (running right after the loaded session
-    # cost the first throughput point 10x — transient, not steady-state)
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:
-        pass
-    time.sleep(3)
-    corpus = _synth_corpus(spark, n_docs, dim).localCheckpoint(eager=True)
-    all_qvecs = [r["embedding"] for r in corpus.limit(256).collect()]
-    from chromem_go_spark.operators import knn as K
+    # The in-run throughput re-measurement runs LAST (its ~600 MB of
+    # localCheckpoint blocks would contaminate the similarity joins if it
+    # ran earlier) and is DRIFT DATA ONLY: the official numbers are the
+    # fresh-subprocess points measured before this JVM existed (r8
+    # lesson — the in-run artifact understated the kernel 5.6x).  Each
+    # headline point quotes the isolated value and carries the in-run
+    # wall alongside so the session-load gap is recorded every round.
+    inrun_points, inrun_errors = _measure_throughput_points(spark, inrun=True)
+    for perr, msg in inrun_errors.items():
+        errors[f"inrun_{perr}"] = msg
 
-    def _throughput(n_q: int, warm_rounds: int, precision: str = "float64") -> dict:
-        # min over every round but the first: a transiently-loaded JVM
-        # slows EARLY rounds; min is robust to that, and steady-state is
-        # what the reference's ns/op benchmark reports too.
-        qvecs = all_qvecs[:n_q]
-        wall = float("inf")
-        for i in range(max(warm_rounds, 1) + 2):
-            t0 = time.time()
-            nres = K.knn_block(
-                corpus, [str(j) for j in range(n_q)], qvecs, k,
-                vec_col="embedding", id_col="id", precision=precision,
-            ).count()
-            if i >= 1:
-                wall = min(wall, time.time() - t0)
-            assert nres == n_q * k, nres
-        sps = int(n_q * n_docs / wall)
-        print(
-            f"# knn_100k_1536 q={n_q}: {wall:.2f}s = {sps:,} doc-scores/sec "
-            f"(reference single-query rate: ~2.5M/sec)",
-            file=sys.stderr,
-        )
-        return {
-            "n_docs": n_docs, "dim": dim, "n_queries": n_q, "k": k,
-            "wall_sec": round(wall, 3), "doc_scores_per_sec": sps,
-            "baseline_doc_scores_per_sec": 2_500_000,
-        }
-
-    # two query-count points: 64 (the r01 headline) and 256 (shows the
-    # per-job overhead amortizing — scoring work x4, wall far less than x4)
-    try:
-        point64 = _throughput(64, warm_rounds=2)
-        point256 = _throughput(256, warm_rounds=0)
-        # float32 = the reference's own arithmetic (Go float32 slices) —
-        # the apples-to-apples configuration; float64 points above are
-        # the oracle-exact mode
-        point256_f32 = _throughput(256, warm_rounds=0, precision="float32")
-    except Exception as e:  # noqa: BLE001 — emit partial artifact, never crash
-        errors["knn_batch_100k_1536"] = f"{type(e).__name__}: {e}"[:300]
-        point64 = point256 = point256_f32 = None
-
-    # Batch ROUTER point at the same shape (q=256): routed_search_batch
-    # on 100k docs resolves FLAT by the ladder and must add ~zero
-    # overhead over the raw kernel — the r8 batch-first completion.
-    point_routed = None
-    try:
-        from chromem_go_spark.operators import router as RT
-
-        qvecs256 = all_qvecs[:256]
-        wall = float("inf")
-        for i in range(3):
-            t0 = time.time()
-            nres = RT.routed_search_batch(
-                corpus, [str(j) for j in range(256)], qvecs256, k,
-                vec_col="embedding", id_col="id", n_docs=n_docs,
-            ).count()
-            if i >= 1:
-                wall = min(wall, time.time() - t0)
-            assert nres == 256 * k, nres
-        point_routed = {
-            "n_docs": n_docs, "dim": dim, "n_queries": 256, "k": k,
-            "wall_sec": round(wall, 3),
-            "doc_scores_per_sec": int(256 * n_docs / wall),
-            "tier": "flat (auto)",
-        }
-        print(
-            f"# knn_routed_batch_100k q=256: {wall:.2f}s "
-            f"(vs raw kernel {point256['wall_sec'] if point256 else '?'}s)",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        errors["knn_routed_batch_100k"] = f"{type(e).__name__}: {e}"[:300]
-
-    del corpus
+    headline_points: dict[str, dict | None] = {}
+    for pname in THROUGHPUT_POINT_NAMES:
+        iso_pt, inrun_pt = iso_points.get(pname), inrun_points.get(pname)
+        if iso_pt is not None:
+            pt = dict(iso_pt)
+            pt["isolation"] = "fresh_jvm"
+            if inrun_pt is not None:
+                pt["inrun_wall_sec"] = inrun_pt["wall_sec"]
+        elif inrun_pt is not None:
+            # fallback only — flagged so a reader knows it's contaminated
+            pt = dict(inrun_pt)
+            pt["isolation"] = "IN-RUN ONLY (isolated subprocess failed)"
+        else:
+            pt = None
+        headline_points[pname] = pt
+    point64 = headline_points["knn_batch_100k_1536"]
+    point256 = headline_points["knn_batch_100k_1536_q256"]
+    point256_f32 = headline_points["knn_batch_100k_1536_q256_f32"]
+    point_routed = headline_points["knn_routed_batch_100k_q256"]
 
     # --- auto-isolation pins (BENCHNOTES protocol as recorded data) ---
     # Any query whose in-run time exceeds 3x its trailing-round median is
@@ -584,6 +672,9 @@ def main() -> None:
         "knn_batch_100k_1536_q256": point256,
         "knn_batch_100k_1536_q256_f32": point256_f32,
         "knn_routed_batch_100k_q256": point_routed,
+        # raw in-run readings (session-loaded JVM) — drift data, never
+        # the official number
+        "throughput_inrun": inrun_points,
     }
     if detail_funnel:
         detail["contains_index_funnel"] = detail_funnel
