@@ -653,17 +653,25 @@ class Collection:
                 if not isinstance(index, str)
                 else self._prune_by_patterns(self.df, patterns)
             )
+            eff_n = n_docs
+            if base is not self.df:
+                # the gram prune engaged: the tier decision and index
+                # sizing must see the frame actually being searched —
+                # a selective pattern can shrink it orders of magnitude
+                # below the corpus (FLAT is then correct and cheaper,
+                # and nlist must never be sized off the full count)
+                eff_n = base.count()
             decision = None
             served = None
             if index == "auto":
                 decision = R.choose_tier(
-                    n_docs, len(qv), k=int(n_results),
+                    eff_n, len(qv), k=int(n_results),
                     target_recall=target_recall,
                     filtered=pre is not None, tuned=tuned,
                 )
             elif isinstance(index, str):
                 decision = R.forced_decision(
-                    index, n_docs, k=int(n_results),
+                    index, eff_n, k=int(n_results),
                     target_recall=target_recall, tuned=tuned,
                 )
             else:
@@ -671,7 +679,7 @@ class Collection:
             return R.routed_search(
                 base, qv, int(n_results), vec_col="embedding",
                 id_col="id", index=served, target_recall=target_recall,
-                where=pre, decision=decision, n_docs=n_docs,
+                where=pre, decision=decision, n_docs=eff_n,
             )
 
         # Pre-filter BELOW the similarity projection (reference
@@ -1263,7 +1271,12 @@ class Collection:
                 # count and the gram-prune jobs are only paid when a
                 # tier is being chosen/built over the collection table
                 base = self._prune_by_patterns(self.df, patterns)
-                n_docs = self.count()
+                # when the gram prune engaged, size the tier decision
+                # on the pruned frame, not the full corpus (same rule
+                # as query_embedding)
+                n_docs = (
+                    base.count() if base is not self.df else self.count()
+                )
                 if index == "auto":
                     decision = R.choose_tier(
                         n_docs, len(qvecs[0]), k=int(n_results),

@@ -63,6 +63,13 @@ def _hash_sample(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(997)) < p
         )
     rows = cand.select(vec_col).limit(sample_size).collect()
+    if not rows:
+        # training a quantizer on nothing is meaningless, and numpy's
+        # downstream failure (AxisError in the k-means GEMM) hides the
+        # actual problem — fail with the cause
+        raise ValueError(
+            "cannot train a quantizer over an empty corpus frame"
+        )
     return np.asarray([r[0] for r in rows], dtype=np.float64)
 
 

@@ -269,7 +269,17 @@ def routed_search(
                 "filtered ANN search requires the IVF (flat) index; "
                 "quantized (PQ/SQ) candidates carry codes only"
             )
-        if tier == "ivf":
+        if tier != "flat" and df.isEmpty():
+            # an upstream prune (e.g. a no-match $contains composed via
+            # query(..., index="auto")) can empty the frame while the
+            # decision was sized on the full corpus; training a
+            # quantizer over 0 rows is meaningless and the answer is
+            # empty for every tier — dispatch FLAT (a no-op scan)
+            decision = {
+                "tier": "flat", "n_clusters": None, "nprobe": None,
+                "rerank": None, "reason": "empty corpus frame",
+            }
+        elif tier == "ivf":
             index = A.IVFIndex.build(
                 df, n_clusters=decision["n_clusters"],
                 vec_col=vec_col, id_col=id_col, seed=seed,
@@ -388,7 +398,14 @@ def routed_search_batch(
                 "filtered ANN search requires the IVF (flat) index; "
                 "quantized (PQ/SQ) candidates carry codes only"
             )
-        if tier == "ivf":
+        if tier != "flat" and df.isEmpty():
+            # same guard as routed_search: a pruned-empty frame answers
+            # empty on every tier — never train a quantizer on 0 rows
+            decision = {
+                "tier": "flat", "n_clusters": None, "nprobe": None,
+                "rerank": None, "reason": "empty corpus frame",
+            }
+        elif tier == "ivf":
             index = A.IVFIndex.build(
                 df, n_clusters=decision["n_clusters"],
                 vec_col=vec_col, id_col=id_col, seed=seed,

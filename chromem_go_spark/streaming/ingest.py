@@ -684,7 +684,11 @@ def hnsw_append_sink(
     ``hnsw.load_snapshot(snapshot_root)`` at any time and always see a
     complete committed graph.  ``max_points`` binds across the whole
     ingest — the sink refuses loudly when the stream outgrows the
-    serving tier (the unbounded regime belongs to ivf_append_sink)."""
+    serving tier (the unbounded regime belongs to ivf_append_sink).
+    Rows whose id is already a graph node are dropped (first write
+    wins): cross-batch redelivery from an at-least-once upstream is
+    invisible to the batch-id watermark, and a duplicate node would
+    surface twice in search results."""
     from ..operators import hnsw as H
 
     box: list = []  # [(graph, last_batch)] — loaded once, then in-memory
@@ -700,19 +704,36 @@ def hnsw_append_sink(
         idx, last = box[0]
         if batch_id <= last:
             return  # replayed micro-batch: already committed
+        # Graph nodes are append-only (no upsert): a duplicate vec_id —
+        # an at-least-once upstream redelivering rows across DIFFERENT
+        # micro-batches, which the batch-id watermark can't see — would
+        # otherwise surface twice in every search result.  First write
+        # wins; membership is one O(1) set probe per row.
         if idx is None:
             idx = H.HNSWIndex.build(
-                batch_df, vec_col=vec_col, id_col=id_col, M=M,
+                batch_df.dropDuplicates([id_col]), vec_col=vec_col,
+                id_col=id_col, M=M,
                 ef_construction=ef_construction, seed=seed,
                 max_points=max_points,
             )
         else:
             rows = batch_df.select(id_col, vec_col).collect()
-            idx.insert_batch(
-                [r[0] for r in rows],
-                [list(r[1]) for r in rows],
-                ef_construction=ef_construction,
-            )
+            seen = set(idx.ids)
+            new_ids, new_vecs = [], []
+            for r in rows:
+                if r[0] in seen:
+                    continue
+                seen.add(r[0])
+                new_ids.append(r[0])
+                new_vecs.append(list(r[1]))
+            if not new_ids:
+                # nothing new — still commit the watermark below so the
+                # replayed batch is never re-collected
+                pass
+            else:
+                idx.insert_batch(
+                    new_ids, new_vecs, ef_construction=ef_construction
+                )
         try:
             H.save_snapshot(idx, snapshot_root, last_batch=batch_id)
         except BaseException:

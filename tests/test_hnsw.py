@@ -552,3 +552,50 @@ def test_served_index_with_where_document_falls_back_exact(spark):
         ).collect()
     }
     assert got == base and len(got) == 3
+
+
+def test_sink_drops_cross_batch_duplicate_ids(spark, emb, tmp_path):
+    """Duplicate vec_ids arriving across DIFFERENT micro-batches (an
+    at-least-once upstream redelivering rows under new batch ids —
+    invisible to the last_batch watermark) must not create duplicate
+    graph nodes (r8 ADVICE).  First write wins; every id appears once
+    in the final graph and at most once per search result."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        hnsw_append_sink,
+        run_available_now,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    d = tmp_path / "hnsw_dup_stream"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "v0.parquet")
+    # second batch OVERLAPS the first: its first 10 rows are redelivered
+    pq.write_table(t.slice(half - 10), d / "v1.parquet")
+
+    root = str(tmp_path / "hnsw_dup_snaps")
+    batch_df = spark.read.parquet(str(d))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    writer = hnsw_append_sink(
+        stream.select("vec_id", "embedding"), root,
+        str(tmp_path / "ckpt_hdup"), M=8, ef_construction=64,
+    )
+    run_available_now(writer)
+    idx, _ = H.load_snapshot(root)
+    n_distinct = batch_df.select("vec_id").distinct().count()
+    assert idx.n_points() == n_distinct
+    assert len(set(idx.ids)) == len(idx.ids)
+    qv = _qv(emb, 0)
+    got = [i for i, _ in idx.search(qv, 10, ef=idx.n_points())]
+    assert len(set(got)) == len(got)
+    assert got == [i for i, _ in _flat(emb, qv)]

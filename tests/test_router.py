@@ -450,3 +450,86 @@ def test_collection_query_batch_served_nonivf_filter_falls_back(coll):
         ).collect()
     }
     assert got == base
+
+
+# ------------------------------------------- empty-frame routing (r9)
+
+
+def test_empty_frame_ivf_decision_returns_empty(emb, qvec):
+    """An IVF decision over a frame an upstream prune emptied must
+    return an empty frame, not crash the quantizer trainer (r8 ADVICE:
+    numpy AxisError out of _kmeans on a 0-row sample)."""
+    empty = emb.filter(F.lit(False))
+    n = emb.count()
+    decision = R.forced_decision("ivf", n, k=10)
+    out = R.routed_search(empty, qvec, 10, decision=decision, n_docs=n)
+    assert out.count() == 0
+
+
+def test_empty_frame_batch_ivf_decision_returns_empty(emb, qbatch):
+    qids, qvecs = qbatch
+    empty = emb.filter(F.lit(False))
+    n = emb.count()
+    decision = R.forced_decision("ivf", n, k=10)
+    out = R.routed_search_batch(
+        empty, qids, qvecs, 10, decision=decision, n_docs=n
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "similarity"]
+
+
+def test_quantizer_build_on_empty_frame_raises(emb):
+    """Direct build() callers get the cause, not an AxisError."""
+    from chromem_go_spark.operators import ann as A
+
+    with pytest.raises(ValueError, match="empty corpus frame"):
+        A.IVFIndex.build(
+            emb.filter(F.lit(False)), n_clusters=8,
+            vec_col="embedding", id_col="vec_id",
+        )
+
+
+def test_collection_routed_nomatch_contains_empty(coll):
+    """query(index='auto') composing a no-match $contains gram prune:
+    the pruned-empty corpus answers 0 rows on every tier, and the tier
+    decision is sized on the PRUNED count, not the full corpus."""
+    coll.build_text_index()
+    qv = coll.embedding_func("topic 3")
+    for forced in ("auto", "ivf"):
+        out = coll.query_embedding(
+            qv, 5,
+            where_document={"$contains": "zzz-no-such-substring"},
+            index=forced, target_recall=0.999,
+        )
+        assert out.count() == 0
+
+
+def test_collection_routed_pruned_count_feeds_decision(coll, monkeypatch):
+    """A selective $contains must feed the pruned count to choose_tier
+    (r8 ADVICE: a large-nlist IVF build over a tiny pruned frame)."""
+    from chromem_go_spark.operators import router as RR
+
+    seen = {}
+    real = RR.choose_tier
+
+    def spy(n_docs, *a, **kw):
+        seen["n_docs"] = n_docs
+        return real(n_docs, *a, **kw)
+
+    monkeypatch.setattr(RR, "choose_tier", spy)
+    coll.build_text_index()
+    qv = coll.embedding_func("topic 3")
+    out = coll.query_embedding(
+        qv, 2,
+        where_document={"$contains": "document number 7"},
+        index="auto", target_recall=0.999,
+    ).collect()
+    n_total = coll.count()
+    assert seen["n_docs"] < n_total  # pruned, not the full corpus
+    # and the rows still match the exact scan path
+    base = coll.query_embedding(
+        qv, 2, where_document={"$contains": "document number 7"}
+    ).collect()
+    assert {(r["id"], round(r["similarity"], 6)) for r in out} == {
+        (r["id"], round(r["similarity"], 6)) for r in base
+    }
