@@ -2657,7 +2657,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     extras (still oracle-checked there) so the window's 50 official
     rows cover duplicate_spans (exact substring dedup) and
     hybrid_search (RRF fusion) — the strongest operators belong in the
-    driver's gate."""
+    driver's gate.
+
+    r9: bloom_dedup (bounded-state membership dedup) and
+    knn_routed_batch (one-decision batch serving) rotated IN — the two
+    newest DISTINCT operator shapes; simhash_pairs (same banding
+    engine as the still-windowed embedding_neardup_lsh) and
+    knn_batch_per_filter (its DSL twin knn_batch_per_filter2 already
+    lived in extras) rotated OUT, both still value-checked there."""
     return {
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
@@ -2682,13 +2689,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_window_hourly": q_events_window_hourly,
         "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
+        "bloom_dedup": q_bloom_dedup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_meta": q_multimodal_meta,
         "image_neardup": q_image_neardup,
         "training_pipeline": q_training_pipeline,
         "chunk_documents": q_chunk_documents,
-        "knn_batch_per_filter": q_knn_batch_per_filter,
+        "knn_routed_batch": q_knn_routed_batch,
         "dedup_clusters_star": q_dedup_clusters_star,
         "quality_filter": q_quality_filter,
         "vocab_stats": q_vocab_stats,
@@ -2804,10 +2811,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shard_packed_corpus (pack_corpus_bpe -> exactly-once manifest
     shard snapshot -> read_corpus_shards: the round trip must
     preserve every (doc, pack) row, so the oracle is the packer's
-    full replay), bloom_dedup (Bloom 1970 / Dolma-style bounded-memory
-    membership gate: the filter is its distinct set-bit position set,
-    membership is one broadcast semi-join, and the oracle replays the
-    portable-md5 hash family so even false positives match)."""
+    full replay).
+
+    r9 rotation: bloom_dedup and knn_routed_batch moved INTO the
+    canonical window; simhash_pairs and knn_batch_per_filter landed
+    here (twins of embedding_neardup_lsh's banding engine and
+    knn_batch_per_filter2's DSL kernel respectively), still
+    value-checked every round."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -2867,12 +2877,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "where_contains_indexed": q_where_contains_indexed,
         "knn_routed": q_knn_routed,
         "knn_routed_ivf": q_knn_routed_ivf,
-        "knn_routed_batch": q_knn_routed_batch,
         "knn_routed_batch_ivf": q_knn_routed_batch_ivf,
         "query_text_routed": q_query_text_routed,
         "shard_packed_corpus": q_shard_packed_corpus,
-        "bloom_dedup": q_bloom_dedup,
         "knn_batch_negative": q_knn_batch_negative,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_batch_per_filter": q_knn_batch_per_filter,
         "pack_corpus_bpe": q_pack_corpus_bpe,
         "hnsw_search": q_hnsw_search,
         "length_histogram": q_length_histogram,
@@ -4543,12 +4553,12 @@ _EXTRA_KEYS = frozenset(
         "where_contains_indexed",  # r7: gram-index $contains, shared oracle
         "knn_routed",  # r7: unified tier router (auto)
         "knn_routed_ivf",  # r7: forced-IVF routed path, nprobe-all identity
-        "knn_routed_batch",  # r8: batch routed search (auto -> flat kernel)
         "knn_routed_batch_ivf",  # r8: batch forced-IVF, nprobe-all identity
         "query_text_routed",  # r8: text entry -> router, end to end
         "shard_packed_corpus",  # r8: BPE pack -> manifest shards round trip
-        "bloom_dedup",  # r8: Bloom membership gate, positions replayed in SQL
         "knn_batch_negative",  # r8: negative-filter kernel branch, now oracled
+        "simhash_pairs",  # r9: rotated out (same banding engine as embedding_neardup_lsh)
+        "knn_batch_per_filter",  # r9: rotated out (DSL twin knn_batch_per_filter2 stays too)
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
         "length_histogram",  # r7: power-of-two length buckets + pad audit
