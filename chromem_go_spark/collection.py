@@ -622,7 +622,7 @@ class Collection:
 
             if extended_filters:
                 from .operators.filters import (
-                    conjunctive_contains_patterns,
+                    contains_pattern_groups,
                     extended_where_predicate,
                 )
 
@@ -631,27 +631,32 @@ class Collection:
                     if where
                     else None
                 )
-                patterns = (
-                    conjunctive_contains_patterns(where) if where else []
+                # r9: groups carry the prune through $or too — a
+                # disjunction of conjunctive pattern groups, unioned
+                # candidate sets (sound superset)
+                groups = (
+                    contains_pattern_groups(where) if where else []
                 )
             else:
                 from .operators.filters import where_predicate
 
                 pre = where_predicate(where) if where else None
-                patterns = []
+                groups = []
             if where_document:
                 docpred = where_document_predicate(where_document)
                 pre = docpred if pre is None else (pre & docpred)
                 pat = where_document.get("$contains")
                 if pat:
-                    patterns.append(pat)
+                    from .operators.filters import and_fold_patterns
+
+                    groups = and_fold_patterns(groups, [pat])
             # a served index searches its OWN stored corpus — the df
             # argument is unused there, so don't pay the gram-prune
             # jobs for it (the predicate still applies below scoring)
             base = (
                 self.df
                 if not isinstance(index, str)
-                else self._prune_by_patterns(self.df, patterns)
+                else self._prune_by_groups(self.df, groups)
             )
             eff_n = n_docs
             if base is not self.df:
@@ -688,18 +693,23 @@ class Collection:
             where, where_document, extended_filters
         )
         if extended_filters:
-            from .operators.filters import conjunctive_contains_patterns
+            from .operators.filters import contains_pattern_groups
 
-            patterns = conjunctive_contains_patterns(where)
+            groups = contains_pattern_groups(where)
         else:
-            patterns = []
-        # Gram-index pre-prune for every conjunctively-required
-        # $contains — the flat where_document key AND (r8) $contains
-        # leaves under $and in the extended tree (no-op without a
-        # fresh index); pred still applies the exact substring verify.
+            groups = []
+        # Gram-index pre-prune for the tree's $contains structure — the
+        # flat where_document key AND-folds into the extended tree's
+        # pattern groups (r8 covered $and leaves; r9 carries the prune
+        # through $or as unioned candidate sets).  No-op without a
+        # fresh index; pred still applies the exact substring verify.
         if where_document and where_document.get("$contains"):
-            patterns.append(where_document["$contains"])
-        filtered = self._prune_by_patterns(self.df, patterns).filter(pred)
+            from .operators.filters import and_fold_patterns
+
+            groups = and_fold_patterns(
+                groups, [where_document["$contains"]]
+            )
+        filtered = self._prune_by_groups(self.df, groups).filter(pred)
 
         if negative_embedding is not None and negative_mode == "filter":
             return knn_ops.knn_negative_filter(
@@ -801,24 +811,33 @@ class Collection:
 
     def _prune_by_patterns(self, df: DataFrame, patterns) -> DataFrame:
         """Gram-index candidate prune for conjunctively-required
-        ``$contains`` patterns (one posting intersection over all
-        patterns' grams) when a FRESH index exists; stale or absent
-        index is a silent no-op.  Bounded candidate sets reach the
-        corpus scan as a pushed-down ``In(id, ...)`` filter, larger
-        ones as a semi-join (textindex.apply_candidate_prune).  The
-        caller's exact predicate ALWAYS still runs — pruning only
-        shrinks the rows it runs over."""
+        ``$contains`` patterns — the single-group case of
+        :meth:`_prune_by_groups`."""
+        return self._prune_by_groups(
+            df, [list(patterns)] if patterns else []
+        )
+
+    def _prune_by_groups(self, df: DataFrame, groups) -> DataFrame:
+        """Gram-index candidate prune for a DISJUNCTION of conjunctive
+        ``$contains`` pattern groups (filters.contains_pattern_groups —
+        r9 extends the prune through ``$or``) when a FRESH index
+        exists; stale or absent index is a silent no-op.  Bounded
+        candidate sets reach the corpus scan as a pushed-down
+        ``In(id, ...)`` filter, larger ones as a semi-join
+        (textindex.apply_candidate_prune).  The caller's exact
+        predicate ALWAYS still runs — pruning only shrinks the rows it
+        runs over."""
         idx = getattr(self, "_text_index", None)
         if (
             idx is None
-            or not patterns
+            or not groups
             or getattr(self, "_text_index_src", None) is not self.df
         ):
             return df
         from .operators import textindex as TI
 
-        cand = TI.contains_candidates_conjunctive(
-            idx, list(patterns), self._text_index_n
+        cand = TI.contains_candidates_disjunctive(
+            idx, [list(g) for g in groups], self._text_index_n
         )
         return TI.apply_candidate_prune(df, cand, id_col="id")
 

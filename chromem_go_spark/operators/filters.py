@@ -228,3 +228,88 @@ def conjunctive_contains_patterns(
 
     walk(where)
     return list(dict.fromkeys(out))
+
+
+def contains_pattern_groups(
+    where, content_col: str = "content", max_groups: int = 16
+) -> list[list[str]]:
+    """The ``$contains`` pruning structure of an extended-DSL tree as a
+    DISJUNCTION of CONJUNCTIVE pattern groups: every matching document
+    satisfies at least one group in full (contains every pattern in
+    it), so the union of the groups' gram-index candidate sets is a
+    sound (superset) prune — the r9 extension of
+    :func:`conjunctive_contains_patterns`, which is the single-group
+    special case and still stops at ``$or``.
+
+    Recursive over-approximation rules (anything not understood is
+    "unconstrained" and prunes nothing — soundness first):
+
+    - ``{content: {"$contains": p}}`` -> one group ``[p]``
+    - ``$and`` / AND-folded mapping entries -> the cross-product of the
+      children's groups (a match satisfies one group from EVERY child;
+      capped at ``max_groups`` — beyond it the extra children are
+      dropped, which only widens the superset)
+    - ``$or`` -> the union of the children's groups, but ONLY when
+      every child is constrained (one unconstrained branch could match
+      anything, so the whole disjunction prunes nothing)
+    - ``$not`` / other leaves -> unconstrained
+
+    Returns ``[]`` when the tree has nothing safely prunable (callers
+    fall back to the scan).  Malformed trees also return ``[]`` — the
+    compiler, not the extractor, owns validation errors."""
+
+    def walk(node) -> list[list[str]] | None:
+        # None = unconstrained (could match anything); a list is the
+        # disjunction of conjunctive groups this subtree REQUIRES
+        if not isinstance(node, Mapping) or not node:
+            return None
+        anded: list[list[list[str]]] = []
+        for k, v in node.items():
+            if k == "$and" and isinstance(v, (list, tuple)) and v:
+                for sub in v:
+                    got = walk(sub)
+                    if got:
+                        anded.append(got)
+            elif k == "$or" and isinstance(v, (list, tuple)) and v:
+                subs = [walk(s) for s in v]
+                if all(s for s in subs):
+                    anded.append([g for s in subs for g in s])
+            elif k == content_col and isinstance(v, Mapping):
+                pat = v.get("$contains")
+                if isinstance(pat, str) and pat:
+                    anded.append([[pat]])
+            # $not / other keys: contribute nothing
+        if not anded:
+            return None
+        out = anded[0]
+        for nxt in anded[1:]:
+            if len(out) * len(nxt) > max_groups:
+                # dropping the remaining AND-ed constraints keeps the
+                # candidate set a superset — prune less, never wrong
+                break
+            out = [
+                sorted(set(a) | set(b)) for a in out for b in nxt
+            ]
+        # dedupe identical groups (and keep deterministic order)
+        seen: dict[tuple, None] = {}
+        for g in out:
+            seen.setdefault(tuple(g), None)
+        return [list(g) for g in seen]
+
+    got = walk(where)
+    return got if got else []
+
+
+def and_fold_patterns(
+    groups: list[list[str]], patterns: list[str]
+) -> list[list[str]]:
+    """AND a conjunctive pattern list into a disjunctive group set: the
+    extra patterns are required by EVERY branch, so they join every
+    group (the flat ``where_document`` ``$contains`` composing with an
+    extended tree's groups).  Empty ``groups`` means unconstrained —
+    the fold becomes the single group of the required patterns."""
+    if not patterns:
+        return groups
+    if not groups:
+        return [list(patterns)]
+    return [sorted(set(g) | set(patterns)) for g in groups]

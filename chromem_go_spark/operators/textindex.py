@@ -150,6 +150,51 @@ def contains_candidates_conjunctive(
     )
 
 
+def contains_candidates_disjunctive(
+    index: DataFrame, groups: list[list[str]], n: int = DEFAULT_GRAM
+) -> DataFrame | None:
+    """Candidate ids for a DISJUNCTION of conjunctive pattern groups
+    (:func:`..filters.contains_pattern_groups` output — ``$contains``
+    leaves composed through ``$or``): a matching document satisfies at
+    least one group in full, so the candidate set is the UNION over
+    groups of each group's posting intersection.
+
+    Still ONE pass over the posting table: filter to the union of all
+    groups' grams (parquet-pruned), ``collect_set`` the grams per id
+    (one shuffle), then test per-group containment as an OR of
+    ``forall(group_grams, g -> array_contains(...))`` literals —
+    patterns are tiny, so the literal arrays are a handful of nodes.
+
+    A group with NO indexable pattern makes the whole disjunction
+    unprunable (that branch could match any document) — returns
+    ``None``, callers fall back to the scan.  Empty ``groups`` is also
+    ``None``."""
+    if not groups:
+        return None
+    gram_groups: list[list[str]] = []
+    for pats in groups:
+        grams = sorted({g for p in pats for g in pattern_grams(p, n)})
+        if not grams:
+            return None
+        gram_groups.append(grams)
+    if len(gram_groups) == 1:
+        return contains_candidates_conjunctive(index, groups[0], n)
+    all_grams = sorted({g for gs in gram_groups for g in gs})
+    per_id = (
+        index.filter(F.col("gram").isin(all_grams))
+        .groupBy("id")
+        .agg(F.collect_set("gram").alias("__gs"))
+    )
+    cond = None
+    for grams in gram_groups:
+        has_all = F.forall(
+            F.array(*[F.lit(g) for g in grams]),
+            lambda g: F.array_contains(F.col("__gs"), g),
+        )
+        cond = has_all if cond is None else (cond | has_all)
+    return per_id.filter(cond).select("id")
+
+
 def apply_candidate_prune(
     df: DataFrame,
     cand: DataFrame | None,

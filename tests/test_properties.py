@@ -523,3 +523,83 @@ def test_conjunctive_contains_patterns_sound_on_random_trees(spark):
                 checked += 1
                 assert all(p in r["content"] for p in pats), (t, pats, r)
     assert checked > 0  # the generator must actually exercise the property
+
+
+def test_contains_pattern_groups_sound_on_random_trees(spark):
+    """r9 group-pruning soundness on random trees: every document the
+    compiled predicate matches must FULLY satisfy at least one of the
+    extracted pattern groups (contain every pattern in it) — if this
+    holds, unioning the groups' gram-index candidate sets can never
+    drop a correct row.  Same real-predicate binding as the
+    conjunctive property above."""
+    import random
+
+    from chromem_go_spark.operators.filters import (
+        contains_pattern_groups,
+        extended_where_predicate,
+    )
+
+    rng = random.Random(29)
+    SUBS = ["alp", "bod", "tex", "zz"]
+    TEXTS = ["alpha abc text", "bcd body", "no match here", "alp bod tex"]
+
+    def rand_leaf():
+        r = rng.random()
+        if r < 0.7:  # bias to content $contains so $or branches can
+            return {"content": {"$contains": rng.choice(SUBS)}}
+        if r < 0.85:
+            return {"content": {"$not_contains": rng.choice(SUBS)}}
+        return {"k": {"$contains": rng.choice(SUBS)}}  # metadata leaf
+
+    def rand_tree(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return rand_leaf()
+        op = rng.choice(["$and", "$or", "$or", "$not"])  # bias to $or
+        if op == "$not":
+            return {"$not": rand_tree(depth - 1)}
+        return {op: [rand_tree(depth - 1) for _ in range(rng.randint(1, 3))]}
+
+    docs = [
+        (str(i), {"k": rng.choice(SUBS + ["other"])}, rng.choice(TEXTS))
+        for i in range(40)
+    ]
+    trees = [rand_tree(3) for _ in range(60)]
+    # guaranteed multi-group shapes (the generator only reaches them
+    # probabilistically): pure $or, OR-of-AND, AND-of-OR
+    trees += [
+        {"$or": [{"content": {"$contains": "alp"}},
+                 {"content": {"$contains": "bod"}}]},
+        {"$or": [
+            {"$and": [{"content": {"$contains": "alp"}},
+                      {"content": {"$contains": "tex"}}]},
+            {"content": {"$contains": "bod"}},
+        ]},
+        {"$and": [
+            {"$or": [{"content": {"$contains": "alp"}},
+                     {"content": {"$contains": "bod"}}]},
+            {"$or": [{"content": {"$contains": "tex"}},
+                     {"content": {"$contains": "zzq"}}]},
+        ]},
+    ]
+    df = spark.createDataFrame(
+        docs, "id string, metadata map<string,string>, content string"
+    )
+    cols = [
+        extended_where_predicate(t, content_col="content").alias(f"f{i}")
+        for i, t in enumerate(trees)
+    ]
+    rows = df.select("id", "content", *cols).collect()
+    checked = or_shaped = 0
+    for i, t in enumerate(trees):
+        groups = contains_pattern_groups(t)
+        if not groups:
+            continue
+        if len(groups) > 1:
+            or_shaped += 1
+        for r in rows:
+            if r[f"f{i}"]:
+                checked += 1
+                assert any(
+                    all(p in r["content"] for p in g) for g in groups
+                ), (t, groups, r)
+    assert checked > 0 and or_shaped > 0  # $or shapes must be exercised

@@ -484,3 +484,156 @@ def test_content_key_rebinds_substring_ops_only(spark):
         {"content": {"$contains": "summary"}}, content_col="content"
     )
     assert {r["id"] for r in df.filter(sub).collect()} == {"2"}
+
+
+# ---------------------------------------------- $or group pruning (r9)
+
+
+def test_contains_pattern_groups_extraction():
+    """The DNF over-approximation: disjunctions of conjunctive pattern
+    groups, sound by construction — unconstrained branches widen to
+    nothing-prunable, AND cross-products, OR unions."""
+    from chromem_go_spark.operators.filters import (
+        and_fold_patterns,
+        contains_pattern_groups as cpg,
+    )
+
+    # single leaf == single group
+    assert cpg({"content": {"$contains": "abc"}}) == [["abc"]]
+    # pure $or of content leaves: one group per branch
+    assert cpg(
+        {"$or": [{"content": {"$contains": "abc"}},
+                 {"content": {"$contains": "def"}}]}
+    ) == [["abc"], ["def"]]
+    # $or with an unconstrained branch prunes nothing
+    assert cpg(
+        {"$or": [{"content": {"$contains": "abc"}}, {"lang": "en"}]}
+    ) == []
+    # AND of ORs: cross-product
+    got = cpg(
+        {"$and": [
+            {"$or": [{"content": {"$contains": "a1"}},
+                     {"content": {"$contains": "b1"}}]},
+            {"$or": [{"content": {"$contains": "c1"}},
+                     {"content": {"$contains": "d1"}}]},
+        ]}
+    )
+    assert sorted(map(tuple, got)) == [
+        ("a1", "c1"), ("a1", "d1"), ("b1", "c1"), ("b1", "d1"),
+    ]
+    # OR of ANDs: union of conjunctive groups
+    assert cpg(
+        {"$or": [
+            {"$and": [{"content": {"$contains": "a1"}},
+                      {"content": {"$contains": "b1"}}]},
+            {"content": {"$contains": "c1"}},
+        ]}
+    ) == [["a1", "b1"], ["c1"]]
+    # $not and metadata leaves stay unconstrained
+    assert cpg({"$not": {"content": {"$contains": "abc"}}}) == []
+    assert cpg({"lang": {"$contains": "abc"}}) == []
+    # a required leaf ANDed with an unprunable $or still prunes on the leaf
+    assert cpg(
+        {"$and": [
+            {"content": {"$contains": "req"}},
+            {"$or": [{"content": {"$contains": "abc"}}, {"lang": "en"}]},
+        ]}
+    ) == [["req"]]
+    # and_fold_patterns: flat where_document composes into every group
+    assert and_fold_patterns([["a"], ["b"]], ["z"]) == [["a", "z"], ["b", "z"]]
+    assert and_fold_patterns([], ["z"]) == [["z"]]
+    assert and_fold_patterns([["a"]], []) == [["a"]]
+
+
+def test_contains_pattern_groups_cap_stays_sound():
+    """Past max_groups the cross-product stops folding further AND-ed
+    constraints — the result must still be a valid (wider) group set."""
+    from chromem_go_spark.operators.filters import contains_pattern_groups
+
+    ors = [
+        {"$or": [{"content": {"$contains": f"p{i}a"}},
+                 {"content": {"$contains": f"p{i}b"}}]}
+        for i in range(6)  # full product would be 2^6 = 64 groups
+    ]
+    got = contains_pattern_groups({"$and": ors}, max_groups=16)
+    assert 0 < len(got) <= 16
+    # every group is a subset-requirement of some branch combination:
+    # each pattern in a group must come from a distinct OR
+    for g in got:
+        assert len(g) == len({p[:2] for p in g})
+
+
+def test_contains_candidates_disjunctive_union(docs, gram_index):
+    """Disjunctive candidates == union of each group's intersection
+    (one posting pass); any unindexable group -> None."""
+    a = {r["id"] for r in TI.contains_candidates(gram_index, "spark").collect()}
+    b = {r["id"] for r in TI.contains_candidates(gram_index, "batch").collect()}
+    both = {
+        r["id"]
+        for r in TI.contains_candidates_disjunctive(
+            gram_index, [["spark"], ["batch"]]
+        ).collect()
+    }
+    assert both == (a | b)
+    # group conjunctions still intersect within each branch
+    mixed = {
+        r["id"]
+        for r in TI.contains_candidates_disjunctive(
+            gram_index, [["spark", "batch"]]
+        ).collect()
+    }
+    assert mixed == (a & b)
+    # a group with no indexable pattern poisons the disjunction
+    assert TI.contains_candidates_disjunctive(
+        gram_index, [["spark"], ["ab"]]
+    ) is None
+    assert TI.contains_candidates_disjunctive(gram_index, []) is None
+
+
+def test_extended_or_contains_pruned_rows_and_plan(spark, tmp_path):
+    """r9: $contains leaves composed through $or engage the gram prune
+    (per-branch candidate sets unioned): identical rows to the scan
+    path, and the persisted collection's parquet scan receives the
+    candidate ids as a pushed-down In(id, ...) filter."""
+    import re
+
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    pdir = str(tmp_path / "db")
+    db = DB(spark, persist_dir=pdir)
+    c = db.create_collection(
+        "or_prune9", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(
+                id=str(i),
+                content=(
+                    f"quick brown fox {i}" if i % 3 == 0
+                    else (f"lazy dog {i}" if i % 3 == 1 else f"plain text {i}")
+                ),
+                metadata={"par": str(i % 2)},
+            )
+            for i in range(30)
+        ]
+    )
+    qv = c.embedding_func("quick")
+    tree = {"$or": [{"content": {"$contains": "quick"}},
+                    {"content": {"$contains": "lazy"}}]}
+    scan = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query_embedding(
+            qv, 5, where=tree, extended_filters=True
+        ).collect()
+    }
+    assert len(scan) == 5
+
+    c.build_text_index()
+    out = c.query_embedding(qv, 5, where=tree, extended_filters=True)
+    got = {(r["id"], round(r["similarity"], 6)) for r in out.collect()}
+    assert got == scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("In(id" in p for p in pushed), plan[:2000]
