@@ -656,6 +656,41 @@ SELECT query_id, vec_id, sim FROM (
     return "\nUNION ALL\n".join(blocks)
 
 
+def q_knn_batch_per_filter_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_batch_per_filter2's queries through the IVF tier (r9): each
+    query's filter DSL rides the probe table into the cluster-pruned
+    join (IVFIndex.search_batch_dsl), so per-query-filtered batches
+    keep partition pruning at scale.  nprobe = nlist probes every
+    cell — the exact-identity setting — so the oracle is the FLAT DSL
+    kernel's SQL (same _PF2_SPECS drive both sides)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "label", "lang", "text"
+    )
+    idx = ANN.IVFIndex.build(
+        corpus, n_clusters=8, vec_col="embedding", id_col="vec_id"
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < len(_PF2_SPECS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qv = {str(r["vec_id"]): [float(x) for x in r["embedding"]] for r in qrows}
+    qids = [qid for qid, _, _, _ in _PF2_SPECS]
+    out = idx.search_batch_dsl(
+        qids,
+        [qv[qid] for qid in qids],
+        5,
+        [(w, c, nc) for _, w, c, nc in _PF2_SPECS],
+        nprobe=8,
+        metadata_col=None,
+        filterable_cols=["label", "lang"],
+        text_col="text",
+    )
+    return out.select("query_id", "vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_clusters on the diameter-proof large-star/small-star
     connected-components path (O(log n) rounds on adversarial chains);
@@ -2825,6 +2860,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ivf_search_batch": q_ivf_search_batch,
         "knn_batch_per_filter2": q_knn_batch_per_filter2,
+        "knn_batch_per_filter_ivf": q_knn_batch_per_filter_ivf,
         "knn_batch_expr": q_knn_batch_expr,
         "events_percentiles_approx": q_events_percentiles_approx,
         "decontaminate": q_decontaminate,
@@ -3583,6 +3619,9 @@ WHERE cluster_rep = doc_id AND quality >= 0.3
 GROUP BY lang_pred
 """,
         "knn_batch_per_filter2": _pf2_oracle_sql(),
+        # r9: the IVF probe-join DSL path at nprobe-all is exactly the
+        # FLAT kernel — one spec list drives Spark AND the oracle
+        "knn_batch_per_filter_ivf": _pf2_oracle_sql(),
         "knn_batch_expr": f"""
 WITH qs AS (
   SELECT CAST(vec_id AS VARCHAR) AS query_id,
@@ -4501,6 +4540,7 @@ _EXTRA_KEYS = frozenset(
         "dedup_clusters",
         "ivf_search_batch",
         "knn_batch_per_filter2",
+        "knn_batch_per_filter_ivf",  # r9: per-query DSL through the IVF probe join
         "knn_batch_expr",
         "events_percentiles_approx",  # no oracle (approx) — listed for symmetry
         "decontaminate",

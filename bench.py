@@ -128,6 +128,7 @@ BENCH_NAMES = [
     "shard_packed_corpus",
     "bloom_dedup",
     "knn_batch_negative",
+    "knn_batch_per_filter_ivf",
     "pack_corpus_bpe",
     "hnsw_search",
     "length_histogram",

@@ -1236,9 +1236,13 @@ class Collection:
         same ladder and semantics rules as :meth:`query_embedding` —
         global filters apply below scoring on full-vector tiers, a
         fresh gram index pre-prunes a global ``$contains``).
-        Per-query filters are a broadcast-join shape and stay on the
-        FLAT kernel — ``index`` is rejected there rather than silently
-        ignored."""
+        Per-query filters route too since r9: the ladder decides with
+        ``filtered=True`` (FLAT or IVF only) — FLAT keeps the
+        broadcast-join DSL kernel, IVF threads each query's predicates
+        into the cluster-pruned probe join
+        (``IVFIndex.search_batch_dsl``); forcing a quantized tier with
+        per-query filters raises, and a served non-IVF index falls
+        back to the FLAT kernel."""
         if query_embeddings is None:
             if not query_texts:
                 raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
@@ -1251,9 +1255,13 @@ class Collection:
             raise ValueError(E.ERR_NRESULTS_POSITIVE)
         validate_where_document(where_document)
         if index is not None and per_query_filters is not None:
-            raise ValueError(
-                "per_query_filters require the FLAT broadcast-join kernel; "
-                "routed batch search takes global filters only"
+            # r9: filtered batches route too — the IVF tier carries each
+            # query's predicates in its probe join (search_batch_dsl),
+            # so per-query-filtered batches keep cluster pruning at
+            # scale.  Quantized tiers still cannot (codes only).
+            return self._query_batch_routed_dsl(
+                query_embeddings, n_results, per_query_filters,
+                where, where_document, index, target_recall, tuned,
             )
         if (
             index is not None
@@ -1323,26 +1331,51 @@ class Collection:
                 [[float(x) for x in q] for q in query_embeddings],
                 int(n_results),
             )
-        if len(per_query_filters) != len(query_embeddings):
+        parsed = self._parse_per_query_filters(
+            per_query_filters, len(query_embeddings)
+        )
+        return self._query_batch_flat_dsl(
+            [str(i) for i in range(len(query_embeddings))],
+            [[float(x) for x in q] for q in query_embeddings],
+            n_results, parsed, filtered,
+        )
+
+    @staticmethod
+    def _parse_per_query_filters(per_query_filters, n_queries: int):
+        """Validate + parse the per-query filter list into
+        ``(where_map, contains_list, not_contains_list)`` tuples — the
+        shape both the FLAT DSL kernel's query frame and the IVF probe
+        table (``IVFIndex.search_batch_dsl``) carry."""
+        if len(per_query_filters) != n_queries:
             raise ValueError(
                 "per_query_filters must have one entry per query"
             )
-        rows = []
-        for i, (q, f) in enumerate(zip(query_embeddings, per_query_filters)):
+        parsed = []
+        for f in per_query_filters:
             f = dict(f or {})
             wd = dict(f.get("where_document") or {})
             validate_where_document(wd)
             c = wd.get("$contains")
             nc = wd.get("$not_contains")
-            rows.append(
+            parsed.append(
                 (
-                    str(i),
-                    V.normalize_vec([float(x) for x in q]),
                     {str(k): str(v) for k, v in (f.get("where") or {}).items()},
                     [c] if isinstance(c, str) else list(c or []),
                     [nc] if isinstance(nc, str) else list(nc or []),
                 )
             )
+        return parsed
+
+    def _query_batch_flat_dsl(
+        self, qids, qvecs, n_results, parsed, filtered: DataFrame
+    ) -> DataFrame:
+        """The FLAT broadcast-join kernel for a per-query-filtered
+        batch: every query row carries its parsed DSL, the condition is
+        part of the join, non-matching pairs are never scored."""
+        rows = [
+            (qid, V.normalize_vec(qv), w, c, nc)
+            for qid, qv, (w, c, nc) in zip(qids, qvecs, parsed)
+        ]
         qdf = self.spark.createDataFrame(
             rows,
             "query_id string, query_vec array<double>, "
@@ -1356,6 +1389,76 @@ class Collection:
             metadata_col="metadata",
             text_col="content",
             id_col="id",
+        )
+
+    def _query_batch_routed_dsl(
+        self, query_embeddings, n_results, per_query_filters,
+        where, where_document, index, target_recall, tuned,
+    ) -> DataFrame:
+        """Per-query-filtered batch through the router ladder (r9).
+
+        One tier decision for the whole batch, ``filtered=True`` (the
+        quantized tiers carry codes only, so the ladder lands on FLAT
+        or IVF): FLAT dispatches the broadcast-join DSL kernel; IVF
+        threads each query's predicates into the probe join
+        (:meth:`..operators.ann.IVFIndex.search_batch_dsl`), keeping
+        cluster pruning under per-query filters.  Forcing a quantized
+        tier with filters is a contradiction and raises the golden
+        error; a served non-IVF index falls back to the FLAT kernel —
+        semantics beat routing.  Global ``where``/``where_document``
+        apply to the corpus side on every path."""
+        from .operators import router as R
+        from .operators.ann import IVFIndex
+
+        parsed = self._parse_per_query_filters(
+            per_query_filters, len(query_embeddings)
+        )
+        qids = [str(i) for i in range(len(query_embeddings))]
+        qvecs = [[float(x) for x in q] for q in query_embeddings]
+        pre = combined_predicate(where, where_document)
+        filtered = self.df.filter(pre)
+        if not isinstance(index, str):
+            if R.tier_of(index) != "ivf":
+                # served index that can't express the filter: exact path
+                return self._query_batch_flat_dsl(
+                    qids, qvecs, n_results, parsed, filtered
+                )
+            nprobe = R._nprobe(len(index.centroids), target_recall)
+            return index.search_batch_dsl(
+                qids, qvecs, int(n_results), parsed, nprobe=nprobe,
+                where=pre if (where or where_document) else None,
+                metadata_col="metadata", text_col="content",
+            )
+        n_docs = self.count()
+        if index == "auto":
+            decision = R.choose_tier(
+                n_docs, len(qvecs[0]), k=int(n_results),
+                target_recall=target_recall, filtered=True, tuned=tuned,
+            )
+        else:
+            decision = R.forced_decision(
+                index, n_docs, k=int(n_results),
+                target_recall=target_recall, tuned=tuned,
+            )
+        if decision["tier"] in ("ivf_sq", "ivf_pq"):
+            raise ValueError(
+                "filtered ANN search requires the IVF (flat) index; "
+                "quantized (PQ/SQ) candidates carry codes only"
+            )
+        if decision["tier"] == "flat" or filtered.isEmpty():
+            # empty filtered corpus answers empty on every tier — same
+            # guard as the router's on-the-fly build path
+            return self._query_batch_flat_dsl(
+                qids, qvecs, n_results, parsed, filtered
+            )
+        idx = IVFIndex.build(
+            filtered, n_clusters=decision["n_clusters"],
+            vec_col="embedding", id_col="id",
+        )
+        return idx.search_batch_dsl(
+            qids, qvecs, int(n_results), parsed,
+            nprobe=decision["nprobe"],
+            metadata_col="metadata", text_col="content",
         )
 
 

@@ -1131,6 +1131,81 @@ class IVFIndex:
         )
         return knn_ops.topk_per_query(scored, k, "query_id", self.id_col)
 
+    def search_batch_dsl(
+        self,
+        query_ids: Sequence,
+        query_vecs: Sequence[Sequence[float]],
+        k: int,
+        per_query,
+        nprobe: int = 4,
+        where=None,
+        metadata_col: str | None = "metadata",
+        filterable_cols=None,
+        text_col: str | None = "content",
+    ) -> DataFrame:
+        """Batch IVF search where EACH query carries its own where /
+        where_document DSL (r9 — the IVF analog of
+        :func:`..knn.knn_expr_filtered_dsl`): the probe table's rows
+        carry the query's parsed filter columns alongside its probed
+        clusters, so ONE broadcast join keeps BOTH the cluster pruning
+        and the per-query predicate below scoring — filtered batches no
+        longer give up partition pruning at scale.
+
+        ``per_query`` is one parsed tuple per query:
+        ``(where_map, contains_list, not_contains_list)`` — the
+        caller (``Collection.query_batch``) owns DSL validation.
+        ``where`` is an optional GLOBAL predicate Column over the
+        carried columns, applied to the corpus side before the join
+        (batch-wide filters compose with the per-query ones).  The
+        index's carried columns must include ``metadata_col`` /
+        ``text_col`` when the corresponding filters are used (pass
+        ``None`` for a surface the frame lacks: non-empty filters on it
+        then match nothing, same rule as the FLAT kernel).  Standard
+        filtered-ANN caveat per query: raise nprobe with selectivity."""
+        spark = self.assigned.sparkSession
+        rows = []
+        for qid, qv, f in zip(query_ids, query_vecs, per_query):
+            q = np.asarray(qv, dtype=np.float64)
+            nrm = np.linalg.norm(q)
+            if nrm > 0:
+                q = q / nrm
+            w, cont, notc = f
+            for c in self.probe_clusters(q, nprobe):
+                rows.append(
+                    (
+                        str(qid), int(c), [float(x) for x in q],
+                        dict(w or {}), list(cont or []), list(notc or []),
+                    )
+                )
+        probe_df = F.broadcast(
+            spark.createDataFrame(
+                rows,
+                "query_id string, cluster_id int, query_vec array<double>, "
+                "q_where map<string,string>, q_contains array<string>, "
+                "q_not_contains array<string>",
+            )
+        )
+        base = self.assigned if where is None else self.assigned.filter(where)
+        cond = (
+            base["cluster_id"] == probe_df["cluster_id"]
+        ) & knn_ops.dsl_filter_condition(
+            base, probe_df,
+            metadata_col=metadata_col, filterable_cols=filterable_cols,
+            text_col=text_col,
+        )
+        scored = (
+            base.join(probe_df, cond)
+            .withColumn(
+                "similarity",
+                V.dot(
+                    F.col(self.vec_col).cast("array<double>"),
+                    probe_df["query_vec"],
+                ),
+            )
+            .select("query_id", base[self.id_col], "similarity")
+        )
+        return knn_ops.topk_per_query(scored, k, "query_id", self.id_col)
+
 
 def tune_ivf(
     emb: DataFrame,

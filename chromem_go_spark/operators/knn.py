@@ -150,46 +150,23 @@ def knn_expr_filtered(
     return topk_per_query(scored, k, query_id_col, id_col, sim_col)
 
 
-def knn_expr_filtered_dsl(
+def dsl_filter_condition(
     docs: DataFrame,
-    queries: DataFrame,
-    k: int,
-    vec_col: str = "embedding",
-    id_col: str = "id",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
+    q,
     where_col: str = "q_where",
     contains_col: str = "q_contains",
     not_contains_col: str = "q_not_contains",
     metadata_col: str | None = None,
     filterable_cols: Sequence[str] | None = None,
     text_col: str | None = None,
-    sim_col: str = "similarity",
-) -> DataFrame:
-    """Batch kNN where EACH query row carries the full where /
-    where_document DSL (reference query.go:135-155, applied per query):
-
-    - ``q_where``: map<string,string> of metadata equality pairs — ALL
-      must match; a missing metadata key is a non-match (reference
-      documentMatchesFilters query.go:135-141). Keys resolve against the
-      ``metadata_col`` map or against flat ``filterable_cols`` columns
-      (values compared as strings, matching the reference's
-      map[string]string metadata model).
-    - ``q_contains`` / ``q_not_contains``: arrays of substrings over
-      ``text_col`` — every ``q_contains`` entry must appear, no
-      ``q_not_contains`` entry may (reference query.go:147-155).
-
-    NULL (or empty) filter columns match everything. The entire DSL is
-    part of the broadcast-join condition, so non-matching (doc, query)
-    pairs are never scored — this generalizes :func:`knn_expr_filtered`
-    from one equality column to the reference's whole filter surface,
-    batched (the reference runs one query at a time, collection.go:521).
-    """
-    q = F.broadcast(
-        queries.select(
-            query_id_col, query_vec_col, where_col, contains_col, not_contains_col
-        )
-    )
+) -> Column:
+    """The per-query filter DSL as ONE join condition Column between a
+    docs frame and a (broadcast) query frame ``q`` carrying
+    ``q_where`` / ``q_contains`` / ``q_not_contains`` — the shared core
+    of :func:`knn_expr_filtered_dsl` and the IVF probe-table join
+    (``ann.IVFIndex.search_batch_dsl``): non-matching (doc, query)
+    pairs are never scored on either path.  Semantics documented on
+    :func:`knn_expr_filtered_dsl`."""
     conds = []
     w = q[where_col]
     if metadata_col is None and not filterable_cols:
@@ -239,6 +216,55 @@ def knn_expr_filtered_dsl(
     cond = F.lit(True)
     for c in conds:
         cond = cond & c
+    return cond
+
+
+def knn_expr_filtered_dsl(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    where_col: str = "q_where",
+    contains_col: str = "q_contains",
+    not_contains_col: str = "q_not_contains",
+    metadata_col: str | None = None,
+    filterable_cols: Sequence[str] | None = None,
+    text_col: str | None = None,
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """Batch kNN where EACH query row carries the full where /
+    where_document DSL (reference query.go:135-155, applied per query):
+
+    - ``q_where``: map<string,string> of metadata equality pairs — ALL
+      must match; a missing metadata key is a non-match (reference
+      documentMatchesFilters query.go:135-141). Keys resolve against the
+      ``metadata_col`` map or against flat ``filterable_cols`` columns
+      (values compared as strings, matching the reference's
+      map[string]string metadata model).
+    - ``q_contains`` / ``q_not_contains``: arrays of substrings over
+      ``text_col`` — every ``q_contains`` entry must appear, no
+      ``q_not_contains`` entry may (reference query.go:147-155).
+
+    NULL (or empty) filter columns match everything. The entire DSL is
+    part of the broadcast-join condition, so non-matching (doc, query)
+    pairs are never scored — this generalizes :func:`knn_expr_filtered`
+    from one equality column to the reference's whole filter surface,
+    batched (the reference runs one query at a time, collection.go:521).
+    """
+    q = F.broadcast(
+        queries.select(
+            query_id_col, query_vec_col, where_col, contains_col, not_contains_col
+        )
+    )
+    cond = dsl_filter_condition(
+        docs, q,
+        where_col=where_col, contains_col=contains_col,
+        not_contains_col=not_contains_col, metadata_col=metadata_col,
+        filterable_cols=filterable_cols, text_col=text_col,
+    )
     keep = list(
         dict.fromkeys(
             [id_col, vec_col]

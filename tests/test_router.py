@@ -370,8 +370,8 @@ def test_collection_query_batch_routed(coll):
     """Collection.query_batch(index=...) routes the whole batch through
     one tier decision and matches the unrouted kernel exactly (auto ->
     flat here; forced IVF at 0.999 is the batched nprobe-all
-    identity); per-query filters reject routing instead of silently
-    ignoring it."""
+    identity); per-query filters route too since r9 (see the
+    per_filter tests below)."""
     texts = ["topic 1", "topic 4"]
     base = {
         (r["query_id"], r["id"], round(r["similarity"], 6))
@@ -406,11 +406,23 @@ def test_collection_query_batch_routed(coll):
         ).collect()
     }
     assert routedf == basef
-    with pytest.raises(ValueError, match="per_query_filters"):
-        coll.query_batch(
+    # r9: index= + per_query_filters routes (FLAT/IVF) instead of
+    # raising — auto at this size resolves FLAT, byte-identical
+    pq = [None, {"where": {"topic": "1"}}]
+    pq_base = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in coll.query_batch(
+            query_texts=texts, n_results=3, per_query_filters=pq
+        ).collect()
+    }
+    pq_auto = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in coll.query_batch(
             query_texts=texts, n_results=3, index="auto",
-            per_query_filters=[None, {"where": {"topic": "1"}}],
-        )
+            per_query_filters=pq,
+        ).collect()
+    }
+    assert pq_auto == pq_base
 
 
 def test_batch_id_vector_length_mismatch_raises(emb, qbatch):
@@ -533,3 +545,90 @@ def test_collection_routed_pruned_count_feeds_decision(coll, monkeypatch):
     assert {(r["id"], round(r["similarity"], 6)) for r in out} == {
         (r["id"], round(r["similarity"], 6)) for r in base
     }
+
+
+# ------------------------------- per-query-filtered batch routing (r9)
+
+
+@pytest.fixture(scope="module")
+def pq_filters():
+    # mixed shapes: metadata equality, $contains, $not_contains, None
+    return [
+        {"where": {"topic": "1"}},
+        {"where_document": {"$contains": "topic 2"}},
+        None,
+        {"where": {"topic": "3"},
+         "where_document": {"$not_contains": "number 2"}},
+    ]
+
+
+def _pqf_flat(coll, texts, pq, **kw):
+    return {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in coll.query_batch(
+            query_texts=texts, n_results=3, per_query_filters=pq, **kw
+        ).collect()
+    }
+
+
+def test_query_batch_per_filter_ivf_parity(coll, pq_filters):
+    """r9: a per-query-filtered batch through the forced-IVF tier at
+    nprobe-all (target 0.999) == the FLAT broadcast-join DSL kernel —
+    the per-tier identity extended to per-query predicates."""
+    texts = ["topic 1", "topic 2", "topic 0", "topic 3"]
+    base = _pqf_flat(coll, texts, pq_filters)
+    assert base  # the filters must actually select rows
+    got = _pqf_flat(
+        coll, texts, pq_filters, index="ivf", target_recall=0.999
+    )
+    assert got == base
+    # auto at this corpus size resolves FLAT — byte-identical too
+    auto = _pqf_flat(
+        coll, texts, pq_filters, index="auto", target_recall=0.999
+    )
+    assert auto == base
+
+
+def test_query_batch_per_filter_served_ivf_parity(coll, pq_filters):
+    """A SERVED IVF index accepts per-query-filtered batches and, at
+    nprobe-all, matches the FLAT kernel; global + per-query filters
+    compose."""
+    from chromem_go_spark.operators import ann as A
+
+    texts = ["topic 1", "topic 2", "topic 0", "topic 3"]
+    idx = A.IVFIndex.build(
+        coll.df, n_clusters=4, vec_col="embedding", id_col="id"
+    )
+    base = _pqf_flat(coll, texts, pq_filters)
+    got = _pqf_flat(
+        coll, texts, pq_filters, index=idx, target_recall=0.999
+    )
+    assert got == base
+    # with a global where on top (composes below scoring on both paths)
+    gbase = _pqf_flat(
+        coll, texts, pq_filters, where={"topic": "1"}
+    )
+    ggot = _pqf_flat(
+        coll, texts, pq_filters, where={"topic": "1"},
+        index=idx, target_recall=0.999,
+    )
+    assert ggot == gbase
+
+
+def test_query_batch_per_filter_quantized_raises(coll, pq_filters):
+    texts = ["topic 1", "topic 2", "topic 0", "topic 3"]
+    with pytest.raises(ValueError, match="filtered ANN"):
+        coll.query_batch(
+            query_texts=texts, n_results=3,
+            per_query_filters=pq_filters, index="ivf_sq",
+        )
+
+
+def test_query_batch_per_filter_served_nonivf_falls_back(coll, pq_filters):
+    """A served index that can't express per-query filters (HNSW graph)
+    falls back to the FLAT kernel — semantics beat routing."""
+    served = coll.build_hnsw_index(M=4, ef_construction=32)
+    texts = ["topic 1", "topic 2", "topic 0", "topic 3"]
+    base = _pqf_flat(coll, texts, pq_filters)
+    got = _pqf_flat(coll, texts, pq_filters, index=served)
+    assert got == base
