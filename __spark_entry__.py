@@ -359,6 +359,32 @@ def q_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_hnsw_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED HNSW (r9 — the beyond-the-cap variant): the corpus
+    hash-shards into per-executor graphs (each bounded, built and
+    snapshotted inside its own task — no driver collect), a batch
+    search walks every shard in parallel and merges one global top-k.
+    Per-shard ef >= shard size walks each connected-by-construction
+    layer 0 exhaustively, and every global winner lives in exactly one
+    shard — so the merged result is exactly brute force and shares
+    knn_topk's oracle."""
+    import tempfile
+
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        load_sharded_meta,
+        sharded_search_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="hnsw_shards_")
+    build_sharded_hnsw(emb, root, n_shards=4, M=8, ef_construction=64)
+    ef = max(n for _, n in load_sharded_meta(root)["shards"])
+    qv = _qvec(spark, sf_dir, 0)
+    out = sharded_search_batch(spark, root, ["0"], [qv], 10, ef=ef)
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_where_contains_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$contains via the token-gram posting-list index — the
     reference's one roadmap item with no prior repo analog (reference
@@ -2921,6 +2947,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch_per_filter": q_knn_batch_per_filter,
         "pack_corpus_bpe": q_pack_corpus_bpe,
         "hnsw_search": q_hnsw_search,
+        "hnsw_sharded_search": q_hnsw_sharded_search,
         "length_histogram": q_length_histogram,
         "source_report": q_source_report,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -3262,6 +3289,8 @@ def _oracles_base() -> dict[str, str]:
         "knn_routed": _KNN_TOPK_SQL.format(q=q0),
         "knn_routed_ivf": _KNN_TOPK_SQL.format(q=q0),
         "hnsw_search": _KNN_TOPK_SQL.format(q=q0),
+        # r9: sharded exactness composes per shard — same oracle
+        "hnsw_sharded_search": _KNN_TOPK_SQL.format(q=q0),
         "knn_batch": f"""
 WITH qs AS (
   SELECT CAST(vec_id AS VARCHAR) AS query_id,
@@ -4601,6 +4630,7 @@ _EXTRA_KEYS = frozenset(
         "knn_batch_per_filter",  # r9: rotated out (DSL twin knn_batch_per_filter2 stays too)
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
+        "hnsw_sharded_search",  # r9: per-executor shard graphs + top-k merge
         "length_histogram",  # r7: power-of-two length buckets + pad audit
         "source_report",  # r7: per-source data card
         "tokenizer_fertility",  # r7: BPE pieces per word by language

@@ -131,6 +131,7 @@ BENCH_NAMES = [
     "knn_batch_per_filter_ivf",
     "pack_corpus_bpe",
     "hnsw_search",
+    "hnsw_sharded_search",
     "length_histogram",
     "source_report",
     "tokenizer_fertility",
@@ -192,7 +193,12 @@ def _measure_throughput_points(spark, inrun: bool = False) -> tuple[dict, dict]:
     # per-job overhead amortizing); float32 = the reference's own
     # arithmetic (Go float32 slices), float64 = the oracle-exact mode
     try:
-        points["knn_batch_100k_1536"] = _throughput(64, warm_rounds=2)
+        # fresh JVM: q64's warm rounds warm the whole subprocess; the
+        # in-run re-measurement is drift data in an already-warm
+        # session, so it skips them (keeps the bench wall bounded)
+        points["knn_batch_100k_1536"] = _throughput(
+            64, warm_rounds=0 if inrun else 2
+        )
         points["knn_batch_100k_1536_q256"] = _throughput(256, warm_rounds=0)
         points["knn_batch_100k_1536_q256_f32"] = _throughput(
             256, warm_rounds=0, precision="float32"
@@ -552,6 +558,28 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["gram_index_split"] = f"{type(e).__name__}: {e}"[:300]
 
+    # Streaming SERVING latency (r9): micro-batch p50/p95 for the two
+    # serving-shaped sinks — routed_probe_sink (query stream against a
+    # served IVF tier through the router ladder) and bloom_gate_sink
+    # (document stream through the bounded-state membership gate).
+    # Latency is read from Spark's own per-batch progress
+    # (durationMs.triggerExecution), not wall-clock around the drain,
+    # so the number is the per-micro-batch serving cost a stream user
+    # sees.  Recorded in BENCH_DETAIL.json only (BENCHNOTES documents
+    # the shape).
+    streaming_detail: dict | None = None
+    try:
+        streaming_detail = _streaming_serving_bench(spark, sf_dir)
+        for name, st in (streaming_detail or {}).items():
+            print(
+                f"# {name}: p50 {st['p50_ms']}ms / p95 {st['p95_ms']}ms "
+                f"over {st['n_batches']} micro-batches "
+                f"({st['rows_per_batch']} rows/batch)",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        errors["streaming_serving_bench"] = f"{type(e).__name__}: {e}"[:300]
+
     # training_pipeline with the dedup-pairs subtree MATERIALIZED (how a
     # real pipeline runs it — the pair graph is an intermediate, not
     # recomputed): isolates the pipeline's own cost from dedup_clusters',
@@ -679,6 +707,8 @@ def main() -> None:
     }
     if detail_funnel:
         detail["contains_index_funnel"] = detail_funnel
+    if streaming_detail:
+        detail["streaming_serving"] = streaming_detail
     if errors:
         detail["errors"] = errors
     # BENCH_DETAIL.json doubles as the trailing-median pin store for the
@@ -709,6 +739,122 @@ def main() -> None:
         "detail": detail_name,
     }
     print(json.dumps(out))
+
+
+def _streaming_serving_bench(
+    spark, sf_dir: str, n_batches: int = 8
+) -> dict:
+    """Per-micro-batch serving latency for the streaming sinks, from
+    Spark's StreamingQueryProgress (durationMs.triggerExecution): p50 /
+    p95 over ``n_batches`` one-file micro-batches.
+
+    - ``routed_probe_sink``: 16 queries per batch against a SERVED
+      IVF index (frozen quantizer, materialized assignment — the
+      serving contract; build cost is excluded, it's amortized).
+    - ``bloom_gate_sink``: document batches through the bounded
+      position-set membership gate (each batch pays the semi-join gate
+      + the state-generation rewrite commit)."""
+    import statistics
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from chromem_go_spark.materialize import materialize
+    from chromem_go_spark.operators import ann as ANN
+    from chromem_go_spark.streaming.ingest import (
+        bloom_gate_sink,
+        routed_probe_sink,
+    )
+
+    def drain_and_stats(writer, name: str, rows_per_batch: int) -> dict:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        if q.isActive:
+            q.stop()
+        progs = [
+            p if isinstance(p, dict) else json.loads(p.json)
+            for p in q.recentProgress
+        ]
+        durs = [
+            float(p["durationMs"]["triggerExecution"])
+            for p in progs
+            if int(p.get("numInputRows", 0)) > 0
+        ]
+        durs.sort()
+        return {
+            "n_batches": len(durs),
+            "rows_per_batch": rows_per_batch,
+            "p50_ms": round(statistics.median(durs), 1),
+            "p95_ms": round(durs[max(0, int(len(durs) * 0.95) - 1)], 1),
+            "max_ms": round(durs[-1], 1),
+        }
+
+    out: dict[str, dict] = {}
+    root = tempfile.mkdtemp(prefix="stream_bench_")
+
+    # ---- routed probe over a served IVF tier: 16 queries per batch
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = ANN.IVFIndex.build(
+        emb, n_clusters=16, vec_col="embedding", id_col="vec_id"
+    )
+    idx.assigned = materialize(idx.assigned)
+    qpb = 16
+    qtab = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, n_batches * qpb)
+    qdir = f"{root}/queries"
+    os.makedirs(qdir)
+    for b in range(n_batches):
+        pq.write_table(qtab.slice(b * qpb, qpb), f"{qdir}/b{b:03d}.parquet")
+    schema = spark.read.parquet(qdir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    out["routed_probe_sink_ivf"] = drain_and_stats(
+        routed_probe_sink(
+            stream, idx, f"{root}/probe_results", f"{root}/probe_ckpt",
+            k=10, target_recall=0.95,
+        ),
+        "routed_probe_sink_ivf", qpb,
+    )
+
+    # ---- bloom gate over a document stream
+    docs_tab = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    dpb = max(1, min(400, docs_tab.num_rows // n_batches))
+    ddir = f"{root}/docs"
+    os.makedirs(ddir)
+    for b in range(n_batches):
+        pq.write_table(
+            docs_tab.slice(b * dpb, dpb), f"{ddir}/b{b:03d}.parquet"
+        )
+    dschema = spark.read.parquet(ddir).schema
+    dstream = (
+        spark.readStream.schema(dschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ddir)
+    )
+    out["bloom_gate_sink"] = drain_and_stats(
+        bloom_gate_sink(
+            dstream, f"{root}/bloom_state", f"{root}/bloom_results",
+            f"{root}/bloom_ckpt", text_col="text", id_col="doc_id",
+        ),
+        "bloom_gate_sink", dpb,
+    )
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    # free the served assignment cache before the rest of the run
+    try:
+        idx.assigned.unpersist()
+    except Exception:
+        pass
+    return out
 
 
 def _trailing_medians() -> dict[str, float]:

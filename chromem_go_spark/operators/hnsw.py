@@ -147,12 +147,42 @@ class HNSWIndex:
                 "index instead (operators/ann.py)"
             )
         rows = df.select(id_col, vec_col).collect()
-        rows.sort(key=lambda r: r[0])  # order-stable: same graph every build
-        ids = [r[0] for r in rows]
-        mat = np.asarray([r[1] for r in rows], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mat = mat / norms
+        return cls.build_local(
+            [r[0] for r in rows], [r[1] for r in rows], id_col=id_col,
+            M=M, ef_construction=ef_construction, seed=seed,
+            max_points=max_points,
+        )
+
+    @classmethod
+    def build_local(
+        cls,
+        ids: Sequence,
+        vecs,
+        id_col: str = "vec_id",
+        M: int = 16,
+        ef_construction: int = 200,
+        seed: int = 42,
+        max_points: int = 1_000_000,
+    ) -> "HNSWIndex":
+        """The Spark-free build core: sorted-id insertion over in-memory
+        (ids, vectors) — shared by :meth:`build` (driver collect) and
+        the SHARDED per-executor builds (:func:`build_sharded_hnsw`),
+        where each worker task builds its own shard's graph from the
+        Arrow batch it already holds.  Deterministic: insertion order
+        is sorted id, level draws are pure functions of (seed, index)."""
+        order = sorted(range(len(ids)), key=lambda j: ids[j])
+        ids = [ids[j] for j in order]
+        mat = np.asarray([list(vecs[j]) for j in order], dtype=np.float64)
+        if len(ids) > max_points:
+            raise ValueError(
+                f"HNSW is the bounded serving tier: corpus has "
+                f"{len(ids)} rows > max_points={max_points}; build an "
+                "IVF-family index instead (operators/ann.py)"
+            )
+        if mat.size:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
 
         idx = cls(ids, mat, [{}], 0, M, id_col, seed=seed,
                   max_points=max_points)
@@ -498,3 +528,173 @@ def load_snapshot(root: str) -> tuple[HNSWIndex | None, int]:
             if attempt:
                 raise
     raise AssertionError("unreachable")
+
+
+# --------------------------------------------------- sharded graphs (r9)
+#
+# HNSW beyond the single-graph cap: hash-shard the corpus, build one
+# BOUNDED graph per shard INSIDE its executor task (the build core is
+# pure NumPy — no driver collect, no per-shard Spark jobs), snapshot
+# each shard with the same single-file atomic npz, and serve a query
+# batch by walking every shard's graph in parallel (mapInPandas over
+# the shard table) with one global top-k merge.  Capacity becomes
+# n_shards x max_points while the driver never holds a graph; walking
+# S shards costs S parallel walks — the latency trade the IVF tier
+# does not pay, which is why IVF remains the default unbounded path
+# (SCALE.md) and sharded HNSW is the opt-in when graph-walk recall
+# characteristics are required past the cap.
+#
+# Exactness composes: per-shard ef >= shard size walks each component
+# exhaustively, and the true global top-k is the top-k of the union of
+# per-shard top-k sets (every global winner lives in exactly one
+# shard) — the same certificate hnsw_search carries, sharded.
+
+_SHARD_MANIFEST = "_sharded_meta.json"
+
+
+def build_sharded_hnsw(
+    df: DataFrame,
+    root: str,
+    n_shards: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    M: int = 16,
+    ef_construction: int = 200,
+    seed: int = 42,
+    max_points_per_shard: int = 1_000_000,
+) -> dict:
+    """Build + persist a sharded HNSW under ``root``: shard by
+    ``pmod(xxhash64(id), n_shards)`` (deterministic, id-stable), one
+    graph per shard built and snapshotted by its own executor task
+    (``applyInPandas`` groups carry the whole shard), manifest
+    committed atomically LAST — a crash mid-build leaves no manifest
+    and readers refuse the root.  Returns the manifest dict.
+
+    ``root`` must be storage every executor and the driver can reach
+    (same contract as every persisted index in this repo).  A shard
+    larger than ``max_points_per_shard`` fails the build loudly —
+    raise ``n_shards`` (capacity scales as n_shards x cap)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(root, exist_ok=True)
+
+    def build_shard(key, pdf):
+        # no type hints on purpose: under `from __future__ import
+        # annotations` they stringify and applyInPandas can't infer
+        # the eval type (see embeddings/_udf.py note)
+        shard = int(key[0])
+        idx = HNSWIndex.build_local(
+            list(pdf[id_col]), list(pdf[vec_col]), id_col=id_col,
+            M=M, ef_construction=ef_construction, seed=seed,
+            max_points=max_points_per_shard,
+        )
+        idx.save(os.path.join(root, f"shard={shard:05d}"))
+        return pd.DataFrame({"shard": [shard], "n_points": [len(pdf)]})
+
+    sharded = df.select(id_col, vec_col).withColumn(
+        "__shard",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)),
+    )
+    rows = (
+        sharded.groupBy("__shard")
+        .applyInPandas(build_shard, "shard int, n_points long")
+        .collect()
+    )
+    sample = df.select(id_col).limit(1).collect()
+    manifest = {
+        "n_shards": int(n_shards),
+        "shards": sorted(
+            {int(r["shard"]): int(r["n_points"]) for r in rows}.items()
+        ),
+        "id_col": id_col,
+        "id_kind": (
+            "str"
+            if sample and isinstance(sample[0][0], str)
+            else "int"
+        ),
+        "M": int(M),
+        "seed": int(seed),
+        "ef_construction": int(ef_construction),
+    }
+    tmp = os.path.join(root, _SHARD_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(root, _SHARD_MANIFEST))
+    return manifest
+
+
+def load_sharded_meta(root: str) -> dict:
+    """The committed shard manifest, or FileNotFoundError when no
+    build ever completed (staged shard dirs are not served)."""
+    import json
+    import os
+
+    with open(os.path.join(root, _SHARD_MANIFEST)) as f:
+        return json.load(f)
+
+
+def sharded_search_batch(
+    spark: SparkSession,
+    root: str,
+    query_ids: Sequence,
+    query_vecs: Sequence[Sequence[float]],
+    k: int,
+    ef: int = 64,
+) -> DataFrame:
+    """Batch search over a sharded HNSW: every shard's walks run in
+    its own task (``mapInPandas`` over the manifest's shard table —
+    one graph load + q walks per task, the graph never crosses the
+    wire), then ONE global per-query top-k merges the per-shard
+    results.  ``ef`` applies per shard; per-shard ``ef >= shard
+    size`` makes the merge exact (module note above).  Returns
+    (query_id, <id_col>, similarity) — the tier-shared batch shape."""
+    import pandas as pd
+
+    from . import knn as knn_ops
+
+    meta = load_sharded_meta(root)
+    qvecs = [[float(x) for x in qv] for qv in query_vecs]
+    qids = [str(q) for q in query_ids]
+    if not qvecs:
+        raise ValueError("queryEmbedding is empty")
+    if len(qids) != len(qvecs):
+        raise ValueError(
+            f"query_ids ({len(qids)}) and query_vecs ({len(qvecs)}) "
+            "must be the same length"
+        )
+    id_col = meta["id_col"]
+    id_kind = meta.get("id_kind", "int")
+    kk, eff = int(k), int(ef)
+
+    def walk_shards(batches):
+        import os
+
+        for pdf in batches:
+            for shard in pdf["shard"]:
+                idx = HNSWIndex.load(
+                    os.path.join(root, f"shard={int(shard):05d}")
+                )
+                out_q, out_i, out_s = [], [], []
+                for qid, qv in zip(qids, qvecs):
+                    for i, s in idx.search(qv, kk, ef=eff):
+                        out_q.append(qid)
+                        out_i.append(i)
+                        out_s.append(round(float(s), 12))
+                yield pd.DataFrame(
+                    {"query_id": out_q, id_col: out_i, "similarity": out_s}
+                )
+
+    shards_df = spark.createDataFrame(
+        [(int(s),) for s, _ in meta["shards"]], "shard int"
+    ).repartition(len(meta["shards"]), "shard")
+    id_type = "string" if id_kind == "str" else "long"
+    scored = shards_df.mapInPandas(
+        walk_shards,
+        f"query_id string, {id_col} {id_type}, similarity double",
+    )
+    return knn_ops.topk_per_query(scored, kk, "query_id", id_col)

@@ -599,3 +599,122 @@ def test_sink_drops_cross_batch_duplicate_ids(spark, emb, tmp_path):
     got = [i for i, _ in idx.search(qv, 10, ef=idx.n_points())]
     assert len(set(got)) == len(got)
     assert got == [i for i, _ in _flat(emb, qv)]
+
+
+# --------------------------------------------------- sharded graphs (r9)
+
+
+def test_sharded_build_search_exact(spark, emb, tmp_path):
+    """Sharded HNSW at per-shard ef >= shard size == brute force: each
+    shard's layer 0 is walked exhaustively and every global winner
+    lives in exactly one shard, so the merged top-k is exact — the
+    single-graph certificate, sharded."""
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        load_sharded_meta,
+        sharded_search_batch,
+    )
+
+    root = str(tmp_path / "shards")
+    manifest = build_sharded_hnsw(emb, root, n_shards=4, M=8,
+                                  ef_construction=64)
+    assert sum(n for _, n in manifest["shards"]) == emb.count()
+    ef = max(n for _, n in manifest["shards"])
+    qids = [str(v) for v in range(4)]
+    qvs = [_qv(emb, v) for v in range(4)]
+    out = sharded_search_batch(spark, root, qids, qvs, 10, ef=ef)
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    want = set()
+    for qid, qv in zip(qids, qvs):
+        for i, s in _flat(emb, qv):
+            want.add((qid, i, s))
+    assert got == want
+
+
+def test_sharded_manifest_and_determinism(spark, emb, tmp_path):
+    """The manifest commits atomically LAST (no manifest -> readers
+    refuse); a rebuild over the same corpus reproduces the exact same
+    shard assignment and search results."""
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        load_sharded_meta,
+        sharded_search_batch,
+    )
+
+    root1, root2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = build_sharded_hnsw(emb, root1, n_shards=3, M=8,
+                            ef_construction=64)
+    m2 = build_sharded_hnsw(emb, root2, n_shards=3, M=8,
+                            ef_construction=64)
+    assert m1["shards"] == m2["shards"]
+    qv = _qv(emb, 0)
+    r1 = sorted(
+        map(tuple, sharded_search_batch(
+            spark, root1, ["0"], [qv], 10, ef=64
+        ).collect())
+    )
+    r2 = sorted(
+        map(tuple, sharded_search_batch(
+            spark, root2, ["0"], [qv], 10, ef=64
+        ).collect())
+    )
+    assert r1 == r2
+    with pytest.raises(FileNotFoundError):
+        load_sharded_meta(str(tmp_path / "never_built"))
+
+
+def test_sharded_capacity_beyond_single_cap(spark, emb, tmp_path):
+    """The point of sharding: a corpus OVER the single-graph cap builds
+    fine once n_shards x cap covers it — and the single-graph build
+    still refuses the same corpus loudly."""
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        sharded_search_batch,
+    )
+
+    n = emb.count()
+    cap = n // 2  # single graph cannot hold the corpus
+    with pytest.raises(ValueError, match="bounded serving tier"):
+        HNSWIndex.build(emb, M=8, ef_construction=64, max_points=cap)
+    root = str(tmp_path / "cap_shards")
+    build_sharded_hnsw(
+        emb, root, n_shards=4, M=8, ef_construction=64,
+        max_points_per_shard=cap,
+    )
+    qv = _qv(emb, 0)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=n
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)
+
+
+def test_sharded_approximate_recall_floor(spark, emb, tmp_path):
+    """Approximate per-shard walks (small ef) keep a recall floor: the
+    shard merge must not silently degrade serving quality below the
+    single-graph sweep's floor."""
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        sharded_search_batch,
+    )
+
+    root = str(tmp_path / "apx_shards")
+    build_sharded_hnsw(emb, root, n_shards=4, M=8, ef_construction=64)
+    qids = [str(v) for v in range(8)]
+    qvs = [_qv(emb, v) for v in range(8)]
+    res = sharded_search_batch(spark, root, qids, qvs, 10, ef=64).collect()
+    by_q: dict = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for qid, qv in zip(qids, qvs):
+        exact = {i for i, _ in _flat(emb, qv)}
+        hits += len(exact & by_q.get(qid, set()))
+        total += len(exact)
+    assert hits / total >= 0.9
