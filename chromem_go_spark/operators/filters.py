@@ -284,9 +284,10 @@ def contains_pattern_groups(
         out = anded[0]
         for nxt in anded[1:]:
             if len(out) * len(nxt) > max_groups:
-                # dropping the remaining AND-ed constraints keeps the
-                # candidate set a superset — prune less, never wrong
-                break
+                # dropping an AND-ed constraint that would overflow the
+                # cap keeps the candidate set a superset — prune less,
+                # never wrong (later, smaller children still fold)
+                continue
             out = [
                 sorted(set(a) | set(b)) for a in out for b in nxt
             ]

@@ -689,6 +689,12 @@ def sharded_search_batch(
                     {"query_id": out_q, id_col: out_i, "similarity": out_s}
                 )
 
+    id_type0 = "string" if id_kind == "str" else "long"
+    if not meta["shards"]:
+        # an empty corpus commits an empty manifest — answer empty
+        return spark.createDataFrame(
+            [], f"query_id string, {id_col} {id_type0}, similarity double"
+        )
     shards_df = spark.createDataFrame(
         [(int(s),) for s, _ in meta["shards"]], "shard int"
     ).repartition(len(meta["shards"]), "shard")
