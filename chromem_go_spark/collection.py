@@ -1372,6 +1372,7 @@ class Collection:
         """The FLAT broadcast-join kernel for a per-query-filtered
         batch: every query row carries its parsed DSL, the condition is
         part of the join, non-matching pairs are never scored."""
+        filtered = self._prune_by_query_contains(filtered, parsed)
         rows = [
             (qid, V.normalize_vec(qv), w, c, nc)
             for qid, qv, (w, c, nc) in zip(qids, qvecs, parsed)
@@ -1390,6 +1391,23 @@ class Collection:
             text_col="content",
             id_col="id",
         )
+
+    def _prune_by_query_contains(
+        self, df: DataFrame, parsed
+    ) -> DataFrame:
+        """Gram-index corpus prune for PER-QUERY ``$contains`` filters
+        (r9): a doc scoring for query q must contain every pattern in
+        q's contains list, so when EVERY query carries at least one
+        pattern, the union of the per-query conjunctive candidate sets
+        covers every (doc, query) pair that can survive the join —
+        exactly the disjunctive group prune, with one group per query.
+        A single pattern-less query can match anything: no prune.
+        No-op without a fresh index; the join's exact predicate always
+        still runs."""
+        groups = [list(c) for (_w, c, _nc) in parsed]
+        if not groups or not all(groups):
+            return df
+        return self._prune_by_groups(df, groups)
 
     def _query_batch_routed_dsl(
         self, query_embeddings, n_results, per_query_filters,
@@ -1445,7 +1463,14 @@ class Collection:
                 "filtered ANN search requires the IVF (flat) index; "
                 "quantized (PQ/SQ) candidates carry codes only"
             )
-        if decision["tier"] == "flat" or filtered.isEmpty():
+        if decision["tier"] == "flat":
+            return self._query_batch_flat_dsl(
+                qids, qvecs, n_results, parsed, filtered
+            )
+        # the per-query $contains gram prune applies to the on-the-fly
+        # build's corpus too (a served index owns its corpus instead)
+        filtered = self._prune_by_query_contains(filtered, parsed)
+        if filtered.isEmpty():
             # empty filtered corpus answers empty on every tier — same
             # guard as the router's on-the-fly build path
             return self._query_batch_flat_dsl(

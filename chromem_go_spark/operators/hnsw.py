@@ -704,3 +704,38 @@ def sharded_search_batch(
         f"query_id string, {id_col} {id_type}, similarity double",
     )
     return knn_ops.topk_per_query(scored, kk, "query_id", id_col)
+
+
+class ShardedHNSW:
+    """Served handle for a sharded-graph root — the router-facing
+    object: walks run via :func:`sharded_search_batch`, and the handle
+    quacks exactly like the single-graph ``HNSWIndex`` where the
+    router needs it (``n_points`` for the exact-ef mapping,
+    ``search_batch(spark, ...)`` for dispatch), so
+    ``router.tier_of`` files it under the served "hnsw" tier and every
+    hnsw routing rule (served-only, no predicates, recall-mapped ef)
+    applies unchanged.  Exactness: ef >= n_points() trivially covers
+    every shard's size, so the routed exact-identity setting composes."""
+
+    def __init__(self, root: str, meta: dict):
+        self.root = root
+        self.meta = meta
+
+    @classmethod
+    def load(cls, root: str) -> "ShardedHNSW":
+        return cls(root, load_sharded_meta(root))
+
+    def n_points(self) -> int:
+        return sum(n for _, n in self.meta["shards"])
+
+    def search_batch(
+        self,
+        spark: SparkSession,
+        query_ids: Sequence,
+        query_vecs: Sequence[Sequence[float]],
+        k: int,
+        ef: int = 64,
+    ) -> DataFrame:
+        return sharded_search_batch(
+            spark, self.root, query_ids, query_vecs, k, ef=ef
+        )

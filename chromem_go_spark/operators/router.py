@@ -190,10 +190,14 @@ def _filtered_tier_error(tier: str) -> str:
 def tier_of(index) -> str:
     """The tier a served index object belongs to."""
     from . import ann as A
-    from .hnsw import HNSWIndex
+    from .hnsw import HNSWIndex, ShardedHNSW
 
-    if isinstance(index, HNSWIndex):
-        return "hnsw"  # served-only: auto never builds one per query
+    if isinstance(index, (HNSWIndex, ShardedHNSW)):
+        # served-only: auto never builds one per query.  The sharded
+        # handle (r9) quacks like the single graph — n_points() for the
+        # exact-ef mapping (>= every shard's size), search_batch(spark,
+        # ...) for dispatch — so one tier covers both.
+        return "hnsw"
     if isinstance(index, A.IVFPQIndex):
         return "ivf_pq"
     if isinstance(index, A.IVFSQIndex):

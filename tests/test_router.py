@@ -632,3 +632,43 @@ def test_query_batch_per_filter_served_nonivf_falls_back(coll, pq_filters):
     base = _pqf_flat(coll, texts, pq_filters)
     got = _pqf_flat(coll, texts, pq_filters, index=served)
     assert got == base
+
+
+# ----------------------------------------- served sharded HNSW tier (r9)
+
+
+def test_batch_served_sharded_hnsw(emb, qbatch, tmp_path):
+    """The sharded-graph handle serves through the same router ladder
+    as the single graph (tier 'hnsw'): exact at target 0.999 (ef >=
+    n_points covers every shard), and the filtered rule applies."""
+    from chromem_go_spark.operators.hnsw import (
+        ShardedHNSW,
+        build_sharded_hnsw,
+    )
+
+    root = str(tmp_path / "routed_shards")
+    build_sharded_hnsw(emb, root, n_shards=3, M=8, ef_construction=64)
+    handle = ShardedHNSW.load(root)
+    qids, qvecs = qbatch
+    out = R.routed_search_batch(
+        emb, qids, qvecs, 10, index=handle, target_recall=0.999
+    )
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    assert got == _flat_batch(emb, qids, qvecs)
+    # single-query entry too
+    single = R.routed_search(
+        emb, qvecs[0], 10, index=handle, target_recall=0.999
+    )
+    got1 = {
+        (r["vec_id"], round(r["similarity"], 6)) for r in single.collect()
+    }
+    assert got1 == _flat_top(emb, qvecs[0])
+    # no predicates on a graph walk — same golden error as single HNSW
+    with pytest.raises(ValueError, match="served HNSW"):
+        R.routed_search_batch(
+            emb, qids, qvecs, 10, index=handle,
+            where=F.col("vec_id") > 10,
+        )

@@ -637,3 +637,89 @@ def test_extended_or_contains_pruned_rows_and_plan(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
     assert any("In(id" in p for p in pushed), plan[:2000]
+
+
+def test_per_query_contains_prune_rows_and_plan(spark, tmp_path):
+    """r9: per-query $contains filters engage the gram prune on the
+    batch kernel's CORPUS side when every query carries a pattern (one
+    candidate group per query, unioned) — identical rows to the
+    unindexed path, In(id,...) pushed to the persisted scan; a single
+    pattern-less query disables the prune (it can match anything)."""
+    import re
+
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    pdir = str(tmp_path / "db")
+    db = DB(spark, persist_dir=pdir)
+    c = db.create_collection(
+        "pq_prune", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(
+                id=str(i),
+                content=(
+                    f"quick brown fox {i}" if i % 3 == 0
+                    else (f"lazy dog {i}" if i % 3 == 1 else f"plain text {i}")
+                ),
+                metadata={"par": str(i % 2)},
+            )
+            for i in range(30)
+        ]
+    )
+    texts = ["quick", "lazy"]
+    pq = [
+        {"where_document": {"$contains": "quick brown"}},
+        {"where_document": {"$contains": "lazy dog"}, "where": {"par": "0"}},
+    ]
+    base = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_texts=texts, n_results=3, per_query_filters=pq
+        ).collect()
+    }
+    assert base
+    c.build_text_index()
+    out = c.query_batch(
+        query_texts=texts, n_results=3, per_query_filters=pq
+    )
+    got = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    assert got == base
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("In(id" in p for p in pushed), plan[:2000]
+    # one query without a contains pattern -> no prune, same rows
+    pq2 = [dict(pq[0]), None]
+    base2 = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_texts=texts, n_results=3, per_query_filters=pq2
+        ).collect()
+    }
+    out2 = c.query_batch(
+        query_texts=texts, n_results=3, per_query_filters=pq2
+    )
+    got2 = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in out2.collect()
+    }
+    assert got2 == base2
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert not any(
+        "In(id" in p
+        for p in re.findall(r"PushedFilters: \[([^\]]*)", plan2)
+    )
+    # and the routed IVF path with the prune still matches (nprobe-all)
+    got3 = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_texts=texts, n_results=3, per_query_filters=pq,
+            index="ivf", target_recall=0.999,
+        ).collect()
+    }
+    assert got3 == base
