@@ -104,6 +104,28 @@ def corpus_section(spark, sf_dir: str, n_clusters: int, pq_m: int) -> list[str]:
 
     lines += [
         "",
+        "### Sharded HNSW ef sweep (4 shards, M=16, ef_c=200; per-shard"
+        " walks + top-k merge — r9)",
+        "",
+        "| ef (per shard) | recall@10 |",
+        "|---|---|",
+    ]
+    import tempfile
+
+    from chromem_go_spark.operators.hnsw import (
+        ShardedHNSW,
+        build_sharded_hnsw,
+    )
+
+    sroot = tempfile.mkdtemp(prefix="recall_shards_")
+    build_sharded_hnsw(emb, sroot, n_shards=4, M=16, ef_construction=200)
+    sh = ShardedHNSW.load(sroot)
+    for ef in (16, 32, 64, 128):
+        r = recall(sh.search_batch(spark, qids, qvecs, K_AT, ef=ef).collect())
+        lines.append(f"| {ef} | {r:.3f} |")
+
+    lines += [
+        "",
         "### Hyperplane-LSH near-dup (threshold 0.45) vs exact pair set",
         "",
         "| planes x tables | pair recall |",
