@@ -372,14 +372,13 @@ def q_hnsw_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chromem_go_spark.operators.hnsw import (
         build_sharded_hnsw,
-        load_sharded_meta,
         sharded_search_batch,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix="hnsw_shards_")
-    build_sharded_hnsw(emb, root, n_shards=4, M=8, ef_construction=64)
-    ef = max(n for _, n in load_sharded_meta(root)["shards"])
+    meta = build_sharded_hnsw(emb, root, n_shards=4, M=8, ef_construction=64)
+    ef = max(n for _, n in meta["shards"])
     qv = _qvec(spark, sf_dir, 0)
     out = sharded_search_batch(spark, root, ["0"], [qv], 10, ef=ef)
     return out.select("vec_id", F.round("similarity", 4).alias("sim"))

@@ -617,37 +617,64 @@ def main() -> None:
 
     # The in-run throughput re-measurement runs LAST (its ~600 MB of
     # localCheckpoint blocks would contaminate the similarity joins if it
-    # ran earlier) and is DRIFT DATA ONLY: the official numbers are the
-    # fresh-subprocess points measured before this JVM existed (r8
-    # lesson — the in-run artifact understated the kernel 5.6x).  Each
-    # headline point quotes the isolated value and carries the in-run
-    # wall alongside so the session-load gap is recorded every round.
+    # ran earlier) and is DRIFT DATA ONLY — the headline is ALWAYS a
+    # fresh-JVM reading (r8 lesson: the in-run artifact understated the
+    # kernel 5.6x; a warmed in-run number must never become the
+    # headline either).  The in-run readings' one protocol role: if any
+    # point ran >1.5x FASTER in-run than isolated, the subprocess
+    # demonstrably hit a host burst (observed same-day: 4.8 s isolated
+    # vs 1.2 s in-run for the identical kernel) — re-run the isolated
+    # subprocess once on the now-idle session and take the per-point
+    # min of the two ISOLATED runs.
     inrun_points, inrun_errors = _measure_throughput_points(spark, inrun=True)
     for perr, msg in inrun_errors.items():
         errors[f"inrun_{perr}"] = msg
+
+    iso_runs = 1
+    if any(
+        pname in iso_points
+        and pname in inrun_points
+        and inrun_points[pname]["wall_sec"]
+        < iso_points[pname]["wall_sec"] / 1.5
+        for pname in THROUGHPUT_POINT_NAMES
+    ):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--isolated-throughput"],
+                capture_output=True, text=True, timeout=900, check=True,
+            )
+            parsed = json.loads(r.stdout.strip().splitlines()[-1])
+            for perr, msg in (parsed.pop("errors", None) or {}).items():
+                errors[f"iso2_{perr}"] = str(msg)[:300]
+            iso_runs = 2
+            for pname, pt2 in parsed.items():
+                if not isinstance(pt2, dict):
+                    continue
+                pt1 = iso_points.get(pname)
+                if pt1 is None or pt2["wall_sec"] < pt1["wall_sec"]:
+                    iso_points[pname] = pt2
+                print(
+                    f"# {pname} isolated rerun: {pt2['wall_sec']}s "
+                    f"(first run hit a host burst)",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # noqa: BLE001
+            errors["isolated_throughput_rerun"] = (
+                f"{type(e).__name__}: {e}"[:300]
+            )
 
     headline_points: dict[str, dict | None] = {}
     for pname in THROUGHPUT_POINT_NAMES:
         iso_pt, inrun_pt = iso_points.get(pname), inrun_points.get(pname)
         if iso_pt is not None:
             pt = dict(iso_pt)
-            pt["isolation"] = "fresh_jvm"
+            pt["isolation"] = (
+                "fresh_jvm" if iso_runs == 1
+                else "fresh_jvm (min of 2 subprocess runs)"
+            )
             if inrun_pt is not None:
                 pt["inrun_wall_sec"] = inrun_pt["wall_sec"]
-                if inrun_pt["wall_sec"] < iso_pt["wall_sec"]:
-                    # session state can only SLOW a reading, so the
-                    # faster of the two is the demonstrated steady
-                    # state: a host burst during the subprocess must
-                    # not understate the kernel (observed: the same
-                    # point reading 4.8 s isolated vs 1.2 s in-run
-                    # minutes apart).  Both raw walls stay recorded.
-                    pt["isolated_wall_sec"] = iso_pt["wall_sec"]
-                    pt["wall_sec"] = inrun_pt["wall_sec"]
-                    pt["doc_scores_per_sec"] = inrun_pt[
-                        "doc_scores_per_sec"
-                    ]
-                    pt["isolation"] = "min(fresh_jvm, in_run)"
-                    del pt["inrun_wall_sec"]
         elif inrun_pt is not None:
             # fallback only — flagged so a reader knows it's contaminated
             pt = dict(inrun_pt)
@@ -781,7 +808,7 @@ def _streaming_serving_bench(
         routed_probe_sink,
     )
 
-    def drain_and_stats(writer, name: str, rows_per_batch: int) -> dict:
+    def drain_and_stats(writer, rows_per_batch: int) -> dict:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination(300)
         if q.isActive:
@@ -796,11 +823,16 @@ def _streaming_serving_bench(
             if int(p.get("numInputRows", 0)) > 0
         ]
         durs.sort()
+        import math
+
+        # nearest-rank p95: ceil(0.95 n)-th value (for n=8 that's the
+        # max — int(n*0.95)-1 would quietly report the 87.5th pct)
+        p95_idx = min(len(durs) - 1, max(0, math.ceil(len(durs) * 0.95) - 1))
         return {
             "n_batches": len(durs),
             "rows_per_batch": rows_per_batch,
             "p50_ms": round(statistics.median(durs), 1),
-            "p95_ms": round(durs[max(0, int(len(durs) * 0.95) - 1)], 1),
+            "p95_ms": round(durs[p95_idx], 1),
             "max_ms": round(durs[-1], 1),
         }
 
@@ -832,7 +864,7 @@ def _streaming_serving_bench(
             stream, idx, f"{root}/probe_results", f"{root}/probe_ckpt",
             k=10, target_recall=0.95,
         ),
-        "routed_probe_sink_ivf", qpb,
+        qpb,
     )
 
     # ---- bloom gate over a document stream
@@ -857,7 +889,7 @@ def _streaming_serving_bench(
             dstream, f"{root}/bloom_state", f"{root}/bloom_results",
             f"{root}/bloom_ckpt", text_col="text", id_col="doc_id",
         ),
-        "bloom_gate_sink", dpb,
+        dpb,
     )
 
     import shutil

@@ -1057,12 +1057,12 @@ class Collection:
             # Only the flat IVF tier carries full vectors + metadata into
             # the probed partitions; PQ/SQ candidates carry codes only, so
             # reject ANY non-flat index with the descriptive error (not
-            # an AttributeError on a missing search_filtered).
+            # an AttributeError on a missing search_filtered).  The
+            # message lives in ONE place (router._filtered_tier_error).
             if not isinstance(index, IVFIndex):
-                raise ValueError(
-                    "filtered ANN search requires the IVF (flat) index; "
-                    "quantized (PQ/SQ) candidates carry codes only"
-                )
+                from .operators.router import _filtered_tier_error
+
+                raise ValueError(_filtered_tier_error("quantized"))
             return index.search_filtered(
                 list(query_embedding), int(n_results), nprobe=nprobe,
                 where=where_predicate(where),
@@ -1337,7 +1337,8 @@ class Collection:
         return self._query_batch_flat_dsl(
             [str(i) for i in range(len(query_embeddings))],
             [[float(x) for x in q] for q in query_embeddings],
-            n_results, parsed, filtered,
+            n_results, parsed,
+            self._prune_by_query_contains(filtered, parsed),
         )
 
     @staticmethod
@@ -1372,7 +1373,6 @@ class Collection:
         """The FLAT broadcast-join kernel for a per-query-filtered
         batch: every query row carries its parsed DSL, the condition is
         part of the join, non-matching pairs are never scored."""
-        filtered = self._prune_by_query_contains(filtered, parsed)
         rows = [
             (qid, V.normalize_vec(qv), w, c, nc)
             for qid, qv, (w, c, nc) in zip(qids, qvecs, parsed)
@@ -1434,7 +1434,10 @@ class Collection:
         qids = [str(i) for i in range(len(query_embeddings))]
         qvecs = [[float(x) for x in q] for q in query_embeddings]
         pre = combined_predicate(where, where_document)
-        filtered = self.df.filter(pre)
+        constrained = bool(where or where_document)
+        base = self.df.filter(pre) if constrained else self.df
+        filtered = self._prune_by_query_contains(base, parsed)
+        pruned = filtered is not base
         if not isinstance(index, str):
             if R.tier_of(index) != "ivf":
                 # served index that can't express the filter: exact path
@@ -1447,32 +1450,30 @@ class Collection:
                 where=pre if (where or where_document) else None,
                 metadata_col="metadata", text_col="content",
             )
-        n_docs = self.count()
+        # size the decision on the frame actually searched: the global
+        # predicate and the per-query gram prune can shrink it orders
+        # of magnitude below the corpus (same eff_n rule as
+        # query_embedding — nlist must never be sized off the full
+        # count).  The count job is only paid when something actually
+        # constrained the frame.
+        eff_n = (
+            filtered.count() if (constrained or pruned) else self.count()
+        )
         if index == "auto":
             decision = R.choose_tier(
-                n_docs, len(qvecs[0]), k=int(n_results),
+                eff_n, len(qvecs[0]), k=int(n_results),
                 target_recall=target_recall, filtered=True, tuned=tuned,
             )
         else:
             decision = R.forced_decision(
-                index, n_docs, k=int(n_results),
+                index, eff_n, k=int(n_results),
                 target_recall=target_recall, tuned=tuned,
             )
         if decision["tier"] in ("ivf_sq", "ivf_pq"):
-            raise ValueError(
-                "filtered ANN search requires the IVF (flat) index; "
-                "quantized (PQ/SQ) candidates carry codes only"
-            )
-        if decision["tier"] == "flat":
-            return self._query_batch_flat_dsl(
-                qids, qvecs, n_results, parsed, filtered
-            )
-        # the per-query $contains gram prune applies to the on-the-fly
-        # build's corpus too (a served index owns its corpus instead)
-        filtered = self._prune_by_query_contains(filtered, parsed)
-        if filtered.isEmpty():
-            # empty filtered corpus answers empty on every tier — same
-            # guard as the router's on-the-fly build path
+            raise ValueError(R._filtered_tier_error(decision["tier"]))
+        if decision["tier"] == "flat" or eff_n == 0:
+            # an empty constrained corpus answers empty on every tier —
+            # same guard as the router's on-the-fly build path
             return self._query_batch_flat_dsl(
                 qids, qvecs, n_results, parsed, filtered
             )

@@ -605,16 +605,19 @@ def build_sharded_hnsw(
         .applyInPandas(build_shard, "shard int, n_points long")
         .collect()
     )
-    sample = df.select(id_col).limit(1).collect()
+    from pyspark.sql.types import StringType
+
     manifest = {
         "n_shards": int(n_shards),
         "shards": sorted(
             {int(r["shard"]): int(r["n_points"]) for r in rows}.items()
         ),
         "id_col": id_col,
+        # from the schema, not a sampling job — free, and correct on an
+        # empty frame too
         "id_kind": (
             "str"
-            if sample and isinstance(sample[0][0], str)
+            if isinstance(df.schema[id_col].dataType, StringType)
             else "int"
         ),
         "M": int(M),

@@ -269,10 +269,7 @@ def routed_search(
             )
         tier = decision["tier"]
         if where is not None and tier in ("ivf_sq", "ivf_pq"):
-            raise ValueError(
-                "filtered ANN search requires the IVF (flat) index; "
-                "quantized (PQ/SQ) candidates carry codes only"
-            )
+            raise ValueError(_filtered_tier_error(tier))
         if tier != "flat" and df.isEmpty():
             # an upstream prune (e.g. a no-match $contains composed via
             # query(..., index="auto")) can empty the frame while the
@@ -398,10 +395,7 @@ def routed_search_batch(
             )
         tier = decision["tier"]
         if where is not None and tier in ("ivf_sq", "ivf_pq"):
-            raise ValueError(
-                "filtered ANN search requires the IVF (flat) index; "
-                "quantized (PQ/SQ) candidates carry codes only"
-            )
+            raise ValueError(_filtered_tier_error(tier))
         if tier != "flat" and df.isEmpty():
             # same guard as routed_search: a pruned-empty frame answers
             # empty on every tier — never train a quantizer on 0 rows
