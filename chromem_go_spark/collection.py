@@ -1215,6 +1215,7 @@ class Collection:
         index=None,
         target_recall: float = 0.95,
         tuned: dict | None = None,
+        extended_filters: bool = False,
     ) -> DataFrame:
         """Batch query — the shape the reference cannot express (it runs
         ONE query vector at a time, SURVEY §2.4 note): all queries are
@@ -1242,7 +1243,14 @@ class Collection:
         into the cluster-pruned probe join
         (``IVFIndex.search_batch_dsl``); forcing a quantized tier with
         per-query filters raises, and a served non-IVF index falls
-        back to the FLAT kernel."""
+        back to the FLAT kernel.
+
+        ``extended_filters`` (r9, same opt-in as :meth:`query`): the
+        GLOBAL ``where`` compiles through the extended DSL
+        ($and/$or/$not, comparisons, $contains leaves anywhere in the
+        tree) and its ``$contains`` structure gram-prunes the corpus
+        (conjunctive groups through $and, unioned through $or).
+        Per-query filters keep the reference's flat shape either way."""
         if query_embeddings is None:
             if not query_texts:
                 raise ValueError(E.ERR_QUERY_TEXT_EMPTY)
@@ -1262,6 +1270,7 @@ class Collection:
             return self._query_batch_routed_dsl(
                 query_embeddings, n_results, per_query_filters,
                 where, where_document, index, target_recall, tuned,
+                extended_filters,
             )
         if (
             index is not None
@@ -1281,14 +1290,14 @@ class Collection:
             qids = [str(i) for i in range(len(query_embeddings))]
             qvecs = [[float(x) for x in q] for q in query_embeddings]
             pre = (
-                combined_predicate(where, where_document)
+                self._combined_predicate_ex(
+                    where, where_document, extended_filters
+                )
                 if (where or where_document)
                 else None
             )
-            patterns = (
-                [where_document["$contains"]]
-                if where_document and where_document.get("$contains")
-                else []
+            groups = self._global_contains_groups(
+                where, where_document, extended_filters
             )
             decision = None
             served = None
@@ -1297,7 +1306,7 @@ class Collection:
                 # served objects search their own stored corpus: the
                 # count and the gram-prune jobs are only paid when a
                 # tier is being chosen/built over the collection table
-                base = self._prune_by_patterns(self.df, patterns)
+                base = self._prune_by_groups(self.df, groups)
                 # when the gram prune engaged, size the tier decision
                 # on the pruned frame, not the full corpus (same rule
                 # as query_embedding)
@@ -1323,7 +1332,16 @@ class Collection:
                 id_col="id", index=served, target_recall=target_recall,
                 where=pre, decision=decision, n_docs=n_docs,
             )
-        filtered = self.df.filter(combined_predicate(where, where_document))
+        filtered = self._prune_by_groups(
+            self.df,
+            self._global_contains_groups(
+                where, where_document, extended_filters
+            ),
+        ).filter(
+            self._combined_predicate_ex(
+                where, where_document, extended_filters
+            )
+        )
         if per_query_filters is None:
             return knn_ops.knn_block(
                 filtered,
@@ -1340,6 +1358,30 @@ class Collection:
             n_results, parsed,
             self._prune_by_query_contains(filtered, parsed),
         )
+
+    @staticmethod
+    def _global_contains_groups(
+        where, where_document, extended_filters: bool
+    ) -> list:
+        """The gram-prunable ``$contains`` group structure of the
+        GLOBAL batch filters: the extended tree's DNF groups (r9)
+        AND-folded with the flat ``where_document`` pattern — one
+        composition shared by every query_batch path."""
+        from .operators.filters import (
+            and_fold_patterns,
+            contains_pattern_groups,
+        )
+
+        groups = (
+            contains_pattern_groups(where)
+            if (extended_filters and where)
+            else []
+        )
+        if where_document and where_document.get("$contains"):
+            groups = and_fold_patterns(
+                groups, [where_document["$contains"]]
+            )
+        return groups
 
     @staticmethod
     def _parse_per_query_filters(per_query_filters, n_queries: int):
@@ -1412,6 +1454,7 @@ class Collection:
     def _query_batch_routed_dsl(
         self, query_embeddings, n_results, per_query_filters,
         where, where_document, index, target_recall, tuned,
+        extended_filters: bool = False,
     ) -> DataFrame:
         """Per-query-filtered batch through the router ladder (r9).
 
@@ -1433,10 +1476,24 @@ class Collection:
         )
         qids = [str(i) for i in range(len(query_embeddings))]
         qvecs = [[float(x) for x in q] for q in query_embeddings]
-        pre = combined_predicate(where, where_document)
+        pre = self._combined_predicate_ex(
+            where, where_document, extended_filters
+        )
         constrained = bool(where or where_document)
         base = self.df.filter(pre) if constrained else self.df
-        filtered = self._prune_by_query_contains(base, parsed)
+        # ONE prune covers the global tree's groups AND the per-query
+        # contains lists (cross-product, capped — both constraint sets
+        # are required, so their AND-fold is sound and tighter)
+        from .operators.filters import and_fold_groups
+
+        per_q = [list(c) for (_w, c, _nc) in parsed]
+        total_groups = and_fold_groups(
+            self._global_contains_groups(
+                where, where_document, extended_filters
+            ),
+            per_q if (per_q and all(per_q)) else [],
+        )
+        filtered = self._prune_by_groups(base, total_groups)
         pruned = filtered is not base
         if not isinstance(index, str):
             if R.tier_of(index) != "ivf":

@@ -301,6 +301,26 @@ def contains_pattern_groups(
     return got if got else []
 
 
+def and_fold_groups(
+    a: list[list[str]], b: list[list[str]], max_groups: int = 16
+) -> list[list[str]]:
+    """AND two disjunctive group sets (cross-product, capped — same cap
+    rule as :func:`contains_pattern_groups`): past ``max_groups`` the
+    second constraint set is dropped, which only widens the superset.
+    An empty set means unconstrained and yields the other side."""
+    if not a:
+        return b
+    if not b:
+        return a
+    if len(a) * len(b) > max_groups:
+        return a
+    out = [sorted(set(x) | set(y)) for x in a for y in b]
+    seen: dict[tuple, None] = {}
+    for g in out:
+        seen.setdefault(tuple(g), None)
+    return [list(g) for g in seen]
+
+
 def and_fold_patterns(
     groups: list[list[str]], patterns: list[str]
 ) -> list[list[str]]:

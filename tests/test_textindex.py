@@ -723,3 +723,76 @@ def test_per_query_contains_prune_rows_and_plan(spark, tmp_path):
         ).collect()
     }
     assert got3 == base
+
+
+def test_query_batch_extended_global_or_prune(spark, tmp_path):
+    """r9: query_batch(extended_filters=True) compiles the global where
+    through the extended DSL and gram-prunes on its $contains structure
+    (here an $or tree -> unioned groups): identical rows with and
+    without the index, In(id,...) pushed down, and the prune composes
+    with per-query contains filters (cross-product groups)."""
+    import re
+
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    pdir = str(tmp_path / "db")
+    db = DB(spark, persist_dir=pdir)
+    c = db.create_collection(
+        "qb_ext", embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(
+                id=str(i),
+                content=(
+                    f"quick brown fox {i}" if i % 3 == 0
+                    else (f"lazy dog {i}" if i % 3 == 1 else f"plain text {i}")
+                ),
+                metadata={"par": str(i % 2)},
+            )
+            for i in range(30)
+        ]
+    )
+    texts = ["quick", "lazy"]
+    tree = {"$or": [{"content": {"$contains": "quick"}},
+                    {"content": {"$contains": "lazy"}}]}
+
+    def run(**kw):
+        return {
+            (r["query_id"], r["id"], round(r["similarity"], 6))
+            for r in c.query_batch(
+                query_texts=texts, n_results=3, where=tree,
+                extended_filters=True, **kw,
+            ).collect()
+        }
+
+    base = run()
+    # plain-text docs (i%3==2) never match the $or tree
+    assert base and all(int(i) % 3 != 2 for _, i, _ in base)
+    base_pq = run(per_query_filters=[
+        {"where_document": {"$contains": "brown"}}, None,
+    ])
+
+    c.build_text_index()
+    out = c.query_batch(
+        query_texts=texts, n_results=3, where=tree, extended_filters=True
+    )
+    got = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    assert got == base
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "In(id" in p
+        for p in re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    ), plan[:2000]
+    # composes with per-query filters (the routed DSL path prunes on
+    # the AND-fold of global groups x per-query groups)
+    assert run(per_query_filters=[
+        {"where_document": {"$contains": "brown"}}, None,
+    ]) == base_pq
+    # and through the routed entry at the exact-identity setting
+    assert run(index="ivf", target_recall=0.999) == base

@@ -222,6 +222,56 @@ def measure_textindex(spark, d: str) -> dict:
     return out
 
 
+HNSW_SINGLE_MAX = 20_000  # single driver-side build measured up to here
+
+
+def measure_hnsw(spark, d: str) -> dict:
+    """Sharded vs single HNSW vs corpus size (r9): build wall (single =
+    one driver-side insertion loop; sharded = 4 per-executor builds in
+    parallel) and 64-query serving wall at the published ef=64
+    operating point (recall@10 = 1.0 on this corpus shape, RECALL.md).
+    The single build is measured only up to ``HNSW_SINGLE_MAX`` points
+    — past that its sequential insertion wall is the reason the
+    sharded variant exists; the sharded row keeps going."""
+    import shutil
+    import tempfile
+
+    from chromem_go_spark.operators import hnsw as H
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    qrows = emb.filter(F.col("vec_id") < 64).collect()
+    qids = [str(r["vec_id"]) for r in qrows]
+    qvecs = [list(r["embedding"]) for r in qrows]
+    out: dict = {}
+
+    sroot = tempfile.mkdtemp(prefix="scale_hnsw_")
+    try:
+        t0 = time.time()
+        H.build_sharded_hnsw(
+            emb, sroot, n_shards=4, M=8, ef_construction=64
+        )
+        out["hnsw_sharded_build"] = round(time.time() - t0, 3)
+        sh = H.ShardedHNSW.load(sroot)
+        out["hnsw_sharded_64q"], _ = _time(
+            lambda: sh.search_batch(spark, qids, qvecs, 10, ef=64).count()
+        )
+        if n <= HNSW_SINGLE_MAX:
+            t0 = time.time()
+            single = H.HNSWIndex.build(
+                emb, M=8, ef_construction=64, max_points=max(n, 1)
+            )
+            out["hnsw_single_build"] = round(time.time() - t0, 3)
+            out["hnsw_single_64q"], _ = _time(
+                lambda: single.search_batch(
+                    spark, qids, qvecs, 10, ef=64
+                ).count()
+            )
+    finally:
+        shutil.rmtree(sroot, ignore_errors=True)
+    return out
+
+
 def alphas(rows: list[dict], key: str) -> list[str]:
     """log-log slope between successive scale points ('—' when a point
     wasn't measured)."""
@@ -249,7 +299,11 @@ def main() -> None:
     spark = get_spark("scale-curves")
     spark.sparkContext.setLogLevel("ERROR")
 
-    extra_modes = {"--ivf": measure_ivf, "--textindex": measure_textindex}
+    extra_modes = {
+        "--ivf": measure_ivf,
+        "--textindex": measure_textindex,
+        "--hnsw": measure_hnsw,
+    }
     picked = [fn for flag, fn in extra_modes.items() if flag in sys.argv]
     if picked:  # additive: merge the chosen rows into saved results
         results = json.load(open(results_path))
@@ -457,6 +511,62 @@ def render(here: str, results: list[dict]) -> None:
             "while at these sfs both query paths are sub-second and",
             "per-job overhead hides the difference (the r7-disclosed",
             "wart, now measured across three sizes instead of one).",
+            "",
+        ]
+    if any("hnsw_sharded_build" in r for r in results):
+        lines += [
+            "## HNSW beyond the single-graph cap: sharded graphs (r9)",
+            "",
+            "The served HNSW tier is driver-side and hard-capped at",
+            "`max_points`, with IVF owning the unbounded regime.  The",
+            "SHARDED variant (`build_sharded_hnsw` /",
+            "`sharded_search_batch` / the router-served `ShardedHNSW`",
+            "handle) closes the cap question: the corpus hash-shards by",
+            "`pmod(xxhash64(id), n_shards)`, each shard's graph builds",
+            "INSIDE its own executor task (`applyInPandas` — the build",
+            "core is pure NumPy, the driver never holds a graph) and",
+            "snapshots with the same atomic single-file npz; the shard",
+            "manifest commits atomically LAST.  A batch search walks",
+            "every shard's graph in its own task and merges ONE global",
+            "per-query top-k; per-shard ef >= shard size makes the merge",
+            "exact (every global winner lives in exactly one shard) —",
+            "the identity `hnsw_sharded_search` value-checks.  Capacity",
+            "scales as n_shards x max_points with flat per-task memory.",
+            "",
+            "Measured (M=8, ef_c=64; serving at the published ef=64",
+            "point, recall@10 = 1.0 on this corpus shape — RECALL.md;",
+            f"single build measured up to {HNSW_SINGLE_MAX:,} points,",
+            "past which its sequential insertion wall is the reason the",
+            "sharded variant exists):",
+            "",
+            "| sf | n | build single s | build sharded(4) s |"
+            " serve 64q single s | serve 64q sharded s |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in results:
+            lines.append(
+                f"| {r['sf']} | {r['n_docs']} | "
+                f"{r.get('hnsw_single_build', '—')} | "
+                f"{r.get('hnsw_sharded_build', '—')} | "
+                f"{r.get('hnsw_single_64q', '—')} | "
+                f"{r.get('hnsw_sharded_64q', '—')} |"
+            )
+        asb = alphas(results, "hnsw_sharded_build")
+        lines += [
+            "",
+            f"Sharded build alpha: {asb[0]}, {asb[1]} — the insertion",
+            "loop is super-linear per graph (each insert searches the",
+            "graph so far), so splitting into bounded shards keeps the",
+            "per-shard cost bounded AND runs the shards in parallel;",
+            "adding shards holds per-shard n constant at any corpus",
+            "size.  The COST trade vs IVF stays honest: a sharded walk",
+            "touches every shard (S parallel walks per batch) while an",
+            "IVF probe touches nprobe/nlist of the corpus — IVF remains",
+            "the default unbounded path; sharded HNSW is the opt-in for",
+            "workloads that want graph-walk recall characteristics",
+            "(high recall at small ef without training a quantizer)",
+            "past the single-node cap, or filters must push below",
+            "scoring (graph walks take no predicates).",
             "",
         ]
     with open(os.path.join(here, "SCALE.md"), "w") as f:
