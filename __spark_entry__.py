@@ -282,6 +282,56 @@ def q_query_text_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("similarity", 4).alias("sim"))
 
 
+def q_query_batch_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch query through the extended global filter DSL (r9):
+    ``Collection.query_batch(where=<$and/$or tree>,
+    extended_filters=True)`` — the tree mixes an $or of content
+    ``$contains`` leaves with a metadata ``$in``, compiled to ONE
+    Catalyst predicate below the batch scoring join.  The oracle is
+    the brute-force batch SQL with the same boolean expression, so
+    the compiler and the kernel are both on the hook."""
+    from chromem_go_spark.db import DB
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    db = DB(spark)
+    coll = db.create_collection("q_batch_ext", embedding_func=None)
+    coll.add_df(
+        emb.join(docs, emb.vec_id == docs.doc_id).select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("text").alias("content"),
+            F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
+            F.col("embedding"),
+        )
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(qrows, key=lambda r: r["vec_id"])
+    ]
+    tree = {
+        "$and": [
+            {"$or": [
+                {"content": {"$contains": "spark"}},
+                {"content": {"$contains": "merge"}},
+            ]},
+            {"lang": {"$in": ["en", "de"]}},
+        ]
+    }
+    out = coll.query_batch(
+        query_embeddings=qvecs, n_results=5, where=tree,
+        extended_filters=True,
+    )
+    return out.select(
+        "query_id", "id", F.round("similarity", 4).alias("sim")
+    )
+
+
 def q_shard_packed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-loader handoff composed end-to-end (r8, verdict
     item #7): pack_corpus_bpe (token-exact BPE packing) ->
@@ -2940,6 +2990,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_routed_ivf": q_knn_routed_ivf,
         "knn_routed_batch_ivf": q_knn_routed_batch_ivf,
         "query_text_routed": q_query_text_routed,
+        "query_batch_extended": q_query_batch_extended,
         "shard_packed_corpus": q_shard_packed_corpus,
         "knn_batch_negative": q_knn_batch_negative,
         "simhash_pairs": q_simhash_pairs,
@@ -4521,6 +4572,31 @@ ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC,
          CAST(e.vec_id AS VARCHAR)
 LIMIT 10
 """
+    # batch + extended global DSL (r9): the same boolean tree —
+    # ($contains spark OR $contains merge) AND lang IN (en, de) —
+    # written as plain SQL over the joined corpus, brute-force batch
+    # top-k; the Spark side compiles the tree to one Catalyst predicate
+    out["query_batch_extended"] = """
+WITH qs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id,
+         list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id < 4
+)
+SELECT query_id, id, sim FROM (
+  SELECT qs.query_id, CAST(e.vec_id AS VARCHAR) AS id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], qs.v), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY qs.query_id
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], qs.v) DESC,
+                    CAST(e.vec_id AS VARCHAR)
+         ) AS rn
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id
+  CROSS JOIN qs
+  WHERE (contains(d.text, 'spark') OR contains(d.text, 'merge'))
+    AND d.lang IN ('en', 'de')
+) WHERE rn <= 5
+"""
     # packed-shards round trip (r8): write+read must preserve every
     # (doc, pack) row, so the oracle is the packer's own full replay
     out["shard_packed_corpus"] = _pack_corpus_bpe_sql()
@@ -4623,6 +4699,7 @@ _EXTRA_KEYS = frozenset(
         "knn_routed_ivf",  # r7: forced-IVF routed path, nprobe-all identity
         "knn_routed_batch_ivf",  # r8: batch forced-IVF, nprobe-all identity
         "query_text_routed",  # r8: text entry -> router, end to end
+        "query_batch_extended",  # r9: batch + extended global DSL tree
         "shard_packed_corpus",  # r8: BPE pack -> manifest shards round trip
         "knn_batch_negative",  # r8: negative-filter kernel branch, now oracled
         "simhash_pairs",  # r9: rotated out (same banding engine as embedding_neardup_lsh)

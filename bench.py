@@ -125,6 +125,7 @@ BENCH_NAMES = [
     "knn_routed_batch",
     "knn_routed_batch_ivf",
     "query_text_routed",
+    "query_batch_extended",
     "shard_packed_corpus",
     "bloom_dedup",
     "knn_batch_negative",
