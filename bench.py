@@ -631,7 +631,7 @@ def main() -> None:
     for perr, msg in inrun_errors.items():
         errors[f"inrun_{perr}"] = msg
 
-    iso_runs = 1
+    rerun_points: set[str] = set()
     if any(
         pname in iso_points
         and pname in inrun_points
@@ -639,6 +639,15 @@ def main() -> None:
         < iso_points[pname]["wall_sec"] / 1.5
         for pname in THROUGHPUT_POINT_NAMES
     ):
+        # the rerun must actually BE quiet: release this session's
+        # ~1.2 GB of in-run corpus/checkpoint blocks first, or the
+        # subprocess contends with the parent's resident memory and
+        # the "recovered" reading is still inflated
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(5)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
@@ -648,16 +657,21 @@ def main() -> None:
             parsed = json.loads(r.stdout.strip().splitlines()[-1])
             for perr, msg in (parsed.pop("errors", None) or {}).items():
                 errors[f"iso2_{perr}"] = str(msg)[:300]
-            iso_runs = 2
             for pname, pt2 in parsed.items():
                 if not isinstance(pt2, dict):
                     continue
                 pt1 = iso_points.get(pname)
+                kept = pt2["wall_sec"] if pt1 is None else min(
+                    pt1["wall_sec"], pt2["wall_sec"]
+                )
                 if pt1 is None or pt2["wall_sec"] < pt1["wall_sec"]:
                     iso_points[pname] = pt2
+                rerun_points.add(pname)  # this point HAS two readings
                 print(
-                    f"# {pname} isolated rerun: {pt2['wall_sec']}s "
-                    f"(first run hit a host burst)",
+                    f"# {pname} isolated rerun "
+                    f"(burst-triggered): first "
+                    f"{pt1['wall_sec'] if pt1 else '—'}s / rerun "
+                    f"{pt2['wall_sec']}s -> kept {kept}s",
                     file=sys.stderr,
                 )
         except Exception as e:  # noqa: BLE001
@@ -670,9 +684,12 @@ def main() -> None:
         iso_pt, inrun_pt = iso_points.get(pname), inrun_points.get(pname)
         if iso_pt is not None:
             pt = dict(iso_pt)
+            # per-POINT provenance: only points the rerun actually
+            # re-measured claim two readings
             pt["isolation"] = (
-                "fresh_jvm" if iso_runs == 1
-                else "fresh_jvm (min of 2 subprocess runs)"
+                "fresh_jvm (min of 2 subprocess runs)"
+                if pname in rerun_points
+                else "fresh_jvm"
             )
             if inrun_pt is not None:
                 pt["inrun_wall_sec"] = inrun_pt["wall_sec"]

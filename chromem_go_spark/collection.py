@@ -1058,11 +1058,17 @@ class Collection:
             # the probed partitions; PQ/SQ candidates carry codes only, so
             # reject ANY non-flat index with the descriptive error (not
             # an AttributeError on a missing search_filtered).  The
-            # message lives in ONE place (router._filtered_tier_error).
+            # message lives in ONE place (router._filtered_tier_error),
+            # dispatched on the actual tier so an HNSW object gets the
+            # graph-walk diagnosis, not the quantized one.
             if not isinstance(index, IVFIndex):
-                from .operators.router import _filtered_tier_error
+                from .operators.router import _filtered_tier_error, tier_of
 
-                raise ValueError(_filtered_tier_error("quantized"))
+                try:
+                    tier = tier_of(index)
+                except TypeError:
+                    tier = "quantized"
+                raise ValueError(_filtered_tier_error(tier))
             return index.search_filtered(
                 list(query_embedding), int(n_results), nprobe=nprobe,
                 where=where_predicate(where),
@@ -1332,19 +1338,15 @@ class Collection:
                 id_col="id", index=served, target_recall=target_recall,
                 where=pre, decision=decision, n_docs=n_docs,
             )
-        filtered = self._prune_by_groups(
-            self.df,
-            self._global_contains_groups(
-                where, where_document, extended_filters
-            ),
-        ).filter(
-            self._combined_predicate_ex(
-                where, where_document, extended_filters
-            )
+        pred = self._combined_predicate_ex(
+            where, where_document, extended_filters
+        )
+        gg = self._global_contains_groups(
+            where, where_document, extended_filters
         )
         if per_query_filters is None:
             return knn_ops.knn_block(
-                filtered,
+                self._prune_by_groups(self.df, gg).filter(pred),
                 [str(i) for i in range(len(query_embeddings))],
                 [[float(x) for x in q] for q in query_embeddings],
                 int(n_results),
@@ -1352,11 +1354,20 @@ class Collection:
         parsed = self._parse_per_query_filters(
             per_query_filters, len(query_embeddings)
         )
+        # ONE prune for both constraint sets (global x per-query
+        # groups, capped cross-product) — same fold the routed path
+        # uses; two sequential prunes would pay the posting scan twice
+        from .operators.filters import and_fold_groups
+
+        per_q = [list(c) for (_w, c, _nc) in parsed]
+        total = and_fold_groups(
+            gg, per_q if (per_q and all(per_q)) else []
+        )
         return self._query_batch_flat_dsl(
             [str(i) for i in range(len(query_embeddings))],
             [[float(x) for x in q] for q in query_embeddings],
             n_results, parsed,
-            self._prune_by_query_contains(filtered, parsed),
+            self._prune_by_groups(self.df, total).filter(pred),
         )
 
     @staticmethod
@@ -1433,23 +1444,6 @@ class Collection:
             text_col="content",
             id_col="id",
         )
-
-    def _prune_by_query_contains(
-        self, df: DataFrame, parsed
-    ) -> DataFrame:
-        """Gram-index corpus prune for PER-QUERY ``$contains`` filters
-        (r9): a doc scoring for query q must contain every pattern in
-        q's contains list, so when EVERY query carries at least one
-        pattern, the union of the per-query conjunctive candidate sets
-        covers every (doc, query) pair that can survive the join —
-        exactly the disjunctive group prune, with one group per query.
-        A single pattern-less query can match anything: no prune.
-        No-op without a fresh index; the join's exact predicate always
-        still runs."""
-        groups = [list(c) for (_w, c, _nc) in parsed]
-        if not groups or not all(groups):
-            return df
-        return self._prune_by_groups(df, groups)
 
     def _query_batch_routed_dsl(
         self, query_embeddings, n_results, per_query_filters,

@@ -281,17 +281,12 @@ def contains_pattern_groups(
             # $not / other keys: contribute nothing
         if not anded:
             return None
+        # the AND algebra (capped cross-product + dedupe) lives in ONE
+        # place — and_fold_groups; dropping a child past the cap keeps
+        # the candidate set a superset (prune less, never wrong)
         out = anded[0]
         for nxt in anded[1:]:
-            if len(out) * len(nxt) > max_groups:
-                # dropping an AND-ed constraint that would overflow the
-                # cap keeps the candidate set a superset — prune less,
-                # never wrong (later, smaller children still fold)
-                continue
-            out = [
-                sorted(set(a) | set(b)) for a in out for b in nxt
-            ]
-        # dedupe identical groups (and keep deterministic order)
+            out = and_fold_groups(out, nxt, max_groups)
         seen: dict[tuple, None] = {}
         for g in out:
             seen.setdefault(tuple(g), None)

@@ -330,6 +330,7 @@ def main() -> None:
             **measure(spark, d, name),
             **measure_ivf(spark, d),
             **measure_textindex(spark, d),
+            **measure_hnsw(spark, d),
         }
         results.append(r)
         print(f"# {name}: {r}", file=sys.stderr, flush=True)
