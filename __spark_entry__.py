@@ -2774,7 +2774,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     newest DISTINCT operator shapes; simhash_pairs (same banding
     engine as the still-windowed embedding_neardup_lsh) and
     knn_batch_per_filter (its DSL twin knn_batch_per_filter2 already
-    lived in extras) rotated OUT, both still value-checked there."""
+    lived in extras) rotated OUT, both still value-checked there.
+
+    r10: hnsw_sharded_search (per-executor shard graphs, the sharded
+    exactness certificate) and knn_batch_per_filter_ivf (per-query DSL
+    through a cluster-pruned index — the designated filtered-batch
+    scale path) rotated IN; knn_routed_batch rotated OUT (its FLAT
+    resolution is knn_batch's exact kin — same kernel, same oracle)
+    and quality_filter rotated OUT (its quality_score gate is replayed
+    inside the still-windowed training_pipeline oracle), both still
+    value-checked in extras."""
     return {
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
@@ -2805,9 +2814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "training_pipeline": q_training_pipeline,
         "chunk_documents": q_chunk_documents,
-        "knn_routed_batch": q_knn_routed_batch,
+        "knn_batch_per_filter_ivf": q_knn_batch_per_filter_ivf,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "quality_filter": q_quality_filter,
+        "hnsw_sharded_search": q_hnsw_sharded_search,
         "vocab_stats": q_vocab_stats,
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
@@ -2935,7 +2944,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ivf_search_batch": q_ivf_search_batch,
         "knn_batch_per_filter2": q_knn_batch_per_filter2,
-        "knn_batch_per_filter_ivf": q_knn_batch_per_filter_ivf,
+        "knn_routed_batch": q_knn_routed_batch,
+        "quality_filter": q_quality_filter,
         "knn_batch_expr": q_knn_batch_expr,
         "events_percentiles_approx": q_events_percentiles_approx,
         "decontaminate": q_decontaminate,
@@ -2997,7 +3007,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch_per_filter": q_knn_batch_per_filter,
         "pack_corpus_bpe": q_pack_corpus_bpe,
         "hnsw_search": q_hnsw_search,
-        "hnsw_sharded_search": q_hnsw_sharded_search,
         "length_histogram": q_length_histogram,
         "source_report": q_source_report,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -4644,7 +4653,8 @@ _EXTRA_KEYS = frozenset(
         "dedup_clusters",
         "ivf_search_batch",
         "knn_batch_per_filter2",
-        "knn_batch_per_filter_ivf",  # r9: per-query DSL through the IVF probe join
+        "knn_routed_batch",  # r10: rotated out (FLAT resolution == knn_batch's kernel)
+        "quality_filter",  # r10: rotated out (gate replayed in training_pipeline)
         "knn_batch_expr",
         "events_percentiles_approx",  # no oracle (approx) — listed for symmetry
         "decontaminate",
@@ -4706,7 +4716,6 @@ _EXTRA_KEYS = frozenset(
         "knn_batch_per_filter",  # r9: rotated out (DSL twin knn_batch_per_filter2 stays too)
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
-        "hnsw_sharded_search",  # r9: per-executor shard graphs + top-k merge
         "length_histogram",  # r7: power-of-two length buckets + pad audit
         "source_report",  # r7: per-source data card
         "tokenizer_fertility",  # r7: BPE pieces per word by language

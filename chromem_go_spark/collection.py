@@ -1475,25 +1475,31 @@ class Collection:
         )
         constrained = bool(where or where_document)
         base = self.df.filter(pre) if constrained else self.df
-        # ONE prune covers the global tree's groups AND the per-query
-        # contains lists (cross-product, capped — both constraint sets
-        # are required, so their AND-fold is sound and tighter)
-        from .operators.filters import and_fold_groups
 
-        per_q = [list(c) for (_w, c, _nc) in parsed]
-        total_groups = and_fold_groups(
-            self._global_contains_groups(
-                where, where_document, extended_filters
-            ),
-            per_q if (per_q and all(per_q)) else [],
-        )
-        filtered = self._prune_by_groups(base, total_groups)
-        pruned = filtered is not base
+        def prune():
+            # ONE prune covers the global tree's groups AND the
+            # per-query contains lists (cross-product, capped — both
+            # constraint sets are required, so their AND-fold is sound
+            # and tighter).  Deferred (r10, ADVICE): apply_candidate_
+            # prune runs an eager limit+collect job over the posting
+            # table, and the served-IVF branch never uses the pruned
+            # frame — compute it only on the paths that do.
+            from .operators.filters import and_fold_groups
+
+            per_q = [list(c) for (_w, c, _nc) in parsed]
+            total_groups = and_fold_groups(
+                self._global_contains_groups(
+                    where, where_document, extended_filters
+                ),
+                per_q if (per_q and all(per_q)) else [],
+            )
+            return self._prune_by_groups(base, total_groups)
+
         if not isinstance(index, str):
             if R.tier_of(index) != "ivf":
                 # served index that can't express the filter: exact path
                 return self._query_batch_flat_dsl(
-                    qids, qvecs, n_results, parsed, filtered
+                    qids, qvecs, n_results, parsed, prune()
                 )
             nprobe = R._nprobe(len(index.centroids), target_recall)
             return index.search_batch_dsl(
@@ -1501,6 +1507,8 @@ class Collection:
                 where=pre if (where or where_document) else None,
                 metadata_col="metadata", text_col="content",
             )
+        filtered = prune()
+        pruned = filtered is not base
         # size the decision on the frame actually searched: the global
         # predicate and the per-query gram prune can shrink it orders
         # of magnitude below the corpus (same eff_n rule as

@@ -1103,26 +1103,37 @@ class IVFIndex:
         index's carried columns, applied BELOW the scoring join (the
         batch analog of :meth:`search_filtered`: Catalyst composes it
         with the cluster pruning at the scan).  The standard filtered-
-        ANN caveat applies per query: raise nprobe with selectivity."""
-        import pandas as pd
+        ANN caveat applies per query: raise nprobe with selectivity.
 
+        Broadcast shape (r10, same normalization as
+        :meth:`search_batch_dsl`): bare (query_id, cluster_id) probe
+        pairs — O(q·nprobe) rows, no dim-sized payload — plus a
+        per-query vector table (O(q) rows, each vector exactly once);
+        both broadcast hash joins pipeline in one codegen stage, so
+        the denormalized q × nprobe × dim form never exists."""
         spark = self.assigned.sparkSession
-        rows = []
+        pair_rows = []
+        meta_rows = []
         for qid, qv in zip(query_ids, query_vecs):
             q = np.asarray(qv, dtype=np.float64)
             nrm = np.linalg.norm(q)
             if nrm > 0:
                 q = q / nrm
+            meta_rows.append((str(qid), [float(x) for x in q]))
             for c in self.probe_clusters(q, nprobe):
-                rows.append((str(qid), int(c), [float(x) for x in q]))
-        probe_df = spark.createDataFrame(
-            rows, "query_id string, cluster_id int, query_vec array<double>"
+                pair_rows.append((str(qid), int(c)))
+        pairs_df = spark.createDataFrame(
+            pair_rows, "query_id string, cluster_id int"
+        )
+        qmeta_df = spark.createDataFrame(
+            meta_rows, "query_id string, query_vec array<double>"
         )
         from ..functions import vector as V
 
         base = self.assigned if where is None else self.assigned.filter(where)
         scored = (
-            base.join(F.broadcast(probe_df), "cluster_id")
+            base.join(F.broadcast(pairs_df), "cluster_id")
+            .join(F.broadcast(qmeta_df), "query_id")
             .withColumn(
                 "similarity",
                 V.dot(F.col(self.vec_col).cast("array<double>"), F.col("query_vec")),
@@ -1130,6 +1141,32 @@ class IVFIndex:
             .select("query_id", self.id_col, "similarity")
         )
         return knn_ops.topk_per_query(scored, k, "query_id", self.id_col)
+
+    def _probe_tables(self, qids, qvecs, per_query, nprobe: int):
+        """Driver-side construction of the two normalized broadcast
+        tables for :meth:`search_batch_dsl`: ``pair_rows`` is exactly
+        the (query_id, cluster_id) probe pairs — O(q·nprobe) 2-tuples,
+        NO dim-sized payload — and ``meta_rows`` carries each query's
+        normalized vector + parsed DSL exactly ONCE (O(q) rows).
+        Factored out so the broadcast-size contract is directly
+        testable (tests/test_ann.py)."""
+        pair_rows: list[tuple] = []
+        meta_rows: list[tuple] = []
+        for qid, qv, f in zip(qids, qvecs, per_query):
+            q = np.asarray(qv, dtype=np.float64)
+            nrm = np.linalg.norm(q)
+            if nrm > 0:
+                q = q / nrm
+            w, cont, notc = f
+            meta_rows.append(
+                (
+                    qid, [float(x) for x in q],
+                    dict(w or {}), list(cont or []), list(notc or []),
+                )
+            )
+            for c in self.probe_clusters(q, nprobe):
+                pair_rows.append((qid, int(c)))
+        return pair_rows, meta_rows
 
     def search_batch_dsl(
         self,
@@ -1161,48 +1198,65 @@ class IVFIndex:
         ``text_col`` when the corresponding filters are used (pass
         ``None`` for a surface the frame lacks: non-empty filters on it
         then match nothing, same rule as the FLAT kernel).  Standard
-        filtered-ANN caveat per query: raise nprobe with selectivity."""
+        filtered-ANN caveat per query: raise nprobe with selectivity.
+
+        Broadcast shape (r10): the probe table is NORMALIZED — it
+        carries only ``(query_id, cluster_id)`` pairs (O(q·nprobe)
+        rows, no dim-sized payload), and the query's vector + parsed
+        DSL ride a SECOND per-query broadcast (O(q) rows, the vector
+        exactly once per query).  Both joins are broadcast hash joins
+        in one codegen stage, so the denormalized form never
+        materializes — versus the r9 shape that repeated each query's
+        full vector once per probed cluster (q × nprobe × dim: ~3.9 GB
+        broadcast at q=10k, nprobe=32, d=1536 for ~120 MB of data)."""
         spark = self.assigned.sparkSession
-        rows = []
-        for qid, qv, f in zip(query_ids, query_vecs, per_query):
-            q = np.asarray(qv, dtype=np.float64)
-            nrm = np.linalg.norm(q)
-            if nrm > 0:
-                q = q / nrm
-            w, cont, notc = f
-            for c in self.probe_clusters(q, nprobe):
-                rows.append(
-                    (
-                        str(qid), int(c), [float(x) for x in q],
-                        dict(w or {}), list(cont or []), list(notc or []),
-                    )
-                )
-        probe_df = F.broadcast(
+        # materialize ONCE: iterator inputs must not be exhausted by
+        # the length check, and zip() silently drops queries on
+        # mismatch (same guard as router.routed_search_batch)
+        qids = [str(q) for q in query_ids]
+        qvecs = list(query_vecs)
+        pq = list(per_query)
+        if not (len(qids) == len(qvecs) == len(pq)):
+            raise ValueError(
+                f"query_ids ({len(qids)}), query_vecs ({len(qvecs)}) "
+                f"and per_query ({len(pq)}) must be the same length"
+            )
+        pair_rows, meta_rows = self._probe_tables(qids, qvecs, pq, nprobe)
+        pairs_df = F.broadcast(
+            spark.createDataFrame(pair_rows, "query_id string, cluster_id int")
+        )
+        qmeta_df = F.broadcast(
             spark.createDataFrame(
-                rows,
-                "query_id string, cluster_id int, query_vec array<double>, "
+                meta_rows,
+                "query_id string, query_vec array<double>, "
                 "q_where map<string,string>, q_contains array<string>, "
                 "q_not_contains array<string>",
             )
         )
         base = self.assigned if where is None else self.assigned.filter(where)
+        # join 1: cluster-pruned (doc, query) pairs; join 2 attaches
+        # the per-query vector + DSL and filters non-matching pairs
+        # below scoring — both broadcast, pipelined, no materialization
+        expanded = base.join(
+            pairs_df, base["cluster_id"] == pairs_df["cluster_id"]
+        )
         cond = (
-            base["cluster_id"] == probe_df["cluster_id"]
+            pairs_df["query_id"] == qmeta_df["query_id"]
         ) & knn_ops.dsl_filter_condition(
-            base, probe_df,
+            base, qmeta_df,
             metadata_col=metadata_col, filterable_cols=filterable_cols,
             text_col=text_col,
         )
         scored = (
-            base.join(probe_df, cond)
+            expanded.join(qmeta_df, cond)
             .withColumn(
                 "similarity",
                 V.dot(
                     F.col(self.vec_col).cast("array<double>"),
-                    probe_df["query_vec"],
+                    qmeta_df["query_vec"],
                 ),
             )
-            .select("query_id", base[self.id_col], "similarity")
+            .select(pairs_df["query_id"], base[self.id_col], "similarity")
         )
         return knn_ops.topk_per_query(scored, k, "query_id", self.id_col)
 

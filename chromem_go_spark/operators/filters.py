@@ -302,13 +302,18 @@ def and_fold_groups(
     """AND two disjunctive group sets (cross-product, capped — same cap
     rule as :func:`contains_pattern_groups`): past ``max_groups`` the
     second constraint set is dropped, which only widens the superset.
-    An empty set means unconstrained and yields the other side."""
+    An empty set means unconstrained and yields the other side — but
+    the cap applies to THAT side too (r10, ADVICE): a large batch where
+    every query carries ``$contains`` would otherwise pass one group
+    per query straight through, and the downstream disjunctive prune
+    would build a per-query-sized OR expression tree.  Past the cap the
+    result is ``[]`` (unconstrained — a no-op prune is always sound)."""
     if not a:
-        return b
+        return b if len(b) <= max_groups else []
     if not b:
-        return a
+        return a if len(a) <= max_groups else []
     if len(a) * len(b) > max_groups:
-        return a
+        return a if len(a) <= max_groups else []
     out = [sorted(set(x) | set(y)) for x in a for y in b]
     seen: dict[tuple, None] = {}
     for g in out:

@@ -43,6 +43,7 @@ ef is the approximate fast path; measured recall goes in RECALL.md.
 from __future__ import annotations
 
 import heapq
+from collections import OrderedDict
 from collections.abc import Sequence
 
 import numpy as np
@@ -551,6 +552,64 @@ def load_snapshot(root: str) -> tuple[HNSWIndex | None, int]:
 
 _SHARD_MANIFEST = "_sharded_meta.json"
 
+# Executor-side graph cache (r10): sharded serving previously paid a
+# full npz deserialization PER SHARD PER QUERY BATCH (walk_shards
+# reloaded every graph each micro-batch, while the single-graph sink
+# cached its graph across batches).  Python workers are reused across
+# tasks (spark.python.worker.reuse, on by default), so a module-level
+# LRU keyed on the snapshot's IDENTITY — resolved graph.npz path +
+# mtime_ns + size, which changes on every committed generation —
+# amortizes repeat-batch serving while staying stale-proof: a new
+# snapshot generation lands in a NEW gen dir (save_snapshot), so its
+# key can never collide with a cached predecessor.  Capacity is
+# bounded (graphs are the big object in a worker heap); eviction is
+# LRU.
+_GRAPH_CACHE: OrderedDict[tuple, HNSWIndex] = OrderedDict()
+_GRAPH_CACHE_MAX = 8
+
+
+def load_graph_cached(path: str) -> HNSWIndex:
+    """``HNSWIndex.load`` through the worker-local LRU (module note
+    above).  ``path`` is the directory holding ``graph.npz``; the
+    cache key includes the file's mtime_ns + size, so an in-place
+    overwrite (the plain built layout's atomic npz replace) also
+    invalidates."""
+    import os
+
+    p = os.path.join(path, "graph.npz")
+    st = os.stat(p)
+    key = (os.path.abspath(p), st.st_mtime_ns, st.st_size)
+    idx = _GRAPH_CACHE.get(key)
+    if idx is not None:
+        _GRAPH_CACHE.move_to_end(key)
+        return idx
+    idx = HNSWIndex.load(path)
+    _GRAPH_CACHE[key] = idx
+    while len(_GRAPH_CACHE) > _GRAPH_CACHE_MAX:
+        _GRAPH_CACHE.popitem(last=False)
+    return idx
+
+
+def _shard_dir(root: str, shard: int) -> str:
+    import os
+
+    return os.path.join(root, f"shard={int(shard):05d}")
+
+
+def _resolve_shard_snapshot(shard_dir: str) -> str:
+    """The directory holding a shard's COMMITTED ``graph.npz``: a
+    shard that has received streaming appends serves its committed
+    generation (``_live.json`` → ``gen=N/``, the save_snapshot
+    protocol); a build-only shard serves the plain layout
+    ``build_sharded_hnsw`` wrote.  The generation always wins — it is
+    strictly newer than the build it grew from."""
+    import os
+
+    live = _read_live(shard_dir)
+    if live:
+        return os.path.join(shard_dir, f"gen={live['gen']}")
+    return shard_dir
+
 
 def build_sharded_hnsw(
     df: DataFrame,
@@ -623,6 +682,7 @@ def build_sharded_hnsw(
         "M": int(M),
         "seed": int(seed),
         "ef_construction": int(ef_construction),
+        "max_points_per_shard": int(max_points_per_shard),
     }
     tmp = os.path.join(root, _SHARD_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
@@ -639,6 +699,47 @@ def load_sharded_meta(root: str) -> dict:
 
     with open(os.path.join(root, _SHARD_MANIFEST)) as f:
         return json.load(f)
+
+
+def load_shard_for_append(shard_dir: str) -> tuple[HNSWIndex | None, int]:
+    """A shard's graph + replay watermark for the STREAMING append
+    path (r10): a shard that has streamed before resolves through the
+    snapshot-generation protocol (``load_snapshot`` — committed gen +
+    ``last_batch``); a build-only shard loads the plain layout with
+    watermark -1 (every batch id applies); a shard that has never
+    existed is ``(None, -1)`` (the first batch routed to it builds
+    it)."""
+    import os
+
+    if _read_live(shard_dir):
+        return load_snapshot(shard_dir)
+    if os.path.exists(os.path.join(shard_dir, "graph.npz")):
+        return HNSWIndex.load(shard_dir), -1
+    return None, -1
+
+
+def bump_sharded_manifest(root: str, counts: dict) -> dict:
+    """Fold per-shard point counts into the committed manifest
+    (atomic replace — same commit shape as the build).  Called by the
+    streaming sink AFTER every shard of a micro-batch has committed:
+    the manifest is the serving VISIBILITY point (walk list + the
+    exact-ef ``n_points`` sum), so a crash between shard commits and
+    the bump leaves a servable old view, and the replayed batch —
+    skipped per shard by each shard's own ``last_batch`` watermark —
+    re-reports current counts and re-bumps.  Returns the new
+    manifest."""
+    import json
+    import os
+
+    meta = load_sharded_meta(root)
+    cur = {int(s): int(n) for s, n in meta["shards"]}
+    cur.update({int(s): int(n) for s, n in counts.items()})
+    meta["shards"] = sorted(cur.items())
+    tmp = os.path.join(root, _SHARD_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, _SHARD_MANIFEST))
+    return meta
 
 
 def sharded_search_batch(
@@ -675,12 +776,13 @@ def sharded_search_batch(
     kk, eff = int(k), int(ef)
 
     def walk_shards(batches):
-        import os
-
         for pdf in batches:
             for shard in pdf["shard"]:
-                idx = HNSWIndex.load(
-                    os.path.join(root, f"shard={int(shard):05d}")
+                # committed snapshot via the worker-local LRU: repeat
+                # query batches skip the npz deserialization; the
+                # generation-keyed cache key keeps staleness out (r10)
+                idx = load_graph_cached(
+                    _resolve_shard_snapshot(_shard_dir(root, int(shard)))
                 )
                 out_q, out_i, out_s = [], [], []
                 for qid, qv in zip(qids, qvecs):

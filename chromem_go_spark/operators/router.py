@@ -207,6 +207,44 @@ def tier_of(index) -> str:
     raise TypeError(f"not a served ANN index: {type(index).__name__}")
 
 
+_EMPTY_FLAT_DECISION = {
+    "tier": "flat", "n_clusters": None, "nprobe": None,
+    "rerank": None, "reason": "empty corpus frame",
+}
+
+
+def _build_tier_or_flat(A, tier, decision, df, vec_col, id_col, seed):
+    """Build the decided tier's on-the-fly index, demoting an EMPTY
+    corpus frame to a FLAT no-op scan instead of crashing the
+    quantizer trainer.
+
+    Emptiness is detected from the builder's own sampling job (its
+    golden ``empty corpus frame`` ValueError), NOT a separate
+    ``df.isEmpty()`` pre-check — r10, ADVICE: the pre-check was an
+    extra Spark job on EVERY non-flat routed search, paid even when
+    the caller had already counted the frame.  An upstream prune that
+    empties the frame (the r8 scenario — the decision was sized on a
+    stale/full count) still lands here safely: the build is the first
+    job that touches the rows, it raises, and the query answers empty
+    through FLAT.  Returns ``(index, decision)``."""
+    builders = {
+        "ivf": A.IVFIndex.build,
+        "ivf_sq": A.IVFSQIndex.build,
+        "ivf_pq": A.IVFPQIndex.build,
+    }
+    if tier not in builders:
+        return None, decision
+    try:
+        return builders[tier](
+            df, n_clusters=decision["n_clusters"],
+            vec_col=vec_col, id_col=id_col, seed=seed,
+        ), decision
+    except ValueError as e:
+        if "empty corpus frame" not in str(e):
+            raise
+        return None, dict(_EMPTY_FLAT_DECISION)
+
+
 def routed_search(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -270,31 +308,9 @@ def routed_search(
         tier = decision["tier"]
         if where is not None and tier in ("ivf_sq", "ivf_pq"):
             raise ValueError(_filtered_tier_error(tier))
-        if tier != "flat" and df.isEmpty():
-            # an upstream prune (e.g. a no-match $contains composed via
-            # query(..., index="auto")) can empty the frame while the
-            # decision was sized on the full corpus; training a
-            # quantizer over 0 rows is meaningless and the answer is
-            # empty for every tier — dispatch FLAT (a no-op scan)
-            decision = {
-                "tier": "flat", "n_clusters": None, "nprobe": None,
-                "rerank": None, "reason": "empty corpus frame",
-            }
-        elif tier == "ivf":
-            index = A.IVFIndex.build(
-                df, n_clusters=decision["n_clusters"],
-                vec_col=vec_col, id_col=id_col, seed=seed,
-            )
-        elif tier == "ivf_sq":
-            index = A.IVFSQIndex.build(
-                df, n_clusters=decision["n_clusters"],
-                vec_col=vec_col, id_col=id_col, seed=seed,
-            )
-        elif tier == "ivf_pq":
-            index = A.IVFPQIndex.build(
-                df, n_clusters=decision["n_clusters"],
-                vec_col=vec_col, id_col=id_col, seed=seed,
-            )
+        index, decision = _build_tier_or_flat(
+            A, tier, decision, df, vec_col, id_col, seed
+        )
 
     if decision["tier"] == "flat":
         base = df.filter(where) if where is not None else df
@@ -396,28 +412,9 @@ def routed_search_batch(
         tier = decision["tier"]
         if where is not None and tier in ("ivf_sq", "ivf_pq"):
             raise ValueError(_filtered_tier_error(tier))
-        if tier != "flat" and df.isEmpty():
-            # same guard as routed_search: a pruned-empty frame answers
-            # empty on every tier — never train a quantizer on 0 rows
-            decision = {
-                "tier": "flat", "n_clusters": None, "nprobe": None,
-                "rerank": None, "reason": "empty corpus frame",
-            }
-        elif tier == "ivf":
-            index = A.IVFIndex.build(
-                df, n_clusters=decision["n_clusters"],
-                vec_col=vec_col, id_col=id_col, seed=seed,
-            )
-        elif tier == "ivf_sq":
-            index = A.IVFSQIndex.build(
-                df, n_clusters=decision["n_clusters"],
-                vec_col=vec_col, id_col=id_col, seed=seed,
-            )
-        elif tier == "ivf_pq":
-            index = A.IVFPQIndex.build(
-                df, n_clusters=decision["n_clusters"],
-                vec_col=vec_col, id_col=id_col, seed=seed,
-            )
+        index, decision = _build_tier_or_flat(
+            A, tier, decision, df, vec_col, id_col, seed
+        )
 
     if decision["tier"] == "flat":
         base = df.filter(where) if where is not None else df

@@ -151,7 +151,10 @@ def contains_candidates_conjunctive(
 
 
 def contains_candidates_disjunctive(
-    index: DataFrame, groups: list[list[str]], n: int = DEFAULT_GRAM
+    index: DataFrame,
+    groups: list[list[str]],
+    n: int = DEFAULT_GRAM,
+    max_groups: int = 16,
 ) -> DataFrame | None:
     """Candidate ids for a DISJUNCTION of conjunctive pattern groups
     (:func:`..filters.contains_pattern_groups` output — ``$contains``
@@ -168,8 +171,12 @@ def contains_candidates_disjunctive(
     A group with NO indexable pattern makes the whole disjunction
     unprunable (that branch could match any document) — returns
     ``None``, callers fall back to the scan.  Empty ``groups`` is also
-    ``None``."""
-    if not groups:
+    ``None``.  So is a group count past ``max_groups`` (r10, ADVICE):
+    the per-group containment test is one OR branch per group in a
+    single Catalyst expression, and an uncapped caller (e.g. one group
+    per query in a large batch) would build a left-deep tree that can
+    stall analysis — a no-op prune is always sound, so skip instead."""
+    if not groups or len(groups) > max_groups:
         return None
     gram_groups: list[list[str]] = []
     for pats in groups:

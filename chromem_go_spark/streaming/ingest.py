@@ -754,6 +754,136 @@ def hnsw_append_sink(
     )
 
 
+def sharded_hnsw_append_sink(
+    stream_vectors: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ef_construction: int | None = None,
+    query_name: str = "sharded_hnsw_ingest",
+):
+    """foreachBatch sink growing a SHARDED HNSW root (r10 — closes the
+    r9 gap: a user who adopted the sharded tier for capacity could not
+    append a stream to it; the single-graph sink's snapshot-generation
+    protocol composes per shard naturally).
+
+    Each micro-batch is routed to shards by the SAME deterministic
+    ``pmod(xxhash64(id), n_shards)`` the build used, then each shard's
+    rows are appended INSIDE their own executor task (``applyInPandas``
+    — the driver never holds a graph, same as the build): load the
+    shard's committed graph, drop ids already in it (first write wins,
+    the single sink's cross-batch dedup contract), ``insert_batch``,
+    and commit an atomic per-shard snapshot generation carrying the
+    batch-id watermark (``hnsw.save_snapshot`` per shard dir).  A
+    replayed micro-batch is skipped EXACTLY, per shard — a crash
+    mid-batch (some shards committed, some not) replays into per-shard
+    watermarks, so each shard applies the batch at most once.  After
+    every shard commits, the driver folds the new point counts into
+    the manifest (``bump_sharded_manifest`` — the serving visibility
+    point: a shard the stream CREATED joins the walk list here).
+
+    The root must hold a committed manifest (``build_sharded_hnsw`` —
+    a build over an EMPTY frame bootstraps a stream-only root).  Graph
+    parameters (M / seed / per-shard cap) come from the manifest so
+    appended graphs stay parameter-compatible with built ones;
+    ``ef_construction`` may be overridden per stream.  Serving readers
+    (``sharded_search_batch``) resolve each shard's committed
+    generation at walk time and see every completed ingest after the
+    manifest bump — reload the ``ShardedHNSW`` handle between ingest
+    sessions so the exact-ef ``n_points`` mapping tracks the grown
+    corpus.  A shard outgrowing ``max_points_per_shard`` fails the
+    stream loudly — rebuild with more shards (capacity is
+    n_shards × cap; the unbounded regime belongs to ivf_append_sink)."""
+    import pandas as pd
+
+    from ..operators import hnsw as H
+
+    meta0 = H.load_sharded_meta(root)  # refuse a never-built root early
+    n_shards = int(meta0["n_shards"])
+    M = int(meta0["M"])
+    seed = int(meta0["seed"])
+    efc = int(
+        ef_construction
+        if ef_construction is not None
+        else meta0.get("ef_construction", 200)
+    )
+    cap = int(meta0.get("max_points_per_shard", 1_000_000))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bid = int(batch_id)
+
+        def append_shard(key, pdf):
+            # no type hints: stringified annotations break eval-type
+            # inference under applyInPandas (see build_sharded_hnsw)
+            import os
+
+            shard = int(key[0])
+            d = H._shard_dir(root, shard)
+            idx, last = H.load_shard_for_append(d)
+            if bid <= last:
+                # replayed micro-batch: this shard already committed
+                # it — still report the CURRENT count so the driver's
+                # manifest re-bump heals a crash-before-bump
+                return pd.DataFrame(
+                    {"shard": [shard],
+                     "n_points": [idx.n_points() if idx else 0]}
+                )
+            seen = set(idx.ids) if idx is not None else set()
+            new_ids, new_vecs = [], []
+            for i, v in zip(pdf[id_col], pdf[vec_col]):
+                i = i.item() if hasattr(i, "item") else i
+                if i in seen:
+                    continue
+                seen.add(i)
+                new_ids.append(i)
+                new_vecs.append(list(v))
+            if idx is None:
+                idx = H.HNSWIndex.build_local(
+                    new_ids, new_vecs, id_col=id_col, M=M,
+                    ef_construction=efc, seed=seed, max_points=cap,
+                )
+            elif new_ids:
+                idx.insert_batch(new_ids, new_vecs, ef_construction=efc)
+            H.save_snapshot(idx, d, last_batch=bid)
+            # the plain built layout is superseded by the committed
+            # generation (resolve prefers _live) — drop it best-effort
+            for leftover in ("graph.npz", "meta.json"):
+                try:
+                    os.remove(os.path.join(d, leftover))
+                except OSError:
+                    pass
+            return pd.DataFrame(
+                {"shard": [shard], "n_points": [idx.n_points()]}
+            )
+
+        rows = (
+            batch_df.select(id_col, vec_col)
+            .withColumn(
+                "__shard",
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")),
+                    F.lit(n_shards),
+                ),
+            )
+            .groupBy("__shard")
+            .applyInPandas(append_shard, "shard int, n_points long")
+            .collect()
+        )
+        H.bump_sharded_manifest(
+            root, {int(r["shard"]): int(r["n_points"]) for r in rows}
+        )
+
+    return (
+        stream_vectors.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(handle)
+    )
+
+
 def ivf_probe_sink(
     stream_queries: DataFrame,
     index_path: str,

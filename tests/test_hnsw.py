@@ -718,3 +718,229 @@ def test_sharded_approximate_recall_floor(spark, emb, tmp_path):
         hits += len(exact & by_q.get(qid, set()))
         total += len(exact)
     assert hits / total >= 0.9
+
+
+# ------------------------------- shard-graph cache + streaming shards (r10)
+
+
+def test_load_graph_cached_identity_and_staleness(emb, tmp_path):
+    """Repeat loads of the SAME committed snapshot return the cached
+    object (no npz deserialization); a NEW snapshot over the same path
+    (in-place atomic npz replace — new mtime) invalidates."""
+    from chromem_go_spark.operators import hnsw as H
+
+    lo = emb.filter(F.col("vec_id") < 100)
+    g1 = HNSWIndex.build(lo, M=8, ef_construction=64)
+    d = str(tmp_path / "cache_snap")
+    g1.save(d)
+    a = H.load_graph_cached(d)
+    b = H.load_graph_cached(d)
+    assert a is b  # second load served from the worker-local LRU
+    # grow + overwrite in place: mtime/size key must invalidate
+    import time
+
+    time.sleep(0.01)  # ensure mtime_ns advances even on coarse clocks
+    hi = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    rows = sorted(hi.select("vec_id", "embedding").collect(),
+                  key=lambda r: r[0])
+    g1.insert_batch([r[0] for r in rows], [list(r[1]) for r in rows],
+                    ef_construction=64)
+    g1.save(d)
+    c = H.load_graph_cached(d)
+    assert c is not a and c.n_points() == a.n_points() + len(rows)
+    # eviction keeps the cache bounded
+    assert len(H._GRAPH_CACHE) <= H._GRAPH_CACHE_MAX
+
+
+def _write_halves(sf_dir, d):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "v0.parquet")
+    pq.write_table(t.slice(half), d / "v1.parquet")
+    return t.num_rows
+
+
+def test_sharded_append_stream_sink_and_replay(spark, emb, tmp_path):
+    """r10: the sharded root accepts a vector stream — per-shard
+    insert_batch inside executor tasks, atomic per-shard snapshot
+    generations carrying the batch watermark, manifest bump last.
+    After ingest the merged search is exact at per-shard ef >= shard
+    size over the FULL corpus (built half + streamed half), and a
+    replay with a fresh checkpoint (same batch ids) is skipped per
+    shard — no duplicate nodes."""
+    import os
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = tmp_path / "shard_vec_stream"
+    _write_halves(sf, d)
+    batch_df = spark.read.parquet(str(d))
+    n_total = batch_df.count()
+    lo = emb.filter(F.col("vec_id") < n_total // 2)
+
+    root = str(tmp_path / "stream_shards")
+    H.build_sharded_hnsw(lo, root, n_shards=3, M=8, ef_construction=64)
+
+    hi = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .filter(F.col("vec_id") >= n_total // 2)
+        .select("vec_id", "embedding")
+    )
+    run_available_now(
+        sharded_hnsw_append_sink(hi, root, str(tmp_path / "ckpt_s1"))
+    )
+    meta = H.load_sharded_meta(root)
+    assert sum(n for _, n in meta["shards"]) == n_total
+    ef = max(n for _, n in meta["shards"])
+    qids = [str(v) for v in range(3)]
+    qvs = [_qv(emb, v) for v in range(3)]
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, qids, qvs, 10, ef=ef
+        ).collect()
+    }
+    want = {
+        (qid, i, s)
+        for qid, qv in zip(qids, qvs)
+        for i, s in _flat(emb, qv)
+    }
+    assert got == want
+
+    # fresh-checkpoint replay: same batch ids land at-or-below every
+    # shard's committed watermark — point counts must not move
+    hi2 = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .filter(F.col("vec_id") >= n_total // 2)
+        .select("vec_id", "embedding")
+    )
+    run_available_now(
+        sharded_hnsw_append_sink(hi2, root, str(tmp_path / "ckpt_s2"))
+    )
+    meta2 = H.load_sharded_meta(root)
+    assert meta2["shards"] == meta["shards"]
+
+
+def test_sharded_append_bootstrap_empty_root(spark, emb, tmp_path):
+    """A build over an EMPTY frame commits a shard-less manifest; the
+    stream then CREATES every shard and the manifest bump makes them
+    servable — a stream-only sharded root."""
+    import os
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    root = str(tmp_path / "boot_shards")
+    m0 = H.build_sharded_hnsw(
+        emb.filter(F.lit(False)), root, n_shards=3, M=8,
+        ef_construction=64,
+    )
+    assert m0["shards"] == []
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = tmp_path / "boot_vec_stream"
+    _write_halves(sf, d)
+    batch_df = spark.read.parquet(str(d))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select("vec_id", "embedding")
+    )
+    run_available_now(
+        sharded_hnsw_append_sink(stream, root, str(tmp_path / "ckpt_b"))
+    )
+    meta = H.load_sharded_meta(root)
+    assert sum(n for _, n in meta["shards"]) == batch_df.count()
+    ef = max(n for _, n in meta["shards"])
+    qv = _qv(emb, 0)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=ef
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)
+
+
+def test_sharded_append_crash_before_bump_heals(spark, emb, tmp_path,
+                                                monkeypatch):
+    """Kill injection at the one non-transactional seam: every shard
+    committed its generation but the driver died BEFORE the manifest
+    bump.  The replayed batch is skipped per shard (watermarks), the
+    shards re-report their current counts, and the re-bump heals the
+    manifest — no duplicate inserts, counts exact."""
+    import os
+
+    import chromem_go_spark.operators.hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = tmp_path / "crash_vec_stream"
+    _write_halves(sf, d)
+    batch_df = spark.read.parquet(str(d))
+    n_total = batch_df.count()
+    lo = emb.filter(F.col("vec_id") < n_total // 2)
+    root = str(tmp_path / "crash_shards")
+    H.build_sharded_hnsw(lo, root, n_shards=3, M=8, ef_construction=64)
+
+    real = H.bump_sharded_manifest
+    calls = {"n": 0}
+
+    def flaky(r, counts):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected crash before manifest bump")
+        return real(r, counts)
+
+    monkeypatch.setattr(H, "bump_sharded_manifest", flaky)
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .filter(F.col("vec_id") >= n_total // 2)
+            .select("vec_id", "embedding")
+        )
+
+    ckpt = str(tmp_path / "ckpt_crash")
+    with pytest.raises(Exception, match="injected crash"):
+        run_available_now(
+            sharded_hnsw_append_sink(mk_stream(), root, ckpt)
+        )
+    # restart from the SAME checkpoint: the failed batch replays
+    run_available_now(
+        sharded_hnsw_append_sink(mk_stream(), root, ckpt)
+    )
+    meta = H.load_sharded_meta(root)
+    assert sum(n for _, n in meta["shards"]) == n_total
+    ef = max(n for _, n in meta["shards"])
+    qv = _qv(emb, 1)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["1"], [qv], 10, ef=ef
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)

@@ -672,3 +672,57 @@ def test_batch_served_sharded_hnsw(emb, qbatch, tmp_path):
             emb, qids, qvecs, 10, index=handle,
             where=F.col("vec_id") > 10,
         )
+
+
+# --------------------------------------------- r10 ADVICE latency fixes
+
+
+def test_routed_non_flat_never_pays_isempty_job(emb, qvec, qbatch, monkeypatch):
+    """r10 ADVICE: the empty-frame guard must not cost an extra
+    df.isEmpty() Spark job on every non-flat routed search.  Emptiness
+    is now detected from the quantizer builder's own sampling job (its
+    golden error demotes to FLAT) — isEmpty() must never run, on the
+    populated OR the pruned-empty path."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("isEmpty() Spark job on the routed path")
+
+    monkeypatch.setattr(DataFrame, "isEmpty", boom)
+    n = emb.count()
+    decision = R.forced_decision("ivf", n, k=10)
+    out = R.routed_search(emb, qvec, 10, decision=decision, n_docs=n)
+    assert out.count() == 10
+    qids, qvecs = qbatch
+    outb = R.routed_search_batch(
+        emb, qids, qvecs, 10, decision=decision, n_docs=n
+    )
+    assert outb.count() == 10 * len(qids)
+    # a pruned-empty frame (stale decision) still answers empty via
+    # the builder's golden error -> FLAT demotion, no isEmpty job
+    empty = emb.filter(F.lit(False))
+    z = R.routed_search(empty, qvec, 10, decision=decision, n_docs=0)
+    assert z.count() == 0
+
+
+def test_served_ivf_batch_skips_gram_prune(coll, pq_filters, monkeypatch):
+    """r10 ADVICE: the served-IVF filtered-batch branch discards the
+    pruned frame, so the eager gram-prune jobs must not run at all on
+    that path (they still run on the flat-fallback paths)."""
+    from chromem_go_spark.operators import ann as A
+
+    coll.build_text_index()
+
+    def boom(df, groups):
+        raise AssertionError("gram prune ran on the served-IVF branch")
+
+    monkeypatch.setattr(coll, "_prune_by_groups", boom)
+    idx = A.IVFIndex.build(
+        coll.df, n_clusters=4, vec_col="embedding", id_col="id"
+    )
+    out = coll.query_batch(
+        query_texts=["topic 1", "topic 2", "topic 0", "topic 3"],
+        n_results=3, per_query_filters=pq_filters,
+        index=idx, target_recall=0.999,
+    )
+    assert out.count() > 0

@@ -796,3 +796,36 @@ def test_query_batch_extended_global_or_prune(spark, tmp_path):
     ]) == base_pq
     # and through the routed entry at the exact-identity setting
     assert run(index="ivf", target_recall=0.999) == base
+
+
+def test_and_fold_groups_caps_unconstrained_side():
+    """r10 ADVICE: and_fold_groups([], huge) must not pass the huge
+    side through uncapped — past max_groups the result is [] (a no-op
+    prune is always sound), so a large batch where every query carries
+    $contains can't reach the disjunctive prune with one group per
+    query."""
+    from chromem_go_spark.operators.filters import and_fold_groups
+
+    huge = [[f"pat{i}"] for i in range(500)]
+    assert and_fold_groups([], huge, max_groups=16) == []
+    assert and_fold_groups(huge, [], max_groups=16) == []
+    small = [["a"], ["b"]]
+    assert and_fold_groups([], small, max_groups=16) == small
+    assert and_fold_groups(small, [], max_groups=16) == small
+    # cross-product overflow with an already-huge left side: still []
+    assert and_fold_groups(huge, small, max_groups=16) == []
+
+
+def test_contains_candidates_disjunctive_group_cap(gram_index):
+    """Past max_groups the disjunctive prune declines (None -> scan
+    fallback) instead of building a per-group OR expression tree."""
+    groups = [[f"pattern-{i}"] for i in range(17)]
+    assert (
+        TI.contains_candidates_disjunctive(gram_index, groups, max_groups=16)
+        is None
+    )
+    # at the cap it still prunes
+    ok = TI.contains_candidates_disjunctive(
+        gram_index, [["spark"], ["batch"]], max_groups=16
+    )
+    assert ok is not None

@@ -217,6 +217,30 @@ def measure_textindex(spark, d: str) -> dict:
         cand = TI.contains_candidates(stored, pat)
         out["gram_candidates"] = cand.count() if cand is not None else n
         out["gram_cand_frac"] = round(out["gram_candidates"] / n, 4)
+        # r10: the DISJUNCTIVE prune ($contains through $or) — a
+        # 3-branch OR of selective phrases, one posting pass, union of
+        # per-group intersections.  Same economics question as the
+        # conjunctive row: candidate funnel + wall vs the raw OR scan.
+        or_groups = [
+            ["merge batch part"],
+            ["stream window sort"],
+            ["vector query fast"],
+        ]
+        or_pred = None
+        for [p] in or_groups:
+            c = F.col("text").contains(p)
+            or_pred = c if or_pred is None else (or_pred | c)
+        out["gram_or_scan"], _ = _time(
+            lambda: docs.filter(or_pred).count()
+        )
+        dcand = TI.contains_candidates_disjunctive(stored, or_groups)
+        out["gram_or_candidates"] = dcand.count() if dcand is not None else n
+        out["gram_or_cand_frac"] = round(out["gram_or_candidates"] / n, 4)
+        out["gram_or_indexed"], _ = _time(
+            lambda: TI.apply_candidate_prune(docs, dcand, id_col="doc_id")
+            .filter(or_pred)
+            .count()
+        )
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
     return out
@@ -253,6 +277,13 @@ def measure_hnsw(spark, d: str) -> dict:
         )
         out["hnsw_sharded_build"] = round(time.time() - t0, 3)
         sh = H.ShardedHNSW.load(sroot)
+        # COLD first batch (every shard graph deserialized in its
+        # task) vs WARM repeat batches (the r10 worker-local LRU
+        # serves the graphs) — the pair measures what the cache buys
+        # repeat serving
+        t0 = time.time()
+        sh.search_batch(spark, qids, qvecs, 10, ef=64).count()
+        out["hnsw_sharded_64q_cold"] = round(time.time() - t0, 3)
         out["hnsw_sharded_64q"], _ = _time(
             lambda: sh.search_batch(spark, qids, qvecs, 10, ef=64).count()
         )
@@ -513,6 +544,39 @@ def render(here: str, results: list[dict]) -> None:
             "per-job overhead hides the difference (the r7-disclosed",
             "wart, now measured across three sizes instead of one).",
             "",
+            "### The DISJUNCTIVE prune: $contains through $or (r10)",
+            "",
+            "A 3-branch `$or` of selective phrases, pruned in ONE",
+            "posting pass (`contains_candidates_disjunctive`: union of",
+            "per-group gram intersections) vs the raw OR-of-contains",
+            "scan:",
+            "",
+            "| sf | n | or-scan s | or-indexed s | candidates |"
+            " cand frac |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in results:
+            if "gram_or_scan" not in r:
+                continue
+            lines.append(
+                f"| {r['sf']} | {r['n_docs']} | "
+                f"{r.get('gram_or_scan', '—')} | "
+                f"{r.get('gram_or_indexed', '—')} | "
+                f"{r.get('gram_or_candidates', '—')} | "
+                f"{r.get('gram_or_cand_frac', '—')} |"
+            )
+        lines += [
+            "",
+            "Same shape as the conjunctive row: the funnel is the",
+            "100 TB story, the sub-second walls hide it at these sfs.",
+            "Cap behavior (`max_groups=16`, filters.and_fold_groups /",
+            "contains_candidates_disjunctive): past 16 groups — deep",
+            "OR-of-AND trees, or a large batch folding one group per",
+            "query — the prune declines (returns the frame unpruned /",
+            "no candidate set) instead of building a per-group OR",
+            "expression tree; the exact verify always still runs, so",
+            "the cap only widens the scan, never the results.",
+            "",
         ]
     if any("hnsw_sharded_build" in r for r in results):
         lines += [
@@ -533,6 +597,13 @@ def render(here: str, results: list[dict]) -> None:
             "exact (every global winner lives in exactly one shard) —",
             "the identity `hnsw_sharded_search` value-checks.  Capacity",
             "scales as n_shards x max_points with flat per-task memory.",
+            "Streams append through the same hash routing (r10,",
+            "`streaming.ingest.sharded_hnsw_append_sink`): per-shard",
+            "insert_batch inside executor tasks, atomic per-shard",
+            "snapshot generations carrying the batch watermark (exact",
+            "replay skip per shard), manifest bump as the serving",
+            "visibility point — the single-graph sink's protocol,",
+            "composed per shard.",
             "",
             "Measured (M=8, ef_c=64; serving at the published ef=64",
             "point, recall@10 = 1.0 on this corpus shape — RECALL.md;",
@@ -541,8 +612,9 @@ def render(here: str, results: list[dict]) -> None:
             "sharded variant exists):",
             "",
             "| sf | n | build single s | build sharded(4) s |"
-            " serve 64q single s | serve 64q sharded s |",
-            "|---|---|---|---|---|---|",
+            " serve 64q single s | serve 64q sharded cold s |"
+            " serve 64q sharded warm s |",
+            "|---|---|---|---|---|---|---|",
         ]
         for r in results:
             lines.append(
@@ -550,8 +622,19 @@ def render(here: str, results: list[dict]) -> None:
                 f"{r.get('hnsw_single_build', '—')} | "
                 f"{r.get('hnsw_sharded_build', '—')} | "
                 f"{r.get('hnsw_single_64q', '—')} | "
+                f"{r.get('hnsw_sharded_64q_cold', '—')} | "
                 f"{r.get('hnsw_sharded_64q', '—')} |"
             )
+        lines += [
+            "",
+            "Cold = the first batch after build (every shard graph",
+            "deserialized inside its walk task); warm = repeat batches",
+            "through the r10 worker-local LRU (`load_graph_cached` —",
+            "keyed on the committed snapshot's path+mtime+size, so a",
+            "new generation invalidates, never staleness).  The gap is",
+            "what repeat serving (streaming sinks, probe sessions) no",
+            "longer pays per micro-batch.",
+        ]
         asb = alphas(results, "hnsw_sharded_build")
         lines += [
             "",
