@@ -701,21 +701,98 @@ def load_sharded_meta(root: str) -> dict:
         return json.load(f)
 
 
-def load_shard_for_append(shard_dir: str) -> tuple[HNSWIndex | None, int]:
-    """A shard's graph + replay watermark for the STREAMING append
-    path (r10): a shard that has streamed before resolves through the
-    snapshot-generation protocol (``load_snapshot`` — committed gen +
-    ``last_batch``); a build-only shard loads the plain layout with
-    watermark -1 (every batch id applies); a shard that has never
-    existed is ``(None, -1)`` (the first batch routed to it builds
-    it)."""
+# Append-path cache (r10): the streaming sink's per-shard tasks would
+# otherwise reload the shard's committed snapshot EVERY micro-batch.
+# An entry is written only immediately after a successful commit and
+# is keyed by the committed generation, so a hit is by construction
+# bit-identical to what disk holds; a foreign commit (gen moved on)
+# or a failed save (entry dropped before re-raise — the in-memory
+# graph holds uncommitted inserts, the single sink's taint rule)
+# falls back to the disk load.  Bounded LRU like the serve cache.
+_APPEND_CACHE: OrderedDict[str, tuple[int, HNSWIndex]] = OrderedDict()
+_APPEND_CACHE_MAX = 8
+
+
+def append_shard_batch(
+    shard_dir: str,
+    batch_id: int,
+    new_ids: Sequence,
+    new_vecs,
+    id_col: str = "vec_id",
+    M: int = 16,
+    ef_construction: int = 200,
+    seed: int = 42,
+    max_points: int = 1_000_000,
+) -> int:
+    """Apply ONE micro-batch's rows to ONE shard — the executor-side
+    core of ``streaming.ingest.sharded_hnsw_append_sink`` (factored
+    out so the replay-skip / dedup / commit / cache protocol is
+    directly testable without a stream).
+
+    Protocol: resolve the committed state (warm via ``_APPEND_CACHE``
+    when this process committed the live generation, else disk); skip
+    EXACTLY when ``batch_id`` is at or below the shard's watermark;
+    drop ids already in the graph (first write wins); build or
+    ``insert_batch``; commit an atomic snapshot generation carrying
+    the watermark; cache the committed graph for the next batch.
+    Returns the shard's point count after the batch."""
     import os
 
-    if _read_live(shard_dir):
-        return load_snapshot(shard_dir)
-    if os.path.exists(os.path.join(shard_dir, "graph.npz")):
-        return HNSWIndex.load(shard_dir), -1
-    return None, -1
+    live = _read_live(shard_dir)
+    idx = None
+    last = -1
+    if live:
+        last = int(live["last_batch"])
+        ent = _APPEND_CACHE.get(shard_dir)
+        if ent is not None and ent[0] == int(live["gen"]):
+            idx = ent[1]
+            _APPEND_CACHE.move_to_end(shard_dir)
+        else:
+            idx, last = load_snapshot(shard_dir)
+    elif os.path.exists(os.path.join(shard_dir, "graph.npz")):
+        idx = HNSWIndex.load(shard_dir)
+    if int(batch_id) <= last:
+        # replayed micro-batch: already committed by this shard —
+        # report the CURRENT count (heals a crash-before-manifest-bump)
+        return idx.n_points() if idx else 0
+    seen = set(idx.ids) if idx is not None else set()
+    add_ids, add_vecs = [], []
+    for i, v in zip(new_ids, new_vecs):
+        i = i.item() if hasattr(i, "item") else i
+        if i in seen:
+            continue
+        seen.add(i)
+        add_ids.append(i)
+        add_vecs.append(list(v))
+    if idx is None:
+        idx = HNSWIndex.build_local(
+            add_ids, add_vecs, id_col=id_col, M=M,
+            ef_construction=ef_construction, seed=seed,
+            max_points=max_points,
+        )
+    elif add_ids:
+        idx.insert_batch(add_ids, add_vecs, ef_construction=ef_construction)
+    try:
+        save_snapshot(idx, shard_dir, last_batch=int(batch_id))
+    except BaseException:
+        # the in-memory graph holds this batch but the commit didn't
+        # land — a same-process retry must reload the last COMMITTED
+        # snapshot, not re-insert into this graph
+        _APPEND_CACHE.pop(shard_dir, None)
+        raise
+    # the plain built layout is superseded by the committed generation
+    # (readers prefer _live) — drop it best-effort
+    for leftover in ("graph.npz", "meta.json"):
+        try:
+            os.remove(os.path.join(shard_dir, leftover))
+        except OSError:
+            pass
+    committed = _read_live(shard_dir)
+    _APPEND_CACHE[shard_dir] = (int(committed["gen"]), idx)
+    _APPEND_CACHE.move_to_end(shard_dir)
+    while len(_APPEND_CACHE) > _APPEND_CACHE_MAX:
+        _APPEND_CACHE.popitem(last=False)
+    return idx.n_points()
 
 
 def bump_sharded_manifest(root: str, counts: dict) -> dict:

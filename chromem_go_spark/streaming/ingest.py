@@ -794,7 +794,16 @@ def sharded_hnsw_append_sink(
     sessions so the exact-ef ``n_points`` mapping tracks the grown
     corpus.  A shard outgrowing ``max_points_per_shard`` fails the
     stream loudly — rebuild with more shards (capacity is
-    n_shards × cap; the unbounded regime belongs to ivf_append_sink)."""
+    n_shards × cap; the unbounded regime belongs to ivf_append_sink).
+
+    Repeat batches are warm: each shard task serves its graph from
+    the commit-keyed worker cache (``hnsw.append_shard_batch`` /
+    ``_APPEND_CACHE``) instead of re-deserializing the snapshot per
+    micro-batch, with the single sink's taint rule on failed commits.
+    Continue an ingest later from the SAME checkpoint (batch ids keep
+    rising past the per-shard watermarks); a FRESH checkpoint restarts
+    batch ids at 0, which the watermarks read as replay — the same
+    at-least-once contract as ``hnsw_append_sink``."""
     import pandas as pd
 
     from ..operators import hnsw as H
@@ -817,47 +826,17 @@ def sharded_hnsw_append_sink(
 
         def append_shard(key, pdf):
             # no type hints: stringified annotations break eval-type
-            # inference under applyInPandas (see build_sharded_hnsw)
-            import os
-
+            # inference under applyInPandas (see build_sharded_hnsw).
+            # Replay skip / dedup / commit / worker cache live in
+            # hnsw.append_shard_batch (testable without a stream).
             shard = int(key[0])
-            d = H._shard_dir(root, shard)
-            idx, last = H.load_shard_for_append(d)
-            if bid <= last:
-                # replayed micro-batch: this shard already committed
-                # it — still report the CURRENT count so the driver's
-                # manifest re-bump heals a crash-before-bump
-                return pd.DataFrame(
-                    {"shard": [shard],
-                     "n_points": [idx.n_points() if idx else 0]}
-                )
-            seen = set(idx.ids) if idx is not None else set()
-            new_ids, new_vecs = [], []
-            for i, v in zip(pdf[id_col], pdf[vec_col]):
-                i = i.item() if hasattr(i, "item") else i
-                if i in seen:
-                    continue
-                seen.add(i)
-                new_ids.append(i)
-                new_vecs.append(list(v))
-            if idx is None:
-                idx = H.HNSWIndex.build_local(
-                    new_ids, new_vecs, id_col=id_col, M=M,
-                    ef_construction=efc, seed=seed, max_points=cap,
-                )
-            elif new_ids:
-                idx.insert_batch(new_ids, new_vecs, ef_construction=efc)
-            H.save_snapshot(idx, d, last_batch=bid)
-            # the plain built layout is superseded by the committed
-            # generation (resolve prefers _live) — drop it best-effort
-            for leftover in ("graph.npz", "meta.json"):
-                try:
-                    os.remove(os.path.join(d, leftover))
-                except OSError:
-                    pass
-            return pd.DataFrame(
-                {"shard": [shard], "n_points": [idx.n_points()]}
+            n = H.append_shard_batch(
+                H._shard_dir(root, shard), bid,
+                list(pdf[id_col]), list(pdf[vec_col]),
+                id_col=id_col, M=M, ef_construction=efc,
+                seed=seed, max_points=cap,
             )
+            return pd.DataFrame({"shard": [shard], "n_points": [n]})
 
         rows = (
             batch_df.select(id_col, vec_col)

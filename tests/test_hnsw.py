@@ -944,3 +944,88 @@ def test_sharded_append_crash_before_bump_heals(spark, emb, tmp_path,
     ]
     got.sort(key=lambda t: (-t[1], t[0]))
     assert got == _flat(emb, qv)
+
+
+def test_append_shard_batch_cache_replay_and_taint(emb, tmp_path, monkeypatch):
+    """The executor-side per-shard append core: commits land with the
+    watermark, the SAME process serves the next batch from the
+    commit-keyed cache (no disk reload), a replayed batch id is
+    skipped exactly, a FOREIGN commit invalidates the cache, and a
+    failed commit taints it (retry reloads the committed snapshot —
+    no double insert)."""
+    import chromem_go_spark.operators.hnsw as H
+
+    rows = sorted(
+        emb.filter(F.col("vec_id") < 80)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r[0],
+    )
+    ids = [r[0] for r in rows]
+    vecs = [list(r[1]) for r in rows]
+    d = str(tmp_path / "one_shard")
+    H._APPEND_CACHE.clear()
+
+    loads = {"n": 0}
+    real_load = H.load_snapshot
+
+    def counting_load(p):
+        loads["n"] += 1
+        return real_load(p)
+
+    monkeypatch.setattr(H, "load_snapshot", counting_load)
+
+    n = H.append_shard_batch(d, 0, ids[:50], vecs[:50], M=8,
+                             ef_construction=64)
+    assert n == 50 and loads["n"] == 0  # fresh shard: nothing to load
+    # second batch: live gen is the one THIS process committed — warm
+    n = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
+                             ef_construction=64)
+    assert n == 80 and loads["n"] == 0
+    # replay of batch 1: skipped exactly, still no reload
+    n = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
+                             ef_construction=64)
+    assert n == 80 and loads["n"] == 0
+    # the committed snapshot IS the in-memory graph (cache hit was
+    # consistent): exact search over all 80 via the committed file
+    idx, last = real_load(d)
+    assert idx.n_points() == 80 and last == 1
+    qv = vecs[0]
+    got = [(i, round(s, 6)) for i, s in idx.search(qv, 10, ef=80)]
+    sub = emb.filter(F.col("vec_id") < 80)
+    assert got == _flat(sub, qv)
+
+    # FOREIGN commit (another process bumps the generation): the gen
+    # key no longer matches -> disk reload on the next append
+    H.save_snapshot(idx, d, last_batch=1)
+    n = H.append_shard_batch(d, 2, ids[:1], vecs[:1], M=8,
+                             ef_construction=64)
+    assert n == 80 and loads["n"] == 1  # dup id dropped, but reloaded
+
+    # failed commit taints the cache: the retried batch applies ONCE
+    real_save = H.save_snapshot
+    calls = {"n": 0}
+
+    def flaky(idx2, root2, last_batch=-1):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected commit failure")
+        return real_save(idx2, root2, last_batch=last_batch)
+
+    monkeypatch.setattr(H, "save_snapshot", flaky)
+    extra_rows = sorted(
+        emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 90))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r[0],
+    )
+    eids = [r[0] for r in extra_rows]
+    evecs = [list(r[1]) for r in extra_rows]
+    with pytest.raises(OSError, match="injected"):
+        H.append_shard_batch(d, 3, eids, evecs, M=8, ef_construction=64)
+    assert d not in H._APPEND_CACHE  # tainted entry dropped
+    n = H.append_shard_batch(d, 3, eids, evecs, M=8, ef_construction=64)
+    assert n == 90
+    idx2, last2 = real_load(d)
+    assert idx2.n_points() == 90 and last2 == 3
+    assert len(set(idx2.ids)) == 90  # no duplicate nodes from the retry
