@@ -31,6 +31,16 @@ from ..functions import vector as V
 from . import knn as knn_ops
 
 
+class EmptyCorpusError(ValueError):
+    """Raised when a quantizer trainer is asked to fit an EMPTY corpus
+    frame.  A dedicated type (r11, ADVICE) so the router's demote-to-FLAT
+    path catches exactly this condition instead of substring-matching the
+    message — a zero-row hash sample over a NON-empty frame (degenerate id
+    distribution) must NOT masquerade as an empty corpus.  Subclasses
+    ``ValueError`` so existing callers (and the golden-error tests) keep
+    their contract."""
+
+
 def _kmeanspp_init(sample: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
     """k-means++ seeding (Arthur & Vassilvitskii, SODA'07 — public
     method): each next center is drawn proportional to squared distance
@@ -56,6 +66,14 @@ def _hash_sample(
     ~sample_size rows uniformly wherever they live. ONE count + ONE
     collect — shared by the coarse quantizer and the PQ codebooks."""
     n_rows = df.count()
+    if n_rows == 0:
+        # training a quantizer on nothing is meaningless, and numpy's
+        # downstream failure (AxisError in the k-means GEMM) hides the
+        # actual problem — fail with the cause, as a TYPE the router can
+        # catch (r11: substring-matching this message was brittle)
+        raise EmptyCorpusError(
+            "cannot train a quantizer over an empty corpus frame"
+        )
     cand = df
     if n_rows > sample_size:
         p = max(1, int(997 * sample_size / n_rows))
@@ -64,12 +82,11 @@ def _hash_sample(
         )
     rows = cand.select(vec_col).limit(sample_size).collect()
     if not rows:
-        # training a quantizer on nothing is meaningless, and numpy's
-        # downstream failure (AxisError in the k-means GEMM) hides the
-        # actual problem — fail with the cause
-        raise ValueError(
-            "cannot train a quantizer over an empty corpus frame"
-        )
+        # degenerate id distribution: the modular hash filter selected
+        # nothing on a NON-empty frame.  This is a sampling anomaly, not
+        # an empty corpus — fall back to the unfiltered (first-partitions)
+        # sample rather than mis-signal emptiness (r11, ADVICE)
+        rows = df.select(vec_col).limit(sample_size).collect()
     return np.asarray([r[0] for r in rows], dtype=np.float64)
 
 

@@ -427,6 +427,32 @@ class HNSWIndex:
     def n_points(self) -> int:
         return len(self.ids)
 
+    def centroid(self) -> list[float]:
+        """Normalized mean of the (already-normalized) vectors — the
+        shard's coarse representative for the serving-side shard
+        router (:func:`sharded_search_batch` ``shards_probed``): the
+        exact analog of an IVF cell centroid, one level up."""
+        if not len(self.vectors):
+            return []
+        m = self.vectors.mean(axis=0)
+        nrm = np.linalg.norm(m)
+        if nrm > 0:
+            m = m / nrm
+        return [float(x) for x in m]
+
+    def approx_bytes(self) -> int:
+        """Approximate resident size of the graph — the vectors matrix
+        (the dominant term at serving dims) plus the adjacency lists
+        (Python ints + list slots, ~16 B/edge + ~64 B/node).  Used to
+        BYTES-bound the worker-local serve/append caches (r11, ADVICE:
+        count-bounded LRUs could pin ~16 multi-GB graphs in a reused
+        worker at the 1M-points-per-shard cap)."""
+        edges = sum(
+            len(nbrs) for layer in self.layers for nbrs in layer.values()
+        )
+        nodes = sum(len(layer) for layer in self.layers)
+        return int(self.vectors.nbytes) + 16 * edges + 64 * nodes
+
     def check_connected(self) -> bool:
         """Layer-0 reachability from the entry point — True by
         construction; exposed so tests assert the exactness
@@ -562,10 +588,31 @@ _SHARD_MANIFEST = "_sharded_meta.json"
 # amortizes repeat-batch serving while staying stale-proof: a new
 # snapshot generation lands in a NEW gen dir (save_snapshot), so its
 # key can never collide with a cached predecessor.  Capacity is
-# bounded (graphs are the big object in a worker heap); eviction is
-# LRU.
-_GRAPH_CACHE: OrderedDict[tuple, HNSWIndex] = OrderedDict()
-_GRAPH_CACHE_MAX = 8
+# BYTES-bounded (r11, ADVICE: a count bound could pin ~16 multi-GB
+# graphs in a reused worker at the 1M-points-per-shard cap): entries
+# evict LRU-first until the cache fits the budget, except the
+# most-recent entry always stays — so worst-case worker footprint is
+# max(one graph, budget), never the pre-r10 "at most one transient
+# graph" times 16.  Budget is configurable per worker via
+# CHROMEM_SPARK_GRAPH_CACHE_BYTES (default 2 GiB per cache).
+_GRAPH_CACHE: OrderedDict[tuple, tuple[HNSWIndex, int]] = OrderedDict()
+
+
+def _cache_budget_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get("CHROMEM_SPARK_GRAPH_CACHE_BYTES", 2 * 1024**3)
+    )
+
+
+def _evict_to_budget(cache: OrderedDict) -> None:
+    """Evict LRU entries until the summed ``approx_bytes`` fits the
+    budget, always keeping the most-recent entry (cache utility floor:
+    the repeat-batch hit the cache exists for)."""
+    budget = _cache_budget_bytes()
+    while len(cache) > 1 and sum(b for _, b in cache.values()) > budget:
+        cache.popitem(last=False)
 
 
 def load_graph_cached(path: str) -> HNSWIndex:
@@ -579,14 +626,13 @@ def load_graph_cached(path: str) -> HNSWIndex:
     p = os.path.join(path, "graph.npz")
     st = os.stat(p)
     key = (os.path.abspath(p), st.st_mtime_ns, st.st_size)
-    idx = _GRAPH_CACHE.get(key)
-    if idx is not None:
+    ent = _GRAPH_CACHE.get(key)
+    if ent is not None:
         _GRAPH_CACHE.move_to_end(key)
-        return idx
+        return ent[0]
     idx = HNSWIndex.load(path)
-    _GRAPH_CACHE[key] = idx
-    while len(_GRAPH_CACHE) > _GRAPH_CACHE_MAX:
-        _GRAPH_CACHE.popitem(last=False)
+    _GRAPH_CACHE[key] = (idx, idx.approx_bytes())
+    _evict_to_budget(_GRAPH_CACHE)
     return idx
 
 
@@ -653,7 +699,10 @@ def build_sharded_hnsw(
             max_points=max_points_per_shard,
         )
         idx.save(os.path.join(root, f"shard={shard:05d}"))
-        return pd.DataFrame({"shard": [shard], "n_points": [len(pdf)]})
+        return pd.DataFrame(
+            {"shard": [shard], "n_points": [len(pdf)],
+             "centroid": [idx.centroid()]}
+        )
 
     sharded = df.select(id_col, vec_col).withColumn(
         "__shard",
@@ -661,7 +710,9 @@ def build_sharded_hnsw(
     )
     rows = (
         sharded.groupBy("__shard")
-        .applyInPandas(build_shard, "shard int, n_points long")
+        .applyInPandas(
+            build_shard, "shard int, n_points long, centroid array<double>"
+        )
         .collect()
     )
     from pyspark.sql.types import StringType
@@ -671,6 +722,13 @@ def build_sharded_hnsw(
         "shards": sorted(
             {int(r["shard"]): int(r["n_points"]) for r in rows}.items()
         ),
+        # per-shard coarse representatives — the serving shard router's
+        # probe table (sharded_search_batch shards_probed); the exact
+        # analog of IVF cell centroids, one level up
+        "centroids": {
+            str(int(r["shard"])): [float(x) for x in r["centroid"]]
+            for r in rows
+        },
         "id_col": id_col,
         # from the schema, not a sampling job — free, and correct on an
         # empty frame too
@@ -706,11 +764,19 @@ def load_sharded_meta(root: str) -> dict:
 # An entry is written only immediately after a successful commit and
 # is keyed by the committed generation, so a hit is by construction
 # bit-identical to what disk holds; a foreign commit (gen moved on)
-# or a failed save (entry dropped before re-raise — the in-memory
-# graph holds uncommitted inserts, the single sink's taint rule)
-# falls back to the disk load.  Bounded LRU like the serve cache.
-_APPEND_CACHE: OrderedDict[str, tuple[int, HNSWIndex]] = OrderedDict()
-_APPEND_CACHE_MAX = 8
+# or a failed save OR a failed insert (entry dropped before re-raise
+# — the in-memory graph may hold uncommitted or PARTIAL inserts, the
+# taint rule, widened r11 per ADVICE to cover the mutation itself,
+# not just the commit) falls back to the disk load.  Entries carry
+# the graph's id-SET alongside it (r11: rebuilding ``set(idx.ids)``
+# every micro-batch was O(shard size) even on a cache hit — at the
+# 1M-point cap, a million-entry set build per trigger per shard);
+# the set updates incrementally on insert and rebuilds only on a
+# disk load.  Bytes-bounded LRU like the serve cache (entry size =
+# graph + ~80 B/id-set slot).
+_APPEND_CACHE: OrderedDict[str, tuple[int, HNSWIndex, set, int]] = (
+    OrderedDict()
+)
 
 
 def append_shard_batch(
@@ -723,7 +789,7 @@ def append_shard_batch(
     ef_construction: int = 200,
     seed: int = 42,
     max_points: int = 1_000_000,
-) -> int:
+) -> tuple[int, list[float]]:
     """Apply ONE micro-batch's rows to ONE shard — the executor-side
     core of ``streaming.ingest.sharded_hnsw_append_sink`` (factored
     out so the replay-skip / dedup / commit / cache protocol is
@@ -732,20 +798,25 @@ def append_shard_batch(
     Protocol: resolve the committed state (warm via ``_APPEND_CACHE``
     when this process committed the live generation, else disk); skip
     EXACTLY when ``batch_id`` is at or below the shard's watermark;
-    drop ids already in the graph (first write wins); build or
+    drop ids already in the graph (first write wins — the id-set rides
+    the cache entry and updates incrementally, r11: rebuilding it was
+    O(shard size) per batch even on a cache hit); build or
     ``insert_batch``; commit an atomic snapshot generation carrying
     the watermark; cache the committed graph for the next batch.
-    Returns the shard's point count after the batch."""
+    Returns ``(point count, centroid)`` after the batch — the centroid
+    feeds the manifest's shard router (:func:`sharded_search_batch`
+    ``shards_probed``)."""
     import os
 
     live = _read_live(shard_dir)
     idx = None
+    seen: set | None = None
     last = -1
     if live:
         last = int(live["last_batch"])
         ent = _APPEND_CACHE.get(shard_dir)
         if ent is not None and ent[0] == int(live["gen"]):
-            idx = ent[1]
+            idx, seen = ent[1], ent[2]
             _APPEND_CACHE.move_to_end(shard_dir)
         else:
             idx, last = load_snapshot(shard_dir)
@@ -753,31 +824,40 @@ def append_shard_batch(
         idx = HNSWIndex.load(shard_dir)
     if int(batch_id) <= last:
         # replayed micro-batch: already committed by this shard —
-        # report the CURRENT count (heals a crash-before-manifest-bump)
-        return idx.n_points() if idx else 0
-    seen = set(idx.ids) if idx is not None else set()
+        # report the CURRENT state (heals a crash-before-manifest-bump)
+        if idx is None:
+            return 0, []
+        return idx.n_points(), idx.centroid()
+    if seen is None:
+        # disk load (or fresh shard): the one full id-set build
+        seen = set(idx.ids) if idx is not None else set()
     add_ids, add_vecs = [], []
-    for i, v in zip(new_ids, new_vecs):
-        i = i.item() if hasattr(i, "item") else i
-        if i in seen:
-            continue
-        seen.add(i)
-        add_ids.append(i)
-        add_vecs.append(list(v))
-    if idx is None:
-        idx = HNSWIndex.build_local(
-            add_ids, add_vecs, id_col=id_col, M=M,
-            ef_construction=ef_construction, seed=seed,
-            max_points=max_points,
-        )
-    elif add_ids:
-        idx.insert_batch(add_ids, add_vecs, ef_construction=ef_construction)
     try:
+        for i, v in zip(new_ids, new_vecs):
+            i = i.item() if hasattr(i, "item") else i
+            if i in seen:
+                continue
+            seen.add(i)
+            add_ids.append(i)
+            add_vecs.append(list(v))
+        if idx is None:
+            idx = HNSWIndex.build_local(
+                add_ids, add_vecs, id_col=id_col, M=M,
+                ef_construction=ef_construction, seed=seed,
+                max_points=max_points,
+            )
+        elif add_ids:
+            idx.insert_batch(
+                add_ids, add_vecs, ef_construction=ef_construction
+            )
         save_snapshot(idx, shard_dir, last_batch=int(batch_id))
     except BaseException:
-        # the in-memory graph holds this batch but the commit didn't
-        # land — a same-process retry must reload the last COMMITTED
-        # snapshot, not re-insert into this graph
+        # the in-memory graph (and its id-set) may hold this batch —
+        # PARTIALLY on an insert failure, fully on a commit failure —
+        # but nothing landed on disk: a same-process retry must reload
+        # the last COMMITTED snapshot, never reuse the mutated object
+        # (r11, ADVICE: the taint rule now covers the mutation itself,
+        # not just the commit)
         _APPEND_CACHE.pop(shard_dir, None)
         raise
     # the plain built layout is superseded by the committed generation
@@ -788,35 +868,131 @@ def append_shard_batch(
         except OSError:
             pass
     committed = _read_live(shard_dir)
-    _APPEND_CACHE[shard_dir] = (int(committed["gen"]), idx)
+    _APPEND_CACHE[shard_dir] = (
+        int(committed["gen"]), idx, seen,
+        idx.approx_bytes() + 80 * len(seen),
+    )
     _APPEND_CACHE.move_to_end(shard_dir)
-    while len(_APPEND_CACHE) > _APPEND_CACHE_MAX:
+    while (
+        len(_APPEND_CACHE) > 1
+        and sum(e[3] for e in _APPEND_CACHE.values())
+        > _cache_budget_bytes()
+    ):
         _APPEND_CACHE.popitem(last=False)
-    return idx.n_points()
+    return idx.n_points(), idx.centroid()
 
 
-def bump_sharded_manifest(root: str, counts: dict) -> dict:
-    """Fold per-shard point counts into the committed manifest
-    (atomic replace — same commit shape as the build).  Called by the
-    streaming sink AFTER every shard of a micro-batch has committed:
-    the manifest is the serving VISIBILITY point (walk list + the
-    exact-ef ``n_points`` sum), so a crash between shard commits and
-    the bump leaves a servable old view, and the replayed batch —
-    skipped per shard by each shard's own ``last_batch`` watermark —
-    re-reports current counts and re-bumps.  Returns the new
-    manifest."""
+def bump_sharded_manifest(
+    root: str, counts: dict, centroids: dict | None = None
+) -> dict:
+    """Fold per-shard point counts (and shard centroids, when given —
+    the serving shard router's coarse table) into the committed
+    manifest (atomic replace — same commit shape as the build).
+    Called by the streaming sink AFTER every shard of a micro-batch
+    has committed: the manifest is the serving VISIBILITY point (walk
+    list + the exact-ef ``n_points`` sum), so a crash between shard
+    commits and the bump leaves a servable old view, and the replayed
+    batch — skipped per shard by each shard's own ``last_batch``
+    watermark — re-reports current counts and re-bumps.  Returns the
+    new manifest.
+
+    The read-modify-write is serialized through an ``flock`` on a
+    sibling lock file (r11, ADVICE: two streams appending to the same
+    root could interleave and lose shard counts).  The per-SHARD
+    append protocol already tolerates concurrent writers (atomic
+    generations + watermarks); the lock closes the manifest fold, the
+    one shared read-modify-write.  POSIX-local like the rest of the
+    snapshot protocol — on object stores run one ingest stream per
+    root (the documented contract in ``sharded_hnsw_append_sink``)."""
     import json
     import os
 
-    meta = load_sharded_meta(root)
-    cur = {int(s): int(n) for s, n in meta["shards"]}
-    cur.update({int(s): int(n) for s, n in counts.items()})
-    meta["shards"] = sorted(cur.items())
-    tmp = os.path.join(root, _SHARD_MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(root, _SHARD_MANIFEST))
+    lock_path = os.path.join(root, _SHARD_MANIFEST + ".lock")
+    with open(lock_path, "w") as lock_f:
+        try:
+            import fcntl
+
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: single-writer contract applies
+            pass
+        meta = load_sharded_meta(root)
+        cur = {int(s): int(n) for s, n in meta["shards"]}
+        cur.update({int(s): int(n) for s, n in counts.items()})
+        meta["shards"] = sorted(cur.items())
+        if centroids:
+            cents = {
+                str(s): c for s, c in meta.get("centroids", {}).items()
+            }
+            cents.update(
+                {str(s): [float(x) for x in c]
+                 for s, c in centroids.items() if c}
+            )
+            meta["centroids"] = cents
+        tmp = os.path.join(root, _SHARD_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(root, _SHARD_MANIFEST))
     return meta
+
+
+def _load_shard_graph(root: str, shard: int) -> HNSWIndex:
+    """Resolve + load one shard's committed graph through the serve
+    cache, with ONE re-resolve on FileNotFoundError (r11, ADVICE): the
+    first streamed commit to a build-only shard removes the superseded
+    plain ``graph.npz`` right after promoting ``_live.json``, so a
+    reader that resolved just before the promotion would open a
+    deleted file; re-resolving sees the committed generation.  (The
+    generation path's own torn-read retry lives in
+    :func:`load_snapshot`.)"""
+    sdir = _shard_dir(root, int(shard))
+    try:
+        return load_graph_cached(_resolve_shard_snapshot(sdir))
+    except FileNotFoundError:
+        return load_graph_cached(_resolve_shard_snapshot(sdir))
+
+
+def _probe_shard_lists(
+    meta: dict, qvecs: list[list[float]], shards_probed: int | None
+) -> list[tuple[int, list[int]]]:
+    """The serving shard router: per query, rank the manifest's shard
+    CENTROIDS by cosine and keep the top ``shards_probed`` — the IVF
+    probe-pruning pattern (SCALE.md scanned-fraction rows) applied to
+    the graph tier, so per-batch walk cost grows with P, not with the
+    shard count S (pre-r11 every batch walked ALL S shards — linear
+    serving cost in capacity).  Returns ``[(shard, query indices)]``
+    for shards with at least one probing query; ``shards_probed=None``
+    (or >= S) keeps the exact all-shards walk.  A shard with no
+    recorded centroid (pre-r11 manifest) is conservatively probed by
+    EVERY query — pruning can only be applied where the coarse table
+    exists, never silently dropping a shard."""
+    shard_ids = [int(s) for s, _ in meta["shards"]]
+    all_q = list(range(len(qvecs)))
+    if shards_probed is None or int(shards_probed) >= len(shard_ids):
+        return [(s, all_q) for s in shard_ids]
+    p = int(shards_probed)
+    if p < 1:
+        raise ValueError(f"shards_probed must be >= 1, got {shards_probed}")
+    cents_map = meta.get("centroids") or {}
+    routed = [s for s in shard_ids if cents_map.get(str(s))]
+    unrouted = [s for s in shard_ids if not cents_map.get(str(s))]
+    lists: dict[int, list[int]] = {s: list(all_q) for s in unrouted}
+    if routed:
+        qmat = np.asarray(qvecs, dtype=np.float64)
+        nrm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        qmat = qmat / nrm
+        cmat = np.asarray(
+            [cents_map[str(s)] for s in routed], dtype=np.float64
+        )
+        sims = qmat @ cmat.T  # (q, S_routed)
+        for qi in range(len(qvecs)):
+            # deterministic ties: (-sim, shard id)
+            order = sorted(
+                range(len(routed)), key=lambda j: (-sims[qi, j], routed[j])
+            )[: min(p, len(routed))]
+            for j in order:
+                lists.setdefault(routed[j], []).append(qi)
+    return sorted(lists.items())
 
 
 def sharded_search_batch(
@@ -826,14 +1002,21 @@ def sharded_search_batch(
     query_vecs: Sequence[Sequence[float]],
     k: int,
     ef: int = 64,
+    shards_probed: int | None = None,
 ) -> DataFrame:
-    """Batch search over a sharded HNSW: every shard's walks run in
-    its own task (``mapInPandas`` over the manifest's shard table —
-    one graph load + q walks per task, the graph never crosses the
-    wire), then ONE global per-query top-k merges the per-shard
-    results.  ``ef`` applies per shard; per-shard ``ef >= shard
-    size`` makes the merge exact (module note above).  Returns
-    (query_id, <id_col>, similarity) — the tier-shared batch shape."""
+    """Batch search over a sharded HNSW: every probed shard's walks
+    run in its own task (``mapInPandas`` over the probe table — one
+    graph load + its queries' walks per task, the graph never crosses
+    the wire), then ONE global per-query top-k merges the per-shard
+    results.  ``ef`` applies per shard; ``shards_probed=None`` (the
+    default) walks every shard, and with per-shard ``ef >= shard
+    size`` that merge is exact (module note above).  ``shards_probed=
+    P`` routes each query to its P nearest shard CENTROIDS (r11 —
+    the manifest's coarse table, built/maintained by
+    ``build_sharded_hnsw`` / the streaming sink), cutting per-batch
+    walk cost from S tasks to ~P-proportional work; recall vs P is
+    published in RECALL.md.  Returns (query_id, <id_col>, similarity)
+    — the tier-shared batch shape."""
     import pandas as pd
 
     from . import knn as knn_ops
@@ -854,15 +1037,15 @@ def sharded_search_batch(
 
     def walk_shards(batches):
         for pdf in batches:
-            for shard in pdf["shard"]:
+            for shard, q_idxs in zip(pdf["shard"], pdf["q_idxs"]):
                 # committed snapshot via the worker-local LRU: repeat
                 # query batches skip the npz deserialization; the
-                # generation-keyed cache key keeps staleness out (r10)
-                idx = load_graph_cached(
-                    _resolve_shard_snapshot(_shard_dir(root, int(shard)))
-                )
+                # generation-keyed cache key keeps staleness out (r10);
+                # one re-resolve heals the plain->generation race (r11)
+                idx = _load_shard_graph(root, int(shard))
                 out_q, out_i, out_s = [], [], []
-                for qid, qv in zip(qids, qvecs):
+                for qi in q_idxs:
+                    qid, qv = qids[int(qi)], qvecs[int(qi)]
                     for i, s in idx.search(qv, kk, ef=eff):
                         out_q.append(qid)
                         out_i.append(i)
@@ -877,9 +1060,10 @@ def sharded_search_batch(
         return spark.createDataFrame(
             [], f"query_id string, {id_col} {id_type0}, similarity double"
         )
+    probe = _probe_shard_lists(meta, qvecs, shards_probed)
     shards_df = spark.createDataFrame(
-        [(int(s),) for s, _ in meta["shards"]], "shard int"
-    ).repartition(len(meta["shards"]), "shard")
+        [(int(s), qs) for s, qs in probe], "shard int, q_idxs array<int>"
+    ).repartition(len(probe), "shard")
     id_type = "string" if id_kind == "str" else "long"
     scored = shards_df.mapInPandas(
         walk_shards,
@@ -897,15 +1081,25 @@ class ShardedHNSW:
     ``router.tier_of`` files it under the served "hnsw" tier and every
     hnsw routing rule (served-only, no predicates, recall-mapped ef)
     applies unchanged.  Exactness: ef >= n_points() trivially covers
-    every shard's size, so the routed exact-identity setting composes."""
+    every shard's size, so the routed exact-identity setting composes
+    (the default ``shards_probed=None`` walks every shard; a
+    handle-level P serves through the centroid shard router —
+    RECALL.md has the recall-vs-P sweep)."""
 
-    def __init__(self, root: str, meta: dict):
+    def __init__(
+        self, root: str, meta: dict, shards_probed: int | None = None
+    ):
         self.root = root
         self.meta = meta
+        self.shards_probed = shards_probed
 
     @classmethod
-    def load(cls, root: str) -> "ShardedHNSW":
-        return cls(root, load_sharded_meta(root))
+    def load(
+        cls, root: str, shards_probed: int | None = None
+    ) -> "ShardedHNSW":
+        return cls(
+            root, load_sharded_meta(root), shards_probed=shards_probed
+        )
 
     def n_points(self) -> int:
         return sum(n for _, n in self.meta["shards"])
@@ -917,7 +1111,14 @@ class ShardedHNSW:
         query_vecs: Sequence[Sequence[float]],
         k: int,
         ef: int = 64,
+        shards_probed: int | None = None,
     ) -> DataFrame:
+        probe = (
+            shards_probed
+            if shards_probed is not None
+            else self.shards_probed
+        )
         return sharded_search_batch(
-            spark, self.root, query_ids, query_vecs, k, ef=ef
+            spark, self.root, query_ids, query_vecs, k, ef=ef,
+            shards_probed=probe,
         )

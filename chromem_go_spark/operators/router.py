@@ -219,14 +219,16 @@ def _build_tier_or_flat(A, tier, decision, df, vec_col, id_col, seed):
     quantizer trainer.
 
     Emptiness is detected from the builder's own sampling job (its
-    golden ``empty corpus frame`` ValueError), NOT a separate
-    ``df.isEmpty()`` pre-check — r10, ADVICE: the pre-check was an
-    extra Spark job on EVERY non-flat routed search, paid even when
-    the caller had already counted the frame.  An upstream prune that
-    empties the frame (the r8 scenario — the decision was sized on a
-    stale/full count) still lands here safely: the build is the first
-    job that touches the rows, it raises, and the query answers empty
-    through FLAT.  Returns ``(index, decision)``."""
+    typed ``EmptyCorpusError`` — r11, ADVICE: previously a substring
+    match on the message, which could mis-file a sampling anomaly as
+    an empty corpus), NOT a separate ``df.isEmpty()`` pre-check —
+    r10, ADVICE: the pre-check was an extra Spark job on EVERY
+    non-flat routed search, paid even when the caller had already
+    counted the frame.  An upstream prune that empties the frame (the
+    r8 scenario — the decision was sized on a stale/full count) still
+    lands here safely: the build is the first job that touches the
+    rows, it raises, and the query answers empty through FLAT.
+    Returns ``(index, decision)``."""
     builders = {
         "ivf": A.IVFIndex.build,
         "ivf_sq": A.IVFSQIndex.build,
@@ -239,9 +241,7 @@ def _build_tier_or_flat(A, tier, decision, df, vec_col, id_col, seed):
             df, n_clusters=decision["n_clusters"],
             vec_col=vec_col, id_col=id_col, seed=seed,
         ), decision
-    except ValueError as e:
-        if "empty corpus frame" not in str(e):
-            raise
+    except A.EmptyCorpusError:
         return None, dict(_EMPTY_FLAT_DECISION)
 
 

@@ -42,6 +42,21 @@ from pyspark.sql.types import (
 
 from chromem_go_spark.functions.time import to_instant
 
+def _skip_empty_batch(batch_df: DataFrame) -> bool:
+    """The SHARED empty-micro-batch guard for every stateful
+    foreachBatch sink in this module (r11 — one pattern, one
+    rationale).  ``isEmpty()`` costs one tiny limit-1 job per trigger;
+    every sink below that keeps the guard does so because its empty
+    alternative is STRICTLY more expensive — a no-op state commit
+    (a full HNSW snapshot generation, an empty IVF batch partition +
+    manifest bump, an empty state-parquet write + compaction check) or
+    a multi-job merge.  Sinks whose empty batch already no-ops through
+    the plan itself drop the guard instead (``sharded_hnsw_append_sink``:
+    zero groups reach applyInPandas, zero rows collect, the bump is
+    skipped) — prefer that shape when the plan allows it."""
+    return batch_df.isEmpty()
+
+
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -267,7 +282,7 @@ def stream_upsert_to_collection(
     collection.go:280)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _skip_empty_batch(batch_df):
             return
         collection.add_df(batch_df)
 
@@ -615,7 +630,7 @@ def semantic_dedup_sink(
     frozen-quantizer cluster state."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _skip_empty_batch(batch_df):
             return
         incremental_semantic_dedup_batch(
             batch_df, state_dir, threshold, batch_id=batch_id, **kwargs
@@ -646,7 +661,7 @@ def ivf_append_sink(
     from ..operators.ann import IVFIndex
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _skip_empty_batch(batch_df):
             return
         IVFIndex.append_batch(
             batch_df, index_path, batch_id, vec_col=vec_col, id_col=id_col
@@ -697,7 +712,7 @@ def hnsw_append_sink(
     # re-reading the graph we just wrote)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _skip_empty_batch(batch_df):
             return
         if not box:
             box.append(H.load_snapshot(snapshot_root))
@@ -820,8 +835,6 @@ def sharded_hnsw_append_sink(
     cap = int(meta0.get("max_points_per_shard", 1_000_000))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         bid = int(batch_id)
 
         def append_shard(key, pdf):
@@ -830,14 +843,20 @@ def sharded_hnsw_append_sink(
             # Replay skip / dedup / commit / worker cache live in
             # hnsw.append_shard_batch (testable without a stream).
             shard = int(key[0])
-            n = H.append_shard_batch(
+            n, cent = H.append_shard_batch(
                 H._shard_dir(root, shard), bid,
                 list(pdf[id_col]), list(pdf[vec_col]),
                 id_col=id_col, M=M, ef_construction=efc,
                 seed=seed, max_points=cap,
             )
-            return pd.DataFrame({"shard": [shard], "n_points": [n]})
+            return pd.DataFrame(
+                {"shard": [shard], "n_points": [n], "centroid": [cent]}
+            )
 
+        # no isEmpty() pre-check (r11, ADVICE): it was one extra Spark
+        # job per trigger, and an empty batch already no-ops through
+        # this plan — zero groups reach applyInPandas, the collect
+        # returns zero rows, and the manifest bump is skipped below
         rows = (
             batch_df.select(id_col, vec_col)
             .withColumn(
@@ -848,11 +867,20 @@ def sharded_hnsw_append_sink(
                 ),
             )
             .groupBy("__shard")
-            .applyInPandas(append_shard, "shard int, n_points long")
+            .applyInPandas(
+                append_shard,
+                "shard int, n_points long, centroid array<double>",
+            )
             .collect()
         )
+        if not rows:
+            return
         H.bump_sharded_manifest(
-            root, {int(r["shard"]): int(r["n_points"]) for r in rows}
+            root,
+            {int(r["shard"]): int(r["n_points"]) for r in rows},
+            centroids={
+                int(r["shard"]): list(r["centroid"] or []) for r in rows
+            },
         )
 
     return (
@@ -893,7 +921,7 @@ def ivf_probe_sink(
     idx_box: list = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _skip_empty_batch(batch_df):
             return
         if not idx_box:
             idx_box.append(
@@ -949,7 +977,7 @@ def routed_probe_sink(
     from ..operators import router as RT
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _skip_empty_batch(batch_df):
             return
         rows = batch_df.select(query_id_col, vec_col).collect()
         res = RT.routed_search_batch(
@@ -1020,7 +1048,7 @@ def bloom_gate_sink(
             return json.load(fh)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _skip_empty_batch(batch_df):
             return
         spark = batch_df.sparkSession
         if not box:
@@ -1133,7 +1161,7 @@ def incremental_neardup_sink(
     continuous near-duplicate detection over a document stream."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _skip_empty_batch(batch_df):
             return
         incremental_neardup_batch(
             batch_df, state_dir, threshold, batch_id=batch_id, **kwargs
@@ -1229,7 +1257,7 @@ def gram_index_sink(
     stream."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if _skip_empty_batch(batch_df):
             return
         incremental_gram_index_batch(
             batch_df, index_dir, batch_id=batch_id, **kwargs

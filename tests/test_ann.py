@@ -865,3 +865,38 @@ def test_search_batch_dsl_normalized_still_exact(emb, index):
         ).collect():
             exp.add((qid, r["vec_id"], round(r["similarity"], 6)))
     assert got == exp
+
+
+def test_hash_sample_empty_frame_raises_typed(spark, emb):
+    """r11 (ADVICE): emptiness is a TYPED condition — the router's
+    demote-to-FLAT catches ann.EmptyCorpusError, not a message
+    substring (still a ValueError subclass for the golden-error
+    contract)."""
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(A.EmptyCorpusError, match="empty corpus frame"):
+        A._hash_sample(empty, "embedding", "vec_id", 16)
+    assert issubclass(A.EmptyCorpusError, ValueError)
+
+
+def test_hash_sample_degenerate_hash_falls_back(spark):
+    """A NON-empty frame whose ids all miss the modular hash filter is
+    a sampling anomaly, not an empty corpus: the sampler falls back to
+    the unfiltered collect instead of mis-raising EmptyCorpusError."""
+    # find ids whose xxhash64 lands OUTSIDE the p=332 window that
+    # sample_size=1 over 3 rows selects (p = max(1, 997*1//3) = 332)
+    cand = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(
+            F.xxhash64(F.col("id").cast("string")), F.lit(997)
+        ).alias("h"),
+    )
+    bad_ids = [
+        r["vec_id"] for r in cand.filter(F.col("h") >= 332).head(3)
+    ]
+    assert len(bad_ids) == 3
+    df = spark.createDataFrame(
+        [(int(i), [float(i), 1.0]) for i in bad_ids],
+        "vec_id long, embedding array<double>",
+    )
+    sample = A._hash_sample(df, "embedding", "vec_id", 1)
+    assert sample.shape == (1, 2)

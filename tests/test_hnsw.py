@@ -748,8 +748,73 @@ def test_load_graph_cached_identity_and_staleness(emb, tmp_path):
     g1.save(d)
     c = H.load_graph_cached(d)
     assert c is not a and c.n_points() == a.n_points() + len(rows)
-    # eviction keeps the cache bounded
-    assert len(H._GRAPH_CACHE) <= H._GRAPH_CACHE_MAX
+    # entries carry their approx byte size for the bytes-bounded LRU
+    assert all(
+        isinstance(b, int) and b > 0 for _, b in H._GRAPH_CACHE.values()
+    )
+
+
+def test_graph_cache_bytes_budget_eviction(emb, tmp_path, monkeypatch):
+    """r11 (ADVICE): the serve cache is BYTES-bounded, not
+    count-bounded — under a tiny budget only the most-recent graph
+    stays resident (the cache-utility floor), so a worker walking many
+    large shards can never pin multiples of the budget."""
+    from chromem_go_spark.operators import hnsw as H
+
+    monkeypatch.setenv("CHROMEM_SPARK_GRAPH_CACHE_BYTES", "1")
+    H._GRAPH_CACHE.clear()
+    for lo, hi, name in ((0, 40, "ga"), (40, 80, "gb"), (80, 120, "gc")):
+        g = HNSWIndex.build(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            M=8, ef_construction=64,
+        )
+        d = str(tmp_path / name)
+        g.save(d)
+        got = H.load_graph_cached(d)
+        assert got.n_points() == 40
+        # over-budget: evicted down to the most-recent entry only
+        assert len(H._GRAPH_CACHE) == 1
+    H._GRAPH_CACHE.clear()
+
+
+def test_load_shard_graph_retries_plain_to_generation_race(
+    emb, tmp_path, monkeypatch
+):
+    """r11 (ADVICE): a serving reader that resolved a shard's PLAIN
+    layout just before the first streamed commit promoted a generation
+    (and removed the plain graph.npz) must re-resolve once instead of
+    failing with FileNotFoundError."""
+    import os
+
+    from chromem_go_spark.operators import hnsw as H
+
+    root = str(tmp_path / "race_root")
+    sdir = os.path.join(root, "shard=00000")
+    g = HNSWIndex.build(
+        emb.filter(F.col("vec_id") < 60), M=8, ef_construction=64
+    )
+    os.makedirs(sdir, exist_ok=True)
+    g.save(sdir)  # plain build-only layout
+    # the commit that races the reader: generation promoted, plain
+    # layout removed (what append_shard_batch does)
+    H.save_snapshot(g, sdir, last_batch=0)
+    for leftover in ("graph.npz", "meta.json"):
+        os.remove(os.path.join(sdir, leftover))
+
+    # simulate the stale resolution: first call answers the PLAIN dir
+    # (as if it ran before _live.json landed), later calls are real
+    real = H._resolve_shard_snapshot
+    calls = {"n": 0}
+
+    def stale_once(d):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return d  # plain layout — graph.npz already deleted
+        return real(d)
+
+    monkeypatch.setattr(H, "_resolve_shard_snapshot", stale_once)
+    idx = H._load_shard_graph(root, 0)
+    assert calls["n"] == 2 and idx.n_points() == 60
 
 
 def _write_halves(sf_dir, d):
@@ -906,11 +971,11 @@ def test_sharded_append_crash_before_bump_heals(spark, emb, tmp_path,
     real = H.bump_sharded_manifest
     calls = {"n": 0}
 
-    def flaky(r, counts):
+    def flaky(r, counts, centroids=None):
         calls["n"] += 1
         if calls["n"] == 1:
             raise OSError("injected crash before manifest bump")
-        return real(r, counts)
+        return real(r, counts, centroids=centroids)
 
     monkeypatch.setattr(H, "bump_sharded_manifest", flaky)
 
@@ -975,16 +1040,25 @@ def test_append_shard_batch_cache_replay_and_taint(emb, tmp_path, monkeypatch):
 
     monkeypatch.setattr(H, "load_snapshot", counting_load)
 
-    n = H.append_shard_batch(d, 0, ids[:50], vecs[:50], M=8,
-                             ef_construction=64)
+    n, cent = H.append_shard_batch(d, 0, ids[:50], vecs[:50], M=8,
+                                   ef_construction=64)
     assert n == 50 and loads["n"] == 0  # fresh shard: nothing to load
+    assert len(cent) == len(vecs[0])  # shard centroid rides the commit
+    # the id-set rides the cache entry (r11): grab it to prove the
+    # next warm batch updates it INCREMENTALLY, never rebuilding
+    set_after_b0 = H._APPEND_CACHE[d][2]
+    assert set_after_b0 == set(ids[:50])
     # second batch: live gen is the one THIS process committed — warm
-    n = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
-                             ef_construction=64)
+    n, _ = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
+                                ef_construction=64)
     assert n == 80 and loads["n"] == 0
+    # SAME set object, grown in place — no O(shard size) rebuild on a
+    # warm batch (r11; a rebuild would store a fresh set object)
+    assert H._APPEND_CACHE[d][2] is set_after_b0
+    assert set_after_b0 == set(ids)
     # replay of batch 1: skipped exactly, still no reload
-    n = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
-                             ef_construction=64)
+    n, _ = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
+                                ef_construction=64)
     assert n == 80 and loads["n"] == 0
     # the committed snapshot IS the in-memory graph (cache hit was
     # consistent): exact search over all 80 via the committed file
@@ -998,8 +1072,8 @@ def test_append_shard_batch_cache_replay_and_taint(emb, tmp_path, monkeypatch):
     # FOREIGN commit (another process bumps the generation): the gen
     # key no longer matches -> disk reload on the next append
     H.save_snapshot(idx, d, last_batch=1)
-    n = H.append_shard_batch(d, 2, ids[:1], vecs[:1], M=8,
-                             ef_construction=64)
+    n, _ = H.append_shard_batch(d, 2, ids[:1], vecs[:1], M=8,
+                                ef_construction=64)
     assert n == 80 and loads["n"] == 1  # dup id dropped, but reloaded
 
     # failed commit taints the cache: the retried batch applies ONCE
@@ -1024,8 +1098,174 @@ def test_append_shard_batch_cache_replay_and_taint(emb, tmp_path, monkeypatch):
     with pytest.raises(OSError, match="injected"):
         H.append_shard_batch(d, 3, eids, evecs, M=8, ef_construction=64)
     assert d not in H._APPEND_CACHE  # tainted entry dropped
-    n = H.append_shard_batch(d, 3, eids, evecs, M=8, ef_construction=64)
+    n, _ = H.append_shard_batch(d, 3, eids, evecs, M=8, ef_construction=64)
     assert n == 90
     idx2, last2 = real_load(d)
     assert idx2.n_points() == 90 and last2 == 3
     assert len(set(idx2.ids)) == 90  # no duplicate nodes from the retry
+
+
+def test_append_shard_batch_insert_failure_taints_cache(
+    emb, tmp_path, monkeypatch
+):
+    """r11 (ADVICE): the taint rule covers the MUTATION, not just the
+    commit — an insert_batch that raises after partially extending the
+    graph must drop the cache entry, so the same-process retry reloads
+    the committed snapshot instead of appending onto a half-applied
+    batch."""
+    import chromem_go_spark.operators.hnsw as H
+
+    rows = sorted(
+        emb.filter(F.col("vec_id") < 60)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r[0],
+    )
+    ids = [r[0] for r in rows]
+    vecs = [list(r[1]) for r in rows]
+    d = str(tmp_path / "taint_shard")
+    H._APPEND_CACHE.clear()
+    n, _ = H.append_shard_batch(d, 0, ids[:40], vecs[:40], M=8,
+                                ef_construction=64)
+    assert n == 40 and d in H._APPEND_CACHE
+
+    real_insert = H.HNSWIndex.insert_batch
+    calls = {"n": 0}
+
+    def partial_insert(self, new_ids, new_vecs, ef_construction=200):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # mutate BEFORE failing — the half-applied-batch hazard
+            real_insert(self, new_ids[:5], new_vecs[:5],
+                        ef_construction=ef_construction)
+            raise RuntimeError("injected insert failure")
+        return real_insert(self, new_ids, new_vecs,
+                           ef_construction=ef_construction)
+
+    monkeypatch.setattr(H.HNSWIndex, "insert_batch", partial_insert)
+    with pytest.raises(RuntimeError, match="injected insert"):
+        H.append_shard_batch(d, 1, ids[40:], vecs[40:], M=8,
+                             ef_construction=64)
+    assert d not in H._APPEND_CACHE  # tainted: mutation didn't commit
+    # retry reloads the committed 40-point snapshot and applies ONCE
+    n, _ = H.append_shard_batch(d, 1, ids[40:], vecs[40:], M=8,
+                                ef_construction=64)
+    assert n == 60
+    idx, last = H.load_snapshot(d)
+    assert idx.n_points() == 60 and last == 1
+    assert len(set(idx.ids)) == 60  # no duplicates from the retry
+
+
+def test_sharded_probe_pruning_identity_and_recall(spark, emb, tmp_path):
+    """r11: the centroid shard router.  shards_probed=None (and
+    P >= S) keeps the exact all-shards identity; P < S returns each
+    query's results from exactly its P nearest-centroid shards (a
+    subset of the exact walk, verified per query), and the probe
+    tables route DIFFERENT queries to DIFFERENT shards."""
+    from chromem_go_spark.operators import hnsw as H
+
+    root = str(tmp_path / "probe_shards")
+    m = H.build_sharded_hnsw(emb, root, n_shards=4, M=8,
+                             ef_construction=64)
+    assert set(m["centroids"].keys()) == {
+        str(s) for s, _ in m["shards"]
+    }
+    ef = max(n for _, n in m["shards"])
+    qids = [str(v) for v in range(6)]
+    qvs = [_qv(emb, v) for v in range(6)]
+
+    exact = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, qids, qvs, 10, ef=ef
+        ).collect()
+    }
+    # P >= S is the identity
+    all_p = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, qids, qvs, 10, ef=ef, shards_probed=4
+        ).collect()
+    }
+    assert all_p == exact
+
+    # P=2: per-query results must be exactly the exact top-k RESTRICTED
+    # to that query's 2 nearest-centroid shards (the walk itself is
+    # exhaustive per shard at ef >= shard size)
+    meta = H.load_sharded_meta(root)
+    probe = dict(H._probe_shard_lists(meta, qvs, 2))
+    shard_of = {}
+    for s, _ in meta["shards"]:
+        idx = H._load_shard_graph(root, s)
+        for i in idx.ids:
+            shard_of[i] = s
+    pruned = H.sharded_search_batch(
+        spark, root, qids, qvs, 10, ef=ef, shards_probed=2
+    ).collect()
+    by_q: dict = {}
+    for r in pruned:
+        by_q.setdefault(r["query_id"], set()).add(
+            (r["vec_id"], round(r["similarity"], 6))
+        )
+    n_total = len(shard_of)
+    for qi, (qid, qv) in enumerate(zip(qids, qvs)):
+        allowed = {s for s, qlist in probe.items() if qi in qlist}
+        assert len(allowed) == 2
+        # exact expectation: the full ranking restricted to the probed
+        # shards, first 10 (per-shard walks are exhaustive at ef >=
+        # shard size, so pruning is the ONLY approximation)
+        want = [
+            (i, s) for i, s in _flat(emb, qv, k=n_total)
+            if shard_of[i] in allowed
+        ][:10]
+        assert by_q.get(qid, set()) == set(want)
+
+
+def test_probe_shard_lists_fallback_without_centroids(emb, tmp_path):
+    """A pre-r11 manifest (no centroid table) cannot be pruned: every
+    shard is probed by every query — conservative, never dropping a
+    shard silently."""
+    from chromem_go_spark.operators import hnsw as H
+
+    meta = {"shards": [(0, 10), (1, 10), (2, 10)], "id_col": "vec_id"}
+    lists = H._probe_shard_lists(meta, [[1.0, 0.0]], 1)
+    assert lists == [(0, [0]), (1, [0]), (2, [0])]
+    # and P>=S / None short-circuit before touching centroids
+    assert H._probe_shard_lists(meta, [[1.0, 0.0]], None) == [
+        (0, [0]), (1, [0]), (2, [0])
+    ]
+    with pytest.raises(ValueError, match="shards_probed"):
+        H._probe_shard_lists(meta, [[1.0, 0.0]], 0)
+
+
+def test_bump_sharded_manifest_concurrent_writers(emb, tmp_path):
+    """r11 (ADVICE): the manifest fold is flock-serialized — two
+    writers bumping DIFFERENT shards concurrently never lose each
+    other's counts to the read-modify-write race."""
+    import json
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from chromem_go_spark.operators import hnsw as H
+
+    root = str(tmp_path / "lock_root")
+    os.makedirs(root)
+    with open(os.path.join(root, H._SHARD_MANIFEST), "w") as f:
+        json.dump(
+            {"n_shards": 2, "shards": [], "id_col": "vec_id",
+             "id_kind": "int", "M": 8, "seed": 42},
+            f,
+        )
+
+    def bump_many(shard):
+        for v in range(1, 26):
+            H.bump_sharded_manifest(
+                root, {shard: v}, centroids={shard: [float(shard), 1.0]}
+            )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(bump_many, [0, 1]))
+    meta = H.load_sharded_meta(root)
+    # neither writer's final count was lost
+    assert dict(meta["shards"]) == {0: 25, 1: 25}
+    assert meta["centroids"] == {"0": [0.0, 1.0], "1": [1.0, 1.0]}
