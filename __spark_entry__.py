@@ -2783,7 +2783,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     resolution is knn_batch's exact kin — same kernel, same oracle)
     and quality_filter rotated OUT (its quality_score gate is replayed
     inside the still-windowed training_pipeline oracle), both still
-    value-checked in extras."""
+    value-checked in extras.
+
+    r11: containment (asymmetric shingle containment — the
+    quote/superset detector, a distinct one-sided-similarity shape
+    that had never held a driver row) rotated IN; ngram_jaccard
+    rotated OUT (its symmetric-Jaccard family keeps window coverage
+    through minhash_lsh + cdc_fingerprints, and its word-shingle twin
+    word_ngram_jaccard already lives in extras), still value-checked
+    there."""
     return {
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
@@ -2801,7 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_filter": q_delete_by_filter,
         "upsert_last_wins": q_upsert_last_wins,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
+        "containment": q_containment,
         "cdc_fingerprints": q_cdc_fingerprints,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -2936,9 +2944,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     canonical window; simhash_pairs and knn_batch_per_filter landed
     here (twins of embedding_neardup_lsh's banding engine and
     knn_batch_per_filter2's DSL kernel respectively), still
+    value-checked every round.
+
+    r11 rotation: containment moved INTO the canonical window;
+    ngram_jaccard landed here (symmetric char-shingle Jaccard —
+    minhash_lsh + cdc_fingerprints keep its family windowed, and its
+    word-unit twin word_ngram_jaccard was already an extra), still
     value-checked every round."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
+        "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "events_session_window": q_events_session_window,
         "dedup_clusters": q_dedup_clusters,
@@ -2958,7 +2973,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "audio_neardup": q_audio_neardup,
         "events_interval_join": q_events_interval_join,
-        "containment": q_containment,
         "tfidf_topk": q_tfidf_topk,
         "embedding_clusters": q_embedding_clusters,
         "weighted_sample": q_weighted_sample,
@@ -4667,7 +4681,7 @@ _EXTRA_KEYS = frozenset(
         "dedup_keep_best",
         "audio_neardup",
         "events_interval_join",
-        "containment",
+        "ngram_jaccard",  # r11: rotated out (family covered by minhash_lsh + cdc_fingerprints; word twin here too)
         "tfidf_topk",
         "embedding_clusters",  # r7: value-checked (literal-centroid replay)
         "weighted_sample",

@@ -335,8 +335,12 @@ def main() -> None:
     # in-run readings crept ~22% over r6→r7 while plans stayed
     # identical: a fresh-JVM point each round tells host/session drift
     # from a real regression without waiting for the 3x auto-pin.
+    # r11 adds training_pipeline (the heaviest non-dedup family) so
+    # round-over-round comparison never leans on in-run numbers —
+    # r10's in-run walls ran 2.4x contaminated with only 3 controls.
     iso_controls: dict[str, float] = {}
-    for ctl in ("ngram_jaccard", "dedup_keep_best", "dedup_clusters_star"):
+    for ctl in ("ngram_jaccard", "dedup_keep_best", "dedup_clusters_star",
+                "training_pipeline"):
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--isolated", ctl],
