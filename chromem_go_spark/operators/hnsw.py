@@ -31,13 +31,24 @@ sequence but differs from a fresh rebuild over the union (insertion
 order differs); the exactness-at-ef>=n guarantee below holds either
 way, because every insert links bidirectionally at layer 0.
 
-Exactness guarantee used by the oracle: layer 0 is CONNECTED by
-construction (every insert after the first links bidirectionally to
-at least one existing node), and the ef-bounded best-first search
-never prunes while fewer than ``ef`` results are held — so with
-``ef >= n_points`` the walk visits the entire component, i.e. every
-point, and the result is exactly brute force.  ``search`` with small
-ef is the approximate fast path; measured recall goes in RECALL.md.
+Exactness guarantee used by the oracle: layer 0 is CONNECTED as a
+maintained INVARIANT (r11).  Every insert links bidirectionally to
+its nearest existing node — its layer-0 TREE PARENT — and both
+directions of every tree edge are exempt from the M-nearest neighbor
+prune, so the parent tree (rooted at the first insert) spans layer 0
+with every tree edge walkable both ways: from ANY start node every
+node is reachable.  (Pre-r11 the prune could drop every in-edge of a
+node inside a tight near-duplicate cluster — the near-uniform driver
+testdata never triggered it, but clustered corpora disconnect
+reliably; the clustered-blob tests now pin the invariant.)  The
+ef-bounded best-first search never prunes while fewer than ``ef``
+results are held — so with ``ef >= n_points`` the walk visits the
+entire (now guaranteed) component, i.e. every point, and the result
+is exactly brute force.  ``search`` with small ef is the approximate
+fast path; measured recall goes in RECALL.md.  Tree parents persist
+in the snapshot; appending to a PRE-r11 snapshot leaves the old
+nodes' tree edges unprotected (their parents are unknown) — rebuild
+to regain the guarantee there.
 """
 
 from __future__ import annotations
@@ -62,6 +73,7 @@ class HNSWIndex:
         id_col: str,
         seed: int = 42,
         max_points: int = 1_000_000,
+        parent: list[int] | None = None,
     ):
         self.ids = ids
         self.vectors = vectors  # (n, dim) L2-normalized float64
@@ -71,6 +83,13 @@ class HNSWIndex:
         self.id_col = id_col
         self.seed = seed
         self.max_points = max_points
+        # layer-0 tree parent per insertion index (-1 = root/unknown):
+        # the connectivity invariant's spanning tree (module doc).  A
+        # pre-r11 snapshot loads with -1s — existing edges stand, but
+        # only nodes inserted from now on get protected tree edges.
+        self.parent = (
+            list(parent) if parent is not None else [-1] * len(ids)
+        )
 
     # ------------------------------------------------------------ build
 
@@ -86,9 +105,14 @@ class HNSWIndex:
     def _insert_point(self, i: int, lvl: int, ef_construction: int) -> None:
         """Insert pre-normalized ``self.vectors[i]`` into the graph —
         shared by :meth:`build` and :meth:`insert_batch` (one insert
-        algorithm, not two)."""
+        algorithm, not two).  At layer 0 the node's nearest existing
+        neighbor becomes its TREE PARENT; both directions of the tree
+        edge are exempt from the M-nearest prune — the connectivity
+        invariant behind the ef>=n exactness guarantee (module doc)."""
         layers = self.layers
         entry_level = len(layers) - 1
+        while len(self.parent) <= i:
+            self.parent.append(-1)
         if i == 0 and not layers[0]:
             for l in range(len(layers), lvl + 1):
                 layers.append({})
@@ -106,17 +130,13 @@ class HNSWIndex:
             cand = self._search_layer(q, [ep], l, ef_construction)
             neigh = [c for _, c in heapq.nsmallest(self.M, cand)]
             layers[l][i] = list(neigh)
+            if l == 0 and neigh:
+                self.parent[i] = neigh[0]  # nearest existing node
             for nb in neigh:
                 lst = layers[l][nb]
                 lst.append(i)
                 if len(lst) > self.M:
-                    # prune to the M nearest (deterministic ties by id)
-                    sims = self.vectors[lst] @ self.vectors[nb]
-                    keep = sorted(
-                        range(len(lst)),
-                        key=lambda j: (-sims[j], lst[j]),
-                    )[: self.M]
-                    layers[l][nb] = [lst[j] for j in sorted(keep)]
+                    self._prune(l, nb)
             ep = neigh[0] if neigh else ep
         for l in range(len(layers), lvl + 1):
             layers.append({})
@@ -124,6 +144,33 @@ class HNSWIndex:
             layers[l][i] = []
         if lvl > entry_level:
             self.entry = i
+
+    def _prune(self, l: int, nb: int) -> None:
+        """Trim node ``nb``'s layer-``l`` neighbor list to the M
+        nearest (deterministic ties by id) — EXCEPT layer-0 tree edges
+        (``nb``'s parent, and children whose parent is ``nb``), which
+        are always kept: pruning a node's last in-edge is how naive
+        HNSW pruning disconnects tight clusters.  The list may exceed
+        M by the number of protected edges (bounded in practice by how
+        often a node is the nearest-at-insert; the walk just follows a
+        few extra edges)."""
+        lst = self.layers[l][nb]
+        if l == 0:
+            par = self.parent
+            prot = [
+                j for j, t in enumerate(lst)
+                if par[t] == nb or par[nb] == t
+            ]
+        else:
+            prot = []
+        prot_set = set(prot)
+        sims = self.vectors[lst] @ self.vectors[nb]
+        rest = sorted(
+            (j for j in range(len(lst)) if j not in prot_set),
+            key=lambda j: (-sims[j], lst[j]),
+        )
+        keep = prot + rest[: max(0, self.M - len(prot))]
+        self.layers[l][nb] = [lst[j] for j in sorted(keep)]
 
     @classmethod
     def build(
@@ -271,6 +318,9 @@ class HNSWIndex:
         arrays["ids"] = np.asarray(
             [str(i) for i in self.ids] if id_kind == "str" else self.ids
         )
+        # layer-0 tree parents: the connectivity invariant must survive
+        # the snapshot so appends keep protecting the old tree edges
+        arrays["parent"] = np.asarray(self.parent, dtype=np.int64)
         meta = {
             "entry": int(self.entry),
             "M": int(self.M),
@@ -336,6 +386,12 @@ class HNSWIndex:
             meta.get("id_col", "vec_id"),
             seed=int(meta.get("seed", 42)),
             max_points=int(meta.get("max_points", 1_000_000)),
+            # pre-r11 snapshot: parents unknown (-1) — module doc
+            parent=(
+                [int(x) for x in data["parent"]]
+                if "parent" in data.files
+                else None
+            ),
         )
 
     # ----------------------------------------------------------- search
@@ -667,13 +723,36 @@ def build_sharded_hnsw(
     ef_construction: int = 200,
     seed: int = 42,
     max_points_per_shard: int = 1_000_000,
+    shard_by: str = "hash",
+    sample_size: int = 16_384,
 ) -> dict:
-    """Build + persist a sharded HNSW under ``root``: shard by
-    ``pmod(xxhash64(id), n_shards)`` (deterministic, id-stable), one
-    graph per shard built and snapshotted by its own executor task
+    """Build + persist a sharded HNSW under ``root``: one graph per
+    shard built and snapshotted by its own executor task
     (``applyInPandas`` groups carry the whole shard), manifest
     committed atomically LAST — a crash mid-build leaves no manifest
     and readers refuse the root.  Returns the manifest dict.
+
+    ``shard_by`` picks the placement rule (r11):
+
+    - ``"hash"`` (default): ``pmod(xxhash64(id), n_shards)`` —
+      deterministic, id-stable, perfectly balanced.  Shard contents
+      are random subsets, so the manifest's per-shard DATA centroids
+      are all ≈ the global mean: the ``shards_probed`` router over a
+      hash root is a UNIFORM prune (expected recall ≈ P/S on any
+      corpus — measured in RECALL.md).  The right default when every
+      batch walks all shards (P = S).
+    - ``"centroid"``: spherical k-means with k = n_shards on a
+      hash-spread sample, every point placed in its nearest-centroid
+      cell — the IVF assignment rule one level up.  The ASSIGNMENT
+      centroids land in the manifest FROZEN (streaming appends route
+      new points by them and never move them — the frozen-quantizer
+      contract of ``IVFIndex.append_batch``), so ``shards_probed``
+      prunes semantically: a query's true neighbors concentrate in
+      its nearest cells exactly as IVF probes do.  The trade is the
+      IVF trade: cells are unbalanced (skewed corpora make hot
+      shards; the per-shard cap binds on the LARGEST cell), and on a
+      structure-free corpus the router degrades to the uniform P/S
+      floor.  Requires a non-empty build corpus.
 
     ``root`` must be storage every executor and the driver can reach
     (same contract as every persisted index in this repo).  A shard
@@ -704,10 +783,30 @@ def build_sharded_hnsw(
              "centroid": [idx.centroid()]}
         )
 
-    sharded = df.select(id_col, vec_col).withColumn(
-        "__shard",
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)),
-    )
+    if shard_by not in ("hash", "centroid"):
+        raise ValueError(
+            f"shard_by must be 'hash' or 'centroid', got {shard_by!r}"
+        )
+    assign_cents = None
+    if shard_by == "centroid":
+        from . import ann as A
+
+        sample = A._hash_sample(
+            df.select(id_col, vec_col), vec_col, id_col, sample_size
+        )  # raises EmptyCorpusError on an empty frame — centroid
+        # routing has no assignment table without build data
+        assign_cents = A._kmeans(sample, int(n_shards), seed=seed)
+        n_shards = assign_cents.shape[0]  # k-means caps k at sample n
+        sharded = A._assign_clusters(
+            df.select(id_col, vec_col), assign_cents, vec_col
+        ).withColumnRenamed("cluster_id", "__shard")
+    else:
+        sharded = df.select(id_col, vec_col).withColumn(
+            "__shard",
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)
+            ),
+        )
     rows = (
         sharded.groupBy("__shard")
         .applyInPandas(
@@ -719,16 +818,27 @@ def build_sharded_hnsw(
 
     manifest = {
         "n_shards": int(n_shards),
+        "shard_by": shard_by,
         "shards": sorted(
             {int(r["shard"]): int(r["n_points"]) for r in rows}.items()
         ),
-        # per-shard coarse representatives — the serving shard router's
-        # probe table (sharded_search_batch shards_probed); the exact
-        # analog of IVF cell centroids, one level up
-        "centroids": {
-            str(int(r["shard"])): [float(x) for x in r["centroid"]]
-            for r in rows
-        },
+        # the serving shard router's probe table
+        # (sharded_search_batch shards_probed): hash roots carry each
+        # shard's DATA centroid (≈ the global mean — uniform-prune
+        # router, see the shard_by doc); centroid roots carry the
+        # FROZEN ASSIGNMENT centroids for every cell, including
+        # build-empty ones (a streamed point may route there later)
+        "centroids": (
+            {
+                str(j): [float(x) for x in assign_cents[j]]
+                for j in range(n_shards)
+            }
+            if assign_cents is not None
+            else {
+                str(int(r["shard"])): [float(x) for x in r["centroid"]]
+                for r in rows
+            }
+        ),
         "id_col": id_col,
         # from the schema, not a sampling job — free, and correct on an
         # empty frame too
@@ -919,7 +1029,12 @@ def bump_sharded_manifest(
         cur = {int(s): int(n) for s, n in meta["shards"]}
         cur.update({int(s): int(n) for s, n in counts.items()})
         meta["shards"] = sorted(cur.items())
-        if centroids:
+        if centroids and meta.get("shard_by", "hash") != "centroid":
+            # hash roots: refresh the per-shard DATA centroids as the
+            # shards grow.  Centroid roots NEVER fold these — their
+            # manifest holds the frozen ASSIGNMENT centroids (the
+            # routing/placement table; moving them would orphan
+            # already-placed points, the frozen-quantizer contract)
             cents = {
                 str(s): c for s, c in meta.get("centroids", {}).items()
             }

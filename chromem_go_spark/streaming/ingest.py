@@ -783,8 +783,10 @@ def sharded_hnsw_append_sink(
     append a stream to it; the single-graph sink's snapshot-generation
     protocol composes per shard naturally).
 
-    Each micro-batch is routed to shards by the SAME deterministic
-    ``pmod(xxhash64(id), n_shards)`` the build used, then each shard's
+    Each micro-batch is routed to shards by the SAME placement rule
+    the build used (the manifest's ``shard_by``: hash roots by
+    ``pmod(xxhash64(id), n_shards)``, centroid roots by the frozen
+    assignment centroids — r11), then each shard's
     rows are appended INSIDE their own executor task (``applyInPandas``
     — the driver never holds a graph, same as the build): load the
     shard's committed graph, drop ids already in it (first write wins,
@@ -833,6 +835,20 @@ def sharded_hnsw_append_sink(
         else meta0.get("ef_construction", 200)
     )
     cap = int(meta0.get("max_points_per_shard", 1_000_000))
+    shard_by = meta0.get("shard_by", "hash")
+    assign_cents = None
+    if shard_by == "centroid":
+        # centroid roots route by the manifest's FROZEN assignment
+        # centroids (r11) — the same nearest-centroid rule the build
+        # used, so a point streams into the cell a rebuild would have
+        # placed it in (the frozen-quantizer contract of
+        # IVFIndex.append_batch, one level up)
+        import numpy as np
+
+        assign_cents = np.asarray(
+            [meta0["centroids"][str(j)] for j in range(n_shards)],
+            dtype=np.float64,
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
@@ -857,16 +873,23 @@ def sharded_hnsw_append_sink(
         # job per trigger, and an empty batch already no-ops through
         # this plan — zero groups reach applyInPandas, the collect
         # returns zero rows, and the manifest bump is skipped below
-        rows = (
-            batch_df.select(id_col, vec_col)
-            .withColumn(
+        base = batch_df.select(id_col, vec_col)
+        if assign_cents is not None:
+            from ..operators.ann import _assign_clusters
+
+            routed = _assign_clusters(
+                base, assign_cents, vec_col
+            ).withColumnRenamed("cluster_id", "__shard")
+        else:
+            routed = base.withColumn(
                 "__shard",
                 F.pmod(
                     F.xxhash64(F.col(id_col).cast("string")),
                     F.lit(n_shards),
                 ),
             )
-            .groupBy("__shard")
+        rows = (
+            routed.groupBy("__shard")
             .applyInPandas(
                 append_shard,
                 "shard int, n_points long, centroid array<double>",

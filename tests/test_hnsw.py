@@ -1269,3 +1269,225 @@ def test_bump_sharded_manifest_concurrent_writers(emb, tmp_path):
     # neither writer's final count was lost
     assert dict(meta["shards"]) == {0: 25, 1: 25}
     assert meta["centroids"] == {"0": [0.0, 1.0], "1": [1.0, 1.0]}
+
+
+def _clustered_df(spark, n_clusters=8, per=50, dim=16, sep=6.0, seed=7):
+    """Well-separated Gaussian blobs, L2-NORMALIZED (unit vectors like
+    the driver testdata embeddings, so knn_block's dot == cosine ==
+    the graph's internal metric): the corpus shape where semantic
+    (centroid) sharding routes correctly and hash sharding provably
+    cannot (shard contents are random subsets)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * sep
+    rows = []
+    for c in range(n_clusters):
+        # noise wide enough that within-blob similarities spread out
+        # (tighter blobs make rank-10 boundary near-ties that flip on
+        # float-path differences between the JVM dot and the numpy walk)
+        pts = centers[c] + rng.normal(size=(per, dim)) * 0.4
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        for j, p in enumerate(pts):
+            rows.append((c * per + j, [float(x) for x in p]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_centroid_sharding_beats_hash_routing(spark, tmp_path):
+    """r11, the design claim behind shard_by='centroid': on a
+    clustered corpus, probing ONE shard recovers (nearly) the full
+    exact top-k because each query's true neighbors live in its
+    nearest cell — while the same P=1 probe over a HASH root can only
+    see ~1/S of each query's neighbors (random placement).  Measured
+    here on planted Gaussian blobs, deterministic seeds."""
+    from chromem_go_spark.operators import hnsw as H
+
+    df = _clustered_df(spark)
+    qrows = df.filter(F.col("vec_id") % 50 == 3).collect()  # 1 per blob
+    qids = [str(r["vec_id"]) for r in qrows]
+    qvs = [list(r["embedding"]) for r in qrows]
+    exact = {}
+    for r in K.knn_block(
+        df, qids, qvs, 10, vec_col="embedding", id_col="vec_id"
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q])
+            for q in exact
+        ) / len(exact)
+
+    sroot = str(tmp_path / "cent_shards")
+    m = H.build_sharded_hnsw(
+        df, sroot, n_shards=8, M=8, ef_construction=64,
+        shard_by="centroid",
+    )
+    assert m["shard_by"] == "centroid"
+    assert set(m["centroids"].keys()) == {str(j) for j in range(8)}
+    per = max(n for _, n in m["shards"])
+    sh = H.ShardedHNSW.load(sroot)
+    # P=1 over the centroid root: each blob is one cell, recall ~ 1
+    r_cent = recall(
+        sh.search_batch(spark, qids, qvs, 10, ef=per,
+                        shards_probed=1).collect()
+    )
+    assert r_cent >= 0.9
+    # P=S stays the exact identity on a centroid root too
+    r_all = recall(
+        sh.search_batch(spark, qids, qvs, 10, ef=per).collect()
+    )
+    assert r_all == 1.0
+
+    hroot = str(tmp_path / "hash_shards")
+    H.build_sharded_hnsw(
+        df, hroot, n_shards=8, M=8, ef_construction=64, shard_by="hash"
+    )
+    hh = H.ShardedHNSW.load(hroot)
+    r_hash = recall(
+        hh.search_batch(spark, qids, qvs, 10, ef=per,
+                        shards_probed=1).collect()
+    )
+    # hash placement: ~1/8 of each query's neighbors per shard
+    assert r_hash <= 0.5
+    assert r_cent > r_hash
+
+
+def test_centroid_sharded_stream_appends_route_by_frozen_centroids(
+    spark, tmp_path
+):
+    """Streaming appends to a centroid root place each point in the
+    cell the BUILD's frozen assignment centroids choose (never the
+    hash rule), the manifest's centroids do not move on bump, and the
+    grown corpus stays exactly searchable at P=S / findable at P=1."""
+    import numpy as np
+
+    from chromem_go_spark.operators import ann as A
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    df = _clustered_df(spark)
+    lo = df.filter(F.col("vec_id") % 50 < 40)
+    hi = df.filter(F.col("vec_id") % 50 >= 40)
+    sroot = str(tmp_path / "cent_stream_shards")
+    m0 = H.build_sharded_hnsw(
+        lo, sroot, n_shards=8, M=8, ef_construction=64,
+        shard_by="centroid",
+    )
+    cents0 = m0["centroids"]
+
+    d = tmp_path / "cent_stream_src"
+    d.mkdir()
+    hi.coalesce(1).write.parquet(str(d / "batch"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "batch"))
+    )
+    run_available_now(
+        sharded_hnsw_append_sink(stream, sroot, str(tmp_path / "ckpt_c"))
+    )
+    m1 = H.load_sharded_meta(sroot)
+    assert sum(n for _, n in m1["shards"]) == df.count()
+    # frozen: the assignment table did not move on the bump
+    assert m1["centroids"] == cents0
+
+    # every streamed id sits in the shard its frozen centroid picks
+    cents = np.asarray(
+        [cents0[str(j)] for j in range(8)], dtype=np.float64
+    )
+    hi_rows = hi.collect()
+    want_shard = {
+        r["vec_id"]: int(
+            np.argmax(np.asarray(r["embedding"]) @ cents.T)
+        )
+        for r in hi_rows
+    }
+    for s, _ in m1["shards"]:
+        idx = H._load_shard_graph(sroot, s)
+        for i in idx.ids:
+            if i in want_shard:
+                assert want_shard[i] == s
+
+    # grown corpus: P=S exact, P=1 still finds the streamed points
+    per = max(n for _, n in m1["shards"])
+    sh = H.ShardedHNSW.load(sroot)
+    q = hi_rows[0]
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in sh.search_batch(
+            spark, [str(q["vec_id"])], [list(q["embedding"])], 10, ef=per
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(df, list(q["embedding"]))
+    got1 = {
+        r["vec_id"]
+        for r in sh.search_batch(
+            spark, [str(q["vec_id"])], [list(q["embedding"])], 10,
+            ef=per, shards_probed=1,
+        ).collect()
+    }
+    assert q["vec_id"] in got1 and len(got1) == 10
+
+
+def test_centroid_sharding_refuses_empty_build(spark, emb, tmp_path):
+    """Centroid roots need a trained assignment table — an empty build
+    corpus raises the typed EmptyCorpusError instead of committing an
+    unroutable manifest (hash roots keep the empty-bootstrap path)."""
+    from chromem_go_spark.operators import ann as A
+    from chromem_go_spark.operators import hnsw as H
+
+    with pytest.raises(A.EmptyCorpusError):
+        H.build_sharded_hnsw(
+            emb.filter(F.lit(False)), str(tmp_path / "e"),
+            n_shards=4, shard_by="centroid",
+        )
+    with pytest.raises(ValueError, match="shard_by"):
+        H.build_sharded_hnsw(
+            emb, str(tmp_path / "e2"), n_shards=4, shard_by="rando"
+        )
+
+
+def test_layer0_connected_on_clustered_corpus(spark):
+    """r11: the connectivity INVARIANT (protected layer-0 tree edges).
+    Tight near-duplicate clusters made the naive M-nearest prune drop
+    every in-edge of some nodes — ef >= n exactness silently depended
+    on the corpus shape.  Single graph and per-shard graphs must stay
+    connected, and the ef >= n walk must equal brute force, on the
+    clustered corpus that used to disconnect."""
+    import numpy as np
+
+    df = _clustered_df(spark)
+    g = HNSWIndex.build(df, M=8, ef_construction=64)
+    assert g.check_connected()
+    # exactness on the adversarial shape
+    q = df.filter(F.col("vec_id") == 3).head()["embedding"]
+    got = [(i, round(s, 6)) for i, s in g.search(list(q), 10, ef=g.n_points())]
+    assert got == _flat(df, list(q))
+    # survives a snapshot round trip (parents persist)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="conn_snap_")
+    g.save(d)
+    back = HNSWIndex.load(d)
+    assert back.parent == g.parent
+    assert back.check_connected()
+    # and incremental appends keep the invariant
+    rows = sorted(
+        (
+            (int(r["vec_id"]) + 10_000, list(r["embedding"]))
+            for r in df.filter(F.col("vec_id") < 40).collect()
+        ),
+    )
+    back.insert_batch([i for i, _ in rows], [v for _, v in rows],
+                      ef_construction=64)
+    assert back.check_connected()

@@ -229,6 +229,106 @@ def shard_count_section(spark, sf_dir: str) -> list[str]:
     return lines
 
 
+def shard_probe_section(spark, sf_dir: str) -> list[str]:
+    """Recall@10 vs shards_probed P (r11): the centroid shard router
+    prunes the walk list to each query's P nearest shard centroids —
+    the cost side is SCALE.md's walk-cost-follows-P table; this is the
+    recall side, at TWO settings: the SERVED DEFAULTS (M=16, ef_c=200,
+    8 shards — the configuration a user actually gets, closing the r10
+    verdict's missing sf1 pin) and the cheap cost-table settings (M=8,
+    ef_c=64, 16 shards — the exact configuration SCALE.md's cost sweep
+    runs, so cost and recall pair up).  The ef=exhaustive column walks
+    every probed shard completely (per-shard ef >= shard size), so it
+    isolates the PRUNING loss from the walk loss."""
+    import shutil
+    import tempfile
+
+    from chromem_go_spark.operators.hnsw import (
+        ShardedHNSW,
+        build_sharded_hnsw,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = [str(r["vec_id"]) for r in qrows]
+    qvecs = [list(r["embedding"]) for r in qrows]
+    exact = {}
+    for r in K.knn_block(
+        emb, qids, qvecs, K_AT, vec_col="embedding", id_col="vec_id"
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows) -> float:
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    lines = [
+        f"## Sharded HNSW shards_probed sweep (`{sf_dir}`, {n}"
+        " vectors — r11)",
+        "",
+        "The centroid shard router (`shards_probed=P`) is the cost",
+        "knob (SCALE.md: walk cost follows P, not S); this is the",
+        "recall it trades.  'exhaustive' = per-shard ef >= shard size:",
+        "every probed shard walked completely, so that column is the",
+        "PRUNING loss alone.  P = S is the exact all-shards identity",
+        "(the driver row's setting) whenever ef is exhaustive.",
+        "",
+    ]
+    for n_shards, M, efc, label in (
+        (8, 16, 200, "SERVED DEFAULTS"),
+        (16, 8, 64, "SCALE.md cost-table settings"),
+    ):
+        sroot = tempfile.mkdtemp(prefix=f"recall_probe{n_shards}_")
+        try:
+            m = build_sharded_hnsw(
+                emb, sroot, n_shards=n_shards, M=M, ef_construction=efc
+            )
+            per = max(cnt for _, cnt in m["shards"])
+            sh = ShardedHNSW.load(sroot)
+            lines += [
+                f"### {label}: {n_shards} shards, M={M}, ef_c={efc}"
+                f" (max shard n={per})",
+                "",
+                "| shards probed P | recall@10 @ef64 |"
+                " recall@10 @ef=exhaustive |",
+                "|---|---|---|",
+            ]
+            probes = sorted({1, 2, 4, n_shards // 2, n_shards})
+            for p in probes:
+                r64 = recall(
+                    sh.search_batch(
+                        spark, qids, qvecs, K_AT, ef=64, shards_probed=p
+                    ).collect()
+                )
+                rex = recall(
+                    sh.search_batch(
+                        spark, qids, qvecs, K_AT, ef=per, shards_probed=p
+                    ).collect()
+                )
+                tag = " (=S)" if p == n_shards else ""
+                lines.append(f"| {p}{tag} | {r64:.3f} | {rex:.3f} |")
+            lines.append("")
+        finally:
+            shutil.rmtree(sroot, ignore_errors=True)
+    lines += [
+        "The served-defaults row at P = S is the sf1 recall pin at the",
+        "settings a user actually gets (M=16, ef_c=200) — the r10",
+        "sweeps below it run the cheap build point and document the",
+        "TREND; neither is a recall-1.0 claim at ef=64.",
+        "",
+    ]
+    return lines
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("recall")
@@ -253,6 +353,7 @@ def main() -> None:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf1 = os.path.join(here, "scaledata", "sf1")
     if os.path.exists(f"{sf1}/embeddings.parquet"):
+        lines += shard_probe_section(spark, sf1)
         lines += shard_count_section(spark, sf1)
 
     # Auto-tuner operating point at the larger corpus
