@@ -434,6 +434,47 @@ def q_hnsw_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_hnsw_search_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW logical delete (r11 — the graph tier's tombstone parity
+    with the IVF tiers' delete_ids, reference collection.go:338
+    ``Delete``): tombstoned nodes stay navigable WAYPOINTS but can
+    never be returned, so at ef >= live-n the walk is exactly brute
+    force over the non-deleted corpus — the oracle excludes the same
+    ids in SQL.  The deleted set includes vec_id 0, the query vector
+    itself: the top-1 self-hit MUST vanish."""
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = HNSWIndex.build(emb, M=8, ef_construction=64)
+    idx.delete_ids([0, 1, 2, 3, 4])
+    qv = _qvec(spark, sf_dir, 0)
+    out = idx.search_batch(spark, ["0"], [qv], 10, ef=idx.n_points())
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
+def q_hnsw_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered HNSW serving (r11): the filter's matching ids gate
+    result ELIGIBILITY on the walk while every node stays navigable
+    (hnsw.py module doc — the reference's filter-before-scoring
+    semantics, collection.go:521, served from the graph instead of
+    the pre-r11 silent exact-scan fallback).  At ef >= live-n the
+    walk is brute force over exactly the allowed set, so the oracle
+    is the filtered top-k in SQL."""
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = HNSWIndex.build(emb, M=8, ef_construction=64)
+    allowed = {
+        int(r["vec_id"])
+        for r in emb.filter(F.col("vec_id") % 3 == 0).select("vec_id").collect()
+    }
+    qv = _qvec(spark, sf_dir, 0)
+    out = idx.search_batch(
+        spark, ["0"], [qv], 10, ef=idx.n_points(), allowed=allowed
+    )
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_where_contains_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$contains via the token-gram posting-list index — the
     reference's one roadmap item with no prior repo analog (reference
@@ -2950,7 +2991,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ngram_jaccard landed here (symmetric char-shingle Jaccard —
     minhash_lsh + cdc_fingerprints keep its family windowed, and its
     word-unit twin word_ngram_jaccard was already an extra), still
-    value-checked every round."""
+    value-checked every round.
+
+    r11 additions: hnsw_search_deleted (graph-tier tombstones — the
+    IVF delete parity; tombstoned nodes stay navigable but never
+    return, ef >= live-n == brute force over the survivors) and
+    hnsw_search_filtered (allowed id-set walks — the reference's
+    filter-before-scoring served FROM the graph; ef >= live-n ==
+    the filtered brute force)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3021,6 +3069,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch_per_filter": q_knn_batch_per_filter,
         "pack_corpus_bpe": q_pack_corpus_bpe,
         "hnsw_search": q_hnsw_search,
+        "hnsw_search_deleted": q_hnsw_search_deleted,
+        "hnsw_search_filtered": q_hnsw_search_filtered,
         "length_histogram": q_length_histogram,
         "source_report": q_source_report,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -3364,6 +3414,24 @@ def _oracles_base() -> dict[str, str]:
         "hnsw_search": _KNN_TOPK_SQL.format(q=q0),
         # r9: sharded exactness composes per shard — same oracle
         "hnsw_sharded_search": _KNN_TOPK_SQL.format(q=q0),
+        # r11: tombstones / allowed-set walks at ef >= live-n are brute
+        # force over exactly the surviving / allowed population
+        "hnsw_search_deleted": """
+WITH q AS ({q})
+SELECT e.vec_id, ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 4) AS sim
+FROM embeddings e, q
+WHERE e.vec_id >= 5
+ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
+LIMIT 10
+""".format(q=q0),
+        "hnsw_search_filtered": """
+WITH q AS ({q})
+SELECT e.vec_id, ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 4) AS sim
+FROM embeddings e, q
+WHERE e.vec_id % 3 = 0
+ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
+LIMIT 10
+""".format(q=q0),
         "knn_batch": f"""
 WITH qs AS (
   SELECT CAST(vec_id AS VARCHAR) AS query_id,
@@ -4730,6 +4798,8 @@ _EXTRA_KEYS = frozenset(
         "knn_batch_per_filter",  # r9: rotated out (DSL twin knn_batch_per_filter2 stays too)
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
+        "hnsw_search_deleted",  # r11: graph tombstones, ef>=live-n == survivors' brute force
+        "hnsw_search_filtered",  # r11: allowed id-set walk == filtered brute force
         "length_histogram",  # r7: power-of-two length buckets + pad audit
         "source_report",  # r7: per-source data card
         "tokenizer_fertility",  # r7: BPE pieces per word by language

@@ -434,6 +434,32 @@ class Collection:
                 where, where_document, ids, extended_filters
             )
 
+    #: served-graph filtered serving (r11) materializes the filter's
+    #: matching id set and ships it into every walk task; beyond this
+    #: many matches the set costs more to ship than the exact scan it
+    #: replaces (and the single-graph tier holds <= 1M points anyway —
+    #: only a sharded root can exceed it), so the query falls back to
+    #: the exact scan path.
+    HNSW_FILTER_MAX_IDS = 1_000_000
+
+    def _materialize_filter_ids(self, where, where_document,
+                                extended_filters) -> set | None:
+        """The filter's matching ids as a bounded set — the served
+        graph tier's filter form (eligibility-gated walks; see
+        operators/hnsw.py and router.routed_search ``allowed``).  One
+        collect job over the SAME predicate composition the exact path
+        scans with (semantics identical by construction); ``None``
+        when the match count exceeds ``HNSW_FILTER_MAX_IDS`` (callers
+        fall back to the exact scan)."""
+        pred = self._combined_predicate_ex(
+            where, where_document, extended_filters
+        )
+        cap = int(self.HNSW_FILTER_MAX_IDS)
+        rows = self.df.filter(pred).select("id").limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None
+        return {r["id"] for r in rows}
+
     def _combined_predicate_ex(self, where, where_document, extended_filters):
         """The full pre-filter predicate, strict-reference or extended
         DSL — ONE composition shared by query_embedding's exact path
@@ -608,14 +634,29 @@ class Collection:
         # the corpus BEFORE tier dispatch, so one call composes
         # embed -> $contains prune -> routed ANN.
         routable = index is not None and negative_embedding is None
+        served_allowed = None
         if routable and not isinstance(index, str):
             # a SERVED index that cannot express a filter falls back to
             # the exact scan path (pre-r8 behavior preserved): only the
-            # flat-vector IVF tier applies predicates below scoring
+            # flat-vector IVF tier applies predicates below scoring —
+            # EXCEPT the graph tier (r11): HNSW serves a filter as an
+            # eligibility-gated walk over the filter's materialized id
+            # set (hnsw.py module doc — the reference's
+            # filter-before-scoring semantics, collection.go:521, at
+            # the index's recall contract instead of a silent exact
+            # downgrade).  Beyond HNSW_FILTER_MAX_IDS matching ids the
+            # set costs more to ship than the scan saves — exact path.
             from .operators import router as R
 
             if (where or where_document) and R.tier_of(index) != "ivf":
-                routable = False
+                if R.tier_of(index) == "hnsw":
+                    served_allowed = self._materialize_filter_ids(
+                        where, where_document, extended_filters
+                    )
+                    if served_allowed is None:
+                        routable = False
+                else:
+                    routable = False
         if routable:
             from .operators import router as R
             from .operators.filters import where_document_predicate
@@ -684,7 +725,10 @@ class Collection:
             return R.routed_search(
                 base, qv, int(n_results), vec_col="embedding",
                 id_col="id", index=served, target_recall=target_recall,
-                where=pre, decision=decision, n_docs=eff_n,
+                # the graph tier's filter rode into `served_allowed`;
+                # the Column form would raise there (router doc)
+                where=None if served_allowed is not None else pre,
+                decision=decision, n_docs=eff_n, allowed=served_allowed,
             )
 
         # Pre-filter BELOW the similarity projection (reference

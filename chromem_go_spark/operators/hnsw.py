@@ -49,6 +49,23 @@ fast path; measured recall goes in RECALL.md.  Tree parents persist
 in the snapshot; appending to a PRE-r11 snapshot leaves the old
 nodes' tree edges unprotected (their parents are unknown) — rebuild
 to regain the guarantee there.
+
+Tombstones + filtered walks (r11): both reuse ONE mechanism — a
+result-ELIGIBILITY predicate on the walk (``_search_layer``).
+Tombstoned nodes (``delete_ids`` — the IVF tiers' logical-delete
+parity; previously ANY delete invalidated the served graph outright)
+and nodes outside a query's ``allowed`` id set (the reference's
+filter-before-scoring semantics, collection.go:521-542, served from
+the graph instead of falling back to the FLAT kernel) stay NAVIGABLE
+waypoints — unlinking them would re-open the connectivity problem the
+parent tree solves — but never occupy result slots.  The exactness
+certificate restates over the eligible population: results only ever
+hold eligible nodes, so with ``ef >=`` their count (``n_points()`` is
+the live count, an upper bound under any filter) the prune cannot
+trigger before every eligible node is held — brute force over
+exactly the live/allowed set, which is what the oracle computes.
+``compacted`` / ``compact_sharded_hnsw`` rebuild over live points —
+the physical apply, same protocol shape as the IVF ``compact``.
 """
 
 from __future__ import annotations
@@ -74,6 +91,7 @@ class HNSWIndex:
         seed: int = 42,
         max_points: int = 1_000_000,
         parent: list[int] | None = None,
+        deleted: set[int] | None = None,
     ):
         self.ids = ids
         self.vectors = vectors  # (n, dim) L2-normalized float64
@@ -83,6 +101,13 @@ class HNSWIndex:
         self.id_col = id_col
         self.seed = seed
         self.max_points = max_points
+        # mark-deleted node indexes (r11): tombstoned nodes stay
+        # NAVIGABLE waypoints (their edges keep the graph connected —
+        # unlinking would re-open the pruning/connectivity problem) but
+        # never enter a result heap.  The same parity the IVF tiers
+        # have had since r8 (shared tombstone protocol, ann.py): a
+        # delete no longer forces a full graph rebuild.
+        self.deleted: set[int] = set(deleted) if deleted else set()
         # layer-0 tree parent per insertion index (-1 = root/unknown):
         # the connectivity invariant's spanning tree (module doc).  A
         # pre-r11 snapshot loads with -1s — existing edges stand, but
@@ -321,6 +346,12 @@ class HNSWIndex:
         # layer-0 tree parents: the connectivity invariant must survive
         # the snapshot so appends keep protecting the old tree edges
         arrays["parent"] = np.asarray(self.parent, dtype=np.int64)
+        # tombstoned node indexes (r11): logical deletes ride the same
+        # atomic npz — a snapshot can never pair new arrays with a
+        # stale tombstone set
+        arrays["deleted"] = np.asarray(
+            sorted(self.deleted), dtype=np.int64
+        )
         meta = {
             "entry": int(self.entry),
             "M": int(self.M),
@@ -392,6 +423,12 @@ class HNSWIndex:
                 if "parent" in data.files
                 else None
             ),
+            # pre-tombstone snapshot: nothing deleted
+            deleted=(
+                {int(x) for x in data["deleted"]}
+                if "deleted" in data.files
+                else None
+            ),
         )
 
     # ----------------------------------------------------------- search
@@ -411,19 +448,32 @@ class HNSWIndex:
         return best
 
     def _search_layer(
-        self, q: np.ndarray, eps: Sequence[int], layer: int, ef: int
+        self,
+        q: np.ndarray,
+        eps: Sequence[int],
+        layer: int,
+        ef: int,
+        eligible=None,
     ) -> list[tuple[float, int]]:
         """Best-first search, ef-bounded.  Returns [(dist, node)] with
         dist = -cosine (min-heap order).  While fewer than ``ef``
         results are held nothing is pruned — the exactness guarantee
-        at ef >= n."""
+        at ef >= n.  ``eligible(node) -> bool`` (r11) gates RESULT
+        membership only: ineligible nodes (tombstoned, or outside a
+        query filter's allowed set) stay navigable waypoints, so the
+        walk's reachability is untouched and the exactness argument
+        restates over the ELIGIBLE population — results only ever hold
+        eligible nodes, so with ef >= their count the prune cannot
+        trigger until every one is already held (the hnswlib
+        mark-deleted / filter-function pattern)."""
         visited = set(eps)
         results: list[tuple[float, int]] = []  # max-heap by (-dist) trick
         cands: list[tuple[float, int]] = []
         for ep in eps:
             d = -float(self.vectors[ep] @ q)
             heapq.heappush(cands, (d, ep))
-            heapq.heappush(results, (-d, ep))
+            if eligible is None or eligible(ep):
+                heapq.heappush(results, (-d, ep))
         while cands:
             d, c = heapq.heappop(cands)
             if len(results) >= ef and d > -results[0][0]:
@@ -435,16 +485,41 @@ class HNSWIndex:
                 dn = -float(self.vectors[nb] @ q)
                 if len(results) < ef or dn < -results[0][0]:
                     heapq.heappush(cands, (dn, nb))
-                    heapq.heappush(results, (-dn, nb))
-                    if len(results) > ef:
-                        heapq.heappop(results)
+                    if eligible is None or eligible(nb):
+                        heapq.heappush(results, (-dn, nb))
+                        if len(results) > ef:
+                            heapq.heappop(results)
         return sorted((-nd, node) for nd, node in results)
 
+    def _eligibility(self, allowed=None):
+        """The result-membership predicate for :meth:`search`: excludes
+        tombstoned nodes always, and — when ``allowed`` (a set of IDS,
+        not node indexes) is given — everything outside it.  ``None``
+        when nothing constrains (the zero-overhead common case)."""
+        dele = self.deleted
+        if allowed is not None:
+            ids = self.ids
+            return lambda n: n not in dele and ids[n] in allowed
+        if dele:
+            return lambda n: n not in dele
+        return None
+
     def search(
-        self, query_vec: Sequence[float], k: int, ef: int = 64
+        self,
+        query_vec: Sequence[float],
+        k: int,
+        ef: int = 64,
+        allowed: set | None = None,
     ) -> list[tuple[object, float]]:
         """Driver-side query: [(id, cosine)] best-first, ties by id.
-        ``ef >= n_points`` is exact (see module doc)."""
+        ``ef >= n_points()`` (the LIVE count) is exact (see module doc
+        and ``_search_layer`` — tombstoned/filtered nodes never occupy
+        result slots, so the bound is over what can be returned).
+        ``allowed`` (r11) restricts results to an id set — the served
+        analog of the reference's filtered Query (reference
+        collection.go:521-542 filters BEFORE scoring); graph walks
+        cannot pre-filter, so eligibility gates the result heap while
+        the full graph stays walkable."""
         q = np.asarray(query_vec, dtype=np.float64)
         nrm = np.linalg.norm(q)
         if nrm > 0:
@@ -452,7 +527,10 @@ class HNSWIndex:
         ep = self.entry
         for l in range(len(self.layers) - 1, 0, -1):
             ep = self._greedy_closest(q, ep, l)
-        found = self._search_layer(q, [ep], 0, max(int(ef), int(k)))
+        found = self._search_layer(
+            q, [ep], 0, max(int(ef), int(k)),
+            eligible=self._eligibility(allowed),
+        )
         out = [(self.ids[node], -d) for d, node in found]
         out.sort(key=lambda t: (-t[1], t[0]))
         return out[: int(k)]
@@ -464,13 +542,17 @@ class HNSWIndex:
         query_vecs: Sequence[Sequence[float]],
         k: int,
         ef: int = 64,
+        allowed: set | None = None,
     ) -> DataFrame:
         """DataFrame shape shared with the IVF tiers:
         (query_id, <id_col>, similarity) — walks run on the driver
-        (microseconds each), the frame is for plan composition."""
+        (microseconds each), the frame is for plan composition.
+        ``allowed`` applies ONE filter id-set across the whole batch
+        (the single-filter batch contract; per-query filters belong to
+        the IVF/FLAT kernels)."""
         rows = []
         for qid, qv in zip(query_ids, query_vecs):
-            for i, s in self.search(qv, k, ef):
+            for i, s in self.search(qv, k, ef, allowed=allowed):
                 rows.append((str(qid), i, round(float(s), 12)))
         id_type = "string" if self.ids and isinstance(self.ids[0], str) else "long"
         return spark.createDataFrame(
@@ -478,19 +560,72 @@ class HNSWIndex:
             f"query_id string, {self.id_col} {id_type}, similarity double",
         )
 
+    # ---------------------------------------------------------- deletes
+
+    def delete_ids(self, ids: Sequence) -> int:
+        """Tombstone every LIVE node whose id is in ``ids`` — the graph
+        tier's analog of the IVF tiers' logical delete (ann.py
+        ``delete_ids``; reference collection.go:338-388 ``Delete``).
+        Marked nodes stay navigable waypoints (module doc) but can never
+        be returned; physical removal is :meth:`compacted`.  Returns
+        the number of nodes newly tombstoned.  Ids absent from the
+        graph are ignored (delete is idempotent, the IVF contract)."""
+        want = set(ids)
+        if not want:
+            return 0
+        before = len(self.deleted)
+        for n, i in enumerate(self.ids):
+            if i in want and n not in self.deleted:
+                self.deleted.add(n)
+        return len(self.deleted) - before
+
+    def compacted(self, ef_construction: int = 200) -> "HNSWIndex":
+        """A FRESH graph rebuilt over the live points only — the
+        physical apply of :meth:`delete_ids`' logical tombstones, the
+        IVF tiers' ``compact`` analog.  Returns a new index (the
+        served object is immutable-in-place under readers; callers
+        snapshot the compacted graph via ``save``/``save_snapshot``
+        like any other build)."""
+        live = [n for n in range(len(self.ids)) if n not in self.deleted]
+        return HNSWIndex.build_local(
+            [self.ids[n] for n in live],
+            [self.vectors[n] for n in live],
+            id_col=self.id_col,
+            M=self.M,
+            ef_construction=ef_construction,
+            seed=self.seed,
+            max_points=self.max_points,
+        )
+
     # ------------------------------------------------------ diagnostics
 
     def n_points(self) -> int:
+        """LIVE point count (tombstoned nodes excluded — they can
+        never be returned, and the exact-ef mapping is over what CAN
+        be returned; see ``_search_layer``).  Total node count is
+        ``n_nodes``."""
+        return len(self.ids) - len(self.deleted)
+
+    def n_nodes(self) -> int:
+        """Total nodes INCLUDING tombstones — the capacity the
+        ``max_points`` bound and ``approx_bytes`` track."""
         return len(self.ids)
 
     def centroid(self) -> list[float]:
-        """Normalized mean of the (already-normalized) vectors — the
-        shard's coarse representative for the serving-side shard
+        """Normalized mean of the LIVE (already-normalized) vectors —
+        the shard's coarse representative for the serving-side shard
         router (:func:`sharded_search_batch` ``shards_probed``): the
         exact analog of an IVF cell centroid, one level up."""
         if not len(self.vectors):
             return []
-        m = self.vectors.mean(axis=0)
+        if self.deleted:
+            mask = np.ones(len(self.ids), dtype=bool)
+            mask[list(self.deleted)] = False
+            if not mask.any():
+                return []
+            m = self.vectors[mask].mean(axis=0)
+        else:
+            m = self.vectors.mean(axis=0)
         nrm = np.linalg.norm(m)
         if nrm > 0:
             m = m / nrm
@@ -915,7 +1050,13 @@ def append_shard_batch(
     the watermark; cache the committed graph for the next batch.
     Returns ``(point count, centroid)`` after the batch — the centroid
     feeds the manifest's shard router (:func:`sharded_search_batch`
-    ``shards_probed``)."""
+    ``shards_probed``).
+
+    Tombstone interplay (r11): the dedup id-set is built from ALL node
+    ids including tombstoned ones, so streaming a previously-DELETED
+    id does NOT resurrect it — first-write-wins is absolute within a
+    shard generation history.  Re-adding a deleted id is a compact
+    (physical removal) followed by a fresh append."""
     import os
 
     live = _read_live(shard_dir)
@@ -1050,6 +1191,110 @@ def bump_sharded_manifest(
     return meta
 
 
+def _mutate_shards(spark: SparkSession, root: str, mutate) -> dict:
+    """Shared shard-mutation job (r11): run ``mutate(idx) -> bool``
+    (True = graph changed, commit it) against every shard's COMMITTED
+    graph inside its own executor task, commit changed shards as fresh
+    snapshot generations (watermarks preserved — the streaming sink's
+    replay-skip state is orthogonal to the mutation), fold the new
+    live counts + centroids into the manifest, and return the updated
+    manifest.  The backbone of :func:`delete_sharded_ids` and
+    :func:`compact_sharded_hnsw`.  Cache safety is by construction:
+    a commit lands in a NEW gen dir, so both the serve cache (path+
+    mtime keyed) and the append cache (generation keyed) miss and
+    reload."""
+    import os
+
+    import pandas as pd
+
+    meta = load_sharded_meta(root)
+    if not meta["shards"]:
+        return meta
+
+    def run(batches):
+        for pdf in batches:
+            for shard in pdf["shard"]:
+                sdir = _shard_dir(root, int(shard))
+                idx, last = load_snapshot(sdir)
+                if idx is None and os.path.exists(
+                    os.path.join(sdir, "graph.npz")
+                ):
+                    idx = HNSWIndex.load(sdir)
+                if idx is None:
+                    continue
+                if mutate(idx):
+                    save_snapshot(idx, sdir, last_batch=last)
+                    for leftover in ("graph.npz", "meta.json"):
+                        try:
+                            os.remove(os.path.join(sdir, leftover))
+                        except OSError:
+                            pass
+                yield pd.DataFrame(
+                    {
+                        "shard": [int(shard)],
+                        "n_points": [idx.n_points()],
+                        "centroid": [idx.centroid()],
+                    }
+                )
+
+    shard_ids = [int(s) for s, _ in meta["shards"]]
+    rows = (
+        spark.createDataFrame([(s,) for s in shard_ids], "shard int")
+        .repartition(len(shard_ids), "shard")
+        .mapInPandas(run, "shard int, n_points long, centroid array<double>")
+        .collect()
+    )
+    return bump_sharded_manifest(
+        root,
+        {int(r["shard"]): int(r["n_points"]) for r in rows},
+        {int(r["shard"]): list(r["centroid"]) for r in rows},
+    )
+
+
+def delete_sharded_ids(spark: SparkSession, root: str, ids: Sequence) -> dict:
+    """Logical delete across a sharded root — :meth:`HNSWIndex.
+    delete_ids` fanned out over the shards (each task tombstones its
+    shard's intersection with the id set and commits a fresh
+    generation; untouched shards commit nothing).  The id set is
+    shipped whole to every task: shard membership is not recoverable
+    from an id alone (hash placement runs in the JVM, centroid
+    placement needs the vector), and deletes are the infrequent
+    maintenance path.  Manifest live counts/centroids re-fold at the
+    end — the exact-ef mapping over ``ShardedHNSW.n_points()`` stays
+    correct.  Returns the updated manifest."""
+    want = {i.item() if hasattr(i, "item") else i for i in ids}
+
+    def mutate(idx: HNSWIndex) -> bool:
+        return idx.delete_ids(want) > 0
+
+    return _mutate_shards(spark, root, mutate)
+
+
+def compact_sharded_hnsw(spark: SparkSession, root: str) -> dict:
+    """Physically apply tombstones across a sharded root: every shard
+    holding tombstones rebuilds over its live points
+    (:meth:`HNSWIndex.compacted`) inside its own task and commits the
+    rebuilt graph as a fresh generation — the IVF tiers' ``compact``
+    protocol shape on the graph tier.  Tombstone-free shards are
+    untouched.  Returns the updated manifest."""
+    meta = load_sharded_meta(root)
+    ef_c = int(meta.get("ef_construction", 200))
+
+    def mutate(idx: HNSWIndex) -> bool:
+        if not idx.deleted:
+            return False
+        fresh = idx.compacted(ef_construction=ef_c)
+        idx.ids = fresh.ids
+        idx.vectors = fresh.vectors
+        idx.layers = fresh.layers
+        idx.entry = fresh.entry
+        idx.parent = fresh.parent
+        idx.deleted = fresh.deleted
+        return True
+
+    return _mutate_shards(spark, root, mutate)
+
+
 def _load_shard_graph(root: str, shard: int) -> HNSWIndex:
     """Resolve + load one shard's committed graph through the serve
     cache, with ONE re-resolve on FileNotFoundError (r11, ADVICE): the
@@ -1118,6 +1363,7 @@ def sharded_search_batch(
     k: int,
     ef: int = 64,
     shards_probed: int | None = None,
+    allowed: set | None = None,
 ) -> DataFrame:
     """Batch search over a sharded HNSW: every probed shard's walks
     run in its own task (``mapInPandas`` over the probe table — one
@@ -1130,8 +1376,10 @@ def sharded_search_batch(
     the manifest's coarse table, built/maintained by
     ``build_sharded_hnsw`` / the streaming sink), cutting per-batch
     walk cost from S tasks to ~P-proportional work; recall vs P is
-    published in RECALL.md.  Returns (query_id, <id_col>, similarity)
-    — the tier-shared batch shape."""
+    published in RECALL.md.  ``allowed`` applies ONE filter id-set
+    across the batch (rides the task closure — bounded by the serving
+    filter-id cap, see collection.query_embedding).  Returns
+    (query_id, <id_col>, similarity) — the tier-shared batch shape."""
     import pandas as pd
 
     from . import knn as knn_ops
@@ -1161,7 +1409,7 @@ def sharded_search_batch(
                 out_q, out_i, out_s = [], [], []
                 for qi in q_idxs:
                     qid, qv = qids[int(qi)], qvecs[int(qi)]
-                    for i, s in idx.search(qv, kk, ef=eff):
+                    for i, s in idx.search(qv, kk, ef=eff, allowed=allowed):
                         out_q.append(qid)
                         out_i.append(i)
                         out_s.append(round(float(s), 12))
@@ -1227,6 +1475,7 @@ class ShardedHNSW:
         k: int,
         ef: int = 64,
         shards_probed: int | None = None,
+        allowed: set | None = None,
     ) -> DataFrame:
         probe = (
             shards_probed
@@ -1235,5 +1484,13 @@ class ShardedHNSW:
         )
         return sharded_search_batch(
             spark, self.root, query_ids, query_vecs, k, ef=ef,
-            shards_probed=probe,
+            shards_probed=probe, allowed=allowed,
         )
+
+    def delete_ids(self, spark: SparkSession, ids: Sequence) -> int:
+        """Tombstone ``ids`` across every shard (:func:`delete_sharded_
+        ids`) and refresh the handle's manifest view.  Returns the
+        drop in the root's live count."""
+        before = self.n_points()
+        self.meta = delete_sharded_ids(spark, self.root, ids)
+        return before - self.n_points()

@@ -177,9 +177,11 @@ def forced_decision(
 def _filtered_tier_error(tier: str) -> str:
     if tier == "hnsw":
         return (
-            "filtered ANN search is not supported on the served HNSW "
-            "tier (driver-side graph walk has no predicate pushdown); "
-            "use the IVF (flat) index or the exact scan path"
+            "filtered ANN search on the served HNSW tier takes the "
+            "materialized `allowed` id-set form (a graph walk cannot "
+            "evaluate a Column predicate; collection.query_embedding "
+            "builds the set) — or use the IVF (flat) index / the "
+            "exact scan path"
         )
     return (
         "filtered ANN search requires the IVF (flat) index; "
@@ -258,6 +260,7 @@ def routed_search(
     seed: int = 42,
     decision: dict | None = None,
     n_docs: int | None = None,
+    allowed: set | None = None,
     **thresholds,
 ) -> DataFrame:
     """Route one vector query through :func:`choose_tier` and run it.
@@ -267,14 +270,24 @@ def routed_search(
     recall-mapped nprobe for its actual ``n_clusters``.  Otherwise the
     decision tier's index is built on the fly (experimentation shape;
     at scale indexes are served, not per-query).  ``where`` is a
-    pre-filter Column — it forces a full-vector tier.  Returns rows
-    with ``similarity``, highest first (quantized tiers return
+    pre-filter Column — it forces a full-vector tier.  ``allowed``
+    (r11) is the GRAPH tier's filter form: the where-predicate's
+    matching ids, already materialized to a bounded set (the caller —
+    collection.query_embedding — pays that one job and enforces the
+    cap); served HNSW walks gate result eligibility on it (hnsw.py
+    module doc) instead of raising the filtered-tier error.  Returns
+    rows with ``similarity``, highest first (quantized tiers return
     ``(id, similarity)``; flat tiers carry the input columns through).
     """
     from . import ann as A
     from . import knn as K
 
     qv = [float(x) for x in query_vec]
+    if allowed is not None and (index is None or tier_of(index) != "hnsw"):
+        raise ValueError(
+            "allowed id-set filtering is the served graph tier's "
+            "filter form; pass a Column `where` for every other tier"
+        )
     if index is not None:
         tier = tier_of(index)
         if where is not None and tier != "ivf":
@@ -288,7 +301,7 @@ def routed_search(
                 else max(4 * k, 64)
             )
             return index.search_batch(
-                df.sparkSession, ["0"], [qv], k, ef=ef
+                df.sparkSession, ["0"], [qv], k, ef=ef, allowed=allowed
             ).drop("query_id")
         nlist = len(index.centroids)
         nprobe = _nprobe(nlist, target_recall)
@@ -342,6 +355,7 @@ def routed_search_batch(
     decision: dict | None = None,
     n_docs: int | None = None,
     precision: str = "float64",
+    allowed: set | None = None,
     **thresholds,
 ) -> DataFrame:
     """Route a whole BATCH of query vectors through ONE tier decision
@@ -366,7 +380,10 @@ def routed_search_batch(
     Returns (query_id string, <id_col>, similarity), per-query top-k,
     the shape every tier's batch API already shares.  ``precision``
     applies to the FLAT GEMM only (float32 = the reference's own
-    arithmetic; quantized tiers have their own code precision)."""
+    arithmetic; quantized tiers have their own code precision).
+    ``allowed`` (r11) is the graph tier's filter form — ONE
+    materialized id set shared by the whole batch (see
+    :func:`routed_search`)."""
     from . import ann as A
     from . import knn as K
 
@@ -381,6 +398,11 @@ def routed_search_batch(
             f"query_ids ({len(qids)}) and query_vecs "
             f"({len(qvecs)}) must be the same length"
         )
+    if allowed is not None and (index is None or tier_of(index) != "hnsw"):
+        raise ValueError(
+            "allowed id-set filtering is the served graph tier's "
+            "filter form; pass a Column `where` for every other tier"
+        )
     if index is not None:
         tier = tier_of(index)
         if where is not None and tier != "ivf":
@@ -392,7 +414,7 @@ def routed_search_batch(
                 else max(4 * k, 64)
             )
             return index.search_batch(
-                df.sparkSession, qids, qvecs, k, ef=ef
+                df.sparkSession, qids, qvecs, k, ef=ef, allowed=allowed
             )
         nlist = len(index.centroids)
         decision = {

@@ -518,9 +518,12 @@ def test_load_prefers_in_npz_meta(spark, tmp_path):
 
 
 def test_served_index_with_where_document_falls_back_exact(spark):
-    """A served index that cannot express a document filter (HNSW,
-    PQ) must fall back to the exact scan path — pre-r8 behavior, not
-    an error (semantics beat routing)."""
+    """A served index with a document filter answers the SAME rows as
+    the exact scan path.  Since r11 the HNSW tier serves the filter
+    itself (eligibility-gated walk over the materialized id set; here
+    ef=64 >= n=16, so the walk is exhaustive — exact); quantized
+    served tiers still fall back to the exact scan.  Either way:
+    semantics beat routing."""
     from chromem_go_spark.db import DB
     from chromem_go_spark.document import Document
     from chromem_go_spark.embeddings.stub import make_hash_embedding_func
@@ -1491,3 +1494,333 @@ def test_layer0_connected_on_clustered_corpus(spark):
     back.insert_batch([i for i, _ in rows], [v for _, v in rows],
                       ef_construction=64)
     assert back.check_connected()
+
+
+# ------------------------------------------- tombstones + filtered walks (r11)
+
+
+def test_delete_ids_exact_over_live(emb):
+    """Logical delete: tombstoned nodes can never be returned, and the
+    exactness certificate restates over the LIVE population — ef >=
+    n_points() (live) equals brute force over the non-deleted corpus,
+    including when the deleted set contains the query's own top hits."""
+    g = HNSWIndex.build(emb, M=8, ef_construction=64)
+    qv = _qv(emb, 0)
+    top = [i for i, _ in g.search(qv, 3, ef=g.n_points())]
+    assert g.delete_ids(top) == 3
+    assert g.delete_ids(top) == 0  # idempotent, the IVF contract
+    assert g.n_points() == g.n_nodes() - 3
+    got = [(i, round(s, 6)) for i, s in g.search(qv, 10, ef=g.n_points())]
+    want = _flat(emb.filter(~F.col("vec_id").isin([int(t) for t in top])), qv)
+    assert got == want
+    assert not (set(top) & {i for i, _ in got})
+
+
+def test_delete_entry_point_stays_navigable(emb):
+    """Deleting the graph's entry node must not strand the walk — the
+    tombstoned entry remains a waypoint."""
+    g = HNSWIndex.build(emb, M=8, ef_construction=64)
+    g.delete_ids([g.ids[g.entry]])
+    qv = _qv(emb, 5)
+    got = [(i, round(s, 6)) for i, s in g.search(qv, 10, ef=g.n_points())]
+    dropped = int(g.ids[g.entry])
+    want = _flat(emb.filter(F.col("vec_id") != dropped), qv)
+    assert got == want
+
+
+def test_allowed_filter_exact(emb):
+    """A query-time allowed id set == brute force over exactly that
+    subset (the reference's filter-before-scoring semantics, served
+    from the graph instead of the FLAT fallback)."""
+    g = HNSWIndex.build(emb, M=8, ef_construction=64)
+    allowed = {int(r["vec_id"]) for r in
+               emb.filter(F.col("vec_id") % 3 == 0).collect()}
+    qv = _qv(emb, 1)
+    got = [(i, round(s, 6))
+           for i, s in g.search(qv, 10, ef=g.n_points(), allowed=allowed)]
+    want = _flat(emb.filter(F.col("vec_id") % 3 == 0), qv)
+    assert got == want
+    assert all(i in allowed for i, _ in got)
+
+
+def test_allowed_composes_with_tombstones(emb):
+    """Eligibility = allowed AND not deleted — one predicate, both
+    constraints."""
+    g = HNSWIndex.build(emb, M=8, ef_construction=64)
+    allowed = {int(r["vec_id"]) for r in
+               emb.filter(F.col("vec_id") % 2 == 0).collect()}
+    victims = sorted(allowed)[:2]
+    g.delete_ids(victims)
+    qv = _qv(emb, 2)
+    got = [(i, round(s, 6))
+           for i, s in g.search(qv, 10, ef=g.n_points(), allowed=allowed)]
+    want = _flat(
+        emb.filter((F.col("vec_id") % 2 == 0)
+                   & ~F.col("vec_id").isin(victims)), qv,
+    )
+    assert got == want
+
+
+def test_tombstones_persist_in_snapshot(emb, tmp_path):
+    """Deletes ride the same atomic npz: save/load keeps the tombstone
+    set and the post-delete search results bit-for-bit."""
+    g = HNSWIndex.build(emb, M=8, ef_construction=64)
+    g.delete_ids([0, 1, 2])
+    d = str(tmp_path / "tomb_snap")
+    g.save(d)
+    back = HNSWIndex.load(d)
+    assert back.deleted == g.deleted
+    assert back.n_points() == g.n_points()
+    qv = _qv(emb, 4)
+    assert back.search(qv, 10, ef=back.n_points()) == g.search(
+        qv, 10, ef=g.n_points()
+    )
+
+
+def test_compacted_physical_apply(emb):
+    """compacted() == a fresh build over the live points: tombstones
+    gone, connectivity holds, search results identical to the
+    tombstoned graph's."""
+    g = HNSWIndex.build(emb, M=8, ef_construction=64)
+    g.delete_ids([0, 3, 7])
+    c = g.compacted(ef_construction=64)
+    assert not c.deleted
+    assert c.n_nodes() == g.n_points()
+    assert c.check_connected()
+    qv = _qv(emb, 9)
+    # rounded: compacted vectors pass through build_local's
+    # re-normalization (a no-op up to float rounding)
+    assert [
+        (i, round(s, 6)) for i, s in c.search(qv, 10, ef=c.n_points())
+    ] == [(i, round(s, 6)) for i, s in g.search(qv, 10, ef=g.n_points())]
+
+
+def test_centroid_excludes_tombstones(spark):
+    """The shard-router centroid is over LIVE vectors only — a deleted
+    hot cluster must stop pulling the shard's coarse representative."""
+    ids = list(range(6))
+    vecs = [[1.0, 0.0]] * 3 + [[0.0, 1.0]] * 3
+    g = HNSWIndex.build_local(ids, vecs, M=4, ef_construction=16)
+    g.delete_ids([i for i, v in zip(g.ids, g.vectors) if v[0] > 0.5])
+    cent = g.centroid()
+    assert abs(cent[0]) < 1e-9 and abs(cent[1] - 1.0) < 1e-9
+
+
+def test_sharded_delete_and_compact(spark, emb, tmp_path):
+    """delete_sharded_ids tombstones across shards (fresh snapshot
+    generations, manifest live counts re-folded) and
+    compact_sharded_hnsw physically rebuilds only the shards that hold
+    tombstones — search stays exact over the live corpus throughout."""
+    from chromem_go_spark.operators.hnsw import (
+        ShardedHNSW,
+        build_sharded_hnsw,
+        compact_sharded_hnsw,
+        delete_sharded_ids,
+        load_sharded_meta,
+        sharded_search_batch,
+    )
+
+    root = str(tmp_path / "del_shards")
+    build_sharded_hnsw(emb, root, n_shards=4, M=8, ef_construction=64)
+    n = emb.count()
+    victims = [0, 1, 2, 3, 4, 5]  # hash placement spreads these around
+    meta = delete_sharded_ids(spark, root, victims)
+    assert sum(c for _, c in meta["shards"]) == n - len(victims)
+    live = emb.filter(~F.col("vec_id").isin(victims))
+    qv = _qv(emb, 0)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in sharded_search_batch(spark, root, ["0"], [qv], 10,
+                                      ef=n).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(live, qv)
+    # handle-level API refreshes its manifest view
+    h = ShardedHNSW.load(root)
+    assert h.n_points() == n - len(victims)
+    assert h.delete_ids(spark, [6]) == 1
+    assert h.n_points() == n - len(victims) - 1
+    # physical apply: same results, tombstones gone everywhere
+    meta2 = compact_sharded_hnsw(spark, root)
+    assert sum(c for _, c in meta2["shards"]) == n - len(victims) - 1
+    live2 = emb.filter(~F.col("vec_id").isin(victims + [6]))
+    got2 = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in sharded_search_batch(spark, root, ["0"], [qv], 10,
+                                      ef=n).collect()
+    ]
+    got2.sort(key=lambda t: (-t[1], t[0]))
+    assert got2 == _flat(live2, qv)
+    from chromem_go_spark.operators.hnsw import _resolve_shard_snapshot, _shard_dir
+
+    for s, _ in load_sharded_meta(root)["shards"]:
+        back = HNSWIndex.load(_resolve_shard_snapshot(_shard_dir(root, s)))
+        assert not back.deleted
+
+
+def test_sharded_allowed_filter(spark, emb, tmp_path):
+    """One allowed id set across a sharded batch == brute force over
+    the subset, composed with the shard merge."""
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        sharded_search_batch,
+    )
+
+    root = str(tmp_path / "filt_shards")
+    build_sharded_hnsw(emb, root, n_shards=3, M=8, ef_construction=64)
+    allowed = {int(r["vec_id"]) for r in
+               emb.filter(F.col("vec_id") % 4 == 1).collect()}
+    qv = _qv(emb, 2)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=emb.count(), allowed=allowed
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb.filter(F.col("vec_id") % 4 == 1), qv)
+
+
+def test_delete_then_stream_append_does_not_resurrect(emb, tmp_path):
+    """First-write-wins is absolute within a shard's generation
+    history: a streamed re-add of a tombstoned id is dropped by the
+    append dedup (the id-set includes tombstones)."""
+    from chromem_go_spark.operators.hnsw import (
+        append_shard_batch,
+        load_snapshot,
+    )
+
+    sdir = str(tmp_path / "shard_res")
+    rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.limit(20).collect()
+    )
+    append_shard_batch(
+        sdir, 0, [i for i, _ in rows], [v for _, v in rows],
+        M=8, ef_construction=64,
+    )
+    idx, last = load_snapshot(sdir)
+    victim = idx.ids[0]
+    idx.delete_ids([victim])
+    from chromem_go_spark.operators import hnsw as H
+
+    H.save_snapshot(idx, sdir, last_batch=last)
+    H._APPEND_CACHE.pop(sdir, None)  # force the disk path
+    vic_vec = dict(rows)[victim]
+    n, _ = append_shard_batch(
+        sdir, 1, [victim, 999], [vic_vec, [0.5] * len(vic_vec)],
+        M=8, ef_construction=64,
+    )
+    back, _ = load_snapshot(sdir)
+    assert back.ids.count(victim) == 1  # not duplicated
+    got = {i for i, _ in back.search(vic_vec, len(back.ids),
+                                     ef=back.n_points())}
+    assert victim not in got
+    assert 999 in back.ids
+
+
+def _filter_collection(spark, name):
+    from chromem_go_spark.db import DB
+    from chromem_go_spark.document import Document
+    from chromem_go_spark.embeddings.stub import make_hash_embedding_func
+
+    db = DB(spark)
+    c = db.create_collection(
+        name, embedding_func=make_hash_embedding_func(16)
+    )
+    c.add_documents(
+        [
+            Document(
+                id=str(i),
+                content=f"quick fox {i}" if i % 2 == 0 else f"lazy dog {i}",
+                metadata={"lang": "en" if i % 3 == 0 else "de"},
+            )
+            for i in range(24)
+        ]
+    )
+    return c
+
+
+def test_collection_served_hnsw_filtered_serves_graph(spark):
+    """A metadata filter on a served HNSW query serves FROM THE GRAPH
+    (allowed id-set walk) and matches the exact scan path exactly at
+    target_recall >= 0.999 — the r11 replacement for the silent
+    exact-scan downgrade."""
+    c = _filter_collection(spark, "hnsw_filtered_serve")
+    served = c.build_hnsw_index(M=4, ef_construction=32)
+    qv = c.embedding_func("quick")
+    want = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query_embedding(
+            qv, 3, where={"lang": "en"}
+        ).collect()
+    }
+    out = c.query_embedding(
+        qv, 3, where={"lang": "en"}, index=served, target_recall=1.0
+    )
+    # the graph path's shape: (id, similarity) only — proof the walk
+    # served the filter rather than the exact scan (which carries the
+    # document columns through)
+    assert set(out.columns) == {"id", "similarity"}
+    got = {(r["id"], round(r["similarity"], 6)) for r in out.collect()}
+    assert got == want
+    # results only from the allowed set
+    assert all(int(i) % 3 == 0 for i, _ in got)
+
+
+def test_collection_served_hnsw_filter_cap_falls_back(spark, monkeypatch):
+    """Beyond HNSW_FILTER_MAX_IDS matching ids the query falls back to
+    the exact scan path (full document columns — the fallback's
+    signature shape) with identical row values."""
+    from chromem_go_spark.collection import Collection
+
+    c = _filter_collection(spark, "hnsw_filtered_cap")
+    served = c.build_hnsw_index(M=4, ef_construction=32)
+    monkeypatch.setattr(Collection, "HNSW_FILTER_MAX_IDS", 2)
+    qv = c.embedding_func("quick")
+    out = c.query_embedding(
+        qv, 3, where={"lang": "en"}, index=served, target_recall=1.0
+    )
+    assert "content" in out.columns  # exact scan path engaged
+    want = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query_embedding(qv, 3, where={"lang": "en"}).collect()
+    }
+    got = {(r["id"], round(r["similarity"], 6)) for r in out.collect()}
+    assert got == want
+
+
+def test_router_allowed_rejects_non_graph_tiers(spark, emb):
+    """`allowed` is the graph tier's filter form only — every other
+    tier takes a Column predicate."""
+    from chromem_go_spark.operators import router as R
+
+    with pytest.raises(ValueError, match="allowed id-set"):
+        R.routed_search(emb, _qv(emb, 0), 5, allowed={1, 2})
+    with pytest.raises(ValueError, match="allowed id-set"):
+        R.routed_search_batch(
+            emb, ["0"], [_qv(emb, 0)], 5, allowed={1, 2}
+        )
+
+
+def test_routed_batch_served_hnsw_allowed(spark, emb, idx):
+    """The batch router passes one shared allowed set into the served
+    graph walks — exact at target_recall >= 0.999."""
+    from chromem_go_spark.operators import router as R
+
+    allowed = {int(r["vec_id"]) for r in
+               emb.filter(F.col("vec_id") % 2 == 0).collect()}
+    qvs = [_qv(emb, v) for v in (0, 1)]
+    out = R.routed_search_batch(
+        emb, ["a", "b"], qvs, 5, index=idx, target_recall=1.0,
+        allowed=allowed,
+    )
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in out.collect()
+    }
+    want = set()
+    for qid, qv in zip(("a", "b"), qvs):
+        for i, s in _flat(emb.filter(F.col("vec_id") % 2 == 0), qv, 5):
+            want.add((qid, i, s))
+    assert got == want
