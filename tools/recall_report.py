@@ -229,6 +229,156 @@ def shard_count_section(spark, sf_dir: str) -> list[str]:
     return lines
 
 
+def eligibility_section(spark, sf_dir: str) -> list[str]:
+    """Recall@10 of the r11 ELIGIBILITY-gated walks (tombstones +
+    allowed id-set filters, hnsw.py module doc) at the served defaults
+    (8 shards, M=16, ef_c=200) on the largest corpus.  Ineligible
+    nodes stay navigable waypoints, so the approximate walk should
+    hold recall as the eligible population shrinks (results fill
+    SLOWER, so the ef-bounded walk explores MORE before pruning);
+    the ef=exhaustive column is the exactness identity (must be
+    1.000 — brute force over exactly the eligible set, the oracle
+    contract).  Measured against numpy exact top-k over the same
+    eligible subsets."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from chromem_go_spark.operators.hnsw import (
+        ShardedHNSW,
+        build_sharded_hnsw,
+        compact_sharded_hnsw,
+        delete_sharded_ids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    qsel = ids < N_QUERIES
+    qids = [str(int(i)) for i in ids[qsel]]
+    qvecs = [[float(x) for x in v] for v in mat[qsel]]
+    sims = mat[qsel] @ mat.T  # (Q, n)
+
+    def exact_topk(mask: np.ndarray) -> dict[str, set]:
+        out = {}
+        cand = ids[mask]
+        for qi, qid in enumerate(qids):
+            s = sims[qi][mask]
+            top = np.lexsort((cand, -s))[:K_AT]
+            out[qid] = {int(cand[j]) for j in top}
+        return out
+
+    def recall(got_rows, exact: dict[str, set]) -> float:
+        got: dict[str, set] = {}
+        for r in got_rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    lines = [
+        f"## Eligibility-gated walks: filtered + tombstoned recall"
+        f" (`{sf_dir}`, {n} vectors — r11)",
+        "",
+        "Served defaults (8 shards, M=16, ef_c=200).  Tombstoned /",
+        "filtered-out nodes stay navigable WAYPOINTS but never occupy",
+        "result slots, so the walk explores MORE as eligibility",
+        "shrinks; @ef=exhaustive is the exactness identity over the",
+        "eligible set (the oracle contract — must read 1.000).",
+        "",
+    ]
+    sroot = tempfile.mkdtemp(prefix="recall_elig_")
+    try:
+        m = build_sharded_hnsw(
+            emb, sroot, n_shards=8, M=16, ef_construction=200
+        )
+        per = max(cnt for _, cnt in m["shards"])
+        sh = ShardedHNSW.load(sroot)
+        lines += [
+            "| allowed set (filter) | selectivity | recall@10 @ef64 |"
+            " @ef=exhaustive |",
+            "|---|---|---|---|",
+        ]
+        for mdiv in (2, 10, 100, 1000):
+            mask = ids % mdiv == 0
+            allowed = {int(i) for i in ids[mask]}
+            ex = exact_topk(mask)
+            r64 = recall(
+                sh.search_batch(
+                    spark, qids, qvecs, K_AT, ef=64, allowed=allowed
+                ).collect(),
+                ex,
+            )
+            rex = recall(
+                sh.search_batch(
+                    spark, qids, qvecs, K_AT, ef=per, allowed=allowed
+                ).collect(),
+                ex,
+            )
+            lines.append(
+                f"| vec_id % {mdiv} == 0 | {1 / mdiv:.3f} |"
+                f" {r64:.3f} | {rex:.3f} |"
+            )
+        lines += [
+            "",
+            "| tombstoned | live fraction | recall@10 @ef64 |"
+            " @ef=exhaustive |",
+            "|---|---|---|---|",
+        ]
+        # cumulative deletes: 10% (vec_id%10==3, all odd), then 50%
+        # (all odd ids — a superset), then physical compaction
+        for label, dmask in (
+            ("10% deleted", ids % 10 == 3),
+            ("50% deleted", ids % 2 == 1),
+        ):
+            delete_sharded_ids(spark, sroot, [int(i) for i in ids[dmask]])
+            sh = ShardedHNSW.load(sroot)
+            live = ~dmask
+            ex = exact_topk(live)
+            r64 = recall(
+                sh.search_batch(spark, qids, qvecs, K_AT, ef=64).collect(),
+                ex,
+            )
+            rex = recall(
+                sh.search_batch(spark, qids, qvecs, K_AT, ef=per).collect(),
+                ex,
+            )
+            lines.append(
+                f"| {label} | {live.mean():.2f} | {r64:.3f} | {rex:.3f} |"
+            )
+        compact_sharded_hnsw(spark, sroot)
+        sh = ShardedHNSW.load(sroot)
+        live = ids % 2 == 0
+        ex = exact_topk(live)
+        r64 = recall(
+            sh.search_batch(spark, qids, qvecs, K_AT, ef=64).collect(), ex
+        )
+        rex = recall(
+            sh.search_batch(spark, qids, qvecs, K_AT, ef=per).collect(), ex
+        )
+        lines.append(
+            f"| 50% deleted, then COMPACTED | {live.mean():.2f} |"
+            f" {r64:.3f} | {rex:.3f} |"
+        )
+    finally:
+        shutil.rmtree(sroot, ignore_errors=True)
+    lines += [
+        "",
+        "Compaction physically rebuilds each tombstoned shard over its",
+        "live points (dead waypoints stop costing walk hops and",
+        "memory); its recall row shows the rebuilt graphs serve the",
+        "same contract.",
+        "",
+    ]
+    return lines
+
+
 def shard_probe_section(spark, sf_dir: str) -> list[str]:
     """Recall@10 vs shards_probed P (r11): the centroid shard router
     prunes the walk list to each query's P nearest shard centroids —
@@ -354,6 +504,7 @@ def main() -> None:
     sf1 = os.path.join(here, "scaledata", "sf1")
     if os.path.exists(f"{sf1}/embeddings.parquet"):
         lines += shard_probe_section(spark, sf1)
+        lines += eligibility_section(spark, sf1)
         lines += shard_count_section(spark, sf1)
 
     # Auto-tuner operating point at the larger corpus

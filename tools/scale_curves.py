@@ -331,6 +331,72 @@ def measure_hnsw(spark, d: str) -> dict:
     return out
 
 
+def measure_eligibility(spark, d: str) -> dict:
+    """r11 eligibility-gated serving economics (tombstones + allowed
+    id-set filters, hnsw.py module doc): ineligible nodes stay
+    navigable but cannot fill result slots, so the ef-bounded walk
+    explores FURTHER before it may prune — the recall-preserving
+    mechanism (RECALL.md) has a wall cost that grows with the
+    ineligible fraction, and compaction (physical rebuild over live
+    points) converts the tombstone overhead back into a plain smaller
+    graph.  Also pins the maintenance costs: the delete fan-out job
+    and the compact rebuild.  Largest corpus only (the capacity
+    regime is the tier's point); 16 shards, M=8, ef_c=64 — the
+    cost-table settings, so rows pair with the shards_probed sweep
+    above."""
+    import shutil
+    import tempfile
+
+    from chromem_go_spark.operators import hnsw as H
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    out: dict = {}
+    if n <= HNSW_SINGLE_MAX:
+        return out
+    qrows = emb.filter(F.col("vec_id") < 1024).collect()
+    qids = [str(r["vec_id"]) for r in qrows]
+    qvecs = [list(r["embedding"]) for r in qrows]
+    all_ids = [int(r["vec_id"]) for r in emb.select("vec_id").collect()]
+    allowed = {i for i in all_ids if i % 2 == 0}
+    sroot = tempfile.mkdtemp(prefix="scale_elig_")
+    try:
+        H.build_sharded_hnsw(
+            emb, sroot, n_shards=16, M=8, ef_construction=64
+        )
+        sh = H.ShardedHNSW.load(sroot)
+        sh.search_batch(spark, qids, qvecs, 10, ef=64).count()  # warm
+        out["elig_unfiltered_1024q"], _ = _time(
+            lambda: sh.search_batch(spark, qids, qvecs, 10, ef=64).count()
+        )
+        out["elig_allowed50_1024q"], _ = _time(
+            lambda: sh.search_batch(
+                spark, qids, qvecs, 10, ef=64, allowed=allowed
+            ).count()
+        )
+        t0 = time.time()
+        H.delete_sharded_ids(
+            spark, sroot, [i for i in all_ids if i % 2 == 1]
+        )
+        out["elig_delete50_wall"] = round(time.time() - t0, 3)
+        sh = H.ShardedHNSW.load(sroot)
+        sh.search_batch(spark, qids, qvecs, 10, ef=64).count()  # warm gens
+        out["elig_tombstoned50_1024q"], _ = _time(
+            lambda: sh.search_batch(spark, qids, qvecs, 10, ef=64).count()
+        )
+        t0 = time.time()
+        H.compact_sharded_hnsw(spark, sroot)
+        out["elig_compact_wall"] = round(time.time() - t0, 3)
+        sh = H.ShardedHNSW.load(sroot)
+        sh.search_batch(spark, qids, qvecs, 10, ef=64).count()  # warm gens
+        out["elig_compacted_1024q"], _ = _time(
+            lambda: sh.search_batch(spark, qids, qvecs, 10, ef=64).count()
+        )
+    finally:
+        shutil.rmtree(sroot, ignore_errors=True)
+    return out
+
+
 def measure_probe_econ(spark, d: str) -> dict:
     """r11: the IVF batch probe-table economics, measured — the
     Arrow-serialized bytes that actually cross the broadcast for the
@@ -428,6 +494,7 @@ def main() -> None:
         "--textindex": measure_textindex,
         "--hnsw": measure_hnsw,
         "--probeecon": measure_probe_econ,
+        "--eligibility": measure_eligibility,
     }
     picked = [fn for flag, fn in extra_modes.items() if flag in sys.argv]
     if picked:  # additive: merge the chosen rows into saved results
@@ -457,6 +524,7 @@ def main() -> None:
             **measure_textindex(spark, d),
             **measure_hnsw(spark, d),
             **measure_probe_econ(spark, d),
+            **measure_eligibility(spark, d),
         }
         results.append(r)
         print(f"# {name}: {r}", file=sys.stderr, flush=True)
@@ -781,6 +849,48 @@ def render(here: str, results: list[dict]) -> None:
             "`hnsw_sharded_search` driver row's setting); recall@10 vs",
             "P is measured in RECALL.md — pruning is the cost knob,",
             "the recall trade is published next to it.",
+            "",
+        ]
+    elig = [r for r in results if "elig_unfiltered_1024q" in r]
+    if elig:
+        r = elig[-1]
+        lines += [
+            "## Eligibility-gated serving: tombstones + filtered walks"
+            " (r11)",
+            "",
+            "Eligibility gating TRADES WALK WORK FOR RECALL: an",
+            "ineligible node (tombstoned, or outside the query's",
+            "allowed id set) stays a navigable waypoint but cannot",
+            "fill a result slot, so the ef-bounded walk explores",
+            "further before it may prune — that is exactly why",
+            "RECALL.md's eligibility sweep holds-or-rises as the",
+            "eligible fraction shrinks, and it is not free: the wall",
+            "grows with the ineligible fraction encountered.  Warm",
+            "1024-query walls at the cost-table settings (16 shards,",
+            f"M=8, ef_c=64, {r['n_docs']} vectors):",
+            "",
+            "| state | warm serve 1024q s |",
+            "|---|---|",
+            f"| unfiltered | {r['elig_unfiltered_1024q']} |",
+            f"| allowed set = 50% of ids | {r['elig_allowed50_1024q']} |",
+            f"| 50% tombstoned | {r['elig_tombstoned50_1024q']} |",
+            f"| 50% deleted + compacted | {r['elig_compacted_1024q']} |",
+            "",
+            "Compaction is the economics lever: it converts the",
+            "tombstone walk overhead"
+            f" ({r['elig_tombstoned50_1024q']} s) back into a plain"
+            f" smaller graph ({r['elig_compacted_1024q']} s) — run it",
+            "when the tombstone fraction makes serving pay.  (Walk",
+            "cost is ef-bounded, not corpus-bounded, so the compacted",
+            "half-size root serves near the full root's wall, not at",
+            "half of it.)  Maintenance walls:",
+            f"`delete_sharded_ids` over 50% of the corpus =",
+            f"{r['elig_delete50_wall']} s (one fan-out job, fresh",
+            "snapshot generations per touched shard);",
+            f"`compact_sharded_hnsw` = {r['elig_compact_wall']} s",
+            "(per-shard rebuild over live points — the same",
+            "per-executor build the root started from).  Recall at",
+            "these operating points: RECALL.md's eligibility section.",
             "",
         ]
     econ = [r for r in results if "probe_pairs_bytes" in r]
