@@ -452,6 +452,61 @@ def q_hnsw_search_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_hnsw_sharded_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-root logical delete (r11): ``delete_sharded_ids`` fans
+    the tombstones out per shard (fresh snapshot generations, manifest
+    live counts re-folded), and the all-shards exact walk (per-shard
+    ef >= shard size) is brute force over the survivors — the same
+    oracle as the single-graph hnsw_search_deleted, through the
+    sharded lifecycle."""
+    import tempfile
+
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        delete_sharded_ids,
+        sharded_search_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="hnsw_shards_del_")
+    build_sharded_hnsw(emb, root, n_shards=4, M=8, ef_construction=64)
+    meta = delete_sharded_ids(spark, root, [0, 1, 2, 3, 4])
+    ef = max(n for _, n in meta["shards"])
+    qv = _qvec(spark, sf_dir, 0)
+    out = sharded_search_batch(spark, root, ["0"], [qv], 10, ef=ef)
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
+def q_hnsw_batch_per_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch HNSW with PER-QUERY allowed id sets (r11): each of 8
+    queries walks restricted to the ids sharing its own label — the
+    graph-tier analog of knn_batch_per_filter's broadcast-join
+    condition, materialized to id sets because a walk cannot evaluate
+    predicates.  Exact at ef >= live-n per query, so the oracle is the
+    per-label filtered top-k (the same SQL as knn_batch_per_filter)."""
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = HNSWIndex.build(emb, M=8, ef_construction=64)
+    by_label: dict = {}
+    for r in emb.select("vec_id", "label").collect():
+        by_label.setdefault(int(r["label"]), set()).add(int(r["vec_id"]))
+    qrows = emb.filter(F.col("vec_id") < 8).select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    out = idx.search_batch(
+        spark,
+        [str(r["vec_id"]) for r in qrows],
+        [list(r["embedding"]) for r in qrows],
+        5,
+        ef=idx.n_points(),
+        allowed_per_query=[by_label[int(r["label"])] for r in qrows],
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("similarity", 4).alias("sim")
+    )
+
+
 def q_hnsw_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered HNSW serving (r11): the filter's matching ids gate
     result ELIGIBILITY on the walk while every node stays navigable
@@ -2995,10 +3050,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r11 additions: hnsw_search_deleted (graph-tier tombstones — the
     IVF delete parity; tombstoned nodes stay navigable but never
-    return, ef >= live-n == brute force over the survivors) and
+    return, ef >= live-n == brute force over the survivors),
     hnsw_search_filtered (allowed id-set walks — the reference's
     filter-before-scoring served FROM the graph; ef >= live-n ==
-    the filtered brute force)."""
+    the filtered brute force), hnsw_sharded_deleted (the delete
+    fanned out across a sharded root — fresh snapshot generations,
+    manifest counts re-folded — same survivors' oracle), and
+    hnsw_batch_per_filter (per-query allowed id sets on batch walks —
+    the graph-tier analog of the IVF batch's per-query filters;
+    exact per query at ef >= live-n, per-label SQL oracle)."""
     return {
         "word_ngram_jaccard": q_word_ngram_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3071,6 +3131,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_search": q_hnsw_search,
         "hnsw_search_deleted": q_hnsw_search_deleted,
         "hnsw_search_filtered": q_hnsw_search_filtered,
+        "hnsw_sharded_deleted": q_hnsw_sharded_deleted,
+        "hnsw_batch_per_filter": q_hnsw_batch_per_filter,
         "length_histogram": q_length_histogram,
         "source_report": q_source_report,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -3424,6 +3486,15 @@ WHERE e.vec_id >= 5
 ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
 LIMIT 10
 """.format(q=q0),
+        # the sharded delete fan-out serves the same survivor set
+        "hnsw_sharded_deleted": """
+WITH q AS ({q})
+SELECT e.vec_id, ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 4) AS sim
+FROM embeddings e, q
+WHERE e.vec_id >= 5
+ORDER BY list_dot_product(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
+LIMIT 10
+""".format(q=q0),
         "hnsw_search_filtered": """
 WITH q AS ({q})
 SELECT e.vec_id, ROUND(list_dot_product(e.embedding::DOUBLE[], q.v), 4) AS sim
@@ -3684,6 +3755,22 @@ GROUP BY 1, 2
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_clusters_star": _DEDUP_CLUSTERS_SQL,
         "knn_batch_per_filter": """
+WITH qs AS (
+  SELECT CAST(vec_id AS VARCHAR) AS query_id, label,
+         list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id < 8
+)
+SELECT query_id, vec_id, sim FROM (
+  SELECT qs.query_id, e.vec_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], qs.v), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY qs.query_id
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], qs.v) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e JOIN qs ON e.label = qs.label
+) WHERE rn <= 5
+""",
+        "hnsw_batch_per_filter": """
 WITH qs AS (
   SELECT CAST(vec_id AS VARCHAR) AS query_id, label,
          list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
@@ -4800,6 +4887,8 @@ _EXTRA_KEYS = frozenset(
         "hnsw_search",  # r7: HNSW served tier, ef=n == brute force
         "hnsw_search_deleted",  # r11: graph tombstones, ef>=live-n == survivors' brute force
         "hnsw_search_filtered",  # r11: allowed id-set walk == filtered brute force
+        "hnsw_sharded_deleted",  # r11: sharded delete fan-out, same survivors' oracle
+        "hnsw_batch_per_filter",  # r11: per-query allowed-set walks, per-label oracle
         "length_histogram",  # r7: power-of-two length buckets + pad audit
         "source_report",  # r7: per-source data card
         "tokenizer_fertility",  # r7: BPE pieces per word by language

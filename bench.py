@@ -132,7 +132,11 @@ BENCH_NAMES = [
     "knn_batch_per_filter_ivf",
     "pack_corpus_bpe",
     "hnsw_search",
+    "hnsw_search_deleted",
+    "hnsw_search_filtered",
     "hnsw_sharded_search",
+    "hnsw_sharded_deleted",
+    "hnsw_batch_per_filter",
     "length_histogram",
     "source_report",
     "tokenizer_fertility",

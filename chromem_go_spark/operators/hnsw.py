@@ -543,16 +543,23 @@ class HNSWIndex:
         k: int,
         ef: int = 64,
         allowed: set | None = None,
+        allowed_per_query: Sequence[set | None] | None = None,
     ) -> DataFrame:
         """DataFrame shape shared with the IVF tiers:
         (query_id, <id_col>, similarity) — walks run on the driver
         (microseconds each), the frame is for plan composition.
-        ``allowed`` applies ONE filter id-set across the whole batch
-        (the single-filter batch contract; per-query filters belong to
-        the IVF/FLAT kernels)."""
+        ``allowed`` applies ONE filter id-set across the whole batch;
+        ``allowed_per_query`` (r11) aligns one id set (or None =
+        unfiltered) with each query — the graph-tier analog of the
+        IVF batch's per-query filters (``IVFIndex.search_batch``
+        filter lists), materialized to id sets because a walk cannot
+        evaluate predicates."""
+        qids = list(query_ids)
+        apq = _check_allowed_per_query(allowed, allowed_per_query, len(qids))
         rows = []
-        for qid, qv in zip(query_ids, query_vecs):
-            for i, s in self.search(qv, k, ef, allowed=allowed):
+        for qi, (qid, qv) in enumerate(zip(qids, query_vecs)):
+            al = apq[qi] if apq is not None else allowed
+            for i, s in self.search(qv, k, ef, allowed=al):
                 rows.append((str(qid), i, round(float(s), 12)))
         id_type = "string" if self.ids and isinstance(self.ids[0], str) else "long"
         return spark.createDataFrame(
@@ -569,7 +576,12 @@ class HNSWIndex:
         Marked nodes stay navigable waypoints (module doc) but can never
         be returned; physical removal is :meth:`compacted`.  Returns
         the number of nodes newly tombstoned.  Ids absent from the
-        graph are ignored (delete is idempotent, the IVF contract)."""
+        graph are ignored (delete is idempotent, the IVF contract).
+        IN-MEMORY until the next ``save``/``save_snapshot`` — the
+        tombstone set rides the atomic snapshot npz, it is not a
+        side file (unlike the IVF root's ``_tombstones/``, whose
+        table IS the disk state); the sharded fan-out
+        (:func:`delete_sharded_ids`) commits per shard itself."""
         want = set(ids)
         if not want:
             return 0
@@ -657,6 +669,31 @@ class HNSWIndex:
                     seen.add(nb)
                     stack.append(nb)
         return len(seen) == len(self.ids)
+
+
+def _check_allowed_per_query(
+    allowed, allowed_per_query, n_queries: int
+):
+    """Validate the batch filter forms: ``allowed_per_query`` must
+    align 1:1 with the query list and is mutually exclusive with the
+    shared ``allowed`` set (one filter contract per call — mixing the
+    two silently ANDing or shadowing would be a semantics trap).
+    Returns the per-query list (or None when the shared form is in
+    effect)."""
+    if allowed_per_query is None:
+        return None
+    if allowed is not None:
+        raise ValueError(
+            "pass either `allowed` (one set for the whole batch) or "
+            "`allowed_per_query`, not both"
+        )
+    apq = list(allowed_per_query)
+    if len(apq) != n_queries:
+        raise ValueError(
+            f"allowed_per_query ({len(apq)}) and the query batch "
+            f"({n_queries}) must be the same length"
+        )
+    return apq
 
 
 # ---------------------------------------------- snapshot generations
@@ -1034,6 +1071,7 @@ def append_shard_batch(
     ef_construction: int = 200,
     seed: int = 42,
     max_points: int = 1_000_000,
+    new_ops: Sequence | None = None,
 ) -> tuple[int, list[float]]:
     """Apply ONE micro-batch's rows to ONE shard — the executor-side
     core of ``streaming.ingest.sharded_hnsw_append_sink`` (factored
@@ -1056,7 +1094,19 @@ def append_shard_batch(
     ids including tombstoned ones, so streaming a previously-DELETED
     id does NOT resurrect it — first-write-wins is absolute within a
     shard generation history.  Re-adding a deleted id is a compact
-    (physical removal) followed by a fresh append."""
+    (physical removal) followed by a fresh append.
+
+    CDC mode (r11): ``new_ops`` aligns an op per row — ``"upsert"``
+    or ``"delete"`` — and flips the contract from first-write-wins to
+    LAST-write-wins, the reference's own AddDocument semantics
+    (collection.go:250-280 upserts by map assignment;
+    collection.go:338 deletes): ops
+    reduce to the last op per id IN ROW ORDER, a delete tombstones
+    the id's live node and frees the id for re-adding, and an upsert
+    of a live id tombstones the old node before inserting the new
+    vector.  Everything still commits in the one snapshot generation
+    carrying the watermark — replay-exact like the append-only mode.
+    Tombstoned nodes count against ``max_points`` until a compact."""
     import os
 
     live = _read_live(shard_dir)
@@ -1082,15 +1132,46 @@ def append_shard_batch(
     if seen is None:
         # disk load (or fresh shard): the one full id-set build
         seen = set(idx.ids) if idx is not None else set()
+    # CDC reduce (docstring): last op per id, in row order.  Pure —
+    # runs before the try so a malformed batch cannot taint the cache.
+    if new_ops is not None:
+        final: dict = {}
+        for i, v, op in zip(new_ids, new_vecs, new_ops):
+            i = i.item() if hasattr(i, "item") else i
+            if op == "delete":
+                final[i] = None
+            elif op == "upsert":
+                if v is None:
+                    raise ValueError(f"upsert of id {i!r} carries no vector")
+                final[i] = list(v)
+            else:
+                raise ValueError(
+                    f"op must be 'upsert' or 'delete', got {op!r}"
+                )
     add_ids, add_vecs = [], []
     try:
-        for i, v in zip(new_ids, new_vecs):
-            i = i.item() if hasattr(i, "item") else i
-            if i in seen:
-                continue
-            seen.add(i)
-            add_ids.append(i)
-            add_vecs.append(list(v))
+        if new_ops is not None:
+            victims = []
+            for i, v in final.items():
+                if v is None or i in seen:
+                    # delete — or upsert of a live id, whose OLD node
+                    # must die before the new vector lands
+                    victims.append(i)
+                    seen.discard(i)
+                if v is not None:
+                    seen.add(i)
+                    add_ids.append(i)
+                    add_vecs.append(v)
+            if idx is not None and victims:
+                idx.delete_ids(victims)
+        else:
+            for i, v in zip(new_ids, new_vecs):
+                i = i.item() if hasattr(i, "item") else i
+                if i in seen:
+                    continue
+                seen.add(i)
+                add_ids.append(i)
+                add_vecs.append(list(v))
         if idx is None:
             idx = HNSWIndex.build_local(
                 add_ids, add_vecs, id_col=id_col, M=M,
@@ -1202,7 +1283,15 @@ def _mutate_shards(spark: SparkSession, root: str, mutate) -> dict:
     :func:`compact_sharded_hnsw`.  Cache safety is by construction:
     a commit lands in a NEW gen dir, so both the serve cache (path+
     mtime keyed) and the append cache (generation keyed) miss and
-    reload."""
+    reload.
+
+    Writer exclusion: per-shard generation commits are NOT serialized
+    against each other (only the manifest fold is flock'd), so a
+    mutation racing an ingest stream's append to the same shard can
+    lose one of the two commits.  Same single-writer-per-root contract
+    as ``sharded_hnsw_append_sink``: pause the stream (or run the
+    mutation from the stream's own maintenance window) — readers are
+    fine at any time."""
     import os
 
     import pandas as pd
@@ -1364,6 +1453,7 @@ def sharded_search_batch(
     ef: int = 64,
     shards_probed: int | None = None,
     allowed: set | None = None,
+    allowed_per_query: Sequence[set | None] | None = None,
 ) -> DataFrame:
     """Batch search over a sharded HNSW: every probed shard's walks
     run in its own task (``mapInPandas`` over the probe table — one
@@ -1377,8 +1467,9 @@ def sharded_search_batch(
     ``build_sharded_hnsw`` / the streaming sink), cutting per-batch
     walk cost from S tasks to ~P-proportional work; recall vs P is
     published in RECALL.md.  ``allowed`` applies ONE filter id-set
-    across the batch (rides the task closure — bounded by the serving
-    filter-id cap, see collection.query_embedding).  Returns
+    across the batch; ``allowed_per_query`` aligns one set (or None)
+    per query — both ride the task closure, bounded by the serving
+    filter-id cap (see collection.query_embedding).  Returns
     (query_id, <id_col>, similarity) — the tier-shared batch shape."""
     import pandas as pd
 
@@ -1394,6 +1485,7 @@ def sharded_search_batch(
             f"query_ids ({len(qids)}) and query_vecs ({len(qvecs)}) "
             "must be the same length"
         )
+    apq = _check_allowed_per_query(allowed, allowed_per_query, len(qids))
     id_col = meta["id_col"]
     id_kind = meta.get("id_kind", "int")
     kk, eff = int(k), int(ef)
@@ -1409,7 +1501,8 @@ def sharded_search_batch(
                 out_q, out_i, out_s = [], [], []
                 for qi in q_idxs:
                     qid, qv = qids[int(qi)], qvecs[int(qi)]
-                    for i, s in idx.search(qv, kk, ef=eff, allowed=allowed):
+                    al = apq[int(qi)] if apq is not None else allowed
+                    for i, s in idx.search(qv, kk, ef=eff, allowed=al):
                         out_q.append(qid)
                         out_i.append(i)
                         out_s.append(round(float(s), 12))
@@ -1476,6 +1569,7 @@ class ShardedHNSW:
         ef: int = 64,
         shards_probed: int | None = None,
         allowed: set | None = None,
+        allowed_per_query: Sequence[set | None] | None = None,
     ) -> DataFrame:
         probe = (
             shards_probed
@@ -1485,6 +1579,7 @@ class ShardedHNSW:
         return sharded_search_batch(
             spark, self.root, query_ids, query_vecs, k, ef=ef,
             shards_probed=probe, allowed=allowed,
+            allowed_per_query=allowed_per_query,
         )
 
     def delete_ids(self, spark: SparkSession, ids: Sequence) -> int:

@@ -777,6 +777,7 @@ def sharded_hnsw_append_sink(
     id_col: str = "vec_id",
     ef_construction: int | None = None,
     query_name: str = "sharded_hnsw_ingest",
+    op_col: str | None = None,
 ):
     """foreachBatch sink growing a SHARDED HNSW root (r10 — closes the
     r9 gap: a user who adopted the sharded tier for capacity could not
@@ -820,7 +821,21 @@ def sharded_hnsw_append_sink(
     Continue an ingest later from the SAME checkpoint (batch ids keep
     rising past the per-shard watermarks); a FRESH checkpoint restarts
     batch ids at 0, which the watermarks read as replay — the same
-    at-least-once contract as ``hnsw_append_sink``."""
+    at-least-once contract as ``hnsw_append_sink``.
+
+    CDC mode (r11): ``op_col`` names a column of ``"upsert"`` /
+    ``"delete"`` ops and flips the ingest to LAST-write-wins (the
+    reference's AddDocument/Delete semantics — see
+    ``hnsw.append_shard_batch`` ``new_ops``): a delete tombstones the
+    id wherever it lives and frees it for re-adding; an upsert of a
+    live id replaces its vector (old node tombstoned, new inserted).
+    Routing: upserts place like appends (they carry vectors); deletes
+    on a HASH root route by the same id hash, but on a CENTROID root
+    an id's cell is not recoverable without its vector, so delete
+    rows REPLICATE to every shard (each tombstones its intersection
+    — a few extra rows per shard per trigger, the delete path's
+    broadcast cost).  Tombstones count against the per-shard cap
+    until ``compact_sharded_hnsw``."""
     import pandas as pd
 
     from ..operators import hnsw as H
@@ -859,11 +874,18 @@ def sharded_hnsw_append_sink(
             # Replay skip / dedup / commit / worker cache live in
             # hnsw.append_shard_batch (testable without a stream).
             shard = int(key[0])
+            if op_col:
+                # CDC: restore the micro-batch's source row order (the
+                # per-partition __seq survives the routing shuffle) so
+                # same-id op sequences reduce last-write-wins in the
+                # order the source emitted them
+                pdf = pdf.sort_values("__seq")
             n, cent = H.append_shard_batch(
                 H._shard_dir(root, shard), bid,
                 list(pdf[id_col]), list(pdf[vec_col]),
                 id_col=id_col, M=M, ef_construction=efc,
                 seed=seed, max_points=cap,
+                new_ops=list(pdf["__op"]) if op_col else None,
             )
             return pd.DataFrame(
                 {"shard": [shard], "n_points": [n], "centroid": [cent]}
@@ -873,21 +895,44 @@ def sharded_hnsw_append_sink(
         # job per trigger, and an empty batch already no-ops through
         # this plan — zero groups reach applyInPandas, the collect
         # returns zero rows, and the manifest bump is skipped below
-        base = batch_df.select(id_col, vec_col)
+        if op_col:
+            # __seq pins source order BEFORE the routing shuffle
+            # (partition-major, row-minor — stable for a replayed
+            # batch, so CDC reduce order is replay-deterministic)
+            base = batch_df.select(
+                id_col, vec_col, F.col(op_col).alias("__op")
+            ).withColumn("__seq", F.monotonically_increasing_id())
+            ups = base.filter(F.col("__op") != F.lit("delete"))
+            dels = base.filter(F.col("__op") == F.lit("delete"))
+        else:
+            base = batch_df.select(id_col, vec_col)
+            ups, dels = base, None
+        hash_shard = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)
+        )
         if assign_cents is not None:
             from ..operators.ann import _assign_clusters
 
             routed = _assign_clusters(
-                base, assign_cents, vec_col
+                ups, assign_cents, vec_col
             ).withColumnRenamed("cluster_id", "__shard")
+            if dels is not None:
+                # centroid roots: an id's cell needs its vector, which
+                # a delete row does not carry — replicate to every
+                # shard (docstring; each tombstones its intersection)
+                dels_routed = dels.withColumn(
+                    "__shard",
+                    F.explode(F.array(*[F.lit(j) for j in range(n_shards)])),
+                )
+                routed = routed.select(
+                    *dels_routed.columns
+                ).unionByName(dels_routed)
         else:
-            routed = base.withColumn(
-                "__shard",
-                F.pmod(
-                    F.xxhash64(F.col(id_col).cast("string")),
-                    F.lit(n_shards),
-                ),
-            )
+            routed = ups.withColumn("__shard", hash_shard)
+            if dels is not None:
+                routed = routed.unionByName(
+                    dels.withColumn("__shard", hash_shard)
+                )
         rows = (
             routed.groupBy("__shard")
             .applyInPandas(

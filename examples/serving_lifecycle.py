@@ -76,6 +76,29 @@ def main() -> None:
     print("batch through the router (forced IVF, nprobe-all identity):")
     batch.orderBy("query_id", F.desc("similarity")).show(12, truncate=False)
 
+    # ---- r11: filtered serving + tombstone deletes on the graph tier.
+    # A metadata filter on a served graph walks with the filter's
+    # matching ids gating result eligibility (exact at ef >= live-n);
+    # deletes tombstone in place (nodes stay navigable waypoints) with
+    # compaction as the physical rebuild — no full invalidation.
+    filt = c2.query_embedding(
+        embed("topic 3"), 5, where={"topic": "3"}, index=served_hnsw,
+        target_recall=0.999,
+    )
+    print("served HNSW with a metadata filter (allowed id-set walk):")
+    filt.show(5, truncate=False)
+
+    served_hnsw.delete_ids(["3", "10"])
+    after = served_hnsw.search(embed("topic 3"), 5,
+                               ef=served_hnsw.n_points())
+    assert all(i not in ("3", "10") for i, _ in after)
+    compacted = served_hnsw.compacted()
+    print(
+        f"tombstoned 2 ids: live={served_hnsw.n_points()} of "
+        f"{served_hnsw.n_nodes()} nodes; compacted rebuild holds "
+        f"{compacted.n_nodes()} nodes"
+    )
+
     # ---- streaming maintenance of the served graph: micro-batches of
     # new vectors grow the snapshot with atomic generation commits
     from chromem_go_spark.operators import hnsw as H

@@ -1824,3 +1824,270 @@ def test_routed_batch_served_hnsw_allowed(spark, emb, idx):
         for i, s in _flat(emb.filter(F.col("vec_id") % 2 == 0), qv, 5):
             want.add((qid, i, s))
     assert got == want
+
+
+# ----------------------------------------------------- CDC ingest (r11)
+
+
+def test_append_shard_batch_cdc_ops(emb, tmp_path):
+    """CDC mode (new_ops): last-write-wins per id — deletes tombstone
+    and FREE the id, upserts of live ids replace their vector, and a
+    later batch can resurrect a deleted id with a fresh vector.
+    Replay stays exact (one watermark covers the whole op batch)."""
+    from chromem_go_spark.operators.hnsw import (
+        append_shard_batch,
+        load_snapshot,
+    )
+
+    sdir = str(tmp_path / "cdc_shard")
+    rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.limit(10).collect()
+    )
+    ids0 = [i for i, _ in rows]
+    append_shard_batch(
+        sdir, 0, ids0, [v for _, v in rows], M=8, ef_construction=64
+    )
+    dim = len(rows[0][1])
+    new5 = [0.25] * dim
+    n, _ = append_shard_batch(
+        sdir, 1,
+        [ids0[0], ids0[5], 999],
+        [None, new5, [0.5] * dim],
+        M=8, ef_construction=64,
+        new_ops=["delete", "upsert", "upsert"],
+    )
+    assert n == 10  # -1 delete, 5 replaced in place, +1 new id
+    idx, last = load_snapshot(sdir)
+    assert last == 1
+    assert idx.n_nodes() == 12  # old 10 + replacement node + id 999
+    full = {i for i, _ in idx.search(rows[0][1], 20, ef=idx.n_points())}
+    assert ids0[0] not in full
+    # the replaced id answers with its NEW vector (cosine 1.0 to it)
+    top = idx.search(new5, 1, ef=idx.n_points())
+    assert top[0][0] == ids0[5] and top[0][1] > 0.999999
+    # resurrect the deleted id with a fresh vector in a later batch
+    n, _ = append_shard_batch(
+        sdir, 2, [ids0[0]], [[0.75] * dim], M=8, ef_construction=64,
+        new_ops=["upsert"],
+    )
+    assert n == 11
+    idx2, _ = load_snapshot(sdir)
+    top = idx2.search([0.75] * dim, 1, ef=idx2.n_points())
+    assert top[0][0] == ids0[0] and top[0][1] > 0.999999
+    # replay of batch 1 (at/below watermark): state must not move
+    n, _ = append_shard_batch(
+        sdir, 1, [ids0[0]], [None], M=8, ef_construction=64,
+        new_ops=["delete"],
+    )
+    assert n == 11
+
+
+def test_append_shard_batch_cdc_rejects_bad_ops(emb, tmp_path):
+    from chromem_go_spark.operators.hnsw import append_shard_batch
+
+    sdir = str(tmp_path / "cdc_bad")
+    with pytest.raises(ValueError, match="op must be"):
+        append_shard_batch(
+            sdir, 0, [1], [[0.1, 0.2]], new_ops=["replace"]
+        )
+    with pytest.raises(ValueError, match="carries no vector"):
+        append_shard_batch(sdir, 0, [1], [None], new_ops=["upsert"])
+
+
+def test_sharded_cdc_stream_sink(spark, emb, tmp_path):
+    """op_col flips the sharded sink to CDC: streamed upserts add or
+    replace, deletes tombstone — and the post-ingest exact search
+    equals brute force over the resulting corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    n_total = emb.count()
+    lo = emb.filter(F.col("vec_id") < n_total // 2)
+    root = str(tmp_path / "cdc_shards")
+    H.build_sharded_hnsw(lo, root, n_shards=3, M=8, ef_construction=64)
+
+    dim = len(emb.head()["embedding"])
+    hi_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]], "upsert")
+        for r in emb.filter(F.col("vec_id") >= n_total // 2).collect()
+    ]
+    replaced_vec = [0.3] * dim
+    events = hi_rows + [
+        (0, None, "delete"),
+        (1, None, "delete"),
+        (2, replaced_vec, "upsert"),  # replace a built id's vector
+    ]
+    d = tmp_path / "cdc_events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([e[0] for e in events], pa.int64()),
+                "embedding": pa.array(
+                    [e[1] for e in events], pa.list_(pa.float64())
+                ),
+                "op": pa.array([e[2] for e in events]),
+            }
+        ),
+        str(d / "b0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string"
+        )
+        .parquet(str(d))
+    )
+    run_available_now(
+        sharded_hnsw_append_sink(
+            stream, root, str(tmp_path / "cdc_ckpt"), op_col="op"
+        )
+    )
+    meta = H.load_sharded_meta(root)
+    assert sum(c for _, c in meta["shards"]) == n_total - 2
+    # expected corpus: everything except 0 and 1, with 2's vector
+    # replaced — build it as a frame and brute force
+    rep = spark.createDataFrame(
+        [(2, replaced_vec)], "vec_id long, embedding array<double>"
+    )
+    want_corpus = (
+        emb.select("vec_id", "embedding")
+        .filter(~F.col("vec_id").isin([0, 1, 2]))
+        .unionByName(rep)
+    )
+    qv = _qv(emb, 5)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=n_total
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(want_corpus, qv)
+    # and the replaced vector is served, not the built one
+    top = H.sharded_search_batch(
+        spark, root, ["0"], [replaced_vec], 1, ef=n_total
+    ).collect()[0]
+    assert top["vec_id"] == 2 and top["similarity"] > 0.999999
+
+
+def test_sharded_cdc_delete_broadcasts_on_centroid_root(
+    spark, emb, tmp_path
+):
+    """Centroid roots cannot route a vectorless delete to its cell —
+    the sink replicates delete rows to every shard and each tombstones
+    its intersection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    root = str(tmp_path / "cdc_cent")
+    H.build_sharded_hnsw(
+        emb, root, n_shards=3, M=8, ef_construction=64,
+        shard_by="centroid",
+    )
+    n = emb.count()
+    d = tmp_path / "cdc_cent_events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([3, 7], pa.int64()),
+                "embedding": pa.array(
+                    [None, None], pa.list_(pa.float64())
+                ),
+                "op": pa.array(["delete", "delete"]),
+            }
+        ),
+        str(d / "b0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string"
+        )
+        .parquet(str(d))
+    )
+    run_available_now(
+        sharded_hnsw_append_sink(
+            stream, root, str(tmp_path / "cdc_cent_ckpt"), op_col="op"
+        )
+    )
+    meta = H.load_sharded_meta(root)
+    assert sum(c for _, c in meta["shards"]) == n - 2
+    qv = _qv(emb, 3)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=n
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb.filter(~F.col("vec_id").isin([3, 7])), qv)
+
+
+# ------------------------------------- per-query allowed sets (r11)
+
+
+def test_batch_per_query_allowed_exact(spark, emb, idx, tmp_path):
+    """allowed_per_query aligns one id set (or None) per query — each
+    query's exact walk is brute force over ITS OWN subset, on both the
+    single graph and a sharded root."""
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        sharded_search_batch,
+    )
+
+    sets = [
+        {int(r["vec_id"]) for r in
+         emb.filter(F.col("vec_id") % m == 0).collect()}
+        for m in (2, 3)
+    ] + [None]
+    qvs = [_qv(emb, v) for v in (0, 1, 2)]
+    want = set()
+    for qid, qv, m in zip(("0", "1", "2"), qvs, (2, 3, None)):
+        sub = emb if m is None else emb.filter(F.col("vec_id") % m == 0)
+        for i, s in _flat(sub, qv, 5):
+            want.add((qid, i, s))
+    got = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in idx.search_batch(
+            spark, ["0", "1", "2"], qvs, 5, ef=idx.n_points(),
+            allowed_per_query=sets,
+        ).collect()
+    }
+    assert got == want
+    root = str(tmp_path / "apq_shards")
+    build_sharded_hnsw(emb, root, n_shards=3, M=8, ef_construction=64)
+    got_sh = {
+        (r["query_id"], r["vec_id"], round(r["similarity"], 6))
+        for r in sharded_search_batch(
+            spark, root, ["0", "1", "2"], qvs, 5, ef=emb.count(),
+            allowed_per_query=sets,
+        ).collect()
+    }
+    assert got_sh == want
+
+
+def test_per_query_allowed_validation(spark, emb, idx):
+    with pytest.raises(ValueError, match="not both"):
+        idx.search_batch(
+            spark, ["0"], [_qv(emb, 0)], 5, allowed={1},
+            allowed_per_query=[{1}],
+        )
+    with pytest.raises(ValueError, match="same length"):
+        idx.search_batch(
+            spark, ["0"], [_qv(emb, 0)], 5, allowed_per_query=[{1}, {2}],
+        )

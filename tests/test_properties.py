@@ -603,3 +603,65 @@ def test_contains_pattern_groups_sound_on_random_trees(spark):
                     all(p in r["content"] for p in g) for g in groups
                 ), (t, groups, r)
     assert checked > 0 and or_shaped > 0  # $or shapes must be exercised
+
+
+# ------------------------------------------- HNSW eligibility walks (r11)
+#
+# Spark-free property: the ef >= live-n exactness certificate of
+# tombstoned / filtered graph walks (operators/hnsw.py module doc) on
+# RANDOM corpora — including clustered shapes, duplicate-heavy shapes,
+# and adversarial delete/allow sets (the curated tests pin specific
+# corpora; this pins the invariant itself).
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=40),   # corpus size
+    st.integers(min_value=2, max_value=5),    # dim
+    st.integers(min_value=0, max_value=2**31 - 1),  # corpus seed
+    st.sets(st.integers(min_value=0, max_value=39)),  # deleted ids
+    st.one_of(
+        st.none(), st.sets(st.integers(min_value=0, max_value=39))
+    ),  # allowed ids (None = unfiltered)
+)
+def test_hnsw_eligibility_walk_is_exact_at_ef_live_n(
+    n, dim, seed, dele, allowed
+):
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    rng = np.random.default_rng(seed)
+    # half the time, clustered blobs (the shape that used to break
+    # naive-pruned connectivity); else uniform
+    if seed % 2:
+        cents = rng.standard_normal((3, dim)) * 4
+        mat = cents[rng.integers(0, 3, size=n)] + rng.standard_normal(
+            (n, dim)
+        ) * 0.1
+    else:
+        mat = rng.standard_normal((n, dim))
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ids = list(range(n))
+    g = HNSWIndex.build_local(ids, [list(v) for v in mat], M=4,
+                              ef_construction=16)
+    dele_eff = {i for i in dele if i < n}
+    g.delete_ids(dele_eff)
+    q = rng.standard_normal(dim)
+    got = g.search(list(q), k=10, ef=max(g.n_points(), 1), allowed=allowed)
+    # brute-force reference over exactly the eligible population —
+    # stated in IDS (the API's delete unit), independent of node order
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    elig = [
+        i for i in ids
+        if i not in dele_eff and (allowed is None or i in allowed)
+    ]
+    sims = sorted(
+        ((float(mat[i] @ qn), i) for i in elig),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    want = [(i, s) for s, i in sims]
+    assert [(i, round(s, 9)) for i, s in got] == [
+        (i, round(s, 9)) for i, s in want
+    ]
