@@ -460,6 +460,58 @@ class Collection:
             return None
         return {r["id"] for r in rows}
 
+    def _materialize_per_query_ids(self, parsed, pre) -> list | None:
+        """Each query's (global AND per-query) filter match set as a
+        list of id sets — the served graph tier's BATCH filter form
+        (``allowed_per_query`` on the walks).  ONE corpus scan builds
+        every set: each query's DSL compiles to a boolean column (the
+        same reference semantics the flat kernel joins on —
+        metadata-equality AND-fold with missing-key non-match,
+        every $contains present, no $not_contains present), and the
+        scan collects (id, per-query hit mask) for rows matching ANY
+        query.  A query with no constraints (and no global filter)
+        stays ``None`` = unfiltered, costing nothing.  Returns None
+        when the summed set sizes exceed ``HNSW_FILTER_MAX_IDS``
+        (the per-task shipping budget; callers fall back to the exact
+        kernel)."""
+        from .operators.filters import where_predicate
+
+        unconstrained = [
+            not w and not c and not nc for (w, c, nc) in parsed
+        ]
+        if pre is None and all(unconstrained):
+            return [None] * len(parsed)
+        base = self.df.filter(pre) if pre is not None else self.df
+        preds = []
+        for w, c, nc in parsed:
+            p = F.lit(True)
+            if w:
+                p = p & where_predicate(w)
+            for pat in c:
+                p = p & F.col("content").contains(pat)
+            for pat in nc:
+                p = p & ~F.col("content").contains(pat)
+            preds.append(F.coalesce(p, F.lit(False)))
+        rows = (
+            base.select(F.col("id"), F.array(*preds).alias("__m"))
+            .filter(F.array_contains("__m", F.lit(True)))
+            .collect()
+        )
+        sets: list = [
+            None if (pre is None and un) else set()
+            for un in unconstrained
+        ]
+        budget = int(self.HNSW_FILTER_MAX_IDS)
+        total = 0
+        for r in rows:
+            for j, hit in enumerate(r["__m"]):
+                if hit and sets[j] is not None:
+                    sets[j].add(r["id"])
+                    total += 1
+                    if total > budget:
+                        return None
+        return sets
+
     def _combined_predicate_ex(self, where, where_document, extended_filters):
         """The full pre-filter predicate, strict-reference or extended
         DSL — ONE composition shared by query_embedding's exact path
@@ -606,9 +658,11 @@ class Collection:
         ``index``; a ``where``/``where_document`` routes only through
         full-vector tiers (the ladder picks FLAT/IVF when filtered;
         r8: a fresh gram index pre-prunes ``$contains`` before
-        dispatch), and a SERVED index that cannot express the filter
-        (PQ/SQ codes, the HNSW graph) falls back to the exact scan
-        path rather than erroring — semantics beat routing.  Forcing a
+        dispatch); a SERVED quantized index (PQ/SQ codes) falls back
+        to the exact scan path rather than erroring, while a served
+        GRAPH index serves the filter from the walk (r11, allowed
+        id-set — budget-capped, exact-scan fallback beyond) —
+        semantics beat routing either way.  Forcing a
         quantized tier name together with a filter is a contradiction
         and raises.  Quantized routed results carry
         ``(id, similarity)`` only.
@@ -1292,8 +1346,12 @@ class Collection:
         broadcast-join DSL kernel, IVF threads each query's predicates
         into the cluster-pruned probe join
         (``IVFIndex.search_batch_dsl``); forcing a quantized tier with
-        per-query filters raises, and a served non-IVF index falls
-        back to the FLAT kernel.
+        per-query filters raises.  A served GRAPH index serves the
+        filters itself (r11): global filters as one shared allowed
+        id-set, per-query filters as per-query sets materialized in
+        one corpus scan (``allowed_per_query`` walks) — beyond the
+        shipping budget it falls back to the FLAT kernel, as the
+        quantized served tiers always do.
 
         ``extended_filters`` (r9, same opt-in as :meth:`query`): the
         GLOBAL ``where`` compiles through the extended DSL
@@ -1322,6 +1380,7 @@ class Collection:
                 where, where_document, index, target_recall, tuned,
                 extended_filters,
             )
+        served_allowed = None
         if (
             index is not None
             and not isinstance(index, str)
@@ -1330,10 +1389,17 @@ class Collection:
             from .operators import router as R
 
             if R.tier_of(index) != "ivf":
-                # same rule as query_embedding: a served index that
-                # cannot express the filter falls back to the exact
-                # kernel path — semantics beat routing
-                index = None
+                # same rule as query_embedding: a served graph index
+                # serves the global filter as one allowed id-set
+                # shared by the batch (r11); every other non-IVF
+                # served index falls back to the exact kernel path —
+                # semantics beat routing
+                if R.tier_of(index) == "hnsw":
+                    served_allowed = self._materialize_filter_ids(
+                        where, where_document, extended_filters
+                    )
+                if served_allowed is None:
+                    index = None
         if index is not None:
             from .operators import router as R
 
@@ -1380,7 +1446,11 @@ class Collection:
             return R.routed_search_batch(
                 base, qids, qvecs, int(n_results), vec_col="embedding",
                 id_col="id", index=served, target_recall=target_recall,
-                where=pre, decision=decision, n_docs=n_docs,
+                # the graph tier's filter rode into `served_allowed`
+                # (the Column form would raise there — router doc)
+                where=None if served_allowed is not None else pre,
+                decision=decision, n_docs=n_docs,
+                allowed=served_allowed,
             )
         pred = self._combined_predicate_ex(
             where, where_document, extended_filters
@@ -1503,9 +1573,12 @@ class Collection:
         (:meth:`..operators.ann.IVFIndex.search_batch_dsl`), keeping
         cluster pruning under per-query filters.  Forcing a quantized
         tier with filters is a contradiction and raises the golden
-        error; a served non-IVF index falls back to the FLAT kernel —
-        semantics beat routing.  Global ``where``/``where_document``
-        apply to the corpus side on every path."""
+        error; a served GRAPH index serves the filters as per-query
+        allowed id-sets (r11, one materializing scan — budget-capped
+        with the FLAT kernel as the fallback), and any other served
+        non-IVF index falls back to the FLAT kernel — semantics beat
+        routing.  Global ``where``/``where_document`` apply to the
+        corpus side on every path."""
         from .operators import router as R
         from .operators.ann import IVFIndex
 
@@ -1541,6 +1614,26 @@ class Collection:
 
         if not isinstance(index, str):
             if R.tier_of(index) != "ivf":
+                if R.tier_of(index) == "hnsw":
+                    # r11: per-query filters serve FROM the graph —
+                    # one corpus scan materializes every query's
+                    # (global AND per-query) match set, the walks gate
+                    # result eligibility per query (hnsw.py
+                    # allowed_per_query).  Over the shipping budget →
+                    # the exact kernel below, as before.
+                    apq = self._materialize_per_query_ids(
+                        parsed, pre if constrained else None
+                    )
+                    if apq is not None:
+                        ef = (
+                            index.n_points()
+                            if target_recall >= 0.999
+                            else max(4 * int(n_results), 64)
+                        )
+                        return index.search_batch(
+                            self.spark, qids, qvecs, int(n_results),
+                            ef=ef, allowed_per_query=apq,
+                        )
                 # served index that can't express the filter: exact path
                 return self._query_batch_flat_dsl(
                     qids, qvecs, n_results, parsed, prune()

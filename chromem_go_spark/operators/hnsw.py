@@ -1061,6 +1061,64 @@ _APPEND_CACHE: OrderedDict[str, tuple[int, HNSWIndex, set, int]] = (
 )
 
 
+def apply_cdc_ops(
+    idx: HNSWIndex | None,
+    seen: set,
+    new_ids: Sequence,
+    new_vecs,
+    new_ops: Sequence,
+    *,
+    id_col: str = "vec_id",
+    M: int = 16,
+    ef_construction: int = 200,
+    seed: int = 42,
+    max_points: int = 1_000_000,
+) -> HNSWIndex:
+    """Apply ONE CDC micro-batch to a maintained graph — the shared
+    core of the single-graph and sharded streaming sinks' ``op_col``
+    mode (one reduce/apply algorithm, not two).  Ops reduce to the
+    LAST op per id in row order; a ``delete`` tombstones the id's live
+    node and removes it from ``seen`` (freeing it for re-adding); an
+    ``upsert`` of an id in ``seen`` tombstones the old node first,
+    then inserts the new vector.  Mutates ``idx`` (built fresh when
+    None) and ``seen`` in place and returns the index; validation runs
+    BEFORE any mutation, so a malformed batch raises with the graph
+    untouched (callers' taint rules then never fire on bad input)."""
+    final: dict = {}
+    for i, v, op in zip(new_ids, new_vecs, new_ops):
+        i = i.item() if hasattr(i, "item") else i
+        if op == "delete":
+            final[i] = None
+        elif op == "upsert":
+            if v is None:
+                raise ValueError(f"upsert of id {i!r} carries no vector")
+            final[i] = list(v)
+        else:
+            raise ValueError(f"op must be 'upsert' or 'delete', got {op!r}")
+    victims, add_ids, add_vecs = [], [], []
+    for i, v in final.items():
+        if v is None or i in seen:
+            # delete — or upsert of a live id, whose OLD node must die
+            # before the new vector lands
+            victims.append(i)
+            seen.discard(i)
+        if v is not None:
+            seen.add(i)
+            add_ids.append(i)
+            add_vecs.append(v)
+    if idx is not None and victims:
+        idx.delete_ids(victims)
+    if idx is None:
+        idx = HNSWIndex.build_local(
+            add_ids, add_vecs, id_col=id_col, M=M,
+            ef_construction=ef_construction, seed=seed,
+            max_points=max_points,
+        )
+    elif add_ids:
+        idx.insert_batch(add_ids, add_vecs, ef_construction=ef_construction)
+    return idx
+
+
 def append_shard_batch(
     shard_dir: str,
     batch_id: int,
@@ -1132,39 +1190,15 @@ def append_shard_batch(
     if seen is None:
         # disk load (or fresh shard): the one full id-set build
         seen = set(idx.ids) if idx is not None else set()
-    # CDC reduce (docstring): last op per id, in row order.  Pure —
-    # runs before the try so a malformed batch cannot taint the cache.
-    if new_ops is not None:
-        final: dict = {}
-        for i, v, op in zip(new_ids, new_vecs, new_ops):
-            i = i.item() if hasattr(i, "item") else i
-            if op == "delete":
-                final[i] = None
-            elif op == "upsert":
-                if v is None:
-                    raise ValueError(f"upsert of id {i!r} carries no vector")
-                final[i] = list(v)
-            else:
-                raise ValueError(
-                    f"op must be 'upsert' or 'delete', got {op!r}"
-                )
-    add_ids, add_vecs = [], []
     try:
         if new_ops is not None:
-            victims = []
-            for i, v in final.items():
-                if v is None or i in seen:
-                    # delete — or upsert of a live id, whose OLD node
-                    # must die before the new vector lands
-                    victims.append(i)
-                    seen.discard(i)
-                if v is not None:
-                    seen.add(i)
-                    add_ids.append(i)
-                    add_vecs.append(v)
-            if idx is not None and victims:
-                idx.delete_ids(victims)
+            idx = apply_cdc_ops(
+                idx, seen, new_ids, new_vecs, new_ops, id_col=id_col,
+                M=M, ef_construction=ef_construction, seed=seed,
+                max_points=max_points,
+            )
         else:
+            add_ids, add_vecs = [], []
             for i, v in zip(new_ids, new_vecs):
                 i = i.item() if hasattr(i, "item") else i
                 if i in seen:
@@ -1172,16 +1206,16 @@ def append_shard_batch(
                 seen.add(i)
                 add_ids.append(i)
                 add_vecs.append(list(v))
-        if idx is None:
-            idx = HNSWIndex.build_local(
-                add_ids, add_vecs, id_col=id_col, M=M,
-                ef_construction=ef_construction, seed=seed,
-                max_points=max_points,
-            )
-        elif add_ids:
-            idx.insert_batch(
-                add_ids, add_vecs, ef_construction=ef_construction
-            )
+            if idx is None:
+                idx = HNSWIndex.build_local(
+                    add_ids, add_vecs, id_col=id_col, M=M,
+                    ef_construction=ef_construction, seed=seed,
+                    max_points=max_points,
+                )
+            elif add_ids:
+                idx.insert_batch(
+                    add_ids, add_vecs, ef_construction=ef_construction
+                )
         save_snapshot(idx, shard_dir, last_batch=int(batch_id))
     except BaseException:
         # the in-memory graph (and its id-set) may hold this batch —

@@ -686,6 +686,7 @@ def hnsw_append_sink(
     seed: int = 42,
     max_points: int = 1_000_000,
     query_name: str = "hnsw_ingest",
+    op_col: str | None = None,
 ):
     """foreachBatch sink maintaining the SERVED HNSW graph (r8): the
     first micro-batch builds the graph, later ones
@@ -703,7 +704,14 @@ def hnsw_append_sink(
     Rows whose id is already a graph node are dropped (first write
     wins): cross-batch redelivery from an at-least-once upstream is
     invisible to the batch-id watermark, and a duplicate node would
-    surface twice in search results."""
+    surface twice in search results.
+
+    CDC mode (r11): ``op_col`` names a column of ``"upsert"`` /
+    ``"delete"`` ops and flips the contract to last-write-wins —
+    the same shared reduce/apply as the sharded sink
+    (``hnsw.apply_cdc_ops``): deletes tombstone and free the id,
+    upserts of live ids replace their vector.  Rows apply in the
+    micro-batch's source order."""
     from ..operators import hnsw as H
 
     box: list = []  # [(graph, last_batch)] — loaded once, then in-memory
@@ -719,12 +727,24 @@ def hnsw_append_sink(
         idx, last = box[0]
         if batch_id <= last:
             return  # replayed micro-batch: already committed
-        # Graph nodes are append-only (no upsert): a duplicate vec_id —
-        # an at-least-once upstream redelivering rows across DIFFERENT
-        # micro-batches, which the batch-id watermark can't see — would
-        # otherwise surface twice in every search result.  First write
-        # wins; membership is one O(1) set probe per row.
-        if idx is None:
+        # Graph nodes are append-only without op_col (no upsert): a
+        # duplicate vec_id — an at-least-once upstream redelivering
+        # rows across DIFFERENT micro-batches, which the batch-id
+        # watermark can't see — would otherwise surface twice in every
+        # search result.  First write wins; membership is one O(1) set
+        # probe per row.  With op_col, apply_cdc_ops owns the contract
+        # (last-write-wins — docstring).
+        if op_col:
+            rows = batch_df.select(id_col, vec_col, op_col).collect()
+            idx = H.apply_cdc_ops(
+                idx, set(idx.ids) if idx is not None else set(),
+                [r[0] for r in rows],
+                [list(r[1]) if r[1] is not None else None for r in rows],
+                [r[2] for r in rows],
+                id_col=id_col, M=M, ef_construction=ef_construction,
+                seed=seed, max_points=max_points,
+            )
+        elif idx is None:
             idx = H.HNSWIndex.build(
                 batch_df.dropDuplicates([id_col]), vec_col=vec_col,
                 id_col=id_col, M=M,

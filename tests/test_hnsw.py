@@ -2091,3 +2091,157 @@ def test_per_query_allowed_validation(spark, emb, idx):
         idx.search_batch(
             spark, ["0"], [_qv(emb, 0)], 5, allowed_per_query=[{1}, {2}],
         )
+
+
+def test_collection_batch_global_filter_served_graph(spark):
+    """query_batch with a GLOBAL filter on a served graph serves the
+    whole batch through one shared allowed id-set walk — exact at
+    target_recall >= 0.999, matching the unrouted batch path."""
+    c = _filter_collection(spark, "hnsw_batch_global")
+    served = c.build_hnsw_index(M=4, ef_construction=32)
+    qvs = [c.embedding_func("quick"), c.embedding_func("lazy")]
+    want = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, where={"lang": "en"}
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, where={"lang": "en"},
+            index=served, target_recall=1.0,
+        ).collect()
+    }
+    assert got == want
+    assert all(int(i) % 3 == 0 for _, i, _ in got)
+
+
+def test_collection_batch_per_query_filters_served_graph(spark, monkeypatch):
+    """Per-query filters on a served graph materialize per-query id
+    sets in ONE scan and serve from the walks — values equal the flat
+    DSL kernel's, and the graph path actually ran (call-counted)."""
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    c = _filter_collection(spark, "hnsw_batch_pqf")
+    served = c.build_hnsw_index(M=4, ef_construction=32)
+    pqf = [
+        {"where": {"lang": "en"}},
+        {"where_document": {"$contains": "quick"}},
+        None,  # unfiltered query
+    ]
+    qvs = [c.embedding_func(t) for t in ("quick", "lazy", "fox")]
+    want = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, per_query_filters=pqf
+        ).collect()
+    }
+    calls = {"n": 0}
+    orig = HNSWIndex.search_batch
+
+    def counted(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(HNSWIndex, "search_batch", counted)
+    got = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, per_query_filters=pqf,
+            index=served, target_recall=1.0,
+        ).collect()
+    }
+    assert got == want
+    assert calls["n"] == 1  # the graph path served, not the kernel
+
+
+def test_collection_batch_per_query_budget_falls_back(spark, monkeypatch):
+    """Beyond the shipping budget the per-query-filtered batch falls
+    back to the exact FLAT DSL kernel with identical values."""
+    from chromem_go_spark.collection import Collection
+
+    c = _filter_collection(spark, "hnsw_batch_pqf_cap")
+    served = c.build_hnsw_index(M=4, ef_construction=32)
+    monkeypatch.setattr(Collection, "HNSW_FILTER_MAX_IDS", 2)
+    pqf = [{"where": {"lang": "en"}}, {"where": {"lang": "de"}}]
+    qvs = [c.embedding_func(t) for t in ("quick", "lazy")]
+    want = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, per_query_filters=pqf
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, per_query_filters=pqf,
+            index=served, target_recall=1.0,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_single_sink_cdc_ops(spark, emb, tmp_path):
+    """The single-graph sink's op_col mode shares the sharded sink's
+    CDC contract: streamed deletes tombstone, upserts replace, and the
+    committed snapshot serves the resulting corpus exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        hnsw_append_sink,
+        run_available_now,
+    )
+
+    dim = len(emb.head()["embedding"])
+    rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.limit(12).collect()
+    )
+    d = tmp_path / "cdc_single"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([i for i, _ in rows], pa.int64()),
+                "embedding": pa.array(
+                    [v for _, v in rows], pa.list_(pa.float64())
+                ),
+                "op": pa.array(["upsert"] * len(rows)),
+            }
+        ),
+        str(d / "b0.parquet"),
+    )
+    new2 = [0.4] * dim
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([rows[0][0], rows[2][0]], pa.int64()),
+                "embedding": pa.array([None, new2], pa.list_(pa.float64())),
+                "op": pa.array(["delete", "upsert"]),
+            }
+        ),
+        str(d / "b1.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    snap = str(tmp_path / "cdc_single_snap")
+    run_available_now(
+        hnsw_append_sink(
+            stream, snap, str(tmp_path / "cdc_single_ckpt"), M=8,
+            ef_construction=64, op_col="op",
+        )
+    )
+    idx, last = H.load_snapshot(snap)
+    assert last == 1 and idx.n_points() == len(rows) - 1
+    full = {i for i, _ in idx.search(rows[0][1], 20, ef=idx.n_points())}
+    assert rows[0][0] not in full
+    top = idx.search(new2, 1, ef=idx.n_points())
+    assert top[0][0] == rows[2][0] and top[0][1] > 0.999999
