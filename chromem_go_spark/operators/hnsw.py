@@ -66,6 +66,15 @@ trigger before every eligible node is held — brute force over
 exactly the live/allowed set, which is what the oracle computes.
 ``compacted`` / ``compact_sharded_hnsw`` rebuild over live points —
 the physical apply, same protocol shape as the IVF ``compact``.
+
+Selective filters skip the walk entirely: when ``len(allowed) * dim``
+fits the direct-path budget (``_direct_filter_cells``), ``search``
+answers by ONE exact GEMM over the allowed rows — a walk with few
+eligible nodes explores most of the graph before it may prune
+(SCALE.md r11 pins the overhead), while scoring m rows directly is
+vectorized AND recall-1.0 (the brute-force-fallback rule production
+graph indexes use).  The walk remains the path for broad filters and
+for tombstones (corpus state, not a query set).
 """
 
 from __future__ import annotations
@@ -77,6 +86,19 @@ from collections.abc import Sequence
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _direct_filter_cells() -> int:
+    """Threshold for the direct (brute-force-over-allowed) filter
+    path: engage when ``len(allowed) * dim`` is at or under this many
+    matrix cells (~one sub-millisecond GEMM at the default 4M).  Env
+    knob ``CHROMEM_SPARK_DIRECT_FILTER_CELLS``; 0 forces walks (the
+    recall tooling uses that to measure the walk path itself)."""
+    import os
+
+    return int(
+        os.environ.get("CHROMEM_SPARK_DIRECT_FILTER_CELLS", 1 << 22)
+    )
 
 
 class HNSWIndex:
@@ -108,6 +130,10 @@ class HNSWIndex:
         # have had since r8 (shared tombstone protocol, ann.py): a
         # delete no longer forces a full graph rebuild.
         self.deleted: set[int] = set(deleted) if deleted else set()
+        # id -> LATEST node index, built lazily for the direct filter
+        # path (_search_direct) and maintained by insert_batch; ~1% of
+        # the vectors matrix at serving dims, so approx_bytes ignores it
+        self._id_map: dict | None = None
         # layer-0 tree parent per insertion index (-1 = root/unknown):
         # the connectivity invariant's spanning tree (module doc).  A
         # pre-r11 snapshot loads with -1s — existing edges stand, but
@@ -302,6 +328,9 @@ class HNSWIndex:
         for j in order:
             i = len(self.ids)
             self.ids.append(new_ids[j])
+            if self._id_map is not None:
+                # LATEST node wins (CDC replace re-points the id)
+                self._id_map[new_ids[j]] = i
             self._insert_point(
                 i, self._level_for(self.seed, i, self.M), ef_construction
             )
@@ -491,6 +520,42 @@ class HNSWIndex:
                             heapq.heappop(results)
         return sorted((-nd, node) for nd, node in results)
 
+    def _ensure_id_map(self) -> dict:
+        """id -> LATEST node index (CDC replaces overwrite at insert,
+        so the mapped node is the id's current one; a tombstoned
+        mapped node means the id is dead).  Built once O(n), then
+        maintained incrementally by :meth:`insert_batch`."""
+        if self._id_map is None:
+            self._id_map = {i: n for n, i in enumerate(self.ids)}
+        return self._id_map
+
+    def _search_direct(
+        self, q: np.ndarray, k: int, allowed: set
+    ) -> list[tuple[object, float]]:
+        """EXACT top-k over the allowed set by one GEMM — the serving
+        path for SELECTIVE filters (the hnswlib/production
+        brute-force-fallback pattern): a walk with a small eligible
+        set explores most of the graph before it may prune (SCALE.md
+        r11 measures the overhead), while scoring m rows directly is
+        O(m*dim) vectorized AND recall-1.0.  Chosen automatically when
+        ``len(allowed) * dim <= _DIRECT_FILTER_CELLS``; ``ef`` does
+        not apply (nothing is approximate here)."""
+        idmap = self._ensure_id_map()
+        dele = self.deleted
+        nodes = [
+            n
+            for i in allowed
+            if (n := idmap.get(i)) is not None and n not in dele
+        ]
+        if not nodes:
+            return []
+        sims = self.vectors[nodes] @ q
+        # ties by NATURAL id order (ints numerically, strings
+        # lexically) — the same rule the walk path sorts by
+        node_ids = np.asarray([self.ids[n] for n in nodes])
+        top = np.lexsort((node_ids, -sims))[: int(k)]
+        return [(self.ids[nodes[j]], float(sims[j])) for j in top]
+
     def _eligibility(self, allowed=None):
         """The result-membership predicate for :meth:`search`: excludes
         tombstoned nodes always, and — when ``allowed`` (a set of IDS,
@@ -510,6 +575,7 @@ class HNSWIndex:
         k: int,
         ef: int = 64,
         allowed: set | None = None,
+        direct_filter_cells: int | None = None,
     ) -> list[tuple[object, float]]:
         """Driver-side query: [(id, cosine)] best-first, ties by id.
         ``ef >= n_points()`` (the LIVE count) is exact (see module doc
@@ -524,6 +590,20 @@ class HNSWIndex:
         nrm = np.linalg.norm(q)
         if nrm > 0:
             q = q / nrm
+        if not len(self.ids):
+            return []
+        cells = (
+            _direct_filter_cells()
+            if direct_filter_cells is None
+            else int(direct_filter_cells)
+        )
+        if (
+            allowed is not None
+            and len(allowed) * self.vectors.shape[1] <= cells
+        ):
+            # selective filter: exact GEMM over the allowed rows beats
+            # a walk that cannot prune until it finds eligible nodes
+            return self._search_direct(q, k, allowed)
         ep = self.entry
         for l in range(len(self.layers) - 1, 0, -1):
             ep = self._greedy_closest(q, ep, l)
@@ -544,6 +624,7 @@ class HNSWIndex:
         ef: int = 64,
         allowed: set | None = None,
         allowed_per_query: Sequence[set | None] | None = None,
+        direct_filter_cells: int | None = None,
     ) -> DataFrame:
         """DataFrame shape shared with the IVF tiers:
         (query_id, <id_col>, similarity) — walks run on the driver
@@ -559,7 +640,10 @@ class HNSWIndex:
         rows = []
         for qi, (qid, qv) in enumerate(zip(qids, query_vecs)):
             al = apq[qi] if apq is not None else allowed
-            for i, s in self.search(qv, k, ef, allowed=al):
+            for i, s in self.search(
+                qv, k, ef, allowed=al,
+                direct_filter_cells=direct_filter_cells,
+            ):
                 rows.append((str(qid), i, round(float(s), 12)))
         id_type = "string" if self.ids and isinstance(self.ids[0], str) else "long"
         return spark.createDataFrame(
@@ -1488,6 +1572,7 @@ def sharded_search_batch(
     shards_probed: int | None = None,
     allowed: set | None = None,
     allowed_per_query: Sequence[set | None] | None = None,
+    direct_filter_cells: int | None = None,
 ) -> DataFrame:
     """Batch search over a sharded HNSW: every probed shard's walks
     run in its own task (``mapInPandas`` over the probe table — one
@@ -1536,7 +1621,10 @@ def sharded_search_batch(
                 for qi in q_idxs:
                     qid, qv = qids[int(qi)], qvecs[int(qi)]
                     al = apq[int(qi)] if apq is not None else allowed
-                    for i, s in idx.search(qv, kk, ef=eff, allowed=al):
+                    for i, s in idx.search(
+                        qv, kk, ef=eff, allowed=al,
+                        direct_filter_cells=direct_filter_cells,
+                    ):
                         out_q.append(qid)
                         out_i.append(i)
                         out_s.append(round(float(s), 12))
@@ -1604,6 +1692,7 @@ class ShardedHNSW:
         shards_probed: int | None = None,
         allowed: set | None = None,
         allowed_per_query: Sequence[set | None] | None = None,
+        direct_filter_cells: int | None = None,
     ) -> DataFrame:
         probe = (
             shards_probed
@@ -1614,6 +1703,7 @@ class ShardedHNSW:
             spark, self.root, query_ids, query_vecs, k, ef=ef,
             shards_probed=probe, allowed=allowed,
             allowed_per_query=allowed_per_query,
+            direct_filter_cells=direct_filter_cells,
         )
 
     def delete_ids(self, spark: SparkSession, ids: Sequence) -> int:

@@ -2245,3 +2245,55 @@ def test_single_sink_cdc_ops(spark, emb, tmp_path):
     assert rows[0][0] not in full
     top = idx.search(new2, 1, ef=idx.n_points())
     assert top[0][0] == rows[2][0] and top[0][1] > 0.999999
+
+
+# -------------------------------------- direct filter path (r11)
+
+
+def test_direct_filter_path_equals_walk(emb, monkeypatch):
+    """A selective allowed set auto-routes to the exact GEMM over the
+    allowed rows (the brute-force-fallback pattern); results are
+    identical to the exhaustive walk, and a forced walk (threshold 0)
+    agrees — same tie rule, same values."""
+    import os
+
+    g = HNSWIndex.build(emb, M=8, ef_construction=64)
+    allowed = {int(r["vec_id"]) for r in
+               emb.filter(F.col("vec_id") % 5 == 0).collect()}
+    qv = _qv(emb, 1)
+    direct = [(i, round(s, 9))
+              for i, s in g.search(qv, 10, ef=4, allowed=allowed)]
+    monkeypatch.setenv("CHROMEM_SPARK_DIRECT_FILTER_CELLS", "0")
+    walk = [(i, round(s, 9))
+            for i, s in g.search(qv, 10, ef=g.n_points(), allowed=allowed)]
+    assert direct == walk
+    # the direct path is exact regardless of ef — small-ef walk isn't
+    # guaranteed to be, which is exactly why the path exists
+    want = _flat(emb.filter(F.col("vec_id") % 5 == 0), qv)
+    assert [(i, round(s, 6)) for i, s in direct[:10]] == want
+
+
+def test_direct_filter_respects_tombstones_and_cdc(emb):
+    """Tombstoned ids never surface from the direct path, and a CDC
+    replace re-points the id map at the NEW node."""
+    g = HNSWIndex.build(emb, M=8, ef_construction=64)
+    dim = len(emb.head()["embedding"])
+    allowed = {0, 1, 2, 3}
+    g._ensure_id_map()  # build BEFORE the mutation — must stay correct
+    g.delete_ids([0])
+    got = {i for i, _ in g.search(_qv(emb, 1), 10, ef=4, allowed=allowed)}
+    assert got == {1, 2, 3}
+    # CDC replace of id 2: tombstone + re-insert with a new vector
+    g.delete_ids([2])
+    g.insert_batch([2], [[0.9] * dim], ef_construction=64)
+    top = g.search([0.9] * dim, 1, ef=4, allowed={2})
+    assert top[0][0] == 2 and top[0][1] > 0.999999
+
+
+def test_direct_filter_empty_graph_and_empty_allowed(spark):
+    g = HNSWIndex.build_local([], [], M=4, ef_construction=16)
+    assert g.search([0.1, 0.2], 5) == []
+    g2 = HNSWIndex.build_local([1, 2], [[1.0, 0.0], [0.0, 1.0]],
+                               M=4, ef_construction=16)
+    assert g2.search([1.0, 0.0], 5, allowed=set()) == []
+    assert g2.search([1.0, 0.0], 5, allowed={99}) == []
