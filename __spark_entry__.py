@@ -509,12 +509,14 @@ def q_hnsw_batch_per_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hnsw_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered HNSW serving (r11): the filter's matching ids gate
-    result ELIGIBILITY on the walk while every node stays navigable
-    (hnsw.py module doc — the reference's filter-before-scoring
-    semantics, collection.go:521, served from the graph instead of
-    the pre-r11 silent exact-scan fallback).  At ef >= live-n the
-    walk is brute force over exactly the allowed set, so the oracle
-    is the filtered top-k in SQL."""
+    result ELIGIBILITY (hnsw.py module doc — the reference's
+    filter-before-scoring semantics, collection.go:521, served from
+    the graph instead of the pre-r11 silent exact-scan fallback).
+    At this selectivity the serve auto-routes to the DIRECT path
+    (exact GEMM over the allowed rows — the brute-force-fallback
+    rule); the eligibility-gated walk at ef >= live-n computes the
+    same brute force over exactly the allowed set (pytest pins their
+    equality), so one SQL oracle certifies both paths."""
     from chromem_go_spark.operators.hnsw import HNSWIndex
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -654,8 +654,11 @@ class Collection:
         (its build cost is sunk).  ``tuned`` is a measured operating
         point from ``ann.tune_ivf``/``tune_ivf_sq``.  Query shapes the
         quantized tiers can't express always keep their semantics:
-        negative modes take the exact FLAT path regardless of
-        ``index``; a ``where``/``where_document`` routes only through
+        negative FILTER mode takes the exact FLAT path regardless of
+        ``index`` (it needs per-candidate negative similarities),
+        while negative SUBTRACT routes (r11 — it is a pure
+        query-vector rewrite); a ``where``/``where_document`` routes
+        only through
         full-vector tiers (the ladder picks FLAT/IVF when filtered;
         r8: a fresh gram index pre-prunes ``$contains`` before
         dispatch); a SERVED quantized index (PQ/SQ codes) falls back
@@ -680,14 +683,21 @@ class Collection:
         if negative_embedding is not None and negative_mode == "subtract":
             qv = knn_ops.negative_subtract_query(qv, negative_embedding)
 
-        # Routed ANN path — for every query shape except the negative
-        # modes (those stay on the exact FLAT path: semantics first).
+        # Routed ANN path — for every query shape except negative
+        # FILTER mode, which needs per-candidate negative similarities
+        # only the exact kernel computes (semantics first).  Negative
+        # SUBTRACT routes since r11: it is a pure query-vector rewrite
+        # (already applied to qv above — reference collection.go:
+        # QueryWithOptions subtract), so the routed tiers see an
+        # ordinary query and every tier rule applies unchanged.
         # ``where_document`` routes too since r8: its predicate is a
         # Column over carried columns (full-vector tiers only — the
         # router's filtered rule), and a fresh gram index pre-prunes
         # the corpus BEFORE tier dispatch, so one call composes
         # embed -> $contains prune -> routed ANN.
-        routable = index is not None and negative_embedding is None
+        routable = index is not None and (
+            negative_embedding is None or negative_mode == "subtract"
+        )
         served_allowed = None
         if routable and not isinstance(index, str):
             # a SERVED index that cannot express a filter falls back to

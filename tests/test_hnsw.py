@@ -2297,3 +2297,42 @@ def test_direct_filter_empty_graph_and_empty_allowed(spark):
                                M=4, ef_construction=16)
     assert g2.search([1.0, 0.0], 5, allowed=set()) == []
     assert g2.search([1.0, 0.0], 5, allowed={99}) == []
+
+
+def test_negative_subtract_routes_through_served_graph(spark, monkeypatch):
+    """Negative SUBTRACT is a pure query rewrite, so it rides the
+    served/routed path (r11) — exact at target_recall >= 0.999 and
+    equal to the unrouted subtract result; negative FILTER mode still
+    stays on the exact kernel (per-candidate negative sims)."""
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    c = _filter_collection(spark, "hnsw_neg_subtract")
+    served = c.build_hnsw_index(M=4, ef_construction=32)
+    qv = c.embedding_func("quick")
+    neg = c.embedding_func("lazy")
+    want = {
+        (r["id"], round(r["similarity"], 6))
+        for r in c.query_embedding(
+            qv, 3, negative_embedding=neg, negative_mode="subtract"
+        ).collect()
+    }
+    calls = {"n": 0}
+    orig = HNSWIndex.search_batch
+
+    def counted(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(HNSWIndex, "search_batch", counted)
+    out = c.query_embedding(
+        qv, 3, negative_embedding=neg, negative_mode="subtract",
+        index=served, target_recall=1.0,
+    )
+    got = {(r["id"], round(r["similarity"], 6)) for r in out.collect()}
+    assert got == want and calls["n"] == 1
+    # filter mode keeps the exact kernel (full columns, no graph call)
+    out2 = c.query_embedding(
+        qv, 3, negative_embedding=neg, negative_mode="filter",
+        index=served,
+    )
+    assert "content" in out2.columns and calls["n"] == 1
