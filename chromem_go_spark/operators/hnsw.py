@@ -67,14 +67,17 @@ exactly the live/allowed set, which is what the oracle computes.
 ``compacted`` / ``compact_sharded_hnsw`` rebuild over live points —
 the physical apply, same protocol shape as the IVF ``compact``.
 
-Selective filters skip the walk entirely: when ``len(allowed) * dim``
-fits the direct-path budget (``_direct_filter_cells``), ``search``
-answers by ONE exact GEMM over the allowed rows — a walk with few
-eligible nodes explores most of the graph before it may prune
-(SCALE.md r11 pins the overhead), while scoring m rows directly is
-vectorized AND recall-1.0 (the brute-force-fallback rule production
-graph indexes use).  The walk remains the path for broad filters and
-for tombstones (corpus state, not a query set).
+Small ELIGIBLE populations skip the walk entirely: when the eligible
+rows — a filter's allowed set, or a heavily tombstoned graph's live
+set — fit the direct-path cells budget (``_direct_filter_cells``),
+``search`` answers by ONE exact GEMM over them (batch callers share
+one node resolution and one (q, m) GEMM).  A walk with few eligible
+nodes explores most of the graph before it may prune (SCALE.md r11
+pins the overhead), while scoring m rows directly is vectorized AND
+recall-1.0 — the brute-force-fallback rule production graph indexes
+use.  The walk remains the path for broad filters and lightly
+tombstoned graphs; at serving dims the live-rows budget binds only
+for nearly drained shards, so compaction stays the economics lever.
 """
 
 from __future__ import annotations
@@ -134,6 +137,11 @@ class HNSWIndex:
         # path (_search_direct) and maintained by insert_batch; ~1% of
         # the vectors matrix at serving dims, so approx_bytes ignores it
         self._id_map: dict | None = None
+        # live node list, cached for the direct-over-live path (a
+        # heavily tombstoned graph whose live population fits the
+        # cells budget scores directly — the same threshold rule as
+        # filters); invalidated by delete_ids/insert_batch
+        self._live_nodes: list[int] | None = None
         # layer-0 tree parent per insertion index (-1 = root/unknown):
         # the connectivity invariant's spanning tree (module doc).  A
         # pre-r11 snapshot loads with -1s — existing edges stand, but
@@ -325,6 +333,8 @@ class HNSWIndex:
             norms[norms == 0] = 1.0
             mat = mat / norms
             self.vectors = np.vstack([self.vectors, mat])
+        if order:
+            self._live_nodes = None  # direct-over-live cache
         for j in order:
             i = len(self.ids)
             self.ids.append(new_ids[j])
@@ -529,32 +539,78 @@ class HNSWIndex:
             self._id_map = {i: n for n, i in enumerate(self.ids)}
         return self._id_map
 
-    def _search_direct(
-        self, q: np.ndarray, k: int, allowed: set
-    ) -> list[tuple[object, float]]:
-        """EXACT top-k over the allowed set by one GEMM — the serving
-        path for SELECTIVE filters (the hnswlib/production
-        brute-force-fallback pattern): a walk with a small eligible
-        set explores most of the graph before it may prune (SCALE.md
-        r11 measures the overhead), while scoring m rows directly is
-        O(m*dim) vectorized AND recall-1.0.  Chosen automatically when
-        ``len(allowed) * dim <= _DIRECT_FILTER_CELLS``; ``ef`` does
-        not apply (nothing is approximate here)."""
+    def _live_nodes_list(self) -> list[int]:
+        """All live node indexes, cached (the direct-over-live path
+        runs per query — rebuilding an O(n) list each time would be
+        the same bottleneck the batch node-resolve fix removed)."""
+        if self._live_nodes is None:
+            dele = self.deleted
+            self._live_nodes = [
+                n for n in range(len(self.ids)) if n not in dele
+            ]
+        return self._live_nodes
+
+    def _direct_nodes(self, allowed: set) -> list[int]:
+        """Resolve an allowed id set to LIVE node indexes — the
+        query-independent half of the direct filter path, computed
+        ONCE per batch (per-query resolution was the r11 first-cut's
+        bottleneck: 1024 queries x a 25k-id loop re-ran the same
+        lookups a thousand times)."""
         idmap = self._ensure_id_map()
         dele = self.deleted
-        nodes = [
+        return [
             n
             for i in allowed
             if (n := idmap.get(i)) is not None and n not in dele
         ]
+
+    def _search_direct_many(
+        self, qmat: np.ndarray, k: int, nodes: list[int]
+    ) -> list[list[tuple[object, float]]]:
+        """EXACT top-k over pre-resolved allowed rows for a WHOLE
+        query batch by one GEMM — the serving path for SELECTIVE
+        filters (the hnswlib/production brute-force-fallback pattern):
+        a walk with a small eligible set explores most of the graph
+        before it may prune (SCALE.md r11 measures the overhead),
+        while scoring m rows against q queries is one vectorized
+        (q, m) GEMM AND recall-1.0.  ``ef`` does not apply (nothing is
+        approximate here).  Ties break by NATURAL id order — the walk
+        path's rule — including across the top-k boundary (candidates
+        widen to every row tied with the k-th similarity before the
+        exact sort)."""
         if not nodes:
-            return []
-        sims = self.vectors[nodes] @ q
-        # ties by NATURAL id order (ints numerically, strings
-        # lexically) — the same rule the walk path sorts by
+            return [[] for _ in range(qmat.shape[0])]
+        sub = self.vectors[nodes]  # (m, dim)
+        sims = qmat @ sub.T  # (q, m)
         node_ids = np.asarray([self.ids[n] for n in nodes])
-        top = np.lexsort((node_ids, -sims))[: int(k)]
-        return [(self.ids[nodes[j]], float(sims[j])) for j in top]
+        kk = int(k)
+        out = []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            if len(nodes) > kk:
+                part = np.argpartition(-row, kk - 1)[:kk]
+                thresh = row[part].min()
+                cand = np.nonzero(row >= thresh)[0]
+            else:
+                cand = np.arange(len(nodes))
+            order = np.lexsort((node_ids[cand], -row[cand]))[:kk]
+            out.append(
+                [
+                    (self.ids[nodes[cand[j]]], float(row[cand[j]]))
+                    for j in order
+                ]
+            )
+        return out
+
+    def _search_direct(
+        self, q: np.ndarray, k: int, allowed: set
+    ) -> list[tuple[object, float]]:
+        """Single-query direct filter path — see
+        :meth:`_search_direct_many` (batch callers resolve nodes once
+        and call it directly)."""
+        return self._search_direct_many(
+            q[None, :], k, self._direct_nodes(allowed)
+        )[0]
 
     def _eligibility(self, allowed=None):
         """The result-membership predicate for :meth:`search`: excludes
@@ -604,6 +660,19 @@ class HNSWIndex:
             # selective filter: exact GEMM over the allowed rows beats
             # a walk that cannot prune until it finds eligible nodes
             return self._search_direct(q, k, allowed)
+        if (
+            allowed is None
+            and self.deleted
+            and self.n_points() * self.vectors.shape[1] <= cells
+        ):
+            # heavily tombstoned graph, small LIVE population: the
+            # same threshold rule — score the live rows directly
+            # (exact) instead of walking a graph that is mostly dead
+            # waypoints.  At serving dims this binds only for nearly
+            # drained shards; compaction remains the economics lever.
+            return self._search_direct_many(
+                q[None, :], k, self._live_nodes_list()
+            )[0]
         ep = self.entry
         for l in range(len(self.layers) - 1, 0, -1):
             ep = self._greedy_closest(q, ep, l)
@@ -637,14 +706,40 @@ class HNSWIndex:
         evaluate predicates."""
         qids = list(query_ids)
         apq = _check_allowed_per_query(allowed, allowed_per_query, len(qids))
+        cells = (
+            _direct_filter_cells()
+            if direct_filter_cells is None
+            else int(direct_filter_cells)
+        )
         rows = []
-        for qi, (qid, qv) in enumerate(zip(qids, query_vecs)):
-            al = apq[qi] if apq is not None else allowed
-            for i, s in self.search(
-                qv, k, ef, allowed=al,
-                direct_filter_cells=direct_filter_cells,
-            ):
-                rows.append((str(qid), i, round(float(s), 12)))
+        if (
+            apq is None
+            and allowed is not None
+            and len(self.ids)
+            and len(allowed) * self.vectors.shape[1] <= cells
+        ):
+            # shared selective filter: resolve nodes ONCE, score the
+            # whole batch in one GEMM (_search_direct_many)
+            qmat = np.asarray(
+                [[float(x) for x in qv] for qv in query_vecs],
+                dtype=np.float64,
+            )
+            nrm = np.linalg.norm(qmat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            per_q = self._search_direct_many(
+                qmat / nrm, k, self._direct_nodes(allowed)
+            )
+            for qid, found in zip(qids, per_q):
+                for i, s in found:
+                    rows.append((str(qid), i, round(float(s), 12)))
+        else:
+            for qi, (qid, qv) in enumerate(zip(qids, query_vecs)):
+                al = apq[qi] if apq is not None else allowed
+                for i, s in self.search(
+                    qv, k, ef, allowed=al,
+                    direct_filter_cells=direct_filter_cells,
+                ):
+                    rows.append((str(qid), i, round(float(s), 12)))
         id_type = "string" if self.ids and isinstance(self.ids[0], str) else "long"
         return spark.createDataFrame(
             rows,
@@ -673,6 +768,8 @@ class HNSWIndex:
         for n, i in enumerate(self.ids):
             if i in want and n not in self.deleted:
                 self.deleted.add(n)
+        if len(self.deleted) != before:
+            self._live_nodes = None  # direct-over-live cache
         return len(self.deleted) - before
 
     def compacted(self, ef_construction: int = 200) -> "HNSWIndex":
@@ -1617,17 +1714,47 @@ def sharded_search_batch(
                 # generation-keyed cache key keeps staleness out (r10);
                 # one re-resolve heals the plain->generation race (r11)
                 idx = _load_shard_graph(root, int(shard))
+                cells = (
+                    _direct_filter_cells()
+                    if direct_filter_cells is None
+                    else int(direct_filter_cells)
+                )
                 out_q, out_i, out_s = [], [], []
-                for qi in q_idxs:
-                    qid, qv = qids[int(qi)], qvecs[int(qi)]
-                    al = apq[int(qi)] if apq is not None else allowed
-                    for i, s in idx.search(
-                        qv, kk, ef=eff, allowed=al,
-                        direct_filter_cells=direct_filter_cells,
-                    ):
-                        out_q.append(qid)
-                        out_i.append(i)
-                        out_s.append(round(float(s), 12))
+                if (
+                    apq is None
+                    and allowed is not None
+                    and len(idx.ids)
+                    and len(allowed) * idx.vectors.shape[1] <= cells
+                ):
+                    # shared selective filter: per-SHARD node
+                    # resolution once, one GEMM for this shard's
+                    # whole query list (the per-query resolve loop
+                    # was the r11 first-cut's bottleneck)
+                    qm = np.asarray(
+                        [qvecs[int(qi)] for qi in q_idxs],
+                        dtype=np.float64,
+                    )
+                    nrm = np.linalg.norm(qm, axis=1, keepdims=True)
+                    nrm[nrm == 0] = 1.0
+                    per_q = idx._search_direct_many(
+                        qm / nrm, kk, idx._direct_nodes(allowed)
+                    )
+                    for qi, found in zip(q_idxs, per_q):
+                        for i, s in found:
+                            out_q.append(qids[int(qi)])
+                            out_i.append(i)
+                            out_s.append(round(float(s), 12))
+                else:
+                    for qi in q_idxs:
+                        qid, qv = qids[int(qi)], qvecs[int(qi)]
+                        al = apq[int(qi)] if apq is not None else allowed
+                        for i, s in idx.search(
+                            qv, kk, ef=eff, allowed=al,
+                            direct_filter_cells=direct_filter_cells,
+                        ):
+                            out_q.append(qid)
+                            out_i.append(i)
+                            out_s.append(round(float(s), 12))
                 yield pd.DataFrame(
                     {"query_id": out_q, id_col: out_i, "similarity": out_s}
                 )

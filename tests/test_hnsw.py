@@ -2336,3 +2336,32 @@ def test_negative_subtract_routes_through_served_graph(spark, monkeypatch):
         index=served,
     )
     assert "content" in out2.columns and calls["n"] == 1
+
+
+def test_direct_over_live_when_heavily_tombstoned(emb, monkeypatch):
+    """A graph whose LIVE population fits the cells budget serves by
+    direct GEMM over the live rows — exact at ANY ef — and the cache
+    invalidates across successive deletes and inserts."""
+    g = HNSWIndex.build(emb, M=8, ef_construction=64)
+    n = g.n_nodes()
+    victims = [int(r["vec_id"]) for r in
+               emb.filter(F.col("vec_id") % 4 != 0).collect()]
+    g.delete_ids(victims)
+    qv = _qv(emb, 0)
+    got = [(i, round(s, 6)) for i, s in g.search(qv, 10, ef=2)]  # tiny ef
+    want = _flat(emb.filter(F.col("vec_id") % 4 == 0), qv)
+    assert got == want
+    # further delete invalidates the live cache
+    survivor = got[0][0]
+    g.delete_ids([survivor])
+    got2 = {i for i, _ in g.search(qv, 10, ef=2)}
+    assert survivor not in got2
+    # an insert invalidates too
+    dim = len(qv)
+    g.insert_batch([777777], [[0.6] * dim], ef_construction=64)
+    got3 = {i for i, _ in g.search([0.6] * dim, 1, ef=2)}
+    assert got3 == {777777}
+    # forcing the walk (threshold 0) agrees at exhaustive ef
+    walk = {i for i, _ in g.search(qv, 10, ef=g.n_points(),
+                                   direct_filter_cells=0)}
+    assert walk == {i for i, _ in g.search(qv, 10, ef=2)}

@@ -345,10 +345,39 @@ def eligibility_section(spark, sf_dir: str) -> list[str]:
             )
         lines += [
             "",
-            "| tombstoned | live fraction | recall@10 @ef64 |"
-            " @ef=exhaustive |",
-            "|---|---|---|---|",
+            "| tombstoned | live fraction | @ef64 SERVED |"
+            " @ef64 walk-only | @ef=exhaustive walk |",
+            "|---|---|---|---|---|",
         ]
+
+        def tomb_row(label: str, live: np.ndarray) -> str:
+            ex = exact_topk(live)
+            # SERVED may auto-direct over the live rows when they fit
+            # the cells budget (the same threshold rule as filters);
+            # walk-only disables it to measure the graph mechanism
+            rsv = recall(
+                sh.search_batch(spark, qids, qvecs, K_AT, ef=64).collect(),
+                ex,
+            )
+            r64 = recall(
+                sh.search_batch(
+                    spark, qids, qvecs, K_AT, ef=64,
+                    direct_filter_cells=0,
+                ).collect(),
+                ex,
+            )
+            rex = recall(
+                sh.search_batch(
+                    spark, qids, qvecs, K_AT, ef=per,
+                    direct_filter_cells=0,
+                ).collect(),
+                ex,
+            )
+            return (
+                f"| {label} | {live.mean():.2f} | {rsv:.3f} |"
+                f" {r64:.3f} | {rex:.3f} |"
+            )
+
         # cumulative deletes: 10% (vec_id%10==3, all odd), then 50%
         # (all odd ids — a superset), then physical compaction
         for label, dmask in (
@@ -357,33 +386,10 @@ def eligibility_section(spark, sf_dir: str) -> list[str]:
         ):
             delete_sharded_ids(spark, sroot, [int(i) for i in ids[dmask]])
             sh = ShardedHNSW.load(sroot)
-            live = ~dmask
-            ex = exact_topk(live)
-            r64 = recall(
-                sh.search_batch(spark, qids, qvecs, K_AT, ef=64).collect(),
-                ex,
-            )
-            rex = recall(
-                sh.search_batch(spark, qids, qvecs, K_AT, ef=per).collect(),
-                ex,
-            )
-            lines.append(
-                f"| {label} | {live.mean():.2f} | {r64:.3f} | {rex:.3f} |"
-            )
+            lines.append(tomb_row(label, ~dmask))
         compact_sharded_hnsw(spark, sroot)
         sh = ShardedHNSW.load(sroot)
-        live = ids % 2 == 0
-        ex = exact_topk(live)
-        r64 = recall(
-            sh.search_batch(spark, qids, qvecs, K_AT, ef=64).collect(), ex
-        )
-        rex = recall(
-            sh.search_batch(spark, qids, qvecs, K_AT, ef=per).collect(), ex
-        )
-        lines.append(
-            f"| 50% deleted, then COMPACTED | {live.mean():.2f} |"
-            f" {r64:.3f} | {rex:.3f} |"
-        )
+        lines.append(tomb_row("50% deleted, then COMPACTED", ids % 2 == 0))
     finally:
         shutil.rmtree(sroot, ignore_errors=True)
     lines += [

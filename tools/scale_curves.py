@@ -392,6 +392,11 @@ def measure_eligibility(spark, d: str) -> dict:
         out["elig_tombstoned50_1024q"], _ = _time(
             lambda: sh.search_batch(spark, qids, qvecs, 10, ef=64).count()
         )
+        out["elig_tombstoned50_walk_1024q"], _ = _time(
+            lambda: sh.search_batch(
+                spark, qids, qvecs, 10, ef=64, direct_filter_cells=0
+            ).count()
+        )
         t0 = time.time()
         H.compact_sharded_hnsw(spark, sroot)
         out["elig_compact_wall"] = round(time.time() - t0, 3)
@@ -890,19 +895,32 @@ def render(here: str, results: list[dict]) -> None:
             if "elig_allowed50_walk_1024q" in r
             else []
         ) + [
-            f"| 50% tombstoned | {r['elig_tombstoned50_1024q']} |",
+            f"| 50% tombstoned, SERVED | {r['elig_tombstoned50_1024q']} |",
+        ] + (
+            [
+                f"| 50% tombstoned, walk-only |"
+                f" {r['elig_tombstoned50_walk_1024q']} |"
+            ]
+            if "elig_tombstoned50_walk_1024q" in r
+            else []
+        ) + [
             f"| 50% deleted + compacted | {r['elig_compacted_1024q']} |",
             "",
-            "The SERVED filter row is the r11 direct path: below the",
-            "cells threshold a selective filter answers by exact GEMM",
-            "over the allowed rows (recall 1.000 by construction)",
-            "instead of walking — the walk-only row is the graph",
-            "mechanism the eligibility trade describes, kept for",
-            "filters too broad for the direct budget.",
+            "The SERVED rows are the r11 direct path: whenever the",
+            "ELIGIBLE population (a filter's allowed rows, or a",
+            "tombstoned graph's live rows) fits the cells budget, the",
+            "serve answers by exact GEMM over those rows (recall",
+            "1.000 by construction) instead of walking — the",
+            "walk-only rows disable it to measure the graph mechanism",
+            "the eligibility trade describes, which remains the path",
+            "for broad filters and lightly tombstoned graphs (at",
+            "serving dims the live-rows budget binds only for nearly",
+            "drained shards).",
             "",
-            "Compaction is the economics lever: it converts the",
-            "tombstone walk overhead"
-            f" ({r['elig_tombstoned50_1024q']} s) back into a plain"
+            "Compaction is the economics lever for the WALK path: it",
+            "converts the tombstone walk overhead"
+            f" ({r.get('elig_tombstoned50_walk_1024q', r['elig_tombstoned50_1024q'])} s)"
+            f" back into a plain"
             f" smaller graph ({r['elig_compacted_1024q']} s) — run it",
             "when the tombstone fraction makes serving pay.  (Walk",
             "cost is ef-bounded, not corpus-bounded, so the compacted",
