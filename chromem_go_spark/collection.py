@@ -481,6 +481,13 @@ class Collection:
         ]
         if pre is None and all(unconstrained):
             return [None] * len(parsed)
+        if len(parsed) > 256:
+            # one boolean Catalyst expression per query: past a few
+            # hundred the generated code blows out the JVM code cache
+            # (the same hazard as literal centroid matrices) — the
+            # FLAT DSL kernel broadcasts the specs as DATA instead,
+            # so very wide batches fall back there
+            return None
         base = self.df.filter(pre) if pre is not None else self.df
         preds = []
         for w, c, nc in parsed:

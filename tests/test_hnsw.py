@@ -2365,3 +2365,15 @@ def test_direct_over_live_when_heavily_tombstoned(emb, monkeypatch):
     walk = {i for i, _ in g.search(qv, 10, ef=g.n_points(),
                                    direct_filter_cells=0)}
     assert walk == {i for i, _ in g.search(qv, 10, ef=2)}
+
+
+def test_per_query_mask_scan_width_cap(spark):
+    """A very wide per-query-filtered batch must NOT build one
+    Catalyst boolean per query (codegen hazard) — the materializer
+    declines past 256 queries and the flat DSL kernel serves."""
+    c = _filter_collection(spark, "hnsw_pqf_width")
+    q = 300
+    out = c._materialize_per_query_ids(
+        [({"lang": "en"}, [], [])] * q, None
+    )
+    assert out is None
