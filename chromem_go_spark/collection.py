@@ -499,16 +499,33 @@ class Collection:
             for pat in nc:
                 p = p & ~F.col("content").contains(pat)
             preds.append(F.coalesce(p, F.lit(False)))
-        rows = (
-            base.select(F.col("id"), F.array(*preds).alias("__m"))
-            .filter(F.array_contains("__m", F.lit(True)))
-            .collect()
-        )
         sets: list = [
             None if (pre is None and un) else set()
             for un in unconstrained
         ]
+        # the row filter ORs only the predicates whose sets we will
+        # actually fill — an unconstrained query's lit(True) would
+        # otherwise pass EVERY corpus row (review r11: the collect was
+        # effectively unbounded with one unfiltered query in the
+        # batch); the collect is limit-capped so the budget binds
+        # BEFORE the driver materializes anything oversized (a row
+        # matching q queries adds q to the shipped total, so rows <=
+        # total is a sound guard)
+        anyp = None
+        for j, s in enumerate(sets):
+            if s is not None:
+                anyp = preds[j] if anyp is None else (anyp | preds[j])
+        if anyp is None:
+            return sets
         budget = int(self.HNSW_FILTER_MAX_IDS)
+        rows = (
+            base.select(F.col("id"), F.array(*preds).alias("__m"))
+            .filter(anyp)
+            .limit(budget + 1)
+            .collect()
+        )
+        if len(rows) > budget:
+            return None
         total = 0
         for r in rows:
             for j, hit in enumerate(r["__m"]):

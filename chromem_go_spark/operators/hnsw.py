@@ -332,7 +332,15 @@ class HNSWIndex:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mat = mat / norms
-            self.vectors = np.vstack([self.vectors, mat])
+            # an EMPTY graph's vectors array is shape (0,) — vstack
+            # against it raises, and a delete-only CDC bootstrap can
+            # legitimately commit such a graph (review r11): replace
+            # outright instead of stacking
+            self.vectors = (
+                mat
+                if self.vectors.size == 0
+                else np.vstack([self.vectors, mat])
+            )
         if order:
             self._live_nodes = None  # direct-over-live cache
         for j in order:
@@ -765,8 +773,16 @@ class HNSWIndex:
         if not want:
             return 0
         before = len(self.deleted)
-        for n, i in enumerate(self.ids):
-            if i in want and n not in self.deleted:
+        # O(victims) via the id map (review r11: the enumerate scan
+        # was O(n) per call — paid every CDC micro-batch with any
+        # delete at up to 1M nodes/shard).  Sound because both write
+        # protocols maintain <= 1 LIVE node per id (append dedup
+        # drops duplicates; CDC tombstones the old node before
+        # inserting the new), and the map points at the LATEST node.
+        idmap = self._ensure_id_map()
+        for i in want:
+            n = idmap.get(i)
+            if n is not None and n not in self.deleted:
                 self.deleted.add(n)
         if len(self.deleted) != before:
             self._live_nodes = None  # direct-over-live cache
@@ -1628,8 +1644,12 @@ def _probe_shard_lists(
     (or >= S) keeps the exact all-shards walk.  A shard with no
     recorded centroid (pre-r11 manifest) is conservatively probed by
     EVERY query — pruning can only be applied where the coarse table
-    exists, never silently dropping a shard."""
-    shard_ids = [int(s) for s, _ in meta["shards"]]
+    exists, never silently dropping a shard.  A shard whose manifest
+    count is ZERO is skipped outright (review r11): it cannot
+    contribute results, and a fully drained shard's stale centroid
+    would otherwise keep winning probe slots — costing a pruned
+    query one of its P probes for nothing."""
+    shard_ids = [int(s) for s, n in meta["shards"] if int(n) > 0]
     all_q = list(range(len(qvecs)))
     if shards_probed is None or int(shards_probed) >= len(shard_ids):
         return [(s, all_q) for s in shard_ids]

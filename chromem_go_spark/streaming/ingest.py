@@ -714,17 +714,23 @@ def hnsw_append_sink(
     micro-batch's source order."""
     from ..operators import hnsw as H
 
-    box: list = []  # [(graph, last_batch)] — loaded once, then in-memory
-    # (handle runs serially within a stream; every batch still COMMITS
-    # a snapshot, so a crash loses nothing — the cache only skips
-    # re-reading the graph we just wrote)
+    box: list = []  # [(graph, last_batch, seen-id-set)] — loaded once,
+    # then in-memory (handle runs serially within a stream; every batch
+    # still COMMITS a snapshot, so a crash loses nothing — the cache
+    # only skips re-reading the graph we just wrote.  The seen set
+    # rides the box (review r11): rebuilding set(idx.ids) per trigger
+    # was O(n) — the cost class the sharded sink's append cache
+    # removed)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if _skip_empty_batch(batch_df):
             return
         if not box:
-            box.append(H.load_snapshot(snapshot_root))
-        idx, last = box[0]
+            idx0, last0 = H.load_snapshot(snapshot_root)
+            box.append(
+                (idx0, last0, set(idx0.ids) if idx0 is not None else set())
+            )
+        idx, last, seen = box[0]
         if batch_id <= last:
             return  # replayed micro-batch: already committed
         # Graph nodes are append-only without op_col (no upsert): a
@@ -733,53 +739,56 @@ def hnsw_append_sink(
         # watermark can't see — would otherwise surface twice in every
         # search result.  First write wins; membership is one O(1) set
         # probe per row.  With op_col, apply_cdc_ops owns the contract
-        # (last-write-wins — docstring).
-        if op_col:
-            rows = batch_df.select(id_col, vec_col, op_col).collect()
-            idx = H.apply_cdc_ops(
-                idx, set(idx.ids) if idx is not None else set(),
-                [r[0] for r in rows],
-                [list(r[1]) if r[1] is not None else None for r in rows],
-                [r[2] for r in rows],
-                id_col=id_col, M=M, ef_construction=ef_construction,
-                seed=seed, max_points=max_points,
-            )
-        elif idx is None:
-            idx = H.HNSWIndex.build(
-                batch_df.dropDuplicates([id_col]), vec_col=vec_col,
-                id_col=id_col, M=M,
-                ef_construction=ef_construction, seed=seed,
-                max_points=max_points,
-            )
-        else:
-            rows = batch_df.select(id_col, vec_col).collect()
-            seen = set(idx.ids)
-            new_ids, new_vecs = [], []
-            for r in rows:
-                if r[0] in seen:
-                    continue
-                seen.add(r[0])
-                new_ids.append(r[0])
-                new_vecs.append(list(r[1]))
-            if not new_ids:
-                # nothing new — still commit the watermark below so the
-                # replayed batch is never re-collected
-                pass
-            else:
-                idx.insert_batch(
-                    new_ids, new_vecs, ef_construction=ef_construction
-                )
+        # (last-write-wins — docstring).  The WHOLE mutation sits
+        # inside the taint try (review r11: a failed insert used to
+        # leave a partially mutated graph in the box — the widened
+        # rule the sharded sink already had).
         try:
+            if op_col:
+                rows = batch_df.select(id_col, vec_col, op_col).collect()
+                idx = H.apply_cdc_ops(
+                    idx, seen,
+                    [r[0] for r in rows],
+                    [list(r[1]) if r[1] is not None else None for r in rows],
+                    [r[2] for r in rows],
+                    id_col=id_col, M=M, ef_construction=ef_construction,
+                    seed=seed, max_points=max_points,
+                )
+            elif idx is None:
+                idx = H.HNSWIndex.build(
+                    batch_df.dropDuplicates([id_col]), vec_col=vec_col,
+                    id_col=id_col, M=M,
+                    ef_construction=ef_construction, seed=seed,
+                    max_points=max_points,
+                )
+                seen = set(idx.ids)
+            else:
+                rows = batch_df.select(id_col, vec_col).collect()
+                new_ids, new_vecs = [], []
+                for r in rows:
+                    if r[0] in seen:
+                        continue
+                    seen.add(r[0])
+                    new_ids.append(r[0])
+                    new_vecs.append(list(r[1]))
+                if not new_ids:
+                    # nothing new — still commit the watermark below so
+                    # the replayed batch is never re-collected
+                    pass
+                else:
+                    idx.insert_batch(
+                        new_ids, new_vecs, ef_construction=ef_construction
+                    )
             H.save_snapshot(idx, snapshot_root, last_batch=batch_id)
         except BaseException:
-            # the in-memory graph already holds this batch but the
-            # commit didn't land — a same-process retry of this
-            # batch_id would pass the watermark guard and insert it
-            # AGAIN into the cached graph. Drop the cache so the retry
-            # reloads the last COMMITTED snapshot from disk.
+            # the in-memory graph (and seen set) may hold this batch —
+            # partially on a mutation failure, fully on a commit
+            # failure — but nothing landed on disk: a same-process
+            # retry must reload the last COMMITTED snapshot, never
+            # reuse the mutated objects.
             box.clear()
             raise
-        box[0] = (idx, batch_id)
+        box[0] = (idx, batch_id, seen)
 
     return (
         stream_vectors.writeStream.queryName(query_name)
@@ -854,8 +863,20 @@ def sharded_hnsw_append_sink(
     an id's cell is not recoverable without its vector, so delete
     rows REPLICATE to every shard (each tombstones its intersection
     — a few extra rows per shard per trigger, the delete path's
-    broadcast cost).  Tombstones count against the per-shard cap
-    until ``compact_sharded_hnsw``."""
+    broadcast cost).  On centroid roots every UPSERT additionally
+    emits a broadcast synthetic delete sequenced just before it: a
+    changed vector may route to a DIFFERENT cell than the id's live
+    node, and only a broadcast can tombstone the stale node in the
+    old cell (hash roots route by id, so replaces stay in-shard and
+    need no broadcast).  Tombstones count against the per-shard cap
+    until ``compact_sharded_hnsw``.
+
+    Without ``op_col`` (append-only mode), redelivery is only
+    id-stable if the ROW is: on a centroid root a redelivered id
+    whose vector CHANGED routes to a different cell, where the
+    cross-shard dedup cannot see the original — changed-vector
+    redelivery is a mutation and belongs to CDC mode, not the
+    append-only contract."""
     import pandas as pd
 
     from ..operators import hnsw as H
@@ -918,12 +939,22 @@ def sharded_hnsw_append_sink(
         if op_col:
             # __seq pins source order BEFORE the routing shuffle
             # (partition-major, row-minor — stable for a replayed
-            # batch, so CDC reduce order is replay-deterministic)
+            # batch, so CDC reduce order is replay-deterministic).
+            # Scaled x2 so a synthetic row can slot BETWEEN two source
+            # rows (the centroid migration deletes below).
             base = batch_df.select(
                 id_col, vec_col, F.col(op_col).alias("__op")
-            ).withColumn("__seq", F.monotonically_increasing_id())
-            ups = base.filter(F.col("__op") != F.lit("delete"))
-            dels = base.filter(F.col("__op") == F.lit("delete"))
+            ).withColumn(
+                "__seq", F.monotonically_increasing_id() * F.lit(2)
+            )
+            # null/op-typo rows must fail LOUDLY in apply_cdc_ops, not
+            # vanish (review r11: `__op != 'delete'` was null on a
+            # null op, silently dropping the row from BOTH sides)
+            is_del = F.coalesce(
+                F.col("__op") == F.lit("delete"), F.lit(False)
+            )
+            ups = base.filter(~is_del)
+            dels = base.filter(is_del)
         else:
             base = batch_df.select(id_col, vec_col)
             ups, dels = base, None
@@ -937,16 +968,33 @@ def sharded_hnsw_append_sink(
                 ups, assign_cents, vec_col
             ).withColumnRenamed("cluster_id", "__shard")
             if dels is not None:
+                all_shards = F.explode(
+                    F.array(*[F.lit(j) for j in range(n_shards)])
+                )
                 # centroid roots: an id's cell needs its vector, which
                 # a delete row does not carry — replicate to every
                 # shard (docstring; each tombstones its intersection)
-                dels_routed = dels.withColumn(
-                    "__shard",
-                    F.explode(F.array(*[F.lit(j) for j in range(n_shards)])),
+                dels_routed = dels.withColumn("__shard", all_shards)
+                # and an UPSERT whose vector changed may land in a
+                # DIFFERENT cell than its live node (review r11: the
+                # old cell kept serving the stale node — duplicate
+                # live ids).  Every upsert therefore emits a broadcast
+                # synthetic delete sequenced just BEFORE it: the old
+                # cell tombstones the stale node, while the target
+                # cell's last-op reduce still ends in the upsert.
+                mig = ups.select(
+                    F.col(id_col),
+                    F.lit(None)
+                    .cast(base.schema[vec_col].dataType)
+                    .alias(vec_col),
+                    F.lit("delete").alias("__op"),
+                    (F.col("__seq") - F.lit(1)).alias("__seq"),
+                ).withColumn("__shard", all_shards)
+                routed = (
+                    routed.select(*dels_routed.columns)
+                    .unionByName(dels_routed)
+                    .unionByName(mig)
                 )
-                routed = routed.select(
-                    *dels_routed.columns
-                ).unionByName(dels_routed)
         else:
             routed = ups.withColumn("__shard", hash_shard)
             if dels is not None:

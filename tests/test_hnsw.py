@@ -2377,3 +2377,199 @@ def test_per_query_mask_scan_width_cap(spark):
         [({"lang": "en"}, [], [])] * q, None
     )
     assert out is None
+
+
+# ------------------------------------------- review fixes (r11)
+
+
+def test_delete_only_bootstrap_then_upsert(emb, tmp_path):
+    """A delete-only CDC batch on a fresh shard commits an EMPTY graph;
+    the next upsert batch must grow it, not crash on the empty vectors
+    array (review: np.vstack against shape (0,) poisoned the shard)."""
+    from chromem_go_spark.operators.hnsw import (
+        append_shard_batch,
+        load_snapshot,
+    )
+
+    sdir = str(tmp_path / "del_bootstrap")
+    n, cent = append_shard_batch(
+        sdir, 0, [1, 2], [None, None], M=8, ef_construction=64,
+        new_ops=["delete", "delete"],
+    )
+    assert n == 0 and cent == []
+    n, _ = append_shard_batch(
+        sdir, 1, [5], [[0.1, 0.2, 0.3]], M=8, ef_construction=64,
+        new_ops=["upsert"],
+    )
+    assert n == 1
+    idx, last = load_snapshot(sdir)
+    assert last == 1 and idx.n_points() == 1
+    assert idx.search([0.1, 0.2, 0.3], 1, ef=1)[0][0] == 5
+
+
+def test_centroid_cdc_upsert_migrates_cells(spark, tmp_path):
+    """On a centroid root, an upsert whose changed vector routes to a
+    DIFFERENT cell must tombstone the old cell's node (the broadcast
+    synthetic delete) — no duplicate live ids, no stale vector."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    df = _clustered_df(spark, n_clusters=3, per=40, dim=8, sep=8.0)
+    root = str(tmp_path / "mig_root")
+    H.build_sharded_hnsw(
+        df, root, n_shards=3, M=8, ef_construction=64,
+        shard_by="centroid",
+    )
+    n = df.count()
+    # move vec_id 0 onto a far-away cluster's centroid: it must
+    # migrate cells
+    target = list(df.filter(F.col("vec_id") == n - 1).head()["embedding"])
+    d = tmp_path / "mig_events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array([target], pa.list_(pa.float64())),
+                "op": pa.array(["upsert"]),
+            }
+        ),
+        str(d / "b0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string"
+        )
+        .parquet(str(d))
+    )
+    run_available_now(
+        sharded_hnsw_append_sink(
+            stream, root, str(tmp_path / "mig_ckpt"), op_col="op"
+        )
+    )
+    meta = H.load_sharded_meta(root)
+    assert sum(c for _, c in meta["shards"]) == n  # replaced, not grown
+    out = H.sharded_search_batch(spark, root, ["q"], [target], n, ef=n)
+    rows = [(r["vec_id"], r["similarity"]) for r in out.collect()]
+    hits = [s for i, s in rows if i == 0]
+    assert len(hits) == 1  # exactly one live node for id 0
+    assert hits[0] > 0.999999  # and it serves the NEW vector
+
+
+def test_cdc_null_op_fails_loudly(spark, emb, tmp_path):
+    """A null op row must raise, not vanish (review: it used to drop
+    out of BOTH filter sides)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    root = str(tmp_path / "nullop_root")
+    H.build_sharded_hnsw(emb.limit(20), root, n_shards=2, M=8,
+                         ef_construction=64)
+    dim = len(emb.head()["embedding"])
+    d = tmp_path / "nullop_events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([900], pa.int64()),
+                "embedding": pa.array([[0.5] * dim], pa.list_(pa.float64())),
+                "op": pa.array([None], pa.string()),
+            }
+        ),
+        str(d / "b0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string"
+        )
+        .parquet(str(d))
+    )
+    with pytest.raises(Exception, match="op must be"):
+        run_available_now(
+            sharded_hnsw_append_sink(
+                stream, root, str(tmp_path / "nullop_ckpt"), op_col="op"
+            )
+        )
+
+
+def test_drained_shard_leaves_walk_list(spark, emb, tmp_path):
+    """A fully drained shard (manifest count 0) is skipped by the
+    probe lists — its stale centroid must not win probe slots, and the
+    exact all-shards walk must not schedule an empty task."""
+    from chromem_go_spark.operators.hnsw import (
+        _probe_shard_lists,
+        build_sharded_hnsw,
+        delete_sharded_ids,
+        load_sharded_meta,
+        sharded_search_batch,
+    )
+
+    root = str(tmp_path / "drain_root")
+    build_sharded_hnsw(emb, root, n_shards=3, M=8, ef_construction=64)
+    meta = load_sharded_meta(root)
+    # drain shard 0 completely: find its members via the placement
+    # rule, then delete exactly those ids
+    from pyspark.sql import functions as SF
+
+    members = [
+        int(r["vec_id"])
+        for r in emb.select(
+            "vec_id",
+            SF.pmod(SF.xxhash64(SF.col("vec_id").cast("string")),
+                    SF.lit(3)).alias("s"),
+        ).filter(SF.col("s") == 0).collect()
+    ]
+    meta = delete_sharded_ids(spark, root, members)
+    counts = dict(meta["shards"])
+    assert counts[0] == 0
+    probe = _probe_shard_lists(meta, [[0.1] * 4], None)
+    assert 0 not in [s for s, _ in probe]
+    qv = _qv(emb, members[0] if members else 1)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=emb.count()
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb.filter(~F.col("vec_id").isin(members)), qv)
+
+
+def test_mask_scan_budget_with_unfiltered_query(spark, monkeypatch):
+    """An unconstrained query mixed into a filtered batch must not
+    blow the shipping budget silently — the materializer declines and
+    the flat kernel serves (review: lit(True) used to pass every
+    corpus row into the collect before any budget check)."""
+    from chromem_go_spark.collection import Collection
+
+    c = _filter_collection(spark, "hnsw_pqf_mixed")
+    served = c.build_hnsw_index(M=4, ef_construction=32)
+    monkeypatch.setattr(Collection, "HNSW_FILTER_MAX_IDS", 4)
+    pqf = [{"where": {"lang": "en"}}, None]
+    qvs = [c.embedding_func("quick"), c.embedding_func("lazy")]
+    want = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, per_query_filters=pqf
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, per_query_filters=pqf,
+            index=served, target_recall=1.0,
+        ).collect()
+    }
+    assert got == want
