@@ -693,6 +693,14 @@ class Collection:
         quantized tier name together with a filter is a contradiction
         and raises.  Quantized routed results carry
         ``(id, similarity)`` only.
+
+        **Result-shape change (r11, intentional):** a FILTERED query
+        against a SERVED HNSW index now returns ``(id, similarity)``
+        via the routed graph path — pre-r11 it fell back to the exact
+        scan and returned full document rows (content/metadata +
+        similarity).  Callers that read document columns from filtered
+        served-graph results must join back on ``id`` (or pass no
+        served index to keep the exact scan's row shape).
         """
         if query_embedding is None or len(query_embedding) == 0:
             raise ValueError(E.ERR_QUERY_EMBEDDING_EMPTY)

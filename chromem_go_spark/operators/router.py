@@ -283,7 +283,13 @@ def routed_search(
     from . import knn as K
 
     qv = [float(x) for x in query_vec]
-    if allowed is not None and (index is None or tier_of(index) != "hnsw"):
+    if allowed is not None and (
+        # isinstance first (r12, ADVICE): a string tier name must hit
+        # THIS ValueError, not tier_of's "not a served ANN index"
+        index is None
+        or isinstance(index, str)
+        or tier_of(index) != "hnsw"
+    ):
         raise ValueError(
             "allowed id-set filtering is the served graph tier's "
             "filter form; pass a Column `where` for every other tier"
@@ -398,7 +404,13 @@ def routed_search_batch(
             f"query_ids ({len(qids)}) and query_vecs "
             f"({len(qvecs)}) must be the same length"
         )
-    if allowed is not None and (index is None or tier_of(index) != "hnsw"):
+    if allowed is not None and (
+        # isinstance first (r12, ADVICE): a string tier name must hit
+        # THIS ValueError, not tier_of's "not a served ANN index"
+        index is None
+        or isinstance(index, str)
+        or tier_of(index) != "hnsw"
+    ):
         raise ValueError(
             "allowed id-set filtering is the served graph tier's "
             "filter form; pass a Column `where` for every other tier"

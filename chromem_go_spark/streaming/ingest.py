@@ -687,6 +687,7 @@ def hnsw_append_sink(
     max_points: int = 1_000_000,
     query_name: str = "hnsw_ingest",
     op_col: str | None = None,
+    seq_col: str | None = None,
 ):
     """foreachBatch sink maintaining the SERVED HNSW graph (r8): the
     first micro-batch builds the graph, later ones
@@ -710,8 +711,20 @@ def hnsw_append_sink(
     ``"delete"`` ops and flips the contract to last-write-wins —
     the same shared reduce/apply as the sharded sink
     (``hnsw.apply_cdc_ops``): deletes tombstone and free the id,
-    upserts of live ids replace their vector.  Rows apply in the
-    micro-batch's source order."""
+    upserts of live ids replace their vector.
+
+    CDC op ORDER (r12, ADVICE): without ``seq_col``, rows apply in
+    PARTITION-MAJOR order (the order ``collect()`` returns), not the
+    source's emission order — same-id op sequences split across
+    source partitions in one micro-batch can reduce in either order.
+    That is the correct contract for key-partitioned CDC feeds (Kafka
+    keyed by id: all of an id's ops share a partition, in order) and
+    is replay-deterministic only if the replayed batch reproduces the
+    same partition layout.  Feeds that are NOT key-partitioned must
+    carry their own monotone sequence column and name it via
+    ``seq_col`` — ops then reduce in ``seq_col`` order regardless of
+    partition layout, and replay determinism needs nothing from the
+    source's partitioning."""
     from ..operators import hnsw as H
 
     box: list = []  # [(graph, last_batch, seen-id-set)] — loaded once,
@@ -745,7 +758,14 @@ def hnsw_append_sink(
         # rule the sharded sink already had).
         try:
             if op_col:
-                rows = batch_df.select(id_col, vec_col, op_col).collect()
+                cols = [id_col, vec_col, op_col]
+                if seq_col:
+                    cols.append(seq_col)
+                rows = batch_df.select(*cols).collect()
+                if seq_col:
+                    # explicit source sequence beats partition-major
+                    # collect order (r12, ADVICE — docstring contract)
+                    rows = sorted(rows, key=lambda r: r[3])
                 idx = H.apply_cdc_ops(
                     idx, seen,
                     [r[0] for r in rows],
@@ -807,6 +827,7 @@ def sharded_hnsw_append_sink(
     ef_construction: int | None = None,
     query_name: str = "sharded_hnsw_ingest",
     op_col: str | None = None,
+    seq_col: str | None = None,
 ):
     """foreachBatch sink growing a SHARDED HNSW root (r10 — closes the
     r9 gap: a user who adopted the sharded tier for capacity could not
@@ -870,6 +891,18 @@ def sharded_hnsw_append_sink(
     old cell (hash roots route by id, so replaces stay in-shard and
     need no broadcast).  Tombstones count against the per-shard cap
     until ``compact_sharded_hnsw``.
+
+    CDC op ORDER (r12, ADVICE): without ``seq_col``, the ``__seq``
+    that pins op order comes from ``monotonically_increasing_id`` —
+    PARTITION-MAJOR, row-minor — so same-id op sequences split across
+    source partitions in one micro-batch can reduce in either order,
+    and replay determinism relies on the replayed batch reproducing
+    the same partition layout.  That is the right contract for
+    key-partitioned CDC feeds (Kafka keyed by id keeps an id's ops in
+    one partition, in order); any other feed must carry its own
+    monotone sequence column and name it via ``seq_col`` (cast to
+    long) — op order is then the source's, independent of partition
+    layout and replay layout both.
 
     Without ``op_col`` (append-only mode), redelivery is only
     id-stable if the ROW is: on a centroid root a redelivered id
@@ -937,15 +970,22 @@ def sharded_hnsw_append_sink(
         # this plan — zero groups reach applyInPandas, the collect
         # returns zero rows, and the manifest bump is skipped below
         if op_col:
-            # __seq pins source order BEFORE the routing shuffle
-            # (partition-major, row-minor — stable for a replayed
-            # batch, so CDC reduce order is replay-deterministic).
+            # __seq pins op order BEFORE the routing shuffle: the
+            # caller's seq_col when given (true source order), else
+            # monotonically_increasing_id (partition-major, row-minor
+            # — the key-partitioned-feed contract, see docstring).
             # Scaled x2 so a synthetic row can slot BETWEEN two source
             # rows (the centroid migration deletes below).
+            seq = (
+                F.col(seq_col).cast("long")
+                if seq_col
+                else F.monotonically_increasing_id()
+            )
             base = batch_df.select(
-                id_col, vec_col, F.col(op_col).alias("__op")
-            ).withColumn(
-                "__seq", F.monotonically_increasing_id() * F.lit(2)
+                id_col,
+                vec_col,
+                F.col(op_col).alias("__op"),
+                (seq * F.lit(2)).alias("__seq"),
             )
             # null/op-typo rows must fail LOUDLY in apply_cdc_ops, not
             # vanish (review r11: `__op != 'delete'` was null on a

@@ -1522,7 +1522,12 @@ def test_delete_entry_point_stays_navigable(emb):
     g = HNSWIndex.build(emb, M=8, ef_construction=64)
     g.delete_ids([g.ids[g.entry]])
     qv = _qv(emb, 5)
-    got = [(i, round(s, 6)) for i, s in g.search(qv, 10, ef=g.n_points())]
+    # direct_filter_cells=0 (r12, ADVICE): the tiny test corpus is far
+    # below the direct-GEMM threshold, so without forcing the WALK the
+    # navigability claim this test names would never be exercised
+    got = [(i, round(s, 6))
+           for i, s in g.search(qv, 10, ef=g.n_points(),
+                                direct_filter_cells=0)]
     dropped = int(g.ids[g.entry])
     want = _flat(emb.filter(F.col("vec_id") != dropped), qv)
     assert got == want
@@ -2573,3 +2578,109 @@ def test_mask_scan_budget_with_unfiltered_query(spark, monkeypatch):
         ).collect()
     }
     assert got == want
+
+
+# -------------------------------------- CDC op order / seq_col (r12)
+
+
+def _cdc_order_file(tmp_path, name, vid, vec):
+    """ONE parquet file (= one source partition) whose row order is
+    the REVERSE of its sequence column: (delete seq=2) before
+    (upsert seq=1).  Partition-major reduce keeps the id live with
+    ``vec``; seq_col reduce ends in the delete."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([vid, vid], pa.int64()),
+                "embedding": pa.array(
+                    [None, vec], pa.list_(pa.float64())
+                ),
+                "op": pa.array(["delete", "upsert"]),
+                "seq": pa.array([2, 1], pa.int64()),
+            }
+        ),
+        str(d / "b0.parquet"),
+    )
+    return d
+
+
+@pytest.mark.parametrize("use_seq", [False, True])
+def test_sharded_cdc_seq_col_beats_partition_order(
+    spark, emb, tmp_path, use_seq
+):
+    """ADVICE r12: without seq_col the sharded sink reduces same-id
+    ops in partition-major __seq order (row order here — documented
+    contract); with seq_col the SOURCE's order wins regardless."""
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    dim = len(emb.head()["embedding"])
+    root = str(tmp_path / f"seqroot_{use_seq}")
+    H.build_sharded_hnsw(
+        emb.limit(8), root, n_shards=2, M=8, ef_construction=64
+    )
+    vid, vec = 9001, [0.7] * dim
+    d = _cdc_order_file(tmp_path, f"seqev_{use_seq}", vid, vec)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string, seq long"
+        )
+        .parquet(str(d))
+    )
+    run_available_now(
+        sharded_hnsw_append_sink(
+            stream, root, str(tmp_path / f"seqckpt_{use_seq}"),
+            op_col="op", seq_col="seq" if use_seq else None,
+        )
+    )
+    got = {
+        r["vec_id"]
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [vec], 9, ef=64
+        ).collect()
+    }
+    # seq order ends in the delete (upsert seq=1, delete seq=2);
+    # partition-major row order ends in the upsert
+    assert (vid in got) == (not use_seq)
+
+
+@pytest.mark.parametrize("use_seq", [False, True])
+def test_single_sink_cdc_seq_col_beats_partition_order(
+    spark, emb, tmp_path, use_seq
+):
+    """Same contract on the single-graph sink: seq_col re-sorts the
+    collected micro-batch, partition-major otherwise."""
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        hnsw_append_sink,
+        run_available_now,
+    )
+
+    dim = len(emb.head()["embedding"])
+    vid, vec = 9001, [0.7] * dim
+    d = _cdc_order_file(tmp_path, f"sseqev_{use_seq}", vid, vec)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string, seq long"
+        )
+        .parquet(str(d))
+    )
+    snap = str(tmp_path / f"sseqsnap_{use_seq}")
+    run_available_now(
+        hnsw_append_sink(
+            stream, snap, str(tmp_path / f"sseqckpt_{use_seq}"),
+            M=8, ef_construction=64, op_col="op",
+            seq_col="seq" if use_seq else None,
+        )
+    )
+    idx, _ = H.load_snapshot(snap)
+    live = idx.n_points() if idx is not None else 0
+    assert (live == 1) == (not use_seq)

@@ -649,7 +649,12 @@ def test_hnsw_eligibility_walk_is_exact_at_ef_live_n(
     dele_eff = {i for i in dele if i < n}
     g.delete_ids(dele_eff)
     q = rng.standard_normal(dim)
-    got = g.search(list(q), k=10, ef=max(g.n_points(), 1), allowed=allowed)
+    # direct_filter_cells=0 (r12, ADVICE): n*dim here is far below the
+    # direct-GEMM threshold, so the WALK this property names must be
+    # forced — the direct path is exact by construction and pinned by
+    # test_direct_filter_path_equals_walk
+    got = g.search(list(q), k=10, ef=max(g.n_points(), 1), allowed=allowed,
+                   direct_filter_cells=0)
     # brute-force reference over exactly the eligible population —
     # stated in IDS (the API's delete unit), independent of node order
     qn = q / max(np.linalg.norm(q), 1e-12)

@@ -726,3 +726,16 @@ def test_served_ivf_batch_skips_gram_prune(coll, pq_filters, monkeypatch):
         index=idx, target_recall=0.999,
     )
     assert out.count() > 0
+
+
+def test_allowed_with_string_tier_raises_allowed_error(emb, qvec, qbatch):
+    """ADVICE r12: `allowed` + a string tier name must raise the
+    allowed-id-set ValueError, not tier_of's TypeError."""
+    from chromem_go_spark.operators import router as R
+
+    with pytest.raises(ValueError, match="allowed id-set filtering"):
+        R.routed_search(emb, qvec, 3, index="flat", allowed={1, 2})
+    with pytest.raises(ValueError, match="allowed id-set filtering"):
+        R.routed_search_batch(
+            emb, ["0"], [qvec], 3, index="flat", allowed={1, 2}
+        )
