@@ -435,11 +435,13 @@ class Collection:
             )
 
     #: served-graph filtered serving (r11) materializes the filter's
-    #: matching id set and ships it into every walk task; beyond this
-    #: many matches the set costs more to ship than the exact scan it
-    #: replaces (and the single-graph tier holds <= 1M points anyway —
-    #: only a sharded root can exceed it), so the query falls back to
-    #: the exact scan path.
+    #: matching id set for the walks (shipped once per executor via
+    #: the sharded batch's query broadcast since r12 — pre-r12 it
+    #: rode every task's closure, tens of MB per task at this cap);
+    #: beyond this many matches the set costs more to materialize and
+    #: ship than the exact scan it replaces (and the single-graph
+    #: tier holds <= 1M points anyway — only a sharded root can
+    #: exceed it), so the query falls back to the exact scan path.
     HNSW_FILTER_MAX_IDS = 1_000_000
 
     def _materialize_filter_ids(self, where, where_document,

@@ -1679,6 +1679,72 @@ def _probe_shard_lists(
     return sorted(lists.items())
 
 
+def _make_walk_kernel(bc, root, id_col, kk, eff, direct_filter_cells):
+    """Build the per-shard walk kernel for :func:`sharded_search_batch`.
+
+    Module-level ON PURPOSE (r12): the kernel's closure is the task
+    payload Spark serializes for every probed shard — keeping the
+    factory explicit makes the shipping contract testable
+    (tests/test_closures.py): everything batch-sized rides ``bc`` (a
+    Broadcast, pickled as a fixed-size handle), and every other
+    captured name is a scalar."""
+    import pandas as pd
+
+    def walk_shards(batches):
+        b_qids, b_qmat, b_allowed, b_apq = bc.value
+        for pdf in batches:
+            for shard, q_idxs in zip(pdf["shard"], pdf["q_idxs"]):
+                # committed snapshot via the worker-local LRU: repeat
+                # query batches skip the npz deserialization; the
+                # generation-keyed cache key keeps staleness out (r10);
+                # one re-resolve heals the plain->generation race (r11)
+                idx = _load_shard_graph(root, int(shard))
+                cells = (
+                    _direct_filter_cells()
+                    if direct_filter_cells is None
+                    else int(direct_filter_cells)
+                )
+                out_q, out_i, out_s = [], [], []
+                if (
+                    b_apq is None
+                    and b_allowed is not None
+                    and len(idx.ids)
+                    and len(b_allowed) * idx.vectors.shape[1] <= cells
+                ):
+                    # shared selective filter: per-SHARD node
+                    # resolution once, one GEMM for this shard's
+                    # whole query list (the per-query resolve loop
+                    # was the r11 first-cut's bottleneck)
+                    qm = b_qmat[np.asarray(q_idxs, dtype=np.int64)]
+                    nrm = np.linalg.norm(qm, axis=1, keepdims=True)
+                    nrm[nrm == 0] = 1.0
+                    per_q = idx._search_direct_many(
+                        qm / nrm, kk, idx._direct_nodes(b_allowed)
+                    )
+                    for qi, found in zip(q_idxs, per_q):
+                        for i, s in found:
+                            out_q.append(b_qids[int(qi)])
+                            out_i.append(i)
+                            out_s.append(round(float(s), 12))
+                else:
+                    for qi in q_idxs:
+                        qid = b_qids[int(qi)]
+                        qv = list(b_qmat[int(qi)])
+                        al = b_apq[int(qi)] if b_apq is not None else b_allowed
+                        for i, s in idx.search(
+                            qv, kk, ef=eff, allowed=al,
+                            direct_filter_cells=direct_filter_cells,
+                        ):
+                            out_q.append(qid)
+                            out_i.append(i)
+                            out_s.append(round(float(s), 12))
+                yield pd.DataFrame(
+                    {"query_id": out_q, id_col: out_i, "similarity": out_s}
+                )
+
+    return walk_shards
+
+
 def sharded_search_batch(
     spark: SparkSession,
     root: str,
@@ -1704,11 +1770,24 @@ def sharded_search_batch(
     walk cost from S tasks to ~P-proportional work; recall vs P is
     published in RECALL.md.  ``allowed`` applies ONE filter id-set
     across the batch; ``allowed_per_query`` aligns one set (or None)
-    per query — both ride the task closure, bounded by the serving
-    filter-id cap (see collection.query_embedding).  Returns
-    (query_id, <id_col>, similarity) — the tier-shared batch shape."""
-    import pandas as pd
+    per query, bounded by the serving filter-id cap (see
+    collection.query_embedding).  Returns
+    (query_id, <id_col>, similarity) — the tier-shared batch shape.
 
+    Query/filter shipping (r12): the batch's query vectors, ids, and
+    filter id-sets ride ONE Spark broadcast — fetched lazily, once
+    per EXECUTOR that runs any walk task, instead of serializing into
+    every task's closure (pre-r12 a q=1024 f64 1536-dim batch
+    re-shipped ~39 MB of pickled float lists per probed shard task —
+    ~630 MB across a 16-shard root; at the 1M-id filter cap the
+    allowed set added tens of MB more — the r11 ADVICE finding).
+    The broadcast also beats the per-shard probe-table alternative
+    (shipping each shard only its probe list's vectors as DataFrame
+    columns): under ``shards_probed=P`` that shape duplicates every
+    query's vector P times across shard rows and pays the
+    driver->JVM createDataFrame copy, while the broadcast ships each
+    vector once per executor.  Bytes measured in SCALE.md
+    (query-shipping economics)."""
     from . import knn as knn_ops
 
     meta = load_sharded_meta(root)
@@ -1725,59 +1804,12 @@ def sharded_search_batch(
     id_col = meta["id_col"]
     id_kind = meta.get("id_kind", "int")
     kk, eff = int(k), int(ef)
-
-    def walk_shards(batches):
-        for pdf in batches:
-            for shard, q_idxs in zip(pdf["shard"], pdf["q_idxs"]):
-                # committed snapshot via the worker-local LRU: repeat
-                # query batches skip the npz deserialization; the
-                # generation-keyed cache key keeps staleness out (r10);
-                # one re-resolve heals the plain->generation race (r11)
-                idx = _load_shard_graph(root, int(shard))
-                cells = (
-                    _direct_filter_cells()
-                    if direct_filter_cells is None
-                    else int(direct_filter_cells)
-                )
-                out_q, out_i, out_s = [], [], []
-                if (
-                    apq is None
-                    and allowed is not None
-                    and len(idx.ids)
-                    and len(allowed) * idx.vectors.shape[1] <= cells
-                ):
-                    # shared selective filter: per-SHARD node
-                    # resolution once, one GEMM for this shard's
-                    # whole query list (the per-query resolve loop
-                    # was the r11 first-cut's bottleneck)
-                    qm = np.asarray(
-                        [qvecs[int(qi)] for qi in q_idxs],
-                        dtype=np.float64,
-                    )
-                    nrm = np.linalg.norm(qm, axis=1, keepdims=True)
-                    nrm[nrm == 0] = 1.0
-                    per_q = idx._search_direct_many(
-                        qm / nrm, kk, idx._direct_nodes(allowed)
-                    )
-                    for qi, found in zip(q_idxs, per_q):
-                        for i, s in found:
-                            out_q.append(qids[int(qi)])
-                            out_i.append(i)
-                            out_s.append(round(float(s), 12))
-                else:
-                    for qi in q_idxs:
-                        qid, qv = qids[int(qi)], qvecs[int(qi)]
-                        al = apq[int(qi)] if apq is not None else allowed
-                        for i, s in idx.search(
-                            qv, kk, ef=eff, allowed=al,
-                            direct_filter_cells=direct_filter_cells,
-                        ):
-                            out_q.append(qid)
-                            out_i.append(i)
-                            out_s.append(round(float(s), 12))
-                yield pd.DataFrame(
-                    {"query_id": out_q, id_col: out_i, "similarity": out_s}
-                )
+    bc = spark.sparkContext.broadcast(
+        (qids, np.asarray(qvecs, dtype=np.float64), allowed, apq)
+    )
+    walk_shards = _make_walk_kernel(
+        bc, root, id_col, kk, eff, direct_filter_cells
+    )
 
     id_type0 = "string" if id_kind == "str" else "long"
     if not meta["shards"]:

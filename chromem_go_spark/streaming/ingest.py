@@ -818,6 +818,46 @@ def hnsw_append_sink(
     )
 
 
+def _make_append_shard_kernel(
+    root, bid, id_col, vec_col, M, efc, seed, cap, op_col
+):
+    """Build one micro-batch's per-shard append kernel for
+    :func:`sharded_hnsw_append_sink`.  Module-level ON PURPOSE (r12):
+    the kernel's closure is serialized into every shard task, every
+    trigger — keeping the factory explicit makes the shipping
+    contract testable (tests/test_closures.py): every captured name
+    is a SCALAR; the batch's rows flow through the DataFrame, never
+    the closure."""
+    import pandas as pd
+
+    from ..operators import hnsw as H
+
+    def append_shard(key, pdf):
+        # no type hints: stringified annotations break eval-type
+        # inference under applyInPandas (see build_sharded_hnsw).
+        # Replay skip / dedup / commit / worker cache live in
+        # hnsw.append_shard_batch (testable without a stream).
+        shard = int(key[0])
+        if op_col:
+            # CDC: restore the micro-batch's op order (__seq — the
+            # source's seq_col, else partition-major; it survives the
+            # routing shuffle) so same-id op sequences reduce
+            # last-write-wins in that order
+            pdf = pdf.sort_values("__seq")
+        n, cent = H.append_shard_batch(
+            H._shard_dir(root, shard), bid,
+            list(pdf[id_col]), list(pdf[vec_col]),
+            id_col=id_col, M=M, ef_construction=efc,
+            seed=seed, max_points=cap,
+            new_ops=list(pdf["__op"]) if op_col else None,
+        )
+        return pd.DataFrame(
+            {"shard": [shard], "n_points": [n], "centroid": [cent]}
+        )
+
+    return append_shard
+
+
 def sharded_hnsw_append_sink(
     stream_vectors: DataFrame,
     root: str,
@@ -941,29 +981,9 @@ def sharded_hnsw_append_sink(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
-
-        def append_shard(key, pdf):
-            # no type hints: stringified annotations break eval-type
-            # inference under applyInPandas (see build_sharded_hnsw).
-            # Replay skip / dedup / commit / worker cache live in
-            # hnsw.append_shard_batch (testable without a stream).
-            shard = int(key[0])
-            if op_col:
-                # CDC: restore the micro-batch's source row order (the
-                # per-partition __seq survives the routing shuffle) so
-                # same-id op sequences reduce last-write-wins in the
-                # order the source emitted them
-                pdf = pdf.sort_values("__seq")
-            n, cent = H.append_shard_batch(
-                H._shard_dir(root, shard), bid,
-                list(pdf[id_col]), list(pdf[vec_col]),
-                id_col=id_col, M=M, ef_construction=efc,
-                seed=seed, max_points=cap,
-                new_ops=list(pdf["__op"]) if op_col else None,
-            )
-            return pd.DataFrame(
-                {"shard": [shard], "n_points": [n], "centroid": [cent]}
-            )
+        append_shard = _make_append_shard_kernel(
+            root, bid, id_col, vec_col, M, efc, seed, cap, op_col
+        )
 
         # no isEmpty() pre-check (r11, ADVICE): it was one extra Spark
         # job per trigger, and an empty batch already no-ops through

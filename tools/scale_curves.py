@@ -35,6 +35,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -475,6 +477,58 @@ def measure_probe_econ(spark, d: str) -> dict:
     }
 
 
+def measure_qship(spark, d: str) -> dict:
+    """r12: sharded-walk query-shipping economics — pickled bytes of
+    the three candidate shapes for moving a q=1024 batch's query
+    vectors (+ids) to the walk tasks of a 16-shard root at
+    shards_probed=2, dim=1536 f64 (the serving shape the r11 verdict
+    flagged):
+
+    - CLOSURE (pre-r12): the whole batch rides every probed shard
+      task's closure — per-task bytes x one task per shard holding
+      any probe.
+    - PROBE-TABLE: each shard task ships only its probe list's
+      vectors as DataFrame columns — each query duplicated P times
+      across its P probed shards.
+    - BROADCAST (r12): the whole batch pickled ONCE, fetched lazily
+      per executor that runs any task (upper bound = executors that
+      run walk tasks; in the one-executor local bench it ships once).
+
+    Static computation (pickle on the driver) — no cluster needed;
+    recorded on the largest corpus row only."""
+    import pickle
+
+    if "sf1" not in d:
+        return {}
+    rng = np.random.default_rng(7)
+    q, S, P, dim = 1024, 16, 2, 1536
+    qmat = rng.standard_normal((q, dim))
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = [str(i) for i in range(q)]
+    qvecs = [list(v) for v in qmat]
+    # route each query to P shards round-robin (uniform coverage —
+    # the bytes are shape-driven, not placement-driven)
+    probe: dict[int, list[int]] = {s0: [] for s0 in range(S)}
+    for qi in range(q):
+        for j in range(P):
+            probe[(qi + j) % S].append(qi)
+    closure_per_task = len(pickle.dumps((qids, qvecs, None, None)))
+    probe_total = sum(
+        len(pickle.dumps((
+            [qids[i] for i in idxs], [qvecs[i] for i in idxs]
+        )))
+        for idxs in probe.values()
+    )
+    bcast = len(pickle.dumps((qids, qmat, None, None)))
+    return {
+        "qship_q": q, "qship_S": S, "qship_P": P, "qship_dim": dim,
+        "qship_closure_per_task": closure_per_task,
+        "qship_closure_total": closure_per_task * S,
+        "qship_probe_table_total": probe_total,
+        "qship_broadcast_once": bcast,
+    }
+
+
 def alphas(rows: list[dict], key: str) -> list[str]:
     """log-log slope between successive scale points ('—' when a point
     wasn't measured)."""
@@ -508,6 +562,7 @@ def main() -> None:
         "--hnsw": measure_hnsw,
         "--probeecon": measure_probe_econ,
         "--eligibility": measure_eligibility,
+        "--qship": measure_qship,
     }
     picked = [fn for flag, fn in extra_modes.items() if flag in sys.argv]
     if picked:  # additive: merge the chosen rows into saved results
@@ -538,6 +593,7 @@ def main() -> None:
             **measure_hnsw(spark, d),
             **measure_probe_econ(spark, d),
             **measure_eligibility(spark, d),
+            **measure_qship(spark, d),
         }
         results.append(r)
         print(f"# {name}: {r}", file=sys.stderr, flush=True)
@@ -966,6 +1022,40 @@ def render(here: str, results: list[dict]) -> None:
             "dim doubles per extra probe, the normalized form 2",
             "scalars), which is what makes high-nprobe high-q batches",
             "broadcastable at all.",
+            "",
+        ]
+    qship = [r for r in results if r.get("qship_q")]
+    if qship:
+        r = qship[-1]
+        lines += [
+            "## Sharded-walk query-shipping economics (r12)",
+            "",
+            "Bytes to move one query batch to the walk tasks of a",
+            f"sharded root (q={r['qship_q']}, S={r['qship_S']},",
+            f"P={r['qship_P']}, dim={r['qship_dim']} f64 — the r11",
+            "ADVICE shape), pickled exactly as each design ships it:",
+            "",
+            "| shipping shape | bytes on the wire |",
+            "|---|---|",
+            f"| task CLOSURE, per task (pre-r12) | "
+            f"{r['qship_closure_per_task']:,} |",
+            f"| task CLOSURE, whole batch (x{r['qship_S']} tasks) | "
+            f"{r['qship_closure_total']:,} |",
+            f"| per-shard probe table (each vector xP) | "
+            f"{r['qship_probe_table_total']:,} |",
+            f"| **broadcast once (r12, per executor that walks)** | "
+            f"**{r['qship_broadcast_once']:,}** |",
+            "",
+            "The closure shape re-serializes the WHOLE batch into",
+            "every probed shard task; the probe-table shape ships",
+            "each query P times and pays the driver->JVM",
+            "createDataFrame copy; the broadcast ships the batch",
+            "once per EXECUTOR that runs any walk task — <= the",
+            "probe-table bytes whenever two probed shards share an",
+            "executor, and the same filter id-sets (up to the 1M-id",
+            "cap) ride it for free.  At 1000 executors the broadcast",
+            "upper bound is min(S, executors) fetches of one batch,",
+            "never S re-picklings of it.",
             "",
         ]
     with open(os.path.join(here, "SCALE.md"), "w") as f:
