@@ -1445,6 +1445,17 @@ def append_shard_batch(
     return idx.n_points(), idx.centroid()
 
 
+class SplitRacedError(RuntimeError):
+    """A manifest fold (or split commit) lost a race with a shard
+    split: the shard it targets was retired (or advanced) between the
+    work and the commit.  For the streaming sink this FAILS the
+    trigger on purpose — foreachBatch replays the batch, the replay
+    routes by the post-split centroid table, and every already-
+    committed shard skips exactly by its own watermark.  For a split,
+    the staged sub-shards are discarded and the split can simply be
+    re-run."""
+
+
 def bump_sharded_manifest(
     root: str, counts: dict, centroids: dict | None = None
 ) -> dict:
@@ -1479,6 +1490,18 @@ def bump_sharded_manifest(
         except ImportError:  # non-POSIX: single-writer contract applies
             pass
         meta = load_sharded_meta(root)
+        retired = {int(x) for x in meta.get("retired", [])}
+        hit = sorted(retired & {int(s) for s in counts})
+        if hit:
+            # a split retired these shards between this batch's
+            # per-shard commits and the fold: folding would resurrect
+            # a retired shard's count and double-serve its points
+            # (the sub-shards hold copies).  Fail the fold — the
+            # caller's replay re-routes by the new centroid table.
+            raise SplitRacedError(
+                f"shard(s) {hit} were split/retired mid-batch; "
+                "replay will re-route their rows"
+            )
         cur = {int(s): int(n) for s, n in meta["shards"]}
         cur.update({int(s): int(n) for s, n in counts.items()})
         meta["shards"] = sorted(cur.items())
@@ -1613,6 +1636,217 @@ def compact_sharded_hnsw(spark: SparkSession, root: str) -> dict:
         return True
 
     return _mutate_shards(spark, root, mutate)
+
+
+def _make_split_kernel(root, src, new_ids, M, efc, seed, cap):
+    """Executor kernel for :func:`split_shard` — one task rebuilds the
+    source cell into two sub-cells (module-level factory: the closure
+    contract of tests/test_closures.py).  Emits one row per NEW cell:
+    (shard, n_points, centroid = the sub-cell's 2-means ASSIGNMENT
+    centroid — the frozen routing entry), plus one row for the source
+    carrying the generation the rebuild read (shard = src, n_points =
+    -1 marks it), which the driver validates at commit time."""
+    import os
+
+    import pandas as pd
+
+    def split(batches):
+        from . import ann as A
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sdir = _shard_dir(root, src)
+            live = _read_live(sdir)
+            src_gen = int(live["gen"]) if live else -1
+            idx, wm = load_snapshot(sdir)
+            if idx is None and os.path.exists(
+                os.path.join(sdir, "graph.npz")
+            ):
+                idx, wm = HNSWIndex.load(sdir), -1
+            if idx is None:
+                raise FileNotFoundError(
+                    f"shard {src} has no committed graph under {sdir}"
+                )
+            nodes = idx._live_nodes_list()
+            ids = [idx.ids[i] for i in nodes]
+            vecs = idx.vectors[nodes].astype(np.float64)
+            cents = A._kmeans(vecs, 2, seed=seed)
+            assign = (
+                np.argmax(vecs @ cents.T, axis=1)
+                if cents.shape[0] > 1
+                else np.zeros(len(nodes), dtype=np.int64)
+            )
+            out_shard, out_n, out_cent = [src], [-1], [[float(src_gen)]]
+            for j in range(cents.shape[0]):
+                members = [i for i, a in enumerate(assign) if a == j]
+                if members:
+                    sub = HNSWIndex.build_local(
+                        [ids[i] for i in members],
+                        [list(vecs[i]) for i in members],
+                        id_col=idx.id_col, M=M, ef_construction=efc,
+                        seed=seed, max_points=cap,
+                    )
+                    # inherit the source's watermark: a replayed batch
+                    # the source already applied is IN this copy —
+                    # the sub-cell must skip it exactly
+                    save_snapshot(
+                        sub, _shard_dir(root, new_ids[j]), last_batch=wm
+                    )
+                out_shard.append(int(new_ids[j]))
+                out_n.append(len(members))
+                out_cent.append([float(x) for x in cents[j]])
+            if cents.shape[0] == 1:
+                # degenerate cell (k-means collapsed to one centroid):
+                # the second cell opens EMPTY under the same centroid
+                # — routing ties break to the lower shard id, so this
+                # split gives no capacity relief on a corpus of
+                # identical points (the pathological case; real drift
+                # produces two separable sub-centroids)
+                out_shard.append(int(new_ids[1]))
+                out_n.append(0)
+                out_cent.append([float(x) for x in cents[0]])
+            yield pd.DataFrame(
+                {
+                    "shard": out_shard,
+                    "n_points": out_n,
+                    "centroid": out_cent,
+                }
+            )
+
+    return split
+
+
+def split_shard(
+    spark: SparkSession,
+    root: str,
+    shard: int,
+    seed: int | None = None,
+    drop_source_dir: bool = False,
+) -> dict:
+    """Split ONE overfull centroid cell into two sub-cells — the
+    capacity protocol for CENTROID roots (r12): frozen assignment
+    centroids + distribution drift concentrate streamed points into a
+    hot cell until its ``max_points_per_shard`` cap fails the ingest
+    stream; a split rebuilds that cell's LIVE points into two new
+    cells whose 2-means assignment centroids join the manifest's
+    frozen routing table, retiring the source cell.  Hash roots
+    refuse: their placement is ``pmod(hash(id), n_shards)`` — uniform
+    by construction (no hot cells), and changing n_shards would
+    re-place every id.
+
+    Protocol (kill/replay-safe):
+
+    1. One executor task loads the source's COMMITTED graph, 2-means
+       its live vectors, builds + snapshots the two sub-cells into
+       fresh ``shard=<new>`` dirs (STAGED: not in the manifest, so a
+       crash here is invisible — readers never see staged dirs), each
+       inheriting the source's batch watermark (a replayed batch the
+       source applied is in the copy and must skip exactly).
+    2. The driver commits the manifest under the fold flock,
+       validating FIRST that the source cell is still live at the
+       exact generation the task read — a concurrent ingest commit to
+       the source aborts the split (``SplitRacedError``; staged dirs
+       are removed, re-run the split).  The commit retires the source
+       (``retired`` list — ``bump_sharded_manifest`` refuses late
+       folds for it, failing the racing trigger so its replay
+       re-routes), registers both sub-cells, and bumps ``n_shards``
+       (the shard-id allocation counter).
+
+    The source DIR is left on disk by default (an in-flight reader
+    that resolved the pre-split manifest may still be walking it);
+    ``drop_source_dir=True`` removes it immediately — safe once no
+    reader holds the old manifest.  Single-maintenance-writer
+    contract as :func:`_mutate_shards`: do not run two splits (or a
+    split and a delete/compact) concurrently.  The streaming sink
+    keeps ingesting through a split: it re-reads the manifest every
+    trigger and routes by the current centroid table.  Returns the
+    updated manifest."""
+    import json
+    import os
+    import shutil
+
+    meta = load_sharded_meta(root)
+    if meta.get("shard_by", "hash") != "centroid":
+        raise ValueError(
+            "split_shard is the CENTROID root capacity protocol; hash "
+            "roots place uniformly (no hot cells) and cannot split — "
+            "rebuild with more shards instead"
+        )
+    src = int(shard)
+    counts = dict((int(a), int(b)) for a, b in meta["shards"])
+    if src not in counts or src in {
+        int(x) for x in meta.get("retired", [])
+    }:
+        raise ValueError(f"shard {src} is not an active cell of {root}")
+    base = int(meta["n_shards"])
+    new_ids = (base, base + 1)
+    if seed is None:
+        seed = int(meta.get("seed", 42)) + base
+    kernel = _make_split_kernel(
+        root, src, new_ids, int(meta.get("M", 16)),
+        int(meta.get("ef_construction", 200)), int(seed),
+        int(meta.get("max_points_per_shard", 1_000_000)),
+    )
+    rows = (
+        spark.createDataFrame([(src,)], "shard int")
+        .repartition(1)
+        .mapInPandas(kernel, "shard int, n_points long, centroid array<double>")
+        .collect()
+    )
+    by_shard = {int(r["shard"]): r for r in rows}
+    src_gen = int(by_shard[src]["centroid"][0])
+    subs = [by_shard[n] for n in new_ids]
+
+    def _cleanup():
+        for n in new_ids:
+            shutil.rmtree(_shard_dir(root, n), ignore_errors=True)
+
+    lock_path = os.path.join(root, _SHARD_MANIFEST + ".lock")
+    with open(lock_path, "w") as lock_f:
+        try:
+            import fcntl
+
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+        except ImportError:
+            pass
+        fresh = load_sharded_meta(root)
+        cur = {int(a): int(b) for a, b in fresh["shards"]}
+        live_now = _read_live(_shard_dir(root, src))
+        gen_now = int(live_now["gen"]) if live_now else -1
+        if (
+            src not in cur
+            or src in {int(x) for x in fresh.get("retired", [])}
+            or gen_now != src_gen
+        ):
+            _cleanup()
+            raise SplitRacedError(
+                f"shard {src} changed (gen {src_gen} -> {gen_now}) or "
+                "was retired while the split was staging; staged "
+                "sub-cells discarded — re-run split_shard"
+            )
+        del cur[src]
+        for r in subs:
+            cur[int(r["shard"])] = int(r["n_points"])
+        fresh["shards"] = sorted(cur.items())
+        cents = dict(fresh.get("centroids") or {})
+        cents.pop(str(src), None)
+        for r in subs:
+            cents[str(int(r["shard"]))] = [
+                float(x) for x in r["centroid"]
+            ]
+        fresh["centroids"] = cents
+        fresh["n_shards"] = base + 2
+        fresh["retired"] = sorted(
+            {int(x) for x in fresh.get("retired", [])} | {src}
+        )
+        tmp = os.path.join(root, _SHARD_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(fresh, f)
+        os.replace(tmp, os.path.join(root, _SHARD_MANIFEST))
+    if drop_source_dir:
+        shutil.rmtree(_shard_dir(root, src), ignore_errors=True)
+    return fresh
 
 
 def _load_shard_graph(root: str, shard: int) -> HNSWIndex:

@@ -901,8 +901,15 @@ def sharded_hnsw_append_sink(
     manifest bump — reload the ``ShardedHNSW`` handle between ingest
     sessions so the exact-ef ``n_points`` mapping tracks the grown
     corpus.  A shard outgrowing ``max_points_per_shard`` fails the
-    stream loudly — rebuild with more shards (capacity is
-    n_shards × cap; the unbounded regime belongs to ivf_append_sink).
+    stream loudly; the sink warns at 90% of the cap first.  Capacity
+    protocol (r12): on a CENTROID root run ``hnsw.split_shard`` on
+    the hot cell — the sink re-reads the manifest every trigger and
+    keeps ingesting through the split (a split racing a trigger's
+    fold fails that trigger via ``SplitRacedError``; the replay
+    routes by the post-split table, already-committed shards skip by
+    watermark).  Hash roots place uniformly and cannot run hot —
+    rebuild with more shards (capacity is n_shards × cap; the
+    unbounded regime belongs to ivf_append_sink).
 
     Repeat batches are warm: each shard task serves its graph from
     the commit-keyed worker cache (``hnsw.append_shard_batch`` /
@@ -965,24 +972,39 @@ def sharded_hnsw_append_sink(
     )
     cap = int(meta0.get("max_points_per_shard", 1_000_000))
     shard_by = meta0.get("shard_by", "hash")
-    assign_cents = None
-    if shard_by == "centroid":
+
+    def _centroid_table():
         # centroid roots route by the manifest's FROZEN assignment
         # centroids (r11) — the same nearest-centroid rule the build
         # used, so a point streams into the cell a rebuild would have
         # placed it in (the frozen-quantizer contract of
-        # IVFIndex.append_batch, one level up)
+        # IVFIndex.append_batch, one level up).  Re-read EVERY trigger
+        # (r12): a split_shard between triggers retires a hot cell
+        # and registers two sub-cells — the active table is SPARSE
+        # (retired ids absent), so routing maps the argmax index back
+        # through the active id list.  One small JSON read per
+        # trigger; the split race WITHIN a trigger is closed by
+        # bump_sharded_manifest's retired-shard refusal (the trigger
+        # fails, the replay routes by the new table).
         import numpy as np
 
-        assign_cents = np.asarray(
-            [meta0["centroids"][str(j)] for j in range(n_shards)],
-            dtype=np.float64,
+        m = H.load_sharded_meta(root)
+        cents_map = m.get("centroids") or {}
+        active = sorted(int(j) for j in cents_map)
+        return active, np.asarray(
+            [cents_map[str(j)] for j in active], dtype=np.float64
         )
+
+    if shard_by == "centroid":
+        _centroid_table()  # refuse a root with no routing table early
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         append_shard = _make_append_shard_kernel(
             root, bid, id_col, vec_col, M, efc, seed, cap, op_col
+        )
+        active, assign_cents = (
+            _centroid_table() if shard_by == "centroid" else (None, None)
         )
 
         # no isEmpty() pre-check (r11, ADVICE): it was one extra Spark
@@ -1024,12 +1046,19 @@ def sharded_hnsw_append_sink(
         if assign_cents is not None:
             from ..operators.ann import _assign_clusters
 
-            routed = _assign_clusters(
-                ups, assign_cents, vec_col
-            ).withColumnRenamed("cluster_id", "__shard")
+            # argmax index -> active shard id (sparse after splits)
+            shard_of = F.element_at(
+                F.array(*[F.lit(a) for a in active]),
+                F.col("cluster_id") + F.lit(1),
+            )
+            routed = (
+                _assign_clusters(ups, assign_cents, vec_col)
+                .withColumn("__shard", shard_of)
+                .drop("cluster_id")
+            )
             if dels is not None:
                 all_shards = F.explode(
-                    F.array(*[F.lit(j) for j in range(n_shards)])
+                    F.array(*[F.lit(j) for j in active])
                 )
                 # centroid roots: an id's cell needs its vector, which
                 # a delete row does not carry — replicate to every
@@ -1071,13 +1100,36 @@ def sharded_hnsw_append_sink(
         )
         if not rows:
             return
-        H.bump_sharded_manifest(
+        folded = H.bump_sharded_manifest(
             root,
             {int(r["shard"]): int(r["n_points"]) for r in rows},
             centroids={
                 int(r["shard"]): list(r["centroid"] or []) for r in rows
             },
         )
+        # pre-failure capacity warning (r12): the cap failing the
+        # stream is loud but late — surface cells past 90% so the
+        # operator can split_shard (centroid roots) or rebuild with
+        # more shards (hash roots) BEFORE ingest dies
+        hot = [
+            (int(s0), int(n0))
+            for s0, n0 in folded["shards"]
+            if int(n0) > 0.9 * cap
+        ]
+        if hot:
+            import warnings
+
+            warnings.warn(
+                f"sharded HNSW root {root}: shard(s) {hot} exceed 90% "
+                f"of max_points_per_shard={cap}; "
+                + (
+                    "run split_shard before the cap fails the stream"
+                    if shard_by == "centroid"
+                    else "rebuild with more shards before the cap "
+                    "fails the stream"
+                ),
+                stacklevel=2,
+            )
 
     return (
         stream_vectors.writeStream.queryName(query_name)

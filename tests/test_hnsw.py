@@ -2684,3 +2684,200 @@ def test_single_sink_cdc_seq_col_beats_partition_order(
     idx, _ = H.load_snapshot(snap)
     live = idx.n_points() if idx is not None else 0
     assert (live == 1) == (not use_seq)
+
+
+# -------------------------------------- split_shard capacity protocol (r12)
+
+
+def _centroid_root(spark, emb, tmp_path, name, n_shards=4):
+    from chromem_go_spark.operators import hnsw as H
+
+    root = str(tmp_path / name)
+    m = H.build_sharded_hnsw(
+        emb, root, n_shards=n_shards, M=8, ef_construction=64,
+        shard_by="centroid",
+    )
+    return root, m
+
+
+def test_split_shard_preserves_serving(spark, emb, tmp_path):
+    """Splitting a cell conserves the corpus: counts, exact search
+    identity, routing table (source retired, two sub-cells frozen in),
+    and the allocation counter all update atomically."""
+    from chromem_go_spark.operators import hnsw as H
+
+    root, m = _centroid_root(spark, emb, tmp_path, "split_root")
+    total = sum(n for _, n in m["shards"])
+    src = max(m["shards"], key=lambda t: t[1])[0]
+    base = int(m["n_shards"])
+    qv = _qv(emb, 3)
+    before = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=total
+        ).collect()
+    ]
+    m2 = H.split_shard(spark, root, src)
+    assert sum(n for _, n in m2["shards"]) == total
+    assert src in m2["retired"]
+    assert str(src) not in m2["centroids"]
+    new_ids = {base, base + 1}
+    assert new_ids <= {s for s, _ in m2["shards"]}
+    assert all(str(n) in m2["centroids"] for n in new_ids)
+    assert m2["n_shards"] == base + 2
+    after = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=total
+        ).collect()
+    ]
+    assert sorted(after, key=lambda t: (-t[1], t[0])) == sorted(
+        before, key=lambda t: (-t[1], t[0])
+    ) == _flat(emb, qv)
+    # idempotent manifest reads: the handle serves the grown walk list
+    sh = H.ShardedHNSW.load(root)
+    assert sh.n_points() == total
+
+
+def test_split_shard_hash_root_raises(spark, emb, tmp_path):
+    from chromem_go_spark.operators import hnsw as H
+
+    root = str(tmp_path / "hash_root")
+    H.build_sharded_hnsw(root=root, df=emb, n_shards=2, M=8,
+                         ef_construction=64)
+    with pytest.raises(ValueError, match="CENTROID root capacity"):
+        H.split_shard(spark, root, 0)
+
+
+def test_split_raced_by_append_aborts(spark, emb, tmp_path, monkeypatch):
+    """A commit to the source cell between the split's staging read
+    and its manifest commit must abort the split (validate-at-commit):
+    the staged sub-cell dirs are discarded and the manifest is
+    untouched."""
+    import json
+    import os
+
+    from chromem_go_spark.operators import hnsw as H
+
+    root, m = _centroid_root(spark, emb, tmp_path, "race_root")
+    src = max(m["shards"], key=lambda t: t[1])[0]
+    base = int(m["n_shards"])
+    dim = len(emb.head()["embedding"])
+    orig = H._make_split_kernel
+
+    def wrapped(root_, src_, new_ids, M, efc, seed, cap):
+        inner = orig(root_, src_, new_ids, M, efc, seed, cap)
+
+        def kern(batches):
+            out = list(inner(batches))
+            # the race: an ingest commits a fresh generation to the
+            # source AFTER the split staged its rebuild
+            H.append_shard_batch(
+                H._shard_dir(root_, src_), 10_000, [987654],
+                [[0.5] * dim], M=M, ef_construction=efc, seed=seed,
+                max_points=cap,
+            )
+            yield from out
+
+        return kern
+
+    monkeypatch.setattr(H, "_make_split_kernel", wrapped)
+    manifest_before = json.load(
+        open(os.path.join(root, H._SHARD_MANIFEST))
+    )
+    with pytest.raises(H.SplitRacedError, match="re-run split_shard"):
+        H.split_shard(spark, root, src)
+    assert not os.path.exists(H._shard_dir(root, base))
+    assert not os.path.exists(H._shard_dir(root, base + 1))
+    manifest_now = json.load(open(os.path.join(root, H._SHARD_MANIFEST)))
+    # the racing append's own commit is real; only the SPLIT rolled
+    # back — shards/centroids/n_shards are structurally unchanged
+    assert manifest_now["n_shards"] == manifest_before["n_shards"]
+    assert {s for s, _ in manifest_now["shards"]} == {
+        s for s, _ in manifest_before["shards"]
+    }
+    assert "retired" not in manifest_now or src not in manifest_now["retired"]
+
+
+def test_bump_refuses_retired_shard(spark, emb, tmp_path):
+    """A late manifest fold for a shard a split retired must fail the
+    trigger loudly (replay re-routes) instead of resurrecting it."""
+    from chromem_go_spark.operators import hnsw as H
+
+    root, m = _centroid_root(spark, emb, tmp_path, "retire_root")
+    src = max(m["shards"], key=lambda t: t[1])[0]
+    H.split_shard(spark, root, src)
+    with pytest.raises(H.SplitRacedError, match="split/retired"):
+        H.bump_sharded_manifest(root, {src: 5})
+
+
+def test_stream_ingests_through_split(spark, emb, tmp_path):
+    """The ingest stream survives a split between triggers: trigger 1
+    appends, a hot cell splits, trigger 2 (same checkpoint) routes by
+    the post-split table — every id served exactly once, exact search
+    equals brute force over the full corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    n_total = emb.count()
+    third = n_total // 3
+    built = emb.filter(F.col("vec_id") < third)
+    root, m = _centroid_root(
+        spark, (built if third > 0 else emb), tmp_path, "stream_split"
+    )
+
+    def write_batch(name, lo, hi):
+        rows = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).collect()
+        d = tmp_path / "split_events"
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        [int(r["vec_id"]) for r in rows], pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [[float(x) for x in r["embedding"]] for r in rows],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            str(d / name),
+        )
+        return str(d)
+
+    ckpt = str(tmp_path / "split_ckpt")
+    src_dir = write_batch("b0.parquet", third, 2 * third)
+    stream_schema = "vec_id long, embedding array<double>"
+
+    def run_once():
+        stream = spark.readStream.schema(stream_schema).parquet(src_dir)
+        run_available_now(
+            sharded_hnsw_append_sink(stream, root, ckpt)
+        )
+
+    run_once()
+    m1 = H.load_sharded_meta(root)
+    hot = max(m1["shards"], key=lambda t: t[1])[0]
+    H.split_shard(spark, root, hot)
+    write_batch("b1.parquet", 2 * third, n_total)
+    run_once()
+    m2 = H.load_sharded_meta(root)
+    assert sum(n for _, n in m2["shards"]) == n_total
+    qv = _qv(emb, 1)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=n_total
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)

@@ -477,6 +477,39 @@ def measure_probe_econ(spark, d: str) -> dict:
     }
 
 
+def measure_split(spark, d: str) -> dict:
+    """r12: split_shard cost — wall to rebuild one hot centroid cell
+    into two sub-cells (stage + validate + manifest commit), on an
+    8-cell centroid root over the largest corpus at served defaults
+    (M=16, ef_c=200).  The cost is one cell's worth of the build the
+    root started from (2-means + two sub-builds in one task) — it
+    does not touch the other S-1 cells."""
+    import shutil
+    import tempfile
+
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        split_shard,
+    )
+
+    if "sf1" not in d:
+        return {}
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    sroot = tempfile.mkdtemp(prefix="split_cost_")
+    try:
+        m = build_sharded_hnsw(
+            emb, sroot, n_shards=8, M=16, ef_construction=200,
+            shard_by="centroid",
+        )
+        src, src_n = max(m["shards"], key=lambda t: t[1])
+        t0 = time.time()
+        split_shard(spark, sroot, src)
+        wall = time.time() - t0
+        return {"split_cell_n": int(src_n), "split_wall": round(wall, 3)}
+    finally:
+        shutil.rmtree(sroot, ignore_errors=True)
+
+
 def measure_qship(spark, d: str) -> dict:
     """r12: sharded-walk query-shipping economics — pickled bytes of
     the three candidate shapes for moving a q=1024 batch's query
@@ -563,6 +596,7 @@ def main() -> None:
         "--probeecon": measure_probe_econ,
         "--eligibility": measure_eligibility,
         "--qship": measure_qship,
+        "--splitcost": measure_split,
     }
     picked = [fn for flag, fn in extra_modes.items() if flag in sys.argv]
     if picked:  # additive: merge the chosen rows into saved results
@@ -594,6 +628,7 @@ def main() -> None:
             **measure_probe_econ(spark, d),
             **measure_eligibility(spark, d),
             **measure_qship(spark, d),
+            **measure_split(spark, d),
         }
         results.append(r)
         print(f"# {name}: {r}", file=sys.stderr, flush=True)
@@ -1022,6 +1057,30 @@ def render(here: str, results: list[dict]) -> None:
             "dim doubles per extra probe, the normalized form 2",
             "scalars), which is what makes high-nprobe high-q batches",
             "broadcastable at all.",
+            "",
+        ]
+    split_rows = [r for r in results if r.get("split_wall")]
+    if split_rows:
+        r = split_rows[-1]
+        lines += [
+            "## split_shard cost (r12 — the centroid-root capacity protocol)",
+            "",
+            "Splitting the hottest cell of an 8-cell centroid root at",
+            "served defaults (M=16, ef_c=200, 50k vectors) — one task",
+            "re-builds that cell's live points into two sub-cells",
+            "(2-means + two sub-builds), the manifest commit retires",
+            "the source under the fold flock:",
+            "",
+            "| hot cell n | split wall s |",
+            "|---|---|",
+            f"| {r['split_cell_n']:,} | {r['split_wall']} |",
+            "",
+            "Cost is ONE cell's share of the original build (the",
+            "other S-1 cells are untouched), so splits amortize: the",
+            "ingest stream keeps running through one (per-trigger",
+            "manifest reload + SplitRacedError replay on the race),",
+            "and the sink warns at 90% of the per-shard cap so the",
+            "split can run before the cap fails the stream.",
             "",
         ]
     qship = [r for r in results if r.get("qship_q")]
