@@ -2889,7 +2889,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotated OUT (its symmetric-Jaccard family keeps window coverage
     through minhash_lsh + cdc_fingerprints, and its word-shingle twin
     word_ngram_jaccard already lives in extras), still value-checked
-    there."""
+    there.
+
+    r12: hnsw_batch_per_filter (per-query allowed-set GRAPH walks —
+    graph tier + per-query filters + batch in one row, the strongest
+    never-windowed distinct shape) rotated IN;
+    knn_batch_per_filter_ivf rotated OUT (the per-query-filter family
+    keeps window coverage through the new graph row, and the IVF
+    probe-join DSL path stays value-checked in extras via the shared
+    _pf2 oracle)."""
     return {
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
@@ -2920,7 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "training_pipeline": q_training_pipeline,
         "chunk_documents": q_chunk_documents,
-        "knn_batch_per_filter_ivf": q_knn_batch_per_filter_ivf,
+        "hnsw_batch_per_filter": q_hnsw_batch_per_filter,
         "dedup_clusters_star": q_dedup_clusters_star,
         "hnsw_sharded_search": q_hnsw_sharded_search,
         "vocab_stats": q_vocab_stats,
@@ -3134,7 +3142,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_search_deleted": q_hnsw_search_deleted,
         "hnsw_search_filtered": q_hnsw_search_filtered,
         "hnsw_sharded_deleted": q_hnsw_sharded_deleted,
-        "hnsw_batch_per_filter": q_hnsw_batch_per_filter,
+        "knn_batch_per_filter_ivf": q_knn_batch_per_filter_ivf,
         "length_histogram": q_length_histogram,
         "source_report": q_source_report,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -4890,7 +4898,7 @@ _EXTRA_KEYS = frozenset(
         "hnsw_search_deleted",  # r11: graph tombstones, ef>=live-n == survivors' brute force
         "hnsw_search_filtered",  # r11: allowed id-set walk == filtered brute force
         "hnsw_sharded_deleted",  # r11: sharded delete fan-out, same survivors' oracle
-        "hnsw_batch_per_filter",  # r11: per-query allowed-set walks, per-label oracle
+        "knn_batch_per_filter_ivf",  # r12: rotated out (per-query-filter family kept in-window by hnsw_batch_per_filter; the probe-join DSL shares _pf2's oracle)
         "length_histogram",  # r7: power-of-two length buckets + pad audit
         "source_report",  # r7: per-source data card
         "tokenizer_fertility",  # r7: BPE pieces per word by language

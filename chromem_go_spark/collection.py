@@ -444,6 +444,16 @@ class Collection:
     #: exceed it), so the query falls back to the exact scan path.
     HNSW_FILTER_MAX_IDS = 1_000_000
 
+    #: widest per-query-filtered batch the graph tier serves via the
+    #: mask scan (one Catalyst boolean per query); wider batches fall
+    #: back to the FLAT broadcast-join DSL kernel, which ships the
+    #: specs as DATA (constant plan size).  The constant is MEASURED,
+    #: not hazard-argued (r12): SCALE.md's mask-scan-vs-FLAT table
+    #: shows the walls at q=64/256/512 — the linear-in-q Catalyst
+    #: expression cost plus the JVM-code-cache hazard both bind past
+    #: a few hundred booleans.
+    HNSW_BATCH_FILTER_MAX_QUERIES = 256
+
     def _materialize_filter_ids(self, where, where_document,
                                 extended_filters) -> set | None:
         """The filter's matching ids as a bounded set — the served
@@ -483,12 +493,13 @@ class Collection:
         ]
         if pre is None and all(unconstrained):
             return [None] * len(parsed)
-        if len(parsed) > 256:
+        if len(parsed) > int(self.HNSW_BATCH_FILTER_MAX_QUERIES):
             # one boolean Catalyst expression per query: past a few
             # hundred the generated code blows out the JVM code cache
             # (the same hazard as literal centroid matrices) — the
             # FLAT DSL kernel broadcasts the specs as DATA instead,
-            # so very wide batches fall back there
+            # so very wide batches fall back there.  The constant is
+            # measured (SCALE.md mask-scan-vs-FLAT crossover table).
             return None
         base = self.df.filter(pre) if pre is not None else self.df
         preds = []

@@ -9,6 +9,16 @@ captures) and by measurement (serialized closure size is independent
 of batch width), so a future edit that quietly closes over a
 batch-sized object fails here instead of shipping tens of MB per task
 at the 1M-id filter cap (the r11 ADVICE finding this round fixed).
+
+Audit scope (r12): the only executor-side closures the streaming
+sinks serialize per trigger are the sharded sink's append kernel
+(pinned below) and applyInPandasWithState's update fn (captures only
+the key/state machinery).  Every other sink moves batch data through
+DataFrame plans and persistent state through disk commits; the IVF
+serving sinks ship query batches through the r10 normalized probe
+tables (SCALE.md probe-table economics), and the sharded walk path
+ships them through the r12 broadcast (SCALE.md query-shipping
+economics) — both measured, both pinned here structurally.
 """
 
 from __future__ import annotations

@@ -108,19 +108,61 @@ def gen_embeddings(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def gen_embeddings_clustered(
+    n: int, seed: int = 42, n_blobs: int = 64, sigma: float = 0.15
+) -> pa.Table:
+    """Planted-Gaussian-blob embeddings (r12): the CLUSTERED corpus
+    the centroid shard router needs for its at-scale recall evidence —
+    the near-uniform default corpus cannot exercise semantic sharding
+    by construction (per-cell centroids all ≈ the global mean, so any
+    pruning is a uniform P/S recall floor).  Blob centers are random
+    unit vectors (near-orthogonal at dim 64); points are
+    center + sigma * noise, re-normalized — within-blob cosine ~0.5,
+    cross-blob ~0.0, so a query's true neighbors concentrate in its
+    own blob exactly as real embedding corpora cluster.  ``label`` =
+    blob id (ground-truth structure for diagnostics)."""
+    rng = np.random.default_rng(seed + 2)
+    cents = rng.standard_normal((n_blobs, DIM))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    blob = rng.integers(0, n_blobs, size=n)
+    mat = cents[blob] + sigma * rng.standard_normal((n, DIM))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in mat],
+                type=pa.list_(pa.float64()),
+            ),
+            "label": pa.array(blob, type=pa.int64()),
+        }
+    )
+
+
 def main() -> None:
-    sf = float(sys.argv[1])
-    out = sys.argv[2]
-    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    sf = float(args[0])
+    out = args[1]
+    seed = int(args[2]) if len(args) > 2 else 42
+    clustered = any(f.startswith("--clustered") for f in flags)
+    n_blobs = next(
+        (int(f.split("=", 1)[1]) for f in flags
+         if f.startswith("--blobs=")), 64,
+    )
     n = round(ROWS_PER_SF * sf)
     os.makedirs(out, exist_ok=True)
     pq.write_table(
         gen_documents(n, seed), os.path.join(out, "documents.parquet")
     )
-    pq.write_table(
-        gen_embeddings(n, seed), os.path.join(out, "embeddings.parquet")
+    emb = (
+        gen_embeddings_clustered(n, seed, n_blobs=n_blobs)
+        if clustered
+        else gen_embeddings(n, seed)
     )
-    print(f"wrote {out}: {n} documents + {n} embeddings (sf={sf})")
+    pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+    kind = f"clustered({n_blobs} blobs)" if clustered else "uniform"
+    print(f"wrote {out}: {n} documents + {n} {kind} embeddings (sf={sf})")
 
 
 if __name__ == "__main__":
