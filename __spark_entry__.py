@@ -434,6 +434,39 @@ def q_hnsw_sharded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("similarity", 4).alias("sim"))
 
 
+def q_hnsw_split_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-then-serve (r12 — the centroid root's capacity protocol
+    end to end): build a CENTROID-sharded root, split its largest
+    cell via ``split_shard`` (2-means rebuild into two sub-cells,
+    source retired under the fold flock), then run the exact batch
+    search over the POST-SPLIT root.  Counts conserve across the
+    split and per-shard ef >= shard size keeps the walk exactly brute
+    force, so the row shares knn_topk's oracle — a value-checked pin
+    that the capacity protocol never loses or duplicates a point."""
+    import tempfile
+
+    from chromem_go_spark.operators.hnsw import (
+        build_sharded_hnsw,
+        load_sharded_meta,
+        sharded_search_batch,
+        split_shard,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="hnsw_split_")
+    meta = build_sharded_hnsw(
+        emb, root, n_shards=3, M=8, ef_construction=64,
+        shard_by="centroid",
+    )
+    hot = max(meta["shards"], key=lambda t: t[1])[0]
+    split_shard(spark, root, hot)
+    meta2 = load_sharded_meta(root)
+    ef = max(n for _, n in meta2["shards"])
+    qv = _qvec(spark, sf_dir, 0)
+    out = sharded_search_batch(spark, root, ["0"], [qv], 10, ef=ef)
+    return out.select("vec_id", F.round("similarity", 4).alias("sim"))
+
+
 def q_hnsw_search_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW logical delete (r11 — the graph tier's tombstone parity
     with the IVF tiers' delete_ids, reference collection.go:338
@@ -3142,6 +3175,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_search_deleted": q_hnsw_search_deleted,
         "hnsw_search_filtered": q_hnsw_search_filtered,
         "hnsw_sharded_deleted": q_hnsw_sharded_deleted,
+        "hnsw_split_search": q_hnsw_split_search,
         "knn_batch_per_filter_ivf": q_knn_batch_per_filter_ivf,
         "length_histogram": q_length_histogram,
         "source_report": q_source_report,
@@ -3486,6 +3520,8 @@ def _oracles_base() -> dict[str, str]:
         "hnsw_search": _KNN_TOPK_SQL.format(q=q0),
         # r9: sharded exactness composes per shard — same oracle
         "hnsw_sharded_search": _KNN_TOPK_SQL.format(q=q0),
+        # r12: split-then-serve conserves the corpus — same oracle
+        "hnsw_split_search": _KNN_TOPK_SQL.format(q=q0),
         # r11: tombstones / allowed-set walks at ef >= live-n are brute
         # force over exactly the surviving / allowed population
         "hnsw_search_deleted": """
@@ -4898,6 +4934,7 @@ _EXTRA_KEYS = frozenset(
         "hnsw_search_deleted",  # r11: graph tombstones, ef>=live-n == survivors' brute force
         "hnsw_search_filtered",  # r11: allowed id-set walk == filtered brute force
         "hnsw_sharded_deleted",  # r11: sharded delete fan-out, same survivors' oracle
+        "hnsw_split_search",  # r12: split_shard then exact serve, knn_topk's oracle
         "knn_batch_per_filter_ivf",  # r12: rotated out (per-query-filter family kept in-window by hnsw_batch_per_filter; the probe-join DSL shares _pf2's oracle)
         "length_histogram",  # r7: power-of-two length buckets + pad audit
         "source_report",  # r7: per-source data card

@@ -136,6 +136,7 @@ BENCH_NAMES = [
     "hnsw_search_filtered",
     "hnsw_sharded_search",
     "hnsw_sharded_deleted",
+    "hnsw_split_search",
     "hnsw_batch_per_filter",
     "length_histogram",
     "source_report",
