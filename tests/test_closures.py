@@ -103,3 +103,23 @@ def test_sharded_append_kernel_ships_only_scalars():
     assert not bad, f"non-scalar closure captures: {bad}"
     # and the whole serialized kernel is small in absolute terms
     assert len(cloudpickle.dumps(kern)) < 16_384
+
+
+def test_split_kernel_ships_only_scalars():
+    """split_shard's executor kernel: the cell's points load from the
+    shard's committed snapshot inside the task; the closure carries
+    only scalars plus the two pre-allocated sub-cell ids."""
+    from pyspark import cloudpickle
+
+    from chromem_go_spark.operators.hnsw import _make_split_kernel
+
+    kern = _make_split_kernel("/tmp/root", 3, (16, 17), 16, 200, 42,
+                              1_000_000)
+    cv = _closure_vars(kern)
+    new_ids = cv.pop("new_ids", None)
+    assert new_ids == (16, 17)
+    bad = {k: type(v).__name__ for k, v in cv.items()
+           if not isinstance(v, SCALARS)
+           and not inspect.ismodule(v)}
+    assert not bad, f"non-scalar closure captures: {bad}"
+    assert len(cloudpickle.dumps(kern)) < 16_384

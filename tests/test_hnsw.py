@@ -2881,3 +2881,57 @@ def test_stream_ingests_through_split(spark, emb, tmp_path):
     ]
     got.sort(key=lambda t: (-t[1], t[0]))
     assert got == _flat(emb, qv)
+
+
+def test_split_preserves_router_quality(spark, tmp_path):
+    """r12, the capacity protocol's recall claim: splitting a cell
+    must not degrade the centroid router — post-split, P=1 routing
+    over the finer table still recovers (nearly) the exact top-k on
+    clustered data, and P=S stays the exact identity."""
+    from chromem_go_spark.operators import hnsw as H
+
+    df = _clustered_df(spark)
+    qrows = df.filter(F.col("vec_id") % 50 == 3).collect()
+    qids = [str(r["vec_id"]) for r in qrows]
+    qvs = [list(r["embedding"]) for r in qrows]
+    exact = {}
+    for r in K.knn_block(
+        df, qids, qvs, 10, vec_col="embedding", id_col="vec_id"
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q])
+            for q in exact
+        ) / len(exact)
+
+    sroot = str(tmp_path / "split_router")
+    m = H.build_sharded_hnsw(
+        df, sroot, n_shards=4, M=8, ef_construction=64,
+        shard_by="centroid",
+    )
+    per = max(n for _, n in m["shards"])
+    sh = H.ShardedHNSW.load(sroot)
+    r_pre = recall(
+        sh.search_batch(spark, qids, qvs, 10, ef=per,
+                        shards_probed=1).collect()
+    )
+    hot = max(m["shards"], key=lambda t: t[1])[0]
+    H.split_shard(spark, sroot, hot)
+    sh2 = H.ShardedHNSW.load(sroot)
+    r_post = recall(
+        sh2.search_batch(spark, qids, qvs, 10, ef=per,
+                         shards_probed=1).collect()
+    )
+    # the finer routing table must not lose the blobs: post-split P=1
+    # recall holds (2-means separates whole blobs, so each query's
+    # nearest sub-centroid still owns its blob)
+    assert r_post >= min(r_pre, 0.9) - 0.05
+    r_all = recall(
+        sh2.search_batch(spark, qids, qvs, 10, ef=per).collect()
+    )
+    assert r_all == 1.0
