@@ -868,6 +868,7 @@ def sharded_hnsw_append_sink(
     query_name: str = "sharded_hnsw_ingest",
     op_col: str | None = None,
     seq_col: str | None = None,
+    auto_split: bool = False,
 ):
     """foreachBatch sink growing a SHARDED HNSW root (r10 — closes the
     r9 gap: a user who adopted the sharded tier for capacity could not
@@ -907,7 +908,12 @@ def sharded_hnsw_append_sink(
     keeps ingesting through the split (a split racing a trigger's
     fold fails that trigger via ``SplitRacedError``; the replay
     routes by the post-split table, already-committed shards skip by
-    watermark).  Hash roots place uniformly and cannot run hot —
+    watermark).  ``auto_split=True`` runs that protocol for you:
+    after each trigger's fold, any cell past 90% of the cap splits
+    INSIDE the handle — race-free by construction under the
+    single-ingest-writer contract (appends only happen inside the
+    handle, and the handle runs serially), at the cost of the
+    split's rebuild wall landing on that trigger.  Hash roots place uniformly and cannot run hot —
     rebuild with more shards (capacity is n_shards × cap; the
     unbounded regime belongs to ivf_append_sink).
 
@@ -1116,7 +1122,13 @@ def sharded_hnsw_append_sink(
             for s0, n0 in folded["shards"]
             if int(n0) > 0.9 * cap
         ]
-        if hot:
+        if hot and auto_split and shard_by == "centroid":
+            # between-batch maintenance window: nothing else writes
+            # under the single-ingest-writer contract, so the split
+            # cannot race this stream's own appends
+            for s0, _n0 in hot:
+                H.split_shard(batch_df.sparkSession, root, s0)
+        elif hot:
             import warnings
 
             warnings.warn(

@@ -2935,3 +2935,79 @@ def test_split_preserves_router_quality(spark, tmp_path):
         sh2.search_batch(spark, qids, qvs, 10, ef=per).collect()
     )
     assert r_all == 1.0
+
+
+def test_sink_auto_split_grows_capacity(spark, emb, tmp_path):
+    """auto_split=True: a cell crossing 90% of the per-shard cap
+    splits at the end of that trigger (race-free — the handle is the
+    only writer), so the stream outlives the cap it would otherwise
+    die on; all points stay served exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    n_total = emb.count()
+    half = n_total // 2
+    # built cells sit at ~half/2 each; cap chosen so streamed growth
+    # crosses the 90% warning line after roughly one 40-row trigger
+    # per cell — the split then runs BETWEEN triggers, before the cap
+    # could fail a later append
+    cap = int(half * 0.6)
+    root = str(tmp_path / "autosplit_root")
+    m0 = H.build_sharded_hnsw(
+        emb.filter(F.col("vec_id") < half), root, n_shards=2, M=8,
+        ef_construction=64, shard_by="centroid",
+        max_points_per_shard=cap,
+    )
+    base_alloc = int(m0["n_shards"])
+    rows = emb.filter(F.col("vec_id") >= half).collect()
+    d = tmp_path / "autosplit_events"
+    d.mkdir()
+    for fi in range(0, len(rows), 40):
+        chunk = rows[fi:fi + 40]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        [int(r["vec_id"]) for r in chunk], pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [[float(x) for x in r["embedding"]]
+                         for r in chunk],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            str(d / f"b{fi:04d}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_available_now(
+        sharded_hnsw_append_sink(
+            stream, root, str(tmp_path / "autosplit_ckpt"),
+            auto_split=True,
+        )
+    )
+    m1 = H.load_sharded_meta(root)
+    assert sum(n for _, n in m1["shards"]) == n_total
+    # at least one split ran: allocation counter advanced and some
+    # cell was retired
+    assert m1["n_shards"] > base_alloc
+    assert m1.get("retired")
+    qv = _qv(emb, 2)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=n_total
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)
