@@ -1849,6 +1849,29 @@ def split_shard(
     return fresh
 
 
+def gc_retired_shards(root: str) -> list[int]:
+    """Remove the on-disk dirs of RETIRED shards (cells a
+    ``split_shard`` replaced).  Splits leave the source dir on disk by
+    default so an in-flight reader that resolved the pre-split
+    manifest can finish its walk; run this once no reader can hold a
+    pre-split view (the same quiesce call the caller makes for
+    ``drop_source_dir=True``).  Idempotent — already-removed dirs are
+    skipped; the manifest's ``retired`` list is kept (it is the fold
+    guard's refusal set, not a disk inventory).  Returns the shard ids
+    whose dirs were removed."""
+    import os
+    import shutil
+
+    meta = load_sharded_meta(root)
+    removed = []
+    for s0 in meta.get("retired", []):
+        d = _shard_dir(root, int(s0))
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(int(s0))
+    return removed
+
+
 def _load_shard_graph(root: str, shard: int) -> HNSWIndex:
     """Resolve + load one shard's committed graph through the serve
     cache, with ONE re-resolve on FileNotFoundError (r11, ADVICE): the

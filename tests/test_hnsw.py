@@ -3011,3 +3011,29 @@ def test_sink_auto_split_grows_capacity(spark, emb, tmp_path):
     ]
     got.sort(key=lambda t: (-t[1], t[0]))
     assert got == _flat(emb, qv)
+
+
+def test_gc_retired_shards(spark, emb, tmp_path):
+    """Retired source dirs are GC-able once readers quiesce; serving
+    is unaffected (the manifest never referenced them post-split)."""
+    import os
+
+    from chromem_go_spark.operators import hnsw as H
+
+    root, m = _centroid_root(spark, emb, tmp_path, "gc_root")
+    src = max(m["shards"], key=lambda t: t[1])[0]
+    H.split_shard(spark, root, src)
+    assert os.path.isdir(H._shard_dir(root, src))
+    assert H.gc_retired_shards(root) == [src]
+    assert not os.path.isdir(H._shard_dir(root, src))
+    assert H.gc_retired_shards(root) == []  # idempotent
+    qv = _qv(emb, 4)
+    total = sum(n for _, n in H.load_sharded_meta(root)["shards"])
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=total
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)

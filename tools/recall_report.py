@@ -550,67 +550,78 @@ def centroid_probe_section(spark, clustered_dir: str) -> list[str]:
             len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
         ) / len(exact)
 
-    n_shards, M, efc = 16, 16, 200
-    handles = {}
+    M, efc = 16, 200
+    lines = [
+        f"## Centroid-root shards_probed sweep on a CLUSTERED corpus (`{clustered_dir}`, {n} vectors — r12)",
+        "",
+        "The hash-root sweeps above measure the router on a",
+        "near-uniform corpus — the worst case, where pruning",
+        "necessarily collapses to the P/S floor.  Semantic",
+        "sharding's operating claim needs a corpus with",
+        "structure: 64 planted Gaussian blobs (within-blob cosine",
+        "~0.5, cross-blob ~0.0 — tools/gen_corpus.py",
+        "--clustered), CENTROID roots at SERVED DEFAULTS",
+        f"(M={M}, ef_c={efc}) at TWO shard counts (S=64 puts each",
+        "cell at ~1 blob — the finest routing the structure",
+        "supports), a hash root on the same corpus as the control.",
+        "'exhaustive' = per-shard ef >= shard size (pruning loss",
+        "alone).",
+        "",
+    ]
     roots = []
     try:
-        for kind in ("centroid", "hash"):
-            sroot = tempfile.mkdtemp(prefix=f"recall_cprobe_{kind}_")
-            roots.append(sroot)
-            m = build_sharded_hnsw(
-                emb, sroot, n_shards=n_shards, M=M, ef_construction=efc,
-                shard_by=kind,
-            )
-            handles[kind] = (
-                ShardedHNSW.load(sroot),
-                max(cnt for _, cnt in m["shards"]),
-            )
-        lines = [
-            f"## Centroid-root shards_probed sweep on a CLUSTERED corpus (`{clustered_dir}`, {n} vectors — r12)",
-            "",
-            "The hash-root sweeps above measure the router on a",
-            "near-uniform corpus — the worst case, where pruning",
-            "necessarily collapses to the P/S floor.  Semantic",
-            "sharding's operating claim needs a corpus with",
-            "structure: 64 planted Gaussian blobs (within-blob cosine",
-            "~0.5, cross-blob ~0.0 — tools/gen_corpus.py",
-            "--clustered), a 16-shard CENTROID root at SERVED",
-            f"DEFAULTS (M={M}, ef_c={efc}), a hash root on the same",
-            "corpus as the control.  'exhaustive' = per-shard ef >=",
-            "shard size (pruning loss alone).",
-            "",
-            "| shards probed P | centroid @ef64 | centroid @ef128 |"
-            " centroid @ef=exhaustive | hash @ef64 (control) |",
-            "|---|---|---|---|---|",
-        ]
-        csh, cper = handles["centroid"]
-        hsh, hper = handles["hash"]
-        for p in (1, 2, 4, 8, 16):
-            r64 = recall(
-                csh.search_batch(
-                    spark, qids, qvecs, K_AT, ef=64, shards_probed=p
-                ).collect()
-            )
-            r128 = recall(
-                csh.search_batch(
-                    spark, qids, qvecs, K_AT, ef=128, shards_probed=p
-                ).collect()
-            )
-            rex = recall(
-                csh.search_batch(
-                    spark, qids, qvecs, K_AT, ef=cper, shards_probed=p
-                ).collect()
-            )
-            h64 = recall(
-                hsh.search_batch(
-                    spark, qids, qvecs, K_AT, ef=64, shards_probed=p
-                ).collect()
-            )
-            tag = " (=S)" if p == n_shards else ""
-            lines.append(
-                f"| {p}{tag} | {r64:.3f} | {r128:.3f} | {rex:.3f} |"
-                f" {h64:.3f} |"
-            )
+        for n_shards in (16, 64):
+            handles = {}
+            kinds = ("centroid", "hash") if n_shards == 16 else ("centroid",)
+            for kind in kinds:
+                sroot = tempfile.mkdtemp(prefix=f"recall_cprobe_{kind}_")
+                roots.append(sroot)
+                m = build_sharded_hnsw(
+                    emb, sroot, n_shards=n_shards, M=M,
+                    ef_construction=efc, shard_by=kind,
+                )
+                handles[kind] = (
+                    ShardedHNSW.load(sroot),
+                    max(cnt for _, cnt in m["shards"]),
+                )
+            csh, cper = handles["centroid"]
+            hsh = handles.get("hash", (None, 0))[0]
+            lines += [
+                f"### S = {n_shards} shards",
+                "",
+                "| shards probed P | centroid @ef64 | centroid @ef128 |"
+                " centroid @ef=exhaustive |"
+                + (" hash @ef64 (control) |" if hsh else ""),
+                "|---|---|---|---|" + ("---|" if hsh else ""),
+            ]
+            for p in sorted({1, 2, 4, 8, n_shards // 2, n_shards}):
+                r64 = recall(
+                    csh.search_batch(
+                        spark, qids, qvecs, K_AT, ef=64, shards_probed=p
+                    ).collect()
+                )
+                r128 = recall(
+                    csh.search_batch(
+                        spark, qids, qvecs, K_AT, ef=128, shards_probed=p
+                    ).collect()
+                )
+                rex = recall(
+                    csh.search_batch(
+                        spark, qids, qvecs, K_AT, ef=cper, shards_probed=p
+                    ).collect()
+                )
+                tag = " (=S)" if p == n_shards else ""
+                row = f"| {p}{tag} | {r64:.3f} | {r128:.3f} | {rex:.3f} |"
+                if hsh:
+                    h64 = recall(
+                        hsh.search_batch(
+                            spark, qids, qvecs, K_AT, ef=64,
+                            shards_probed=p,
+                        ).collect()
+                    )
+                    row += f" {h64:.3f} |"
+                lines.append(row)
+            lines.append("")
         lines += [
             "",
             "On clustered data the centroid router holds recall at",
@@ -622,7 +633,10 @@ def centroid_probe_section(spark, clustered_dir: str) -> list[str]:
             "column lives in SCALE.md's clustered-root serve table).",
             "On a corpus with NO structure, use a hash root and",
             "P = S — the hash sweeps above are that regime's honest",
-            "numbers.",
+            "numbers.  The S=64 table is the scale direction: finer",
+            "cells (~1 blob each) HOLD the P<<S recall while the",
+            "per-probe walk shrinks — the router's pruning quality",
+            "follows the data's structure, not the shard count.",
             "",
         ]
         return lines
