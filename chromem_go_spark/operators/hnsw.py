@@ -1670,10 +1670,23 @@ def _make_split_kernel(root, src, new_ids, M, efc, seed, cap):
                 )
             nodes = idx._live_nodes_list()
             ids = [idx.ids[i] for i in nodes]
-            vecs = idx.vectors[nodes].astype(np.float64)
-            cents = A._kmeans(vecs, 2, seed=seed)
+            vecs = idx.vectors[nodes]  # stored dtype (f32) — no copy
+            # fit the 2-means on a BOUNDED sample (the IVF trainers'
+            # rule): at the 1M-point cap a full-cell f64 fit would
+            # transiently copy cells-x-dim x8 bytes (~12 GB at dim
+            # 1536); 16k rows pin the two sub-centroids just as well
+            rng = np.random.default_rng(seed)
+            fit_n = min(len(nodes), 16_384)
+            fit_idx = (
+                rng.choice(len(nodes), size=fit_n, replace=False)
+                if len(nodes) > fit_n
+                else np.arange(len(nodes))
+            )
+            cents = A._kmeans(
+                vecs[fit_idx].astype(np.float64), 2, seed=seed
+            )
             assign = (
-                np.argmax(vecs @ cents.T, axis=1)
+                np.argmax(vecs @ cents.T.astype(vecs.dtype), axis=1)
                 if cents.shape[0] > 1
                 else np.zeros(len(nodes), dtype=np.int64)
             )
