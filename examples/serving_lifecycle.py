@@ -131,6 +131,33 @@ def main() -> None:
         f"connected={grown.check_connected()}"
     )
 
+    # ---- r12: the sharded CENTROID root's capacity lifecycle.
+    # Semantic sharding routes each query to its P nearest cells
+    # (shards_probed — recall/cost tables in RECALL.md / SCALE.md);
+    # when drift overfills a cell, split_shard rebuilds it into two
+    # sub-cells (kill/replay-safe) — or the ingest sink does it for
+    # you (auto_split=True) when a cell crosses 90% of the cap.
+    emb_df = base  # 64 vectors from above
+    sh_root = os.path.join(root, "sharded")
+    m = H.build_sharded_hnsw(
+        emb_df, sh_root, n_shards=4, M=8, ef_construction=64,
+        shard_by="centroid",
+    )
+    sh = H.ShardedHNSW.load(sh_root)
+    qv = [0.5] * 8
+    routed = sh.search_batch(spark, ["q0"], [qv], 3, ef=64,
+                             shards_probed=2)
+    print("centroid root, P=2 of 4 cells probed:")
+    routed.show(3, truncate=False)
+    hot = max(m["shards"], key=lambda t: t[1])[0]
+    m2 = H.split_shard(spark, sh_root, hot)
+    print(
+        f"split cell {hot}: now {len(m2['shards'])} active cells, "
+        f"retired={m2['retired']}, points conserved="
+        f"{sum(n for _, n in m2['shards']) == emb_df.count()}"
+    )
+    H.gc_retired_shards(sh_root)  # after readers quiesce
+
 
 if __name__ == "__main__":
     main()
