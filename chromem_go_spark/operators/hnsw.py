@@ -1792,6 +1792,11 @@ def split_shard(
         int(x) for x in meta.get("retired", [])
     }:
         raise ValueError(f"shard {src} is not an active cell of {root}")
+    if counts[src] == 0:
+        raise ValueError(
+            f"shard {src} has no live points — nothing to split "
+            "(a drained cell frees capacity via compact, not split)"
+        )
     base = int(meta["n_shards"])
     new_ids = (base, base + 1)
     if seed is None:
@@ -1831,6 +1836,10 @@ def split_shard(
             src not in cur
             or src in {int(x) for x in fresh.get("retired", [])}
             or gen_now != src_gen
+            # allocation check: a concurrent split (out of the
+            # single-maintenance-writer contract) already claimed
+            # these sub-cell ids — abort rather than collide
+            or int(fresh["n_shards"]) != base
         ):
             _cleanup()
             raise SplitRacedError(
