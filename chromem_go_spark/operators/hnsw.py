@@ -1598,17 +1598,21 @@ def delete_sharded_ids(spark: SparkSession, root: str, ids: Sequence) -> dict:
     """Logical delete across a sharded root — :meth:`HNSWIndex.
     delete_ids` fanned out over the shards (each task tombstones its
     shard's intersection with the id set and commits a fresh
-    generation; untouched shards commit nothing).  The id set is
-    shipped whole to every task: shard membership is not recoverable
-    from an id alone (hash placement runs in the JVM, centroid
-    placement needs the vector), and deletes are the infrequent
-    maintenance path.  Manifest live counts/centroids re-fold at the
+    generation; untouched shards commit nothing).  Every shard must
+    see the whole id set (shard membership is not recoverable from an
+    id alone: hash placement runs in the JVM, centroid placement
+    needs the vector), so it ships as ONE broadcast fetched per
+    executor (r12 — the same shipping contract as the walk path's
+    query batch; pre-r12 it rode every task's closure, re-pickled per
+    shard).  Manifest live counts/centroids re-fold at the
     end — the exact-ef mapping over ``ShardedHNSW.n_points()`` stays
     correct.  Returns the updated manifest."""
-    want = {i.item() if hasattr(i, "item") else i for i in ids}
+    want_bc = spark.sparkContext.broadcast(
+        {i.item() if hasattr(i, "item") else i for i in ids}
+    )
 
     def mutate(idx: HNSWIndex) -> bool:
-        return idx.delete_ids(want) > 0
+        return idx.delete_ids(want_bc.value) > 0
 
     return _mutate_shards(spark, root, mutate)
 
