@@ -670,3 +670,81 @@ def test_hnsw_eligibility_walk_is_exact_at_ef_live_n(
     assert [(i, round(s, 9)) for i, s in got] == [
         (i, round(s, 9)) for i, s in want
     ]
+
+
+# ------------------------------------------- split_shard kernel (r12)
+#
+# Spark-free property: the split kernel's conservation invariant on
+# RANDOM corpora with random tombstone sets — the sub-cells' id sets
+# PARTITION the source's live set (no loss, no duplication), each
+# sub-graph is layer-0 connected, and exact search over the union of
+# sub-graphs equals exact search over the live source.
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=48),       # corpus size
+    st.integers(min_value=2, max_value=6),        # dim
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+    st.sets(st.integers(min_value=0, max_value=47)),  # tombstones
+)
+def test_split_kernel_partitions_live_set(tmp_path_factory, n, dim,
+                                          seed, dele):
+    import os
+
+    import pandas as pd
+
+    from chromem_go_spark.operators.hnsw import (
+        HNSWIndex,
+        _make_split_kernel,
+        _read_live,
+        _shard_dir,
+        load_snapshot,
+    )
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, dim))
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ids = list(range(n))
+    g = HNSWIndex.build_local(ids, [list(v) for v in mat], M=4,
+                              ef_construction=16)
+    dele_eff = {i for i in dele if i < n}
+    if len(dele_eff) >= n:  # keep at least one live point
+        dele_eff = set(list(dele_eff)[: n - 1])
+    g.delete_ids(dele_eff)
+    live = set(ids) - dele_eff
+    root = str(tmp_path_factory.mktemp("splitprop"))
+    src = 0
+    g.save(_shard_dir(root, src))
+    kernel = _make_split_kernel(root, src, (1, 2), 4, 16, int(seed) % 997,
+                                1_000_000)
+    rows = pd.concat(list(kernel([pd.DataFrame({"shard": [src]})])))
+    subs = rows[rows["n_points"] >= 0]
+    assert int(subs["n_points"].sum()) == len(live)
+    union_ids: set = set()
+    union_found = []
+    q = rng.standard_normal(dim)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    for s0 in (1, 2):
+        sdir = _shard_dir(root, s0)
+        if not _read_live(sdir) and not os.path.exists(
+            os.path.join(sdir, "graph.npz")
+        ):
+            continue  # empty sub-cell: never snapshotted
+        sub, _ = load_snapshot(sdir)
+        assert sub.check_connected()
+        sub_ids = set(sub.ids)
+        assert not (union_ids & sub_ids), "sub-cells must not overlap"
+        union_ids |= sub_ids
+        union_found += sub.search(list(q), k=10, ef=sub.n_points())
+    assert union_ids == live
+    union_found.sort(key=lambda t: (-round(t[1], 9), t[0]))
+    want = sorted(
+        ((i, float(mat[i] @ qn)) for i in live),
+        key=lambda t: (-round(t[1], 9), t[0]),
+    )[:10]
+    got = [(i, round(s_, 6)) for i, s_ in union_found[:10]]
+    assert got == [(i, round(s_, 6)) for i, s_ in want]
