@@ -109,12 +109,24 @@ def _kmeans(sample: np.ndarray, n_clusters: int, seed: int = 42, n_iter: int = 2
     return cents
 
 
-def _assign_clusters(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFrame:
+def _assign_clusters(
+    df: DataFrame,
+    cents: np.ndarray,
+    vec_col: str,
+    ids: np.ndarray | None = None,
+) -> DataFrame:
     """Nearest-centroid assignment as one GEMM-argmax per Arrow batch
     (``mapInPandas``). Rendering the centroid matrix as Catalyst literal
     arrays (n_clusters x dim literal nodes) generates code that blows out
     the JVM code cache and degrades the whole session; the kernel keeps
-    the plan a single node and the math one ``mat @ cents.T``."""
+    the plan a single node and the math one ``mat @ cents.T``.
+
+    ``ids`` (r12) optionally maps the argmax INDEX to an arbitrary id
+    per row (``cluster_id = ids[argmax]``) — the sharded sink's
+    sparse active-cell routing, done here in NumPy for the same
+    reason: an ``element_at(array(<lits>), ...)`` mapping would
+    re-grow a Catalyst literal with the active-cell count as splits
+    accumulate."""
     import pandas as pd
 
     fields = ", ".join(
@@ -122,6 +134,7 @@ def _assign_clusters(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFram
     )
     out_schema = f"{fields}, cluster_id int"
     cmat = cents.T.copy()  # (dim, n_clusters)
+    idmap = None if ids is None else np.asarray(ids, dtype=np.int32)
 
     def gen(batches):
         for pdf in batches:
@@ -129,7 +142,10 @@ def _assign_clusters(df: DataFrame, cents: np.ndarray, vec_col: str) -> DataFram
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             pdf = pdf.copy()
-            pdf["cluster_id"] = np.argmax(mat @ cmat, axis=1).astype(np.int32)
+            arg = np.argmax(mat @ cmat, axis=1)
+            pdf["cluster_id"] = (
+                idmap[arg] if idmap is not None else arg.astype(np.int32)
+            )
             yield pdf
 
     return df.mapInPandas(gen, out_schema)

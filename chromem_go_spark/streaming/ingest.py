@@ -1050,18 +1050,17 @@ def sharded_hnsw_append_sink(
             F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)
         )
         if assign_cents is not None:
+            import numpy as np
+
             from ..operators.ann import _assign_clusters
 
-            # argmax index -> active shard id (sparse after splits)
-            shard_of = F.element_at(
-                F.array(*[F.lit(a) for a in active]),
-                F.col("cluster_id") + F.lit(1),
-            )
-            routed = (
-                _assign_clusters(ups, assign_cents, vec_col)
-                .withColumn("__shard", shard_of)
-                .drop("cluster_id")
-            )
+            # argmax index -> active shard id (sparse after splits),
+            # mapped INSIDE the NumPy kernel: a Catalyst
+            # element_at(array(<lits>)) would re-grow a literal with
+            # the active-cell count as splits accumulate
+            routed = _assign_clusters(
+                ups, assign_cents, vec_col, ids=np.asarray(active)
+            ).withColumnRenamed("cluster_id", "__shard")
             if dels is not None:
                 all_shards = F.explode(
                     F.array(*[F.lit(j) for j in active])
