@@ -3037,3 +3037,81 @@ def test_gc_retired_shards(spark, emb, tmp_path):
     ]
     got.sort(key=lambda t: (-t[1], t[0]))
     assert got == _flat(emb, qv)
+
+
+def test_split_raced_trigger_heals_on_replay(spark, emb, tmp_path,
+                                             monkeypatch):
+    """The fold-refusal contract end to end: a trigger whose manifest
+    fold raises SplitRacedError fails that batch; re-running the
+    stream from the same checkpoint replays it — already-committed
+    shards skip by watermark, the fold re-runs clean, and every row
+    is served exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    n_total = emb.count()
+    half = n_total // 2
+    root, _ = _centroid_root(
+        spark, emb.filter(F.col("vec_id") < half), tmp_path, "heal_root"
+    )
+    rows = emb.filter(F.col("vec_id") >= half).collect()
+    d = tmp_path / "heal_events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(
+                    [int(r["vec_id"]) for r in rows], pa.int64()
+                ),
+                "embedding": pa.array(
+                    [[float(x) for x in r["embedding"]] for r in rows],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        str(d / "b0.parquet"),
+    )
+    ckpt = str(tmp_path / "heal_ckpt")
+
+    real_bump = H.bump_sharded_manifest
+    state = {"failed": False}
+
+    def flaky_bump(*a, **kw):
+        if not state["failed"]:
+            state["failed"] = True
+            raise H.SplitRacedError("injected: shard retired mid-batch")
+        return real_bump(*a, **kw)
+
+    monkeypatch.setattr(H, "bump_sharded_manifest", flaky_bump)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).parquet(str(d))
+        )
+        run_available_now(
+            sharded_hnsw_append_sink(stream, root, ckpt)
+        )
+
+    with pytest.raises(Exception, match="injected"):
+        run_once()
+    assert state["failed"]
+    run_once()  # replay from the same checkpoint heals
+    m = H.load_sharded_meta(root)
+    assert sum(n for _, n in m["shards"]) == n_total
+    qv = _qv(emb, 6)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=n_total
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)
