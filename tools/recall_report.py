@@ -663,8 +663,10 @@ def centroid_probe_section(spark, clustered_dir: str) -> list[str]:
             "live whole inside cells), while the hash control decays",
             "as ~P/S exactly as the uniform physics predicts.  This",
             "is the operating point `shards_probed` is FOR: P=1-2 at",
-            ">= 0.9 recall cuts per-batch walk cost 8-16x (the wall",
-            "column lives in SCALE.md's clustered-root serve table).",
+            ">= 0.9 recall cuts the shards WALKED per query 8-64x;",
+            "measured wall at 1024 queries shrinks 3.8x at S=16 and",
+            "4.7x at S=64 (fixed per-batch overhead dilutes the work",
+            "cut — SCALE.md's clustered-root serve table).",
             "On a corpus with NO structure, use a hash root and",
             "P = S — the hash sweeps above are that regime's honest",
             "numbers.  The S=64 table is the scale direction: finer",
