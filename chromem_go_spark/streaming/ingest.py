@@ -844,7 +844,7 @@ def _make_append_shard_kernel(
             # routing shuffle) so same-id op sequences reduce
             # last-write-wins in that order
             pdf = pdf.sort_values("__seq")
-        n, cent = H.append_shard_batch(
+        n, cent, nodes = H.append_shard_batch(
             H._shard_dir(root, shard), bid,
             list(pdf[id_col]), list(pdf[vec_col]),
             id_col=id_col, M=M, ef_construction=efc,
@@ -852,7 +852,12 @@ def _make_append_shard_kernel(
             new_ops=list(pdf["__op"]) if op_col else None,
         )
         return pd.DataFrame(
-            {"shard": [shard], "n_points": [n], "centroid": [cent]}
+            {
+                "shard": [shard],
+                "n_points": [n],
+                "centroid": [cent],
+                "n_nodes": [nodes],
+            }
         )
 
     return append_shard
@@ -869,6 +874,7 @@ def sharded_hnsw_append_sink(
     op_col: str | None = None,
     seq_col: str | None = None,
     auto_split: bool = False,
+    split_at: float = 0.75,
 ):
     """foreachBatch sink growing a SHARDED HNSW root (r10 — closes the
     r9 gap: a user who adopted the sharded tier for capacity could not
@@ -903,19 +909,40 @@ def sharded_hnsw_append_sink(
     sessions so the exact-ef ``n_points`` mapping tracks the grown
     corpus.  A shard outgrowing ``max_points_per_shard`` fails the
     stream loudly; the sink warns at 90% of the cap first.  Capacity
-    protocol (r12): on a CENTROID root run ``hnsw.split_shard`` on
-    the hot cell — the sink re-reads the manifest every trigger and
-    keeps ingesting through the split (a split racing a trigger's
-    fold fails that trigger via ``SplitRacedError``; the replay
-    routes by the post-split table, already-committed shards skip by
-    watermark).  ``auto_split=True`` runs that protocol for you:
-    after each trigger's fold, any cell past 90% of the cap splits
-    INSIDE the handle — race-free by construction under the
-    single-ingest-writer contract (appends only happen inside the
-    handle, and the handle runs serially), at the cost of the
-    split's rebuild wall landing on that trigger.  Hash roots place uniformly and cannot run hot —
-    rebuild with more shards (capacity is n_shards × cap; the
+    is measured in NODES — tombstones included (r13, ADVICE: the cap
+    itself binds on total nodes, so a churny CDC cell could die at
+    the cap while its live count looked safe); the check reads each
+    touched shard's post-commit node count, which covers every shard
+    that can ever bind (a shard only grows on a trigger that touches
+    it).  Capacity protocol (r12): on a CENTROID root run
+    ``hnsw.split_shard`` on the hot cell — the sink re-reads the
+    manifest every trigger and keeps ingesting through the split (a
+    split racing a trigger's fold fails that trigger via
+    ``SplitRacedError``; the replay routes by the post-split quantizer
+    tree, already-committed shards skip by watermark).
+    ``auto_split=True`` runs that protocol for you: after each
+    trigger's fold, any cell past ``split_at`` of the cap (default
+    0.75 — r13: splitting EARLY keeps the in-trigger rebuild wall
+    small, since split cost is linear in cell size; SCALE.md has the
+    wall-vs-size curve) splits INSIDE the handle — race-free by
+    construction under the single-ingest-writer contract (appends
+    only happen inside the handle, and the handle runs serially).  A
+    hot cell whose nodes are MOSTLY TOMBSTONES (live < 50% of nodes)
+    is compacted instead of split — the capacity pressure is churn,
+    not growth, and a split of a near-drained cell would burn two
+    shard ids on noise.  Hash roots place uniformly and cannot run
+    hot — rebuild with more shards (capacity is n_shards × cap; the
     unbounded regime belongs to ivf_append_sink).
+
+    Placement on centroid roots follows the FROZEN QUANTIZER TREE
+    (``hnsw.load_routing_table``, r13): base cells keep their exact
+    build-time centroids (retired ones included), splits only refine
+    — so a replayed row re-routes to the cell (or descendant
+    sub-cell) holding its committed copy, where the inherited
+    watermark skips it.  Routing by the flat active table would break
+    exactly-once across splits (the r12 ADVICE medium finding: a
+    replayed row could land in a third cell whose watermark never saw
+    the batch).
 
     Repeat batches are warm: each shard task serves its graph from
     the commit-keyed worker cache (``hnsw.append_shard_batch`` /
@@ -979,39 +1006,30 @@ def sharded_hnsw_append_sink(
     cap = int(meta0.get("max_points_per_shard", 1_000_000))
     shard_by = meta0.get("shard_by", "hash")
 
-    def _centroid_table():
-        # centroid roots route by the manifest's FROZEN assignment
-        # centroids (r11) — the same nearest-centroid rule the build
-        # used, so a point streams into the cell a rebuild would have
-        # placed it in (the frozen-quantizer contract of
-        # IVFIndex.append_batch, one level up).  Re-read EVERY trigger
-        # (r12): a split_shard between triggers retires a hot cell
-        # and registers two sub-cells — the active table is SPARSE
-        # (retired ids absent), so routing maps the argmax index back
-        # through the active id list.  One small JSON read per
-        # trigger; the split race WITHIN a trigger is closed by
-        # bump_sharded_manifest's retired-shard refusal (the trigger
-        # fails, the replay routes by the new table).
-        import numpy as np
-
+    def _routing_meta():
+        # centroid roots route by the manifest's FROZEN quantizer tree
+        # (r13 — hnsw.load_routing_table: build-time assignment
+        # centroids, refined by split descent edges; see the docstring
+        # for why flat-active routing broke exactly-once across
+        # splits).  Re-read EVERY trigger (r12): a split_shard between
+        # triggers retires a hot cell and registers two sub-cells.
+        # One small JSON read per trigger; the split race WITHIN a
+        # trigger is closed by bump_sharded_manifest's retired-shard
+        # refusal (the trigger fails, the replay routes by the new
+        # tree).
         m = H.load_sharded_meta(root)
-        cents_map = m.get("centroids") or {}
-        active = sorted(int(j) for j in cents_map)
-        return active, np.asarray(
-            [cents_map[str(j)] for j in active], dtype=np.float64
-        )
+        H.load_routing_table(m)  # refuse a table-less root loudly
+        return m
 
     if shard_by == "centroid":
-        _centroid_table()  # refuse a root with no routing table early
+        _routing_meta()  # refuse a root with no routing table early
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
         append_shard = _make_append_shard_kernel(
             root, bid, id_col, vec_col, M, efc, seed, cap, op_col
         )
-        active, assign_cents = (
-            _centroid_table() if shard_by == "centroid" else (None, None)
-        )
+        meta_now = _routing_meta() if shard_by == "centroid" else None
 
         # no isEmpty() pre-check (r11, ADVICE): it was one extra Spark
         # job per trigger, and an empty batch already no-ops through
@@ -1049,19 +1067,16 @@ def sharded_hnsw_append_sink(
         hash_shard = F.pmod(
             F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)
         )
-        if assign_cents is not None:
-            import numpy as np
-
-            from ..operators.ann import _assign_clusters
-
-            # argmax index -> active shard id (sparse after splits),
-            # mapped INSIDE the NumPy kernel: a Catalyst
-            # element_at(array(<lits>)) would re-grow a literal with
-            # the active-cell count as splits accumulate
-            routed = _assign_clusters(
-                ups, assign_cents, vec_col, ids=np.asarray(active)
-            ).withColumnRenamed("cluster_id", "__shard")
+        if meta_now is not None:
+            # frozen-tree placement (r13): one GEMM-argmax + bounded
+            # split descent per Arrow batch, inside the NumPy kernel
+            # (a Catalyst rendering would re-grow literal nodes with
+            # the cell count as splits accumulate)
+            routed = H.route_vectors(ups, meta_now, vec_col)
             if dels is not None:
+                active = sorted(
+                    int(j) for j in (meta_now.get("centroids") or {})
+                )
                 all_shards = F.explode(
                     F.array(*[F.lit(j) for j in active])
                 )
@@ -1099,48 +1114,73 @@ def sharded_hnsw_append_sink(
             routed.groupBy("__shard")
             .applyInPandas(
                 append_shard,
-                "shard int, n_points long, centroid array<double>",
+                "shard int, n_points long, centroid array<double>, "
+                "n_nodes long",
             )
             .collect()
         )
         if not rows:
             return
-        folded = H.bump_sharded_manifest(
+        H.bump_sharded_manifest(
             root,
             {int(r["shard"]): int(r["n_points"]) for r in rows},
             centroids={
                 int(r["shard"]): list(r["centroid"] or []) for r in rows
             },
         )
-        # pre-failure capacity warning (r12): the cap failing the
-        # stream is loud but late — surface cells past 90% so the
-        # operator can split_shard (centroid roots) or rebuild with
-        # more shards (hash roots) BEFORE ingest dies
-        hot = [
-            (int(s0), int(n0))
-            for s0, n0 in folded["shards"]
-            if int(n0) > 0.9 * cap
-        ]
-        if hot and auto_split and shard_by == "centroid":
+        # capacity check (r12; r13 rework): measured in NODES
+        # (tombstones included — what the cap binds on, ADVICE), per
+        # TOUCHED shard (a shard only grows on a trigger that touches
+        # it, so this covers every shard that can bind), against the
+        # touched rows rather than the manifest (the manifest folds
+        # live counts only — by design: it drives the exact-ef
+        # mapping over what search can return)
+        by_nodes = {
+            int(r["shard"]): (int(r["n_nodes"]), int(r["n_points"]))
+            for r in rows
+        }
+        if auto_split and shard_by == "centroid":
             # between-batch maintenance window: nothing else writes
-            # under the single-ingest-writer contract, so the split
-            # cannot race this stream's own appends
-            for s0, _n0 in hot:
-                H.split_shard(batch_df.sparkSession, root, s0)
-        elif hot:
-            import warnings
+            # under the single-ingest-writer contract, so the
+            # split/compact cannot race this stream's own appends.
+            # split_at defaults WELL below the cap (r13): split cost
+            # is linear in cell size, so splitting early bounds the
+            # in-trigger rebuild wall (SCALE.md wall-vs-size curve)
+            for s0, (nodes, live) in sorted(by_nodes.items()):
+                if nodes <= split_at * cap:
+                    continue
+                if live * 2 < nodes:
+                    # capacity pressure is CHURN, not growth: a
+                    # live-only rebuild frees the tombstone nodes;
+                    # splitting a near-drained cell would burn two
+                    # shard ids on noise
+                    H.compact_sharded_hnsw(
+                        batch_df.sparkSession, root, shards=[s0]
+                    )
+                else:
+                    H.split_shard(batch_df.sparkSession, root, s0)
+        else:
+            hot = [
+                (s0, nodes)
+                for s0, (nodes, _live) in sorted(by_nodes.items())
+                if nodes > 0.9 * cap
+            ]
+            if hot:
+                import warnings
 
-            warnings.warn(
-                f"sharded HNSW root {root}: shard(s) {hot} exceed 90% "
-                f"of max_points_per_shard={cap}; "
-                + (
-                    "run split_shard before the cap fails the stream"
-                    if shard_by == "centroid"
-                    else "rebuild with more shards before the cap "
-                    "fails the stream"
-                ),
-                stacklevel=2,
-            )
+                warnings.warn(
+                    f"sharded HNSW root {root}: shard(s) {hot} exceed "
+                    f"90% of max_points_per_shard={cap} (in nodes, "
+                    "tombstones included); "
+                    + (
+                        "run split_shard (or compact) before the cap "
+                        "fails the stream"
+                        if shard_by == "centroid"
+                        else "rebuild with more shards before the cap "
+                        "fails the stream"
+                    ),
+                    stacklevel=2,
+                )
 
     return (
         stream_vectors.writeStream.queryName(query_name)

@@ -135,8 +135,12 @@ def main() -> None:
     # Semantic sharding routes each query to its P nearest cells
     # (shards_probed — recall/cost tables in RECALL.md / SCALE.md);
     # when drift overfills a cell, split_shard rebuilds it into two
-    # sub-cells (kill/replay-safe) — or the ingest sink does it for
-    # you (auto_split=True) when a cell crosses 90% of the cap.
+    # sub-cells (kill/replay-safe; the two sub-builds run as parallel
+    # tasks since r13) — or the ingest sink does it for you
+    # (auto_split=True) when a cell crosses split_at (default 0.75)
+    # of the cap in NODES; tombstone-majority hot cells compact
+    # instead.  Ingest routing descends the frozen quantizer tree, so
+    # replays stay exactly-once across splits.
     emb_df = base  # 64 vectors from above
     sh_root = os.path.join(root, "sharded")
     m = H.build_sharded_hnsw(
@@ -156,7 +160,10 @@ def main() -> None:
         f"retired={m2['retired']}, points conserved="
         f"{sum(n for _, n in m2['shards']) == emb_df.count()}"
     )
-    H.gc_retired_shards(sh_root)  # after readers quiesce
+    # r13: GC is min-age guarded — a just-retired dir is refused
+    # while a pre-split reader could still be walking it
+    assert H.gc_retired_shards(sh_root) == []  # inside the window
+    H.gc_retired_shards(sh_root, min_age_s=0)  # explicit override
 
 
 if __name__ == "__main__":

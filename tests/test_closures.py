@@ -108,13 +108,14 @@ def test_sharded_append_kernel_ships_only_scalars():
 def test_split_kernel_ships_only_scalars():
     """split_shard's executor kernel: the cell's points load from the
     shard's committed snapshot inside the task; the closure carries
-    only scalars plus the two pre-allocated sub-cell ids."""
+    only scalars plus the two pre-allocated sub-cell ids (and the
+    staging path — a str)."""
     from pyspark import cloudpickle
 
     from chromem_go_spark.operators.hnsw import _make_split_kernel
 
     kern = _make_split_kernel("/tmp/root", 3, (16, 17), 16, 200, 42,
-                              1_000_000)
+                              1_000_000, "/tmp/root/_split_stage_3")
     cv = _closure_vars(kern)
     new_ids = cv.pop("new_ids", None)
     assert new_ids == (16, 17)

@@ -1043,7 +1043,7 @@ def test_append_shard_batch_cache_replay_and_taint(emb, tmp_path, monkeypatch):
 
     monkeypatch.setattr(H, "load_snapshot", counting_load)
 
-    n, cent = H.append_shard_batch(d, 0, ids[:50], vecs[:50], M=8,
+    n, cent, _nn = H.append_shard_batch(d, 0, ids[:50], vecs[:50], M=8,
                                    ef_construction=64)
     assert n == 50 and loads["n"] == 0  # fresh shard: nothing to load
     assert len(cent) == len(vecs[0])  # shard centroid rides the commit
@@ -1052,7 +1052,7 @@ def test_append_shard_batch_cache_replay_and_taint(emb, tmp_path, monkeypatch):
     set_after_b0 = H._APPEND_CACHE[d][2]
     assert set_after_b0 == set(ids[:50])
     # second batch: live gen is the one THIS process committed — warm
-    n, _ = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
+    n, _, _nn = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
                                 ef_construction=64)
     assert n == 80 and loads["n"] == 0
     # SAME set object, grown in place — no O(shard size) rebuild on a
@@ -1060,7 +1060,7 @@ def test_append_shard_batch_cache_replay_and_taint(emb, tmp_path, monkeypatch):
     assert H._APPEND_CACHE[d][2] is set_after_b0
     assert set_after_b0 == set(ids)
     # replay of batch 1: skipped exactly, still no reload
-    n, _ = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
+    n, _, _nn = H.append_shard_batch(d, 1, ids[50:], vecs[50:], M=8,
                                 ef_construction=64)
     assert n == 80 and loads["n"] == 0
     # the committed snapshot IS the in-memory graph (cache hit was
@@ -1075,7 +1075,7 @@ def test_append_shard_batch_cache_replay_and_taint(emb, tmp_path, monkeypatch):
     # FOREIGN commit (another process bumps the generation): the gen
     # key no longer matches -> disk reload on the next append
     H.save_snapshot(idx, d, last_batch=1)
-    n, _ = H.append_shard_batch(d, 2, ids[:1], vecs[:1], M=8,
+    n, _, _nn = H.append_shard_batch(d, 2, ids[:1], vecs[:1], M=8,
                                 ef_construction=64)
     assert n == 80 and loads["n"] == 1  # dup id dropped, but reloaded
 
@@ -1101,7 +1101,7 @@ def test_append_shard_batch_cache_replay_and_taint(emb, tmp_path, monkeypatch):
     with pytest.raises(OSError, match="injected"):
         H.append_shard_batch(d, 3, eids, evecs, M=8, ef_construction=64)
     assert d not in H._APPEND_CACHE  # tainted entry dropped
-    n, _ = H.append_shard_batch(d, 3, eids, evecs, M=8, ef_construction=64)
+    n, _, _nn = H.append_shard_batch(d, 3, eids, evecs, M=8, ef_construction=64)
     assert n == 90
     idx2, last2 = real_load(d)
     assert idx2.n_points() == 90 and last2 == 3
@@ -1128,7 +1128,7 @@ def test_append_shard_batch_insert_failure_taints_cache(
     vecs = [list(r[1]) for r in rows]
     d = str(tmp_path / "taint_shard")
     H._APPEND_CACHE.clear()
-    n, _ = H.append_shard_batch(d, 0, ids[:40], vecs[:40], M=8,
+    n, _, _nn = H.append_shard_batch(d, 0, ids[:40], vecs[:40], M=8,
                                 ef_construction=64)
     assert n == 40 and d in H._APPEND_CACHE
 
@@ -1151,7 +1151,7 @@ def test_append_shard_batch_insert_failure_taints_cache(
                              ef_construction=64)
     assert d not in H._APPEND_CACHE  # tainted: mutation didn't commit
     # retry reloads the committed 40-point snapshot and applies ONCE
-    n, _ = H.append_shard_batch(d, 1, ids[40:], vecs[40:], M=8,
+    n, _, _nn = H.append_shard_batch(d, 1, ids[40:], vecs[40:], M=8,
                                 ef_construction=64)
     assert n == 60
     idx, last = H.load_snapshot(d)
@@ -1712,7 +1712,7 @@ def test_delete_then_stream_append_does_not_resurrect(emb, tmp_path):
     H.save_snapshot(idx, sdir, last_batch=last)
     H._APPEND_CACHE.pop(sdir, None)  # force the disk path
     vic_vec = dict(rows)[victim]
-    n, _ = append_shard_batch(
+    n, _, _nn = append_shard_batch(
         sdir, 1, [victim, 999], [vic_vec, [0.5] * len(vic_vec)],
         M=8, ef_construction=64,
     )
@@ -1855,7 +1855,7 @@ def test_append_shard_batch_cdc_ops(emb, tmp_path):
     )
     dim = len(rows[0][1])
     new5 = [0.25] * dim
-    n, _ = append_shard_batch(
+    n, _, _nn = append_shard_batch(
         sdir, 1,
         [ids0[0], ids0[5], 999],
         [None, new5, [0.5] * dim],
@@ -1872,7 +1872,7 @@ def test_append_shard_batch_cdc_ops(emb, tmp_path):
     top = idx.search(new5, 1, ef=idx.n_points())
     assert top[0][0] == ids0[5] and top[0][1] > 0.999999
     # resurrect the deleted id with a fresh vector in a later batch
-    n, _ = append_shard_batch(
+    n, _, _nn = append_shard_batch(
         sdir, 2, [ids0[0]], [[0.75] * dim], M=8, ef_construction=64,
         new_ops=["upsert"],
     )
@@ -1881,7 +1881,7 @@ def test_append_shard_batch_cdc_ops(emb, tmp_path):
     top = idx2.search([0.75] * dim, 1, ef=idx2.n_points())
     assert top[0][0] == ids0[0] and top[0][1] > 0.999999
     # replay of batch 1 (at/below watermark): state must not move
-    n, _ = append_shard_batch(
+    n, _, _nn = append_shard_batch(
         sdir, 1, [ids0[0]], [None], M=8, ef_construction=64,
         new_ops=["delete"],
     )
@@ -2125,9 +2125,16 @@ def test_collection_batch_global_filter_served_graph(spark):
 def test_collection_batch_per_query_filters_served_graph(spark, monkeypatch):
     """Per-query filters on a served graph materialize per-query id
     sets in ONE scan and serve from the walks — values equal the flat
-    DSL kernel's, and the graph path actually ran (call-counted)."""
+    DSL kernel's, and the graph path actually ran (call-counted).
+    r13: the graph path is OPT-IN below HNSW_BATCH_FILTER_MIN_POINTS
+    (the measured default is FLAT — SCALE.md corpus-size sweep), so
+    this test opts in explicitly."""
+    from chromem_go_spark.collection import Collection
     from chromem_go_spark.operators.hnsw import HNSWIndex
 
+    monkeypatch.setattr(
+        Collection, "HNSW_BATCH_FILTER_PREFER_GRAPH", True
+    )
     c = _filter_collection(spark, "hnsw_batch_pqf")
     served = c.build_hnsw_index(M=4, ef_construction=32)
     pqf = [
@@ -2161,11 +2168,53 @@ def test_collection_batch_per_query_filters_served_graph(spark, monkeypatch):
     assert calls["n"] == 1  # the graph path served, not the kernel
 
 
+def test_collection_batch_per_query_filters_default_flat(
+    spark, monkeypatch
+):
+    """r13 routing default: below HNSW_BATCH_FILTER_MIN_POINTS a
+    per-query-filtered batch on a served graph routes to the FLAT DSL
+    kernel (the measured winner at every swept corpus size) — the
+    graph's search_batch is never called, values identical."""
+    from chromem_go_spark.operators.hnsw import HNSWIndex
+
+    c = _filter_collection(spark, "hnsw_batch_pqf_flat")
+    served = c.build_hnsw_index(M=4, ef_construction=32)
+    pqf = [{"where": {"lang": "en"}}, None]
+    qvs = [c.embedding_func(t) for t in ("quick", "fox")]
+    want = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, per_query_filters=pqf
+        ).collect()
+    }
+    calls = {"n": 0}
+    orig = HNSWIndex.search_batch
+
+    def counted(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(HNSWIndex, "search_batch", counted)
+    got = {
+        (r["query_id"], r["id"], round(r["similarity"], 6))
+        for r in c.query_batch(
+            query_embeddings=qvs, n_results=3, per_query_filters=pqf,
+            index=served, target_recall=1.0,
+        ).collect()
+    }
+    assert got == want
+    assert calls["n"] == 0  # FLAT served; the walk path stayed cold
+
+
 def test_collection_batch_per_query_budget_falls_back(spark, monkeypatch):
     """Beyond the shipping budget the per-query-filtered batch falls
-    back to the exact FLAT DSL kernel with identical values."""
+    back to the exact FLAT DSL kernel with identical values (graph
+    path opted in, r13)."""
     from chromem_go_spark.collection import Collection
 
+    monkeypatch.setattr(
+        Collection, "HNSW_BATCH_FILTER_PREFER_GRAPH", True
+    )
     c = _filter_collection(spark, "hnsw_batch_pqf_cap")
     served = c.build_hnsw_index(M=4, ef_construction=32)
     monkeypatch.setattr(Collection, "HNSW_FILTER_MAX_IDS", 2)
@@ -2397,12 +2446,12 @@ def test_delete_only_bootstrap_then_upsert(emb, tmp_path):
     )
 
     sdir = str(tmp_path / "del_bootstrap")
-    n, cent = append_shard_batch(
+    n, cent, _nn = append_shard_batch(
         sdir, 0, [1, 2], [None, None], M=8, ef_construction=64,
         new_ops=["delete", "delete"],
     )
     assert n == 0 and cent == []
-    n, _ = append_shard_batch(
+    n, _, _nn = append_shard_batch(
         sdir, 1, [5], [[0.1, 0.2, 0.3]], M=8, ef_construction=64,
         new_ops=["upsert"],
     )
@@ -2556,9 +2605,13 @@ def test_mask_scan_budget_with_unfiltered_query(spark, monkeypatch):
     """An unconstrained query mixed into a filtered batch must not
     blow the shipping budget silently — the materializer declines and
     the flat kernel serves (review: lit(True) used to pass every
-    corpus row into the collect before any budget check)."""
+    corpus row into the collect before any budget check).  Graph path
+    opted in (r13 — the default routes FLAT before materializing)."""
     from chromem_go_spark.collection import Collection
 
+    monkeypatch.setattr(
+        Collection, "HNSW_BATCH_FILTER_PREFER_GRAPH", True
+    )
     c = _filter_collection(spark, "hnsw_pqf_mixed")
     served = c.build_hnsw_index(M=4, ef_construction=32)
     monkeypatch.setattr(Collection, "HNSW_FILTER_MAX_IDS", 4)
@@ -2765,8 +2818,8 @@ def test_split_raced_by_append_aborts(spark, emb, tmp_path, monkeypatch):
     dim = len(emb.head()["embedding"])
     orig = H._make_split_kernel
 
-    def wrapped(root_, src_, new_ids, M, efc, seed, cap):
-        inner = orig(root_, src_, new_ids, M, efc, seed, cap)
+    def wrapped(root_, src_, new_ids, M, efc, seed, cap, staging):
+        inner = orig(root_, src_, new_ids, M, efc, seed, cap, staging)
 
         def kern(batches):
             out = list(inner(batches))
@@ -3014,16 +3067,35 @@ def test_sink_auto_split_grows_capacity(spark, emb, tmp_path):
 
 
 def test_gc_retired_shards(spark, emb, tmp_path):
-    """Retired source dirs are GC-able once readers quiesce; serving
-    is unaffected (the manifest never referenced them post-split)."""
+    """Retired source dirs are GC-able only after the min-age grace
+    window (r13: the quiesce is mechanical — a just-retired dir is
+    REFUSED while a reader resolving the pre-split manifest could
+    still be walking it); serving is unaffected (the manifest never
+    referenced them post-split)."""
+    import json
     import os
 
     from chromem_go_spark.operators import hnsw as H
 
     root, m = _centroid_root(spark, emb, tmp_path, "gc_root")
     src = max(m["shards"], key=lambda t: t[1])[0]
-    H.split_shard(spark, root, src)
+    m2 = H.split_shard(spark, root, src)
+    assert str(src) in m2["retired_at"]  # retire timestamp recorded
     assert os.path.isdir(H._shard_dir(root, src))
+    # inside the grace window: a provably in-use pre-split view
+    # (just retired, age << min_age_s) must be refused
+    assert H.gc_retired_shards(root) == []
+    assert os.path.isdir(H._shard_dir(root, src))
+    # a reader holding the PRE-split manifest can still finish its
+    # walk against the retired dir while GC refuses
+    pre = dict(m)
+    idx = H._load_shard_graph(root, src)
+    assert idx.n_points() == dict(pre["shards"])[src]
+    # age the retire timestamp past the window -> GC removes it
+    mpath = os.path.join(root, H._SHARD_MANIFEST)
+    cur = json.load(open(mpath))
+    cur["retired_at"][str(src)] = float(cur["retired_at"][str(src)]) - 7200
+    json.dump(cur, open(mpath, "w"))
     assert H.gc_retired_shards(root) == [src]
     assert not os.path.isdir(H._shard_dir(root, src))
     assert H.gc_retired_shards(root) == []  # idempotent
@@ -3115,3 +3187,306 @@ def test_split_raced_trigger_heals_on_replay(spark, emb, tmp_path,
     ]
     got.sort(key=lambda t: (-t[1], t[0]))
     assert got == _flat(emb, qv)
+
+
+# ------------------------------- frozen quantizer tree routing (r13)
+#
+# The r12 ADVICE medium finding: after a split, FLAT-active routing
+# re-partitions space globally (the retired centroid vanishes), so a
+# replayed row could argmax into a THIRD cell whose watermark never
+# saw the batch — double-serving the id.  Tree routing keeps every
+# pre-split centroid in the base table and descends split edges, so a
+# replay reproduces the original decision and lands on the cell (or
+# descendant) holding its committed copy.
+
+
+def test_routing_tree_replay_stable():
+    """The divergence case pinned by hand-placed centroids: a vector
+    whose pre-split argmax picked base cell 0 must KEEP routing to 0
+    after cell 1 splits, even when one of 1's sub-centroids would win
+    a flat argmax over the active table."""
+    import numpy as np
+
+    from chromem_go_spark.operators import hnsw as H
+
+    meta = {
+        "centroids": {
+            "0": [1, 0, 0],
+            "2": [0.707, 0.707, 0],
+            "3": [0, 1, 0],
+        },
+        "retired_centroids": {"1": [0, 1, 0]},
+        "split_children": {"1": [2, 3]},
+        "retired": [1],
+    }
+    t = H.load_routing_table(meta)
+    assert list(t["base_ids"]) == [0, 1]
+    mat = np.array(
+        [
+            # v.e0=0.8 > v.e1=0.75 -> base 0; flat active would pick
+            # sub-centroid 2 (v.c2 = 1.096 > 0.8) — the bug class
+            [0.8, 0.75, 0.0],
+            # base -> 1, descend: c3 wins
+            [0.1, 0.9, 0.0],
+            # base -> 1, descend: c2 wins
+            [0.5, 0.6, 0.0],
+        ]
+    )
+    assert list(H._resolve_routing(mat, t)) == [0, 3, 2]
+    # flat-active argmax really does diverge on row 0 (the control)
+    flat_ids = [0, 2, 3]
+    flat = np.array([meta["centroids"][str(i)] for i in flat_ids])
+    assert flat_ids[int(np.argmax(mat[0] @ flat.T))] == 2
+    # two-level descent: child 2 itself splits into 4/5
+    meta2 = {
+        "centroids": {
+            "0": [1, 0, 0],
+            "3": [0, 1, 0],
+            "4": [0.9, 0.43, 0],
+            "5": [0.43, 0.9, 0],
+        },
+        "retired_centroids": {
+            "1": [0, 1, 0],
+            "2": [0.707, 0.707, 0],
+        },
+        "split_children": {"1": [2, 3], "2": [4, 5]},
+        "retired": [1, 2],
+    }
+    t2 = H.load_routing_table(meta2)
+    assert list(H._resolve_routing(mat, t2)) == [0, 3, 5]
+    # pre-r13 manifest (no retired_centroids): degrades to flat-active
+    t_old = H.load_routing_table(
+        {"centroids": meta["centroids"], "split_children": {"1": [2, 3]}}
+    )
+    assert list(t_old["base_ids"]) == [0, 2, 3]
+    assert not t_old["children"]
+
+
+def test_route_vectors_spark_descends_tree(spark):
+    """route_vectors: the mapInPandas kernel carries all original
+    columns and adds the tree-resolved __shard."""
+    from chromem_go_spark.operators import hnsw as H
+
+    meta = {
+        "centroids": {
+            "0": [1.0, 0.0, 0.0],
+            "2": [0.707, 0.707, 0.0],
+            "3": [0.0, 1.0, 0.0],
+        },
+        "retired_centroids": {"1": [0.0, 1.0, 0.0]},
+        "split_children": {"1": [2, 3]},
+    }
+    df = spark.createDataFrame(
+        [
+            (10, [0.8, 0.75, 0.0]),
+            (11, [0.1, 0.9, 0.0]),
+            (12, [0.5, 0.6, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["__shard"]
+        for r in H.route_vectors(df, meta, "embedding").collect()
+    }
+    assert got == {10: 0, 11: 3, 12: 2}
+
+
+def test_gc_refuses_unknown_age(spark, emb, tmp_path):
+    """A retired shard with NO retire timestamp (pre-r13 manifest) is
+    conservatively refused at any positive min-age; min_age_s=0 is the
+    explicit operator override."""
+    import json
+    import os
+
+    from chromem_go_spark.operators import hnsw as H
+
+    root, m = _centroid_root(spark, emb, tmp_path, "gc_oldroot")
+    src = max(m["shards"], key=lambda t: t[1])[0]
+    H.split_shard(spark, root, src)
+    mpath = os.path.join(root, H._SHARD_MANIFEST)
+    cur = json.load(open(mpath))
+    del cur["retired_at"]  # simulate a pre-r13 split commit
+    json.dump(cur, open(mpath, "w"))
+    assert H.gc_retired_shards(root) == []
+    assert os.path.isdir(H._shard_dir(root, src))
+    assert H.gc_retired_shards(root, min_age_s=0) == [src]
+    assert not os.path.isdir(H._shard_dir(root, src))
+
+
+def test_split_between_commit_and_fold_exactly_once(
+    spark, emb, tmp_path, monkeypatch
+):
+    """The r12 ADVICE medium scenario end to end: a split of a source
+    cell commits BETWEEN a trigger's per-shard commits and its
+    manifest fold.  The fold fails (retired shard), the replay routes
+    by the frozen quantizer tree — rows whose copies the split carried
+    into sub-cells skip by the inherited watermark — and after the
+    healing fold every id is live in EXACTLY one shard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    n_total = emb.count()
+    half = n_total // 2
+    root, _ = _centroid_root(
+        spark, emb.filter(F.col("vec_id") < half), tmp_path, "xonce_root"
+    )
+    rows = emb.filter(F.col("vec_id") >= half).collect()
+    d = tmp_path / "xonce_events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(
+                    [int(r["vec_id"]) for r in rows], pa.int64()
+                ),
+                "embedding": pa.array(
+                    [[float(x) for x in r["embedding"]] for r in rows],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        str(d / "b0.parquet"),
+    )
+    ckpt = str(tmp_path / "xonce_ckpt")
+
+    real_bump = H.bump_sharded_manifest
+    state = {"split": None}
+
+    def racing_bump(root_, counts, centroids=None):
+        if state["split"] is None:
+            # the race: split the batch's biggest touched source cell
+            # AFTER its per-shard commit, BEFORE the fold.  The split
+            # reads the post-commit generation, so the sub-cells carry
+            # the batch's rows AND its watermark.
+            src = max(counts, key=counts.get)
+            H.split_shard(spark, root_, src)
+            state["split"] = src
+        return real_bump(root_, counts, centroids=centroids)
+
+    monkeypatch.setattr(H, "bump_sharded_manifest", racing_bump)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(str(d))
+        run_available_now(sharded_hnsw_append_sink(stream, root, ckpt))
+
+    with pytest.raises(Exception, match="split/retired"):
+        run_once()
+    assert state["split"] is not None
+    run_once()  # replay from the same checkpoint heals via the tree
+    m = H.load_sharded_meta(root)
+    assert sum(n for _, n in m["shards"]) == n_total
+    # EXACTLY-ONCE, asserted on the graphs themselves (not just the
+    # folded counts): the union of live ids across active shards is
+    # the full corpus with no id in two shards
+    seen_ids: set = set()
+    live_total = 0
+    for s0, n0 in m["shards"]:
+        if n0 == 0:
+            continue
+        idx = H._load_shard_graph(root, int(s0))
+        ids0 = {idx.ids[n] for n in idx._live_nodes_list()}
+        dup = seen_ids & ids0
+        assert not dup, f"ids live in two shards: {sorted(dup)[:5]}"
+        seen_ids |= ids0
+        live_total += len(ids0)
+    assert live_total == n_total
+    assert seen_ids == {int(r["vec_id"]) for r in emb.collect()}
+    # and serving stays exact
+    qv = _qv(emb, 5)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=n_total
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)
+
+
+def test_auto_split_compacts_churny_cell(spark, emb, tmp_path):
+    """A hot cell whose nodes are mostly TOMBSTONES (CDC churn) is
+    COMPACTED by auto_split, not split: capacity pressure from churn
+    frees via a live-only rebuild — no new shard ids, no retirement —
+    and the stream keeps ingesting (r13: the capacity check now reads
+    node counts, so churn can no longer ride silently into the cap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    rows = emb.filter(F.col("vec_id") < 25).collect()
+    root = str(tmp_path / "churn_root")
+    # single-cell centroid root over the 25 ids: every CDC re-upsert
+    # tombstones + inserts, so nodes grow while live stays flat
+    H.build_sharded_hnsw(
+        emb.filter(F.col("vec_id") < 25), root, n_shards=1, M=8,
+        ef_construction=64, shard_by="centroid",
+        max_points_per_shard=200,
+    )
+    d = tmp_path / "churn_events"
+    d.mkdir()
+    for b in range(2):  # two churn triggers re-upserting the 25 ids
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        [int(r["vec_id"]) for r in rows], pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [[float(x) for x in r["embedding"]] for r in rows],
+                        pa.list_(pa.float64()),
+                    ),
+                    "op": pa.array(["upsert"] * len(rows)),
+                }
+            ),
+            str(d / f"b{b}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    # threshold 0.3*200 = 60 nodes: build -> 25, b0 -> 50 (25 live),
+    # b1 -> 75 > 60 with live 25 (tombstone-majority) -> compact
+    run_available_now(
+        sharded_hnsw_append_sink(
+            stream, root, str(tmp_path / "churn_ckpt"), op_col="op",
+            auto_split=True, split_at=0.3,
+        )
+    )
+    m = H.load_sharded_meta(root)
+    assert m["n_shards"] == 1  # no split: no new shard ids
+    assert not m.get("retired")
+    assert dict(m["shards"])[0] == 25
+    idx = H._load_shard_graph(root, 0)
+    assert idx.n_nodes() == 25 and not idx.deleted  # compacted
+    qv = _qv(emb, 3)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=25
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    want = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in K.knn_single(
+            emb.filter(F.col("vec_id") < 25), qv, 10,
+            vec_col="embedding", id_col="vec_id",
+        ).collect()
+    ]
+    assert got == sorted(want, key=lambda t: (-t[1], t[0]))

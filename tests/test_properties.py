@@ -719,22 +719,27 @@ def test_split_kernel_partitions_live_set(tmp_path_factory, n, dim,
     root = str(tmp_path_factory.mktemp("splitprop"))
     src = 0
     g.save(_shard_dir(root, src))
+    staging = os.path.join(root, "_split_stage_0")
     kernel = _make_split_kernel(root, src, (1, 2), 4, 16, int(seed) % 997,
-                                1_000_000)
-    rows = pd.concat(list(kernel([pd.DataFrame({"shard": [src]})])))
-    subs = rows[rows["n_points"] >= 0]
+                                1_000_000, staging)
+    # the two sub-builds are independent tasks (r13) — run both here
+    rows = pd.concat(list(kernel([pd.DataFrame({"sub": [0, 1]})])))
+    subs = rows
     assert int(subs["n_points"].sum()) == len(live)
+    # both tasks must have read the same committed generation
+    assert len(set(subs["src_gen"])) == 1
     union_ids: set = set()
     union_found = []
     q = rng.standard_normal(dim)
     qn = q / max(np.linalg.norm(q), 1e-12)
-    for s0 in (1, 2):
-        sdir = _shard_dir(root, s0)
-        if not _read_live(sdir) and not os.path.exists(
-            os.path.join(sdir, "graph.npz")
-        ):
-            continue  # empty sub-cell: never snapshotted
+    for j in (0, 1):
+        sdir = os.path.join(staging, str(j))
+        # EVERY sub-cell snapshots, even a memberless one (r12
+        # ADVICE: a dir-less sub-cell's watermark would read -1)
+        assert _read_live(sdir) is not None
         sub, _ = load_snapshot(sdir)
+        if sub.n_points() == 0:
+            continue
         assert sub.check_connected()
         sub_ids = set(sub.ids)
         assert not (union_ids & sub_ids), "sub-cells must not overlap"
