@@ -632,7 +632,13 @@ def measure_maskcross(spark, d: str) -> dict:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     points = []
-    for n in (50_000, 200_000, 500_000):
+    sizes = tuple(
+        int(x)
+        for x in os.environ.get(
+            "MASKCROSS_SIZES", "50000,200000,500000"
+        ).split(",")
+    )
+    for n in sizes:
         if n == 50_000:
             cdir = d  # the sf1 corpus IS 50k
         else:
