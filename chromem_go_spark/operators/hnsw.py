@@ -2026,6 +2026,12 @@ def load_routing_table(meta: dict) -> dict:
     the batch.  Sibling ties are harmless: both children inherit the
     SAME watermark.
 
+    Size: each split retires ONE cell (whose centroid the tree keeps)
+    and activates two, so the tree holds at most (2 x active - S0)
+    centroids — the manifest stays O(active cells), a bounded
+    constant factor over the flat table, never unbounded history.
+    Depth = the longest split lineage (log-ish in the growth factor).
+
     Returns ``{"base_ids": int array, "base_cents": (B, dim) f64,
     "children": {cell: (c0, c1)}, "cents": {cell: f64 vector}}``.
     A pre-r13 manifest (no ``retired_centroids``) degrades to the flat

@@ -3490,3 +3490,217 @@ def test_auto_split_compacts_churny_cell(spark, emb, tmp_path):
         ).collect()
     ]
     assert got == sorted(want, key=lambda t: (-t[1], t[0]))
+
+
+def _live_ids_by_shard(H, root):
+    """{shard: live id set} across a root's active shards."""
+    out = {}
+    for s0, n0 in H.load_sharded_meta(root)["shards"]:
+        if n0 == 0:
+            continue
+        idx = H._load_shard_graph(root, int(s0))
+        out[int(s0)] = {idx.ids[n] for n in idx._live_nodes_list()}
+    return out
+
+
+def test_redelivered_id_across_split_dedups(spark, emb, tmp_path):
+    """Cross-batch redelivery THROUGH a split (r13): an id committed
+    before the split is redelivered (same vector) in a later batch.
+    Tree routing sends it to the sub-cell holding its copy, whose
+    seen-set drops it — under flat-active routing the redelivery
+    could land in a third cell and serve twice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    n_total = emb.count()
+    half = n_total // 2
+    root, _ = _centroid_root(
+        spark, emb.filter(F.col("vec_id") < half), tmp_path, "redel_root"
+    )
+
+    def write_batch(name, ids):
+        rows = emb.filter(F.col("vec_id").isin(list(ids))).collect()
+        d = tmp_path / "redel_events"
+        d.mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        [int(r["vec_id"]) for r in rows], pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [[float(x) for x in r["embedding"]] for r in rows],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            str(d / name),
+        )
+        return str(d)
+
+    ckpt = str(tmp_path / "redel_ckpt")
+    fresh = list(range(half, n_total))
+    src_dir = write_batch("b0.parquet", fresh)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(src_dir)
+        run_available_now(sharded_hnsw_append_sink(stream, root, ckpt))
+
+    run_once()  # b0 committed across cells
+    m1 = H.load_sharded_meta(root)
+    hot = max(m1["shards"], key=lambda t: t[1])[0]
+    pre_split = _live_ids_by_shard(H, root)
+    moved = pre_split[hot]  # ids whose copies move into sub-cells
+    H.split_shard(spark, root, hot)
+    # a later batch REDELIVERS ids that live in the split cell's
+    # copies (plus some never-seen ids, so the batch does real work)
+    redeliver = sorted(moved)[: max(1, len(moved) // 2)]
+    write_batch("b1.parquet", list(redeliver))
+    run_once()
+    after = _live_ids_by_shard(H, root)
+    # exactly-once: no id appears in two shards, corpus conserved
+    seen: set = set()
+    for s0, ids0 in sorted(after.items()):
+        dup = seen & ids0
+        assert not dup, f"redelivered ids served twice: {sorted(dup)[:5]}"
+        seen |= ids0
+    assert seen == {int(r["vec_id"]) for r in emb.collect()}
+    qv = _qv(emb, 2)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=n_total
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)
+
+
+def test_cdc_upsert_through_split_single_live_copy(spark, emb, tmp_path):
+    """CDC mode through a split (r13): ids committed pre-split are
+    re-upserted with CHANGED vectors after the split.  The upsert
+    tree-routes by the NEW vector; the broadcast synthetic delete
+    tombstones the stale copy wherever it lives (including inside a
+    sub-cell the split created) — every id ends with exactly one live
+    node, served with its latest vector."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.operators import knn as K2
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    half = 40
+    base_rows = emb.filter(F.col("vec_id") < half).collect()
+    root, _ = _centroid_root(
+        spark, emb.filter(F.col("vec_id") < half), tmp_path, "cdcsp_root"
+    )
+    d = tmp_path / "cdcsp_events"
+    d.mkdir()
+
+    def write(name, ids, vecs):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64())),
+                    "op": pa.array(["upsert"] * len(ids)),
+                }
+            ),
+            str(d / name),
+        )
+
+    # b0: stream 20 more ids (40..59) so cells carry stream watermarks
+    extra = emb.filter(
+        (F.col("vec_id") >= half) & (F.col("vec_id") < 60)
+    ).collect()
+    write(
+        "b0.parquet",
+        [int(r["vec_id"]) for r in extra],
+        [[float(x) for x in r["embedding"]] for r in extra],
+    )
+    ckpt = str(tmp_path / "cdcsp_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        run_available_now(
+            sharded_hnsw_append_sink(stream, root, ckpt, op_col="op")
+        )
+
+    run_once()
+    m1 = H.load_sharded_meta(root)
+    hot = max(m1["shards"], key=lambda t: t[1])[0]
+    moved = _live_ids_by_shard(H, root)[hot]
+    H.split_shard(spark, root, hot)
+    # b1: re-upsert HALF the moved ids with rotated vectors (likely a
+    # different cell) — the stale copies sit inside the sub-cells
+    targets = sorted(moved)[: max(1, len(moved) // 2)]
+    rng = np.random.default_rng(7)
+    new_vecs = {}
+    dim = len(base_rows[0]["embedding"])
+    for t in targets:
+        v = rng.standard_normal(dim)
+        new_vecs[t] = [float(x) for x in v / np.linalg.norm(v)]
+    write("b1.parquet", list(targets), [new_vecs[t] for t in targets])
+    run_once()
+    after = _live_ids_by_shard(H, root)
+    seen: set = set()
+    for s0, ids0 in sorted(after.items()):
+        dup = seen & ids0
+        assert not dup, f"upserted ids live twice: {sorted(dup)[:5]}"
+        seen |= ids0
+    want_ids = {int(r["vec_id"]) for r in base_rows} | {
+        int(r["vec_id"]) for r in extra
+    }
+    assert seen == want_ids
+    # serving reflects the LATEST vectors: brute force over the
+    # current corpus (originals with targets' vectors replaced)
+    cur = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in base_rows
+    }
+    cur.update(
+        {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in extra
+        }
+    )
+    cur.update(new_vecs)
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in sorted(cur.items())],
+        "vec_id long, embedding array<double>",
+    )
+    qv = cur[1]
+    want = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in K2.knn_single(
+            corpus, qv, 10, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=len(cur)
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == sorted(want, key=lambda t: (-t[1], t[0]))
