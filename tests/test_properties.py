@@ -753,3 +753,79 @@ def test_split_kernel_partitions_live_set(tmp_path_factory, n, dim,
     )[:10]
     got = [(i, round(s_, 6)) for i, s_ in union_found[:10]]
     assert got == [(i, round(s_, 6)) for i, s_ in want]
+
+
+# ------------------------------ frozen quantizer tree routing (r13)
+#
+# The replay-stability invariant the split/replay exactly-once fix
+# rests on: routing over the tree AFTER a split is a pure REFINEMENT
+# of routing before it — rows whose pre-split argmax picked a
+# non-split cell keep that cell exactly; rows that picked the split
+# cell land in one of its two children, chosen by the same 2-way
+# argmax the split kernel used to place their copies.
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=8),    # base cells S0
+    st.integers(min_value=2, max_value=16),   # dim
+    st.integers(min_value=1, max_value=60),   # rows
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+    st.integers(min_value=0, max_value=3),    # extra split rounds
+)
+def test_tree_routing_is_refinement_of_flat(S0, dim, n, seed, rounds):
+    from chromem_go_spark.operators.hnsw import (
+        _resolve_routing,
+        load_routing_table,
+    )
+
+    rng = np.random.default_rng(seed)
+
+    def unit(m):
+        m = np.atleast_2d(m)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return m / nrm
+
+    cents = unit(rng.standard_normal((S0, dim)))
+    meta = {
+        "centroids": {str(j): list(cents[j]) for j in range(S0)},
+        "retired_centroids": {},
+        "split_children": {},
+    }
+    mat = unit(rng.standard_normal((n, dim)))
+    prev = _resolve_routing(mat, load_routing_table(meta))
+    next_id = S0
+    for _ in range(rounds + 1):
+        active = sorted(int(k) for k in meta["centroids"])
+        src = int(rng.choice(active))
+        pair = unit(rng.standard_normal((2, dim)))
+        c0, c1 = next_id, next_id + 1
+        next_id += 2
+        sc = dict(meta["split_children"])
+        sc[str(src)] = [c0, c1]
+        rc = dict(meta["retired_centroids"])
+        rc[str(src)] = meta["centroids"][str(src)]
+        cmap = dict(meta["centroids"])
+        del cmap[str(src)]
+        cmap[str(c0)] = list(pair[0])
+        cmap[str(c1)] = list(pair[1])
+        meta = {
+            "centroids": cmap,
+            "retired_centroids": rc,
+            "split_children": sc,
+        }
+        cur = _resolve_routing(mat, load_routing_table(meta))
+        # refinement: unchanged unless the row sat in the split cell,
+        # in which case it descends to the argmax child of that cell
+        for i in range(n):
+            if prev[i] != src:
+                assert cur[i] == prev[i], (
+                    f"row {i} re-routed {prev[i]} -> {cur[i]} on a "
+                    f"split of {src}"
+                )
+            else:
+                sub = int(np.argmax(mat[i] @ pair.T))
+                assert cur[i] == (c0, c1)[sub]
+        prev = cur
