@@ -1005,6 +1005,12 @@ def sharded_hnsw_append_sink(
     )
     cap = int(meta0.get("max_points_per_shard", 1_000_000))
     shard_by = meta0.get("shard_by", "hash")
+    if not 0 < float(split_at) <= 1:
+        raise ValueError(
+            f"split_at must be in (0, 1], got {split_at} — it is the "
+            "fraction of max_points_per_shard (in nodes) at which "
+            "auto_split fires"
+        )
 
     def _routing_meta():
         # centroid roots route by the manifest's FROZEN quantizer tree
