@@ -875,6 +875,7 @@ def sharded_hnsw_append_sink(
     seq_col: str | None = None,
     auto_split: bool = False,
     split_at: float = 0.75,
+    auto_split_async: bool = False,
 ):
     """foreachBatch sink growing a SHARDED HNSW root (r10 — closes the
     r9 gap: a user who adopted the sharded tier for capacity could not
@@ -933,6 +934,34 @@ def sharded_hnsw_append_sink(
     shard ids on noise.  Hash roots place uniformly and cannot run
     hot — rebuild with more shards (capacity is n_shards × cap; the
     unbounded regime belongs to ivf_append_sink).
+
+    ``auto_split_async=True`` (r13, opt-in) moves the SPLIT off the
+    trigger path: the handle spawns one daemon thread per hot cell
+    (at most one in flight per cell) and keeps ingesting — at the 1M
+    cap an in-trigger split still stalls the stream ~minutes even
+    with the parallel sub-builds (SCALE.md: ~1.3 ms/point), which
+    latency-sensitive ingest cannot absorb.  Safety rides on the r13
+    protocol, every race landing in an already-tested recovery path:
+    an append committing to the source mid-split aborts the split at
+    its generation validation (staged dirs are private — nothing to
+    clean but staging); a split committing mid-trigger fails that
+    trigger's manifest fold (``SplitRacedError``), and the replay
+    re-routes through the frozen quantizer tree exactly-once; two
+    concurrent splits collide on the allocation counter and one
+    aborts.  The split thread retries through aborts (every trigger
+    that appends to the source mid-staging races it off) and wins
+    the first quiet window — a trigger that misses the cell, or the
+    drain; if it exhausts its retries under sustained pressure, the
+    next trigger runs the split SYNCHRONOUSLY (bounded livelock).
+    Size the margin accordingly: ``cap - split_at*cap`` nodes must
+    cover the rows the stream ingests into one cell while its split
+    is in flight — the cap remains the hard stop.  COMPACTION
+    always stays in-trigger: a compact commit racing this stream's
+    own append to the same cell could lose one of the two commits
+    (the ``_mutate_shards`` writer-exclusion contract), while a split
+    never writes the source dir.  A process kill mid-async-split
+    leaves only a private staging dir, swept by the cell's next
+    split attempt.
 
     Placement on centroid roots follows the FROZEN QUANTIZER TREE
     (``hnsw.load_routing_table``, r13): base cells keep their exact
@@ -1029,6 +1058,66 @@ def sharded_hnsw_append_sink(
 
     if shard_by == "centroid":
         _routing_meta()  # refuse a root with no routing table early
+
+    # async auto_split state (docstring): {cell: {"thread", "ok",
+    # "err", "attempts"}} — driver-side, lives with the sink closure
+    split_state: dict = {}
+
+    def _split_async(spark, cell: int) -> None:
+        import threading
+
+        import time as _time
+
+        st = split_state.setdefault(
+            cell, {"thread": None, "ok": False, "err": None}
+        )
+        th = st["thread"]
+        if th is not None and th.is_alive():
+            return  # one in-flight split per cell
+        if th is not None:  # reap the finished attempt
+            st["thread"] = None
+            if st["ok"]:
+                return  # committed; the cell is retired now
+            # the thread exhausted its in-flight retries — sustained
+            # pressure on this cell keeps racing the commit off.
+            # Bound the livelock by paying ONE in-trigger split
+            # (docstring): nothing else writes during the handle, so
+            # this attempt cannot race.
+            try:
+                H.split_shard(spark, root, cell)
+            except ValueError:  # retired between the check and here
+                pass
+            st["ok"] = True
+            return
+
+        def run():
+            # retry inside the thread: every trigger that appends to
+            # the source mid-staging aborts the split (generation
+            # validation), so a single attempt would almost never
+            # land under load — the loop wins the first quiet window
+            # (e.g. right after the stream drains, or any trigger
+            # whose batch misses this cell).  Bounded: each retry
+            # re-stages the rebuild, so exhaustion falls back to the
+            # reap path's synchronous split rather than burning CPU
+            # forever.
+            for _ in range(8):
+                try:
+                    H.split_shard(spark, root, cell)
+                    st["ok"] = True
+                    return
+                except H.SplitRacedError as e:
+                    st["err"] = e
+                    _time.sleep(0.3)
+                except ValueError as e:  # cell retired meanwhile
+                    st["err"] = e
+                    st["ok"] = True
+                    return
+
+        t = threading.Thread(
+            target=run, name=f"auto-split-{cell}", daemon=True
+        )
+        st["thread"] = t
+        t.start()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
@@ -1152,17 +1241,29 @@ def sharded_hnsw_append_sink(
             # split_at defaults WELL below the cap (r13): split cost
             # is linear in cell size, so splitting early bounds the
             # in-trigger rebuild wall (SCALE.md wall-vs-size curve)
+            retired_now = {
+                int(x) for x in H.load_sharded_meta(root).get(
+                    "retired", []
+                )
+            }
             for s0, (nodes, live) in sorted(by_nodes.items()):
-                if nodes <= split_at * cap:
+                if nodes <= split_at * cap or s0 in retired_now:
+                    # a cell retired by a just-committed async split
+                    # can still surface in this trigger's rows (the
+                    # batch routed before the commit) — skip it
                     continue
                 if live * 2 < nodes:
                     # capacity pressure is CHURN, not growth: a
                     # live-only rebuild frees the tombstone nodes;
                     # splitting a near-drained cell would burn two
-                    # shard ids on noise
+                    # shard ids on noise.  Always IN-trigger — a
+                    # compact commit racing this stream's own append
+                    # could lose a commit (docstring)
                     H.compact_sharded_hnsw(
                         batch_df.sparkSession, root, shards=[s0]
                     )
+                elif auto_split_async:
+                    _split_async(batch_df.sparkSession, s0)
                 else:
                     H.split_shard(batch_df.sparkSession, root, s0)
         else:

@@ -3704,3 +3704,111 @@ def test_cdc_upsert_through_split_single_live_copy(spark, emb, tmp_path):
     ]
     got.sort(key=lambda t: (-t[1], t[0]))
     assert got == sorted(want, key=lambda t: (-t[1], t[0]))
+
+
+def test_auto_split_async_off_trigger(spark, emb, tmp_path):
+    """auto_split_async (r13): the split runs in a daemon thread off
+    the trigger path while the stream keeps ingesting.  After the
+    stream drains, the async split lands (allocation counter
+    advances, hot cell retired) without any trigger having paid the
+    split wall synchronously — and the corpus stays exactly-once with
+    exact serve."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import (
+        run_available_now,
+        sharded_hnsw_append_sink,
+    )
+
+    n_total = emb.count()
+    half = n_total // 2
+    # cap sized so the threshold (0.4*cap) crosses early while the
+    # cap itself never binds during the run — the async margin rule
+    # from the sink docstring (the stream keeps appending while the
+    # split is in flight)
+    cap = int(n_total * 1.2)
+    root = str(tmp_path / "async_root")
+    m0 = H.build_sharded_hnsw(
+        emb.filter(F.col("vec_id") < half), root, n_shards=2, M=8,
+        ef_construction=64, shard_by="centroid",
+        max_points_per_shard=cap,
+    )
+    base_alloc = int(m0["n_shards"])
+    rows = emb.filter(F.col("vec_id") >= half).collect()
+    d = tmp_path / "async_events"
+    d.mkdir()
+    for fi in range(0, len(rows), 40):
+        chunk = rows[fi:fi + 40]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        [int(r["vec_id"]) for r in chunk], pa.int64()
+                    ),
+                    "embedding": pa.array(
+                        [[float(x) for x in r["embedding"]]
+                         for r in chunk],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            str(d / f"b{fi:04d}.parquet"),
+        )
+    def run_stream():
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        run_available_now(
+            sharded_hnsw_append_sink(
+                stream, root, str(tmp_path / "async_ckpt"),
+                auto_split=True, auto_split_async=True, split_at=0.4,
+            )
+        )
+
+    # an async split committing BETWEEN a trigger's shard commits and
+    # its fold fails that trigger (SplitRacedError — the documented
+    # contract); restart from the same checkpoint like an operator
+    # would: the replay re-routes through the tree exactly-once
+    for attempt in range(3):
+        try:
+            run_stream()
+            break
+        except Exception as e:
+            if "split/retired" not in str(e) or attempt == 2:
+                raise
+    # the async split may still be in flight when the stream drains —
+    # poll for its commit (daemon thread, seconds at this cell size)
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        m1 = H.load_sharded_meta(root)
+        if int(m1["n_shards"]) > base_alloc:
+            break
+        _time.sleep(0.5)
+    m1 = H.load_sharded_meta(root)
+    assert m1["n_shards"] > base_alloc, "async split never committed"
+    assert m1.get("retired")
+    assert sum(n for _, n in m1["shards"]) == n_total
+    # exactly-once on the graphs themselves
+    seen: set = set()
+    for s0, ids0 in sorted(_live_ids_by_shard(H, root).items()):
+        dup = seen & ids0
+        assert not dup, f"ids live twice after async split: {sorted(dup)[:5]}"
+        seen |= ids0
+    assert seen == {int(r["vec_id"]) for r in emb.collect()}
+    qv = _qv(emb, 2)
+    got = [
+        (r["vec_id"], round(r["similarity"], 6))
+        for r in H.sharded_search_batch(
+            spark, root, ["0"], [qv], 10, ef=n_total
+        ).collect()
+    ]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert got == _flat(emb, qv)
