@@ -1681,8 +1681,11 @@ def _make_split_kernel(root, src, new_ids, M, efc, seed, cap, staging):
     commit, after validation).  Emits one row per sub-cell:
     (shard, n_points, centroid = the sub-cell's 2-means ASSIGNMENT
     centroid — the frozen routing entry, src_gen = the source
-    generation this task read), which the driver validates at commit
-    time (both tasks must have read the same generation).
+    generation this task read, n_live = the source's live count at
+    that generation, fit_hash = sha256 over the full fitted centroid
+    pair), which the driver validates at commit time
+    (:func:`_validate_split_rows`: same generation, bit-identical
+    fits, and member counts that conserve the live set).
 
     A memberless sub-cell STILL snapshots (an empty graph) carrying
     the source's watermark (r12 ADVICE: a dir-less sub-cell's
@@ -1756,16 +1759,83 @@ def _make_split_kernel(root, src, new_ids, M, efc, seed, cap, staging):
                     sub_idx, os.path.join(staging, str(j)),
                     last_batch=wm,
                 )
+                # conservation evidence (r14, ADVICE): n_live is the
+                # source's live count at src_gen; fit_hash is the
+                # sha256 of the FULL fitted centroid pair's f64 bits.
+                # The driver requires both tasks to agree AND the two
+                # member counts to sum to n_live — on a heterogeneous
+                # cluster (different BLAS/SIMD builds) the "same seed
+                # → same fit" determinism argument can break in the
+                # last bit and cascade through the Lloyd iterations
+                # into divergent assignments (ids duplicated in both
+                # children or dropped); the commit must not trust it.
+                import hashlib
+
+                fit_hash = hashlib.sha256(
+                    np.ascontiguousarray(
+                        cents.astype(np.float64)
+                    ).tobytes()
+                ).hexdigest()
                 yield pd.DataFrame(
                     {
                         "shard": [int(new_ids[j])],
                         "n_points": [len(members)],
                         "centroid": [[float(x) for x in cent_j]],
                         "src_gen": [src_gen],
+                        "n_live": [len(nodes)],
+                        "fit_hash": [fit_hash],
                     }
                 )
 
     return split
+
+
+def _validate_split_rows(rows, src: int) -> int:
+    """Cross-task consistency gate for :func:`split_shard`'s two
+    sub-cell build rows — returns the common ``src_gen`` or raises
+    :class:`SplitRacedError`.  Three checks (r14, ADVICE medium):
+
+    1. both tasks read the SAME source generation (an ingest commit
+       between their loads means they 2-means'd different snapshots);
+    2. both tasks fitted BIT-IDENTICAL 2-means centroids (``fit_hash``
+       over the full f64 centroid pair) — same seed + same sample is
+       only deterministic on homogeneous arithmetic; a heterogeneous
+       cluster's BLAS/SIMD differences can diverge the fits, making
+       the two assignments inconsistent partitions;
+    3. conservation: the two member counts sum exactly to the
+       source's live count at ``src_gen`` — the direct statement that
+       the sub-cells partition the live set (no id duplicated into
+       both children, none dropped).
+
+    Checks 2 and 3 overlap but are not redundant: identical fits with
+    a torn source read would pass 2 and fail 3; divergent fits that
+    happen to conserve counts (swapped members) fail 2."""
+    gens = {int(r["src_gen"]) for r in rows}
+    if len(gens) != 1:
+        raise SplitRacedError(
+            f"shard {src} advanced between the two sub-cell builds "
+            f"(generations {sorted(gens)}); staged sub-cells "
+            "discarded — re-run split_shard"
+        )
+    hashes = {str(r["fit_hash"]) for r in rows}
+    if len(hashes) != 1:
+        raise SplitRacedError(
+            f"shard {src}: the two sub-cell tasks fitted DIFFERENT "
+            "2-means centroids (non-deterministic arithmetic across "
+            "executors?); their assignments are not a consistent "
+            "partition — staged sub-cells discarded, re-run "
+            "split_shard"
+        )
+    lives = {int(r["n_live"]) for r in rows}
+    total = sum(int(r["n_points"]) for r in rows)
+    if len(lives) != 1 or total != next(iter(lives)):
+        raise SplitRacedError(
+            f"shard {src}: sub-cell member counts do not conserve the "
+            f"source's live set (live={sorted(lives)}, "
+            f"sum(sub n_points)={total}); ids would be duplicated or "
+            "dropped — staged sub-cells discarded, re-run split_shard"
+        )
+    return gens.pop()
 
 
 def split_shard(
@@ -1866,7 +1936,7 @@ def split_shard(
         .mapInPandas(
             kernel,
             "shard int, n_points long, centroid array<double>, "
-            "src_gen long",
+            "src_gen long, n_live long, fit_hash string",
         )
         .collect()
     )
@@ -1876,18 +1946,14 @@ def split_shard(
     def _cleanup():
         shutil.rmtree(staging, ignore_errors=True)
 
-    gens = {int(r["src_gen"]) for r in rows}
-    if len(gens) != 1:
-        # the two tasks read DIFFERENT source generations: an ingest
-        # commit landed between their loads — their 2-means fits may
-        # disagree, so the pair is not a partition of any one snapshot
+    # generation + fit-identity + conservation gate (r14, ADVICE):
+    # the staged pair must be a consistent partition of ONE source
+    # snapshot's live set before anything touches the manifest
+    try:
+        src_gen = _validate_split_rows(rows, src)
+    except SplitRacedError:
         _cleanup()
-        raise SplitRacedError(
-            f"shard {src} advanced between the two sub-cell builds "
-            f"(generations {sorted(gens)}); staged sub-cells "
-            "discarded — re-run split_shard"
-        )
-    src_gen = gens.pop()
+        raise
 
     lock_path = os.path.join(root, _SHARD_MANIFEST + ".lock")
     with open(lock_path, "w") as lock_f:

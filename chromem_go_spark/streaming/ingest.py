@@ -1081,13 +1081,20 @@ def sharded_hnsw_append_sink(
             # the thread exhausted its in-flight retries — sustained
             # pressure on this cell keeps racing the commit off.
             # Bound the livelock by paying ONE in-trigger split
-            # (docstring): nothing else writes during the handle, so
-            # this attempt cannot race.
+            # (docstring).  This stream's own appends cannot race it
+            # (the handle runs serially), but ANOTHER hot cell's
+            # still-in-flight daemon split can commit concurrently
+            # and bump the allocation counter (r14, ADVICE) — on that
+            # SplitRacedError, defer: leave ok False so the next
+            # trigger spawns a fresh async attempt instead of failing
+            # this trigger after its fold already succeeded.
             try:
                 H.split_shard(spark, root, cell)
+                st["ok"] = True
+            except H.SplitRacedError as e:
+                st["err"] = e
             except ValueError:  # retired between the check and here
-                pass
-            st["ok"] = True
+                st["ok"] = True
             return
 
         def run():

@@ -728,6 +728,16 @@ def test_split_kernel_partitions_live_set(tmp_path_factory, n, dim,
     assert int(subs["n_points"].sum()) == len(live)
     # both tasks must have read the same committed generation
     assert len(set(subs["src_gen"])) == 1
+    # conservation evidence the commit validates (r14, ADVICE): both
+    # tasks report the same live count, bit-identical fits, and the
+    # validator itself accepts the pair
+    assert set(int(x) for x in subs["n_live"]) == {len(live)}
+    assert len(set(subs["fit_hash"])) == 1
+    from chromem_go_spark.operators.hnsw import _validate_split_rows
+
+    assert _validate_split_rows(
+        subs.to_dict("records"), src
+    ) == int(subs["src_gen"].iloc[0])
     union_ids: set = set()
     union_found = []
     q = rng.standard_normal(dim)
