@@ -261,6 +261,103 @@ THROUGHPUT_POINT_NAMES = [
     "knn_routed_batch_100k_q256",
 ]
 
+# ---------------------------------------------------------------------
+# Graph-tier serving pins (r14, VERDICT ask #1): hnsw.py is the
+# most-edited file every round yet its serving paths were measured only
+# in-run, where the r13 readings swung ~1.7x on session load alone —
+# the in-run hnsw_* rows are NON-AUTHORITATIVE drift data; these two
+# fresh-JVM min-of-2 points are the regression gate.  They LOAD a
+# cached fixture (tools/build_graph_pin.py — the 100k single-graph
+# build is serial and takes tens of minutes, far too slow to rebuild
+# per bench run); when the fixture is absent the pins record a skip
+# note instead of paying the build.
+GRAPH_PIN_FIXTURE = os.environ.get(
+    "SPARK_GRAFT_GRAPH_PIN_DIR",
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scaledata", "graph_pin_v1",
+    ),
+)
+GRAPH_PIN_NAMES = [
+    "hnsw_serve_single_100k_q64",
+    "hnsw_serve_sharded_100k_S16_P2_q64",
+]
+
+
+def _graph_pin_ready() -> bool:
+    try:
+        with open(os.path.join(GRAPH_PIN_FIXTURE, "params.json")) as f:
+            p = json.load(f)
+        # the official pin is the 100k fixture; an env-overridden dir
+        # (tests) may carry any size — params.json is its own stamp
+        if "SPARK_GRAFT_GRAPH_PIN_DIR" in os.environ:
+            return int(p.get("n_docs", 0)) > 0
+        return int(p.get("n_docs", 0)) == 100_000
+    except Exception:  # noqa: BLE001 — absent/partial fixture = not ready
+        return False
+
+
+def isolated_graph_main() -> None:
+    """Fresh-JVM serving measurement for the graph tier: the served
+    SINGLE graph (100k x 1536 at M=16/ef_c=200, q=64 driver-side walks
+    at the served default ef=64) and the SHARDED centroid root (same
+    corpus, S=16, routed at P=2 — one walk task per probed shard).
+    min over rounds 2..3 in-JVM (round 1 pays the npz loads / worker
+    cache warm — serving steady state amortizes them); bench's main
+    process runs this subprocess twice and keeps the per-point min.
+    Prints one JSON line and exits."""
+    import pyarrow.parquet as pq
+
+    from chromem_go_spark.operators import hnsw as H
+
+    with open(os.path.join(GRAPH_PIN_FIXTURE, "params.json")) as f:
+        params = json.load(f)
+    n_docs, dim = int(params["n_docs"]), int(params["dim"])
+    n_q, k, ef = min(64, n_docs), 10, 64
+    spark = get_spark("bench-isolated-graph")
+    spark.sparkContext.setLogLevel("ERROR")
+    tab = pq.read_table(
+        os.path.join(GRAPH_PIN_FIXTURE, "corpus.parquet"),
+        columns=["id", "embedding"],
+    ).slice(0, n_q)
+    qids = [str(i) for i in tab.column("id").to_pylist()]
+    qvecs = [list(map(float, v)) for v in tab.column("embedding").to_pylist()]
+    out: dict = {}
+
+    t0 = time.time()
+    idx = H.HNSWIndex.load(os.path.join(GRAPH_PIN_FIXTURE, "single"))
+    load_sec = round(time.time() - t0, 3)
+    wall = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        n = idx.search_batch(spark, qids, qvecs, k, ef=ef).count()
+        if i >= 1:
+            wall = min(wall, time.time() - t0)
+        assert n == n_q * k, n
+    out["hnsw_serve_single_100k_q64"] = {
+        "n_docs": n_docs, "dim": dim, "n_queries": n_q, "k": k,
+        "ef": ef, "wall_sec": round(wall, 3), "cold_load_sec": load_sec,
+        "queries_per_sec": int(n_q / wall),
+    }
+
+    root = os.path.join(GRAPH_PIN_FIXTURE, "sharded")
+    wall = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        n = H.sharded_search_batch(
+            spark, root, qids, qvecs, k, ef=ef, shards_probed=2
+        ).count()
+        if i >= 1:
+            wall = min(wall, time.time() - t0)
+        assert n == n_q * k, n
+    out["hnsw_serve_sharded_100k_S16_P2_q64"] = {
+        "n_docs": n_docs, "dim": dim, "n_queries": n_q, "k": k,
+        "ef": ef, "n_shards": int(params["n_shards"]),
+        "shards_probed": 2, "wall_sec": round(wall, 3),
+        "queries_per_sec": int(n_q / wall),
+    }
+    print(json.dumps(out))
+
 
 def isolated_throughput_main() -> None:
     """Fresh-JVM measurement of ALL four throughput points in one
@@ -302,6 +399,9 @@ def main() -> None:
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--isolated-throughput":
         isolated_throughput_main()
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--isolated-graph":
+        isolated_graph_main()
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -382,6 +482,58 @@ def main() -> None:
                 file=sys.stderr,
             )
     iso_time = iso_controls.get("ngram_jaccard")
+
+    # Graph-tier serving pins (r14): two fresh subprocess JVMs, still
+    # before this process starts its own JVM; per-point min kept, both
+    # readings recorded (graph_pin_runs).  The in-run hnsw_* registry
+    # rows remain in `queries` as drift data only — THESE are the
+    # authoritative serving numbers.
+    graph_pins: dict[str, dict] = {}
+    graph_pin_runs: dict[str, list[float]] = {}
+    if _graph_pin_ready():
+        for attempt in (1, 2):
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--isolated-graph"],
+                    capture_output=True, text=True, timeout=600,
+                    check=True,
+                )
+                parsed = json.loads(r.stdout.strip().splitlines()[-1])
+                for pname, pt in parsed.items():
+                    if not isinstance(pt, dict):
+                        continue
+                    graph_pin_runs.setdefault(pname, []).append(
+                        pt["wall_sec"]
+                    )
+                    if (
+                        pname not in graph_pins
+                        or pt["wall_sec"]
+                        < graph_pins[pname]["wall_sec"]
+                    ):
+                        graph_pins[pname] = pt
+            except Exception as e:  # noqa: BLE001
+                errors[f"graph_pins_run{attempt}"] = (
+                    f"{type(e).__name__}: {e}"[:300]
+                )
+        for pname, pt in graph_pins.items():
+            pt["isolation"] = (
+                f"fresh_jvm (min of {len(graph_pin_runs[pname])} "
+                "subprocess runs)"
+            )
+            pt["runs"] = graph_pin_runs[pname]
+            print(
+                f"# {pname}: {pt['wall_sec']}s "
+                f"({pt['queries_per_sec']} q/s; runs "
+                f"{'/'.join(str(x) for x in graph_pin_runs[pname])})",
+                file=sys.stderr,
+            )
+    else:
+        errors["graph_pins"] = (
+            "fixture absent - run tools/build_graph_pin.py once "
+            "(cached under scaledata/; the 100k single-graph build is "
+            "serial and too slow to pay per bench run)"
+        )
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -611,6 +763,20 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["streaming_serving_bench"] = f"{type(e).__name__}: {e}"[:300]
 
+    # Serving latency UNDER ingest, across an auto_split (r14):
+    # p50/p95 per split-lifecycle phase, recorded in BENCH_DETAIL only
+    overlap_detail: dict | None = None
+    try:
+        overlap_detail = _ingest_serve_overlap_bench(spark)
+        for phase, st in (overlap_detail.get("phases") or {}).items():
+            print(
+                f"# ingest_serve_overlap {phase}: p50 {st['p50_ms']}ms"
+                f" / p95 {st['p95_ms']}ms over {st['n_serves']} serves",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        errors["ingest_serve_overlap"] = f"{type(e).__name__}: {e}"[:300]
+
     # training_pipeline with the dedup-pairs subtree MATERIALIZED (how a
     # real pipeline runs it — the pair graph is an intermediate, not
     # recomputed): isolates the pipeline's own cost from dedup_clusters',
@@ -793,6 +959,10 @@ def main() -> None:
         "knn_batch_100k_1536_q256": point256,
         "knn_batch_100k_1536_q256_f32": point256_f32,
         "knn_routed_batch_100k_q256": point_routed,
+        # graph-tier serving pins (r14): fresh-JVM min-of-2 — the
+        # authoritative hnsw serving numbers; the hnsw_* rows in
+        # `queries` above are in-run drift data only
+        "graph_pins": graph_pins or None,
         # raw in-run readings (session-loaded JVM) — drift data, never
         # the official number
         "throughput_inrun": inrun_points,
@@ -801,6 +971,8 @@ def main() -> None:
         detail["contains_index_funnel"] = detail_funnel
     if streaming_detail:
         detail["streaming_serving"] = streaming_detail
+    if overlap_detail:
+        detail["ingest_serve_overlap"] = overlap_detail
     if errors:
         detail["errors"] = errors
     # BENCH_DETAIL.json doubles as the trailing-median pin store for the
@@ -828,6 +1000,11 @@ def main() -> None:
         "knn_batch_100k_1536_q256": point256,
         "knn_batch_100k_1536_q256_f32": point256_f32,
         "knn_routed_batch_100k_q256": point_routed,
+        # compact: seconds only (full dicts in the detail file) — the
+        # driver's stdout capture is ~2 KB
+        "graph_pins": {
+            k: v["wall_sec"] for k, v in graph_pins.items()
+        } or None,
         "detail": detail_name,
     }
     print(json.dumps(out))
@@ -952,6 +1129,170 @@ def _streaming_serving_bench(
     except Exception:
         pass
     return out
+
+
+def _ingest_serve_overlap_bench(
+    spark, n_docs: int = 20_000, dim: int = 256
+) -> dict:
+    """Serving latency UNDER ingest (r14, VERDICT ask #5): the r9
+    streaming numbers measure serving against a QUIET index; the real
+    sharded-tier question is what a query pays while
+    ``sharded_hnsw_append_sink`` is appending — and across an
+    auto_split.  One measured overlap run: build a 4-cell centroid
+    root on 60% of a synthetic corpus, stream the rest through the
+    sink (async auto_split, the r14 default, sized so a hot cell
+    splits mid-stream), and serve q=16 batches from the driver's main
+    thread the whole time.  Serves classify by the split lifecycle
+    observed at serve start — ``before`` (no split yet), ``during``
+    (a ``_split_stage_*`` staging dir exists: a sub-cell rebuild is
+    in flight), ``after`` (the manifest holds a retired cell) — and
+    report nearest-rank p50/p95 per phase.  local[N] runs ingest
+    triggers and serve jobs through one FIFO scheduler, so the
+    'during' numbers INCLUDE queue-behind-trigger time — the honest
+    single-cluster answer.  A trigger a split commit races fails with
+    SplitRacedError by contract; the bench restarts from the same
+    checkpoint exactly like an operator would (replay is
+    exactly-once) and keeps serving through the restart."""
+    import math
+    import shutil
+    import statistics
+    import tempfile
+
+    from chromem_go_spark.operators import hnsw as H
+    from chromem_go_spark.streaming.ingest import sharded_hnsw_append_sink
+
+    def pctl(vals: list[float], q: float) -> float:
+        vs = sorted(vals)
+        return round(vs[min(len(vs) - 1, max(0, math.ceil(len(vs) * q) - 1))], 1)
+
+    work = tempfile.mkdtemp(prefix="overlap_bench_")
+    root = f"{work}/root"
+    try:
+        corpus = _synth_corpus(spark, n_docs, dim).localCheckpoint(
+            eager=True
+        )
+        cut = int(n_docs * 0.6)
+        from pyspark.sql import functions as F
+
+        cap = int(n_docs * 0.3)  # never binds; split_at*cap does
+        H.build_sharded_hnsw(
+            corpus.filter(F.col("id") < cut), root, n_shards=4,
+            vec_col="embedding", id_col="id", shard_by="centroid",
+            max_points_per_shard=cap,
+        )
+        qrows = corpus.filter(F.col("id") < 16).collect()
+        qids = [str(r["id"]) for r in qrows]
+        qvecs = [[float(x) for x in r["embedding"]] for r in qrows]
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        feed = f"{work}/feed"
+        os.makedirs(feed)
+        rest = corpus.filter(F.col("id") >= cut).collect()
+        per = max(1, len(rest) // 20)  # ~20 triggers
+        for b, fi in enumerate(range(0, len(rest), per)):
+            chunk = rest[fi:fi + per]
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(
+                            [int(r["id"]) for r in chunk], pa.int64()
+                        ),
+                        "embedding": pa.array(
+                            [[float(x) for x in r["embedding"]]
+                             for r in chunk],
+                            pa.list_(pa.float32()),
+                        ),
+                    }
+                ),
+                f"{feed}/b{b:03d}.parquet",
+            )
+
+        lat: list[tuple[str, float]] = []
+
+        def serve_once() -> None:
+            staging = any(
+                name.startswith("_split_stage_")
+                for name in os.listdir(root)
+            )
+            retired = bool(H.load_sharded_meta(root).get("retired"))
+            phase = (
+                "during" if staging else ("after" if retired else "before")
+            )
+            t0 = time.time()
+            n = H.sharded_search_batch(
+                spark, root, qids, qvecs, 10, ef=64
+            ).count()
+            assert n == 16 * 10, n
+            lat.append((phase, (time.time() - t0) * 1000.0))
+
+        trigger_ms: list[float] = []
+        restarts = 0
+        for attempt in range(4):
+            stream = (
+                spark.readStream.schema(
+                    "id long, embedding array<float>"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+            )
+            q = (
+                sharded_hnsw_append_sink(
+                    stream, root, f"{work}/ckpt",
+                    vec_col="embedding", id_col="id",
+                    auto_split=True, split_at=0.65,
+                    query_name="overlap_bench_ingest",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            while q.isActive:
+                serve_once()
+                time.sleep(0.05)
+            for p in q.recentProgress:
+                prog = p if isinstance(p, dict) else json.loads(p.json)
+                if int(prog.get("numInputRows", 0)) > 0:
+                    trigger_ms.append(
+                        float(prog["durationMs"]["triggerExecution"])
+                    )
+            if q.exception() is None:
+                break
+            restarts += 1  # SplitRacedError by contract — replay
+        # the daemon split may still be in flight after the drain:
+        # keep serving until it commits (bounded), then a few
+        # quiet-index serves so 'after' always has samples
+        deadline = time.time() + 60
+        while time.time() < deadline and not (
+            H.load_sharded_meta(root).get("retired")
+        ):
+            serve_once()
+            time.sleep(0.2)
+        for _ in range(5):
+            serve_once()
+        split_committed = bool(H.load_sharded_meta(root).get("retired"))
+        phases: dict[str, dict] = {}
+        for phase in ("before", "during", "after"):
+            vals = [ms for p, ms in lat if p == phase]
+            if vals:
+                phases[phase] = {
+                    "n_serves": len(vals),
+                    "p50_ms": pctl(vals, 0.5),
+                    "p95_ms": pctl(vals, 0.95),
+                    "max_ms": round(max(vals), 1),
+                }
+        return {
+            "n_docs": n_docs, "dim": dim, "n_shards_built": 4,
+            "n_queries": 16, "k": 10, "ef": 64,
+            "split_committed": split_committed,
+            "stream_restarts_on_split_race": restarts,
+            "ingest_trigger_p50_ms": (
+                pctl(trigger_ms, 0.5) if trigger_ms else None
+            ),
+            "phases": phases,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _trailing_medians() -> dict[str, float]:

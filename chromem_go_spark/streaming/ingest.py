@@ -875,7 +875,7 @@ def sharded_hnsw_append_sink(
     seq_col: str | None = None,
     auto_split: bool = False,
     split_at: float = 0.75,
-    auto_split_async: bool = False,
+    auto_split_async: bool = True,
 ):
     """foreachBatch sink growing a SHARDED HNSW root (r10 — closes the
     r9 gap: a user who adopted the sharded tier for capacity could not
@@ -935,12 +935,17 @@ def sharded_hnsw_append_sink(
     hot — rebuild with more shards (capacity is n_shards × cap; the
     unbounded regime belongs to ivf_append_sink).
 
-    ``auto_split_async=True`` (r13, opt-in) moves the SPLIT off the
-    trigger path: the handle spawns one daemon thread per hot cell
-    (at most one in flight per cell) and keeps ingesting — at the 1M
-    cap an in-trigger split still stalls the stream ~minutes even
-    with the parallel sub-builds (SCALE.md: ~1.3 ms/point), which
-    latency-sensitive ingest cannot absorb.  Safety rides on the r13
+    ``auto_split_async=True`` (r13; the DEFAULT since r14) moves the
+    SPLIT off the trigger path: the handle spawns one daemon thread
+    per hot cell (at most one in flight per cell) and keeps ingesting
+    — SCALE.md's r14 measured point (splitting a 100k-point cell at
+    served defaults) puts the in-trigger stall at MINUTES even with
+    the parallel sub-builds, and the default trigger (0.75 of a 1M
+    cap) sits 7.5x further up a super-linear build curve; no ingest
+    stream should absorb that synchronously by default.  Pass
+    ``auto_split_async=False`` to force every split in-trigger (the
+    r12/r13 behavior) when the stream's cells are small and a
+    stalled trigger is preferable to the async margin rule below.  Safety rides on the r13
     protocol, every race landing in an already-tested recovery path:
     an append committing to the source mid-split aborts the split at
     its generation validation (staged dirs are private — nothing to

@@ -3030,10 +3030,12 @@ def test_split_preserves_router_quality(spark, tmp_path):
 
 
 def test_sink_auto_split_grows_capacity(spark, emb, tmp_path):
-    """auto_split=True: a cell crossing 90% of the per-shard cap
-    splits at the end of that trigger (race-free — the handle is the
-    only writer), so the stream outlives the cap it would otherwise
-    die on; all points stay served exactly once."""
+    """auto_split=True with auto_split_async=False (the synchronous
+    mode, explicit since async became the r14 default): a cell
+    crossing split_at of the per-shard cap splits at the end of that
+    trigger (race-free — the handle is the only writer), so the
+    stream outlives the cap it would otherwise die on; all points
+    stay served exactly once."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -3085,7 +3087,7 @@ def test_sink_auto_split_grows_capacity(spark, emb, tmp_path):
     run_available_now(
         sharded_hnsw_append_sink(
             stream, root, str(tmp_path / "autosplit_ckpt"),
-            auto_split=True,
+            auto_split=True, auto_split_async=False,
         )
     )
     m1 = H.load_sharded_meta(root)
@@ -3864,3 +3866,50 @@ def test_auto_split_async_off_trigger(spark, emb, tmp_path):
     ]
     got.sort(key=lambda t: (-t[1], t[0]))
     assert got == _flat(emb, qv)
+
+
+def test_bench_graph_pin_fixture_and_subprocess(spark, tmp_path):
+    """The graph-tier serving pin machinery end-to-end at toy scale
+    (r14, VERDICT ask #1): tools/build_graph_pin.py builds a fixture
+    (corpus parquet + served single graph + sharded centroid root +
+    params stamp), and `bench.py --isolated-graph` measures both
+    serving shapes from it in a fresh subprocess JVM — the official
+    100k fixture only differs in params."""
+    import importlib.util
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "build_graph_pin", os.path.join(repo, "tools", "build_graph_pin.py")
+    )
+    gp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gp)
+
+    params = {
+        "n_docs": 300, "dim": 8, "M": 8, "ef_construction": 32,
+        "seed": 7, "n_shards": 4, "block": 100,
+    }
+    fix = str(tmp_path / "pin")
+    gp.main(params=params, fixture=fix)
+    assert gp.fixture_ok(fix, params)
+    # idempotent: an up-to-date fixture is not rebuilt
+    stamp = os.path.getmtime(os.path.join(fix, "params.json"))
+    gp.main(params=params, fixture=fix)
+    assert os.path.getmtime(os.path.join(fix, "params.json")) == stamp
+
+    env = dict(os.environ, SPARK_GRAFT_GRAPH_PIN_DIR=fix)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--isolated-graph"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    single = out["hnsw_serve_single_100k_q64"]
+    sharded = out["hnsw_serve_sharded_100k_S16_P2_q64"]
+    assert single["n_docs"] == 300 and single["n_queries"] == 64
+    assert single["wall_sec"] > 0 and single["cold_load_sec"] > 0
+    assert sharded["n_shards"] == 4 and sharded["shards_probed"] == 2
+    assert sharded["wall_sec"] > 0

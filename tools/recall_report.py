@@ -581,28 +581,62 @@ def _tree_ingest_rows(spark, emb, n, M, efc, recall) -> list[str]:
         )
         qids = [str(r["vec_id"]) for r in qrows]
         qvecs = [list(r["embedding"]) for r in qrows]
-        for p in (1, 2):
-            grown[p] = recall(
-                sh.search_batch(
-                    spark, qids, qvecs, K_AT, ef=64, shards_probed=p
-                ).collect()
-            )
-        return [
+        # r14 (VERDICT ask #3): the r13 report ASSERTED that "ef/P
+        # raises recover" the grown root's ~0.03 gap vs the all-built
+        # post-split root (P=1 0.918 / P=2 0.946 at ef=64) — measure
+        # the full ef x P grid instead and name the recovery settings.
+        for ef in (64, 128, 256):
+            for p in (1, 2, 3):
+                grown[(ef, p)] = recall(
+                    sh.search_batch(
+                        spark, qids, qvecs, K_AT, ef=ef, shards_probed=p
+                    ).collect()
+                )
+        out = [
             "A root grown the REALISTIC way — built on 80% of the"
             " corpus, the two hottest cells split, the held-out 20%"
             " STREAMED in through the sink's frozen-quantizer-TREE"
             " routing (r13: placement descends split edges, the"
-            " replay-exactly-once contract) — serves"
-            f" P=1 recall@10 = {grown[1]:.3f},"
-            f" P=2 = {grown[2]:.3f} at ef=64 — within ~0.03 of the"
-            " all-built post-split root above.  The small gap is the"
-            " documented append-vs-rebuild graph difference plus"
-            " boundary points placed by the frozen tree rather than"
-            " a fresh global fit; it is recall physics shared by"
-            " every frozen-quantizer design (IVF append_batch has"
-            " the same contract), and ef/P raises recover it.",
+            " replay-exactly-once contract) — recall@10 over the"
+            " ef x P grid:",
+            "",
+            "| ef \\ shards probed P | 1 | 2 | 3 |",
+            "|---|---|---|---|",
+        ]
+        for ef in (64, 128, 256):
+            out.append(
+                f"| {ef} | " + " | ".join(
+                    f"{grown[(ef, p)]:.3f}" for p in (1, 2, 3)
+                ) + " |"
+            )
+        rec1 = [
+            f"ef={ef}/P={p}"
+            for ef in (64, 128, 256)
+            for p in (1, 2, 3)
+            if grown[(ef, p)] >= 0.918
+        ]
+        rec2 = [
+            f"ef={ef}/P={p}"
+            for ef in (64, 128, 256)
+            for p in (1, 2, 3)
+            if grown[(ef, p)] >= 0.946
+        ]
+        out += [
+            "",
+            "The ef=64 row sits a few hundredths under the all-built"
+            " post-split root above (P=1 0.918 / P=2 0.946 at ef=64):"
+            " the documented append-vs-rebuild graph difference plus"
+            " boundary points placed by the frozen tree rather than a"
+            " fresh global fit — recall physics shared by every"
+            " frozen-quantizer design (IVF append_batch has the same"
+            " contract).  Measured recovery (r14): the all-built"
+            " root's P=1 operating point (0.918) is reached at"
+            f" {{{', '.join(rec1) or 'no grid setting'}}}; its P=2"
+            " point (0.946) at"
+            f" {{{', '.join(rec2) or 'no grid setting'}}}.",
             "",
         ]
+        return out
     finally:
         shutil.rmtree(sroot, ignore_errors=True)
         shutil.rmtree(tdir, ignore_errors=True)

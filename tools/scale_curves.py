@@ -795,6 +795,93 @@ def measure_split_parallel(spark, d: str) -> dict:
     return {"split_scale": points}
 
 
+def measure_split_big(spark, d: str) -> dict:
+    """r14 (VERDICT ask #2): ONE split at a realistic cell size.  The
+    r13 table stops at 6,429-point cells while the default trigger
+    fires at split_at=0.75 of a 1M cap — and HNSW build cost is
+    super-linear (measured 5.7 ms/pt at 5k -> 14 ms/pt at 20k points,
+    dim 1536, served defaults), so extrapolating the small-cell
+    ms/point was optimistic.  This measures a split of a 100,000-point
+    cell (dim 1536, M=16/ef_c=200): the graph-pin fixture's single
+    served graph (tools/build_graph_pin.py — the same corpus shape as
+    the kNN throughput pins) is wrapped as the one cell of a
+    fabricated centroid root, then split_shard runs the real protocol
+    (two parallel ~50k sub-builds, conservation-validated commit).
+    The resulting wall is the number that decides whether
+    auto_split_async should be the sink default."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from chromem_go_spark.operators.hnsw import (
+        HNSWIndex,
+        _SHARD_MANIFEST,
+        split_shard,
+    )
+
+    if not d.endswith("sf1"):
+        return {}
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixture = os.path.join(here, "scaledata", "graph_pin_v1")
+    try:
+        with open(os.path.join(fixture, "params.json")) as f:
+            params = _json.load(f)
+    except OSError:
+        print(
+            "# splitbig: graph_pin fixture absent — run "
+            "tools/build_graph_pin.py first",
+            file=sys.stderr,
+        )
+        return {}
+    root = tempfile.mkdtemp(prefix="split_big_")
+    try:
+        # fabricate a 1-cell centroid root around the fixture graph:
+        # shard 0 = the 100k single graph as committed generation 1
+        sdir = os.path.join(root, "shard=0", "gen=1")
+        os.makedirs(sdir)
+        for name in ("graph.npz", "meta.json"):
+            shutil.copy(
+                os.path.join(fixture, "single", name),
+                os.path.join(sdir, name),
+            )
+        with open(
+            os.path.join(root, "shard=0", "_live.json"), "w"
+        ) as f:
+            _json.dump({"gen": 1, "last_batch": -1}, f)
+        idx = HNSWIndex.load(sdir)  # centroid for the routing table
+        n = idx.n_points()
+        manifest = {
+            "n_shards": 1,
+            "shard_by": "centroid",
+            "shards": [[0, n]],
+            "centroids": {"0": idx.centroid()},
+            "id_col": "id",
+            "id_kind": "int",
+            "M": int(params["M"]),
+            "seed": int(params["seed"]),
+            "ef_construction": int(params["ef_construction"]),
+            "max_points_per_shard": 1_000_000,
+        }
+        with open(os.path.join(root, _SHARD_MANIFEST), "w") as f:
+            _json.dump(manifest, f)
+        del idx
+        t0 = time.time()
+        m = split_shard(spark, root, 0)
+        wall = time.time() - t0
+        subs = sorted(int(b) for _, b in m["shards"])
+        pt = {
+            "cell_n": n,
+            "dim": int(params["dim"]),
+            "wall": round(wall, 3),
+            "ms_per_point": round(1000 * wall / n, 2),
+            "sub_cells": subs,
+        }
+        print(f"# splitbig {pt}", file=sys.stderr, flush=True)
+        return {"split_big": pt}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def measure_qship(spark, d: str) -> dict:
     """r12: sharded-walk query-shipping economics — pickled bytes of
     the three candidate shapes for moving a q=1024 batch's query
@@ -886,6 +973,7 @@ def main() -> None:
         "--maskscan": measure_maskscan,
         "--maskcross": measure_maskcross,
         "--splitpar": measure_split_parallel,
+        "--splitbig": measure_split_big,
     }
     picked = [fn for flag, fn in extra_modes.items() if flag in sys.argv]
     if picked:  # additive: merge the chosen rows into saved results
@@ -1482,6 +1570,37 @@ def render(here: str, results: list[dict]) -> None:
             "r12 verdict flagged.  Tombstone-majority hot cells",
             "compact instead of splitting (a live-only rebuild of one",
             "cell — same cost class as one sub-build).",
+            "",
+        ]
+    sbig = [r for r in results if r.get("split_big")]
+    if sbig:
+        p = sbig[-1]["split_big"]
+        lines += [
+            "### One split at a REALISTIC cell size (r14)",
+            "",
+            "The r13 table stops at 6,429-point cells; HNSW build is",
+            "super-linear (5.7 ms/pt at 5k -> 14 ms/pt at 20k points,",
+            "dim 1536 served defaults), so the small-cell ms/point",
+            "under-predicts big cells.  Splitting the graph-pin",
+            f"fixture's {p['cell_n']:,}-point cell (dim {p['dim']},",
+            "M=16/ef_c=200; two parallel sub-builds of",
+            f"{p['sub_cells'][0]:,}/{p['sub_cells'][1]:,} points,",
+            "conservation-validated commit):",
+            "",
+            "| hot cell n | split wall s | ms/point |",
+            "|---|---|---|",
+            f"| {p['cell_n']:,} | {p['wall']} | {p['ms_per_point']} |",
+            "",
+            "This wall is MINUTES, not seconds — an in-trigger",
+            "synchronous split at realistic cell sizes stalls the",
+            "ingest stream unacceptably, and the default trigger",
+            "(0.75 of a 1M cap) sits 7.5x further up a super-linear",
+            "curve.  This measurement is why `auto_split_async=True`",
+            "is the sink DEFAULT since r14: the split runs off the",
+            "trigger path, bounded by the documented margin rule",
+            "(cap - split_at*cap nodes must absorb the ingest while a",
+            "split is in flight), with the synchronous in-trigger",
+            "split demoted to the retry-exhaustion fallback.",
             "",
         ]
     split_rows = [r for r in results if r.get("split_wall")]
