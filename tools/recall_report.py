@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -642,6 +643,157 @@ def _tree_ingest_rows(spark, emb, n, M, efc, recall) -> list[str]:
         shutil.rmtree(tdir, ignore_errors=True)
 
 
+def _gen_clustered_1m(path: str, n: int = 1_000_000, seed: int = 42,
+                      n_blobs: int = 64, sigma: float = 0.15) -> None:
+    """The 1M-vector clustered corpus (r14, VERDICT ask #4): the same
+    planted-Gaussian-blob distribution as tools/gen_corpus.py
+    --clustered (seed+2, 64 blobs, sigma 0.15, dim 64), generated in
+    125k-row chunks through a ParquetWriter so the build never holds
+    1M python lists (gen_corpus's tolist() writer is fine at 50k,
+    ~3 GB transient at 1M)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    dim = 64
+    rng = np.random.default_rng(seed + 2)
+    cents = rng.standard_normal((n_blobs, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float64())),
+            ("label", pa.int64()),
+        ]
+    )
+    tmp = path + ".tmp"
+    with pq.ParquetWriter(tmp, schema) as w:
+        chunk = 125_000
+        for first in range(0, n, chunk):
+            m = min(chunk, n - first)
+            blob = rng.integers(0, n_blobs, size=m)
+            mat = cents[blob] + sigma * rng.standard_normal((m, dim))
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            w.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(
+                            range(first, first + m), pa.int64()
+                        ),
+                        "embedding": pa.FixedSizeListArray.from_arrays(
+                            pa.array(mat.reshape(-1), pa.float64()), dim
+                        ).cast(pa.list_(pa.float64())),
+                        "label": pa.array(blob, pa.int64()),
+                    },
+                    schema=schema,
+                )
+            )
+    os.replace(tmp, path)
+
+
+def centroid_probe_1m_section(spark, here: str) -> list[str]:
+    """r14 (VERDICT ask #4): the graph tier's recall evidence at the
+    scale IVF already has — the clustered shards_probed sweep at ONE
+    MILLION vectors.  S=64 centroid root at served defaults over the
+    same planted-blob distribution as the 50k table above (each cell
+    ≈ one 15.6k-point blob), so the two tables differ only in scale.
+    The corpus (scaledata/x1mc) generates on first run; the sharded
+    build parallelizes (one executor task per cell), which is exactly
+    why this point is measurable where a 1M SINGLE graph (serial
+    build, ~hours) is not — the sharded tier is the designated
+    serving path past the single-graph cap."""
+    import shutil
+    import tempfile
+
+    from chromem_go_spark.operators.hnsw import (
+        ShardedHNSW,
+        build_sharded_hnsw,
+    )
+
+    cdir = os.path.join(here, "scaledata", "x1mc")
+    emb_path = os.path.join(cdir, "embeddings.parquet")
+    if not os.path.isfile(emb_path):
+        os.makedirs(cdir, exist_ok=True)
+        _gen_clustered_1m(emb_path)
+    emb = spark.read.parquet(emb_path)
+    n = emb.count()
+    n_q = 128
+    qrows = (
+        emb.filter(F.col("vec_id") < n_q)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = [str(r["vec_id"]) for r in qrows]
+    qvecs = [list(r["embedding"]) for r in qrows]
+    exact = {}
+    for r in K.knn_block(
+        emb, qids, qvecs, K_AT, vec_col="embedding", id_col="vec_id"
+    ).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows) -> float:
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & exact[q]) / len(exact[q])
+            for q in exact
+        ) / len(exact)
+
+    M, efc = 16, 200
+    sroot = tempfile.mkdtemp(prefix="recall_c1m_")
+    try:
+        t0 = time.time()
+        m = build_sharded_hnsw(
+            emb, sroot, n_shards=64, M=M, ef_construction=efc,
+            shard_by="centroid",
+        )
+        build_wall = time.time() - t0
+        per_max = max(cnt for _, cnt in m["shards"])
+        sh = ShardedHNSW.load(sroot)
+        lines = [
+            f"## Centroid-root shards_probed sweep at 1M vectors (`scaledata/x1mc`, {n:,} — r14)",
+            "",
+            "The 50k clustered tables above leave the graph tier's",
+            "headline evidence an order of magnitude short of IVF's",
+            "sf1 rows; this is the same planted-blob sweep at 1M",
+            f"vectors, S=64 centroid root at served defaults (M={M},",
+            f"ef_c={efc}; largest cell {per_max:,} points; sharded",
+            f"build wall {build_wall:.0f}s across 64 parallel cell",
+            "tasks — the parallel build is why the sharded tier can",
+            "reach this scale while a serial 1M single graph cannot).",
+            "",
+            "| shards probed P | centroid @ef64 | centroid @ef128 |",
+            "|---|---|---|",
+        ]
+        for p in (1, 2, 4, 8):
+            r64 = recall(
+                sh.search_batch(
+                    spark, qids, qvecs, K_AT, ef=64, shards_probed=p
+                ).collect()
+            )
+            r128 = recall(
+                sh.search_batch(
+                    spark, qids, qvecs, K_AT, ef=128, shards_probed=p
+                ).collect()
+            )
+            lines.append(f"| {p} | {r64:.3f} | {r128:.3f} |")
+        lines += [
+            "",
+            "Walk cost still follows P, not S or n-per-cell beyond",
+            "the per-shard graph's log factor: the 1M root serves a",
+            "P=2 probe by walking 2 cells of ~16k points each —",
+            "the same work profile as the 50k root — while capacity",
+            "grew 20x.  That is the sharded tier's 100 TB story:",
+            "capacity scales with shard count, query cost with P.",
+            "",
+        ]
+        return lines
+    finally:
+        shutil.rmtree(sroot, ignore_errors=True)
+
+
 def centroid_probe_section(spark, clustered_dir: str) -> list[str]:
     """r12 — the at-scale recall evidence for SEMANTIC sharding (the
     r11 verdict's #1 ask): `shard_by="centroid"` exists precisely so
@@ -849,6 +1001,7 @@ def main() -> None:
         sf1c = os.path.join(here, "scaledata", "sf1c")
         if os.path.exists(f"{sf1c}/embeddings.parquet"):
             lines += centroid_probe_section(spark, sf1c)
+        lines += centroid_probe_1m_section(spark, here)
         lines += eligibility_section(spark, sf1)
         lines += shard_count_section(spark, sf1)
 

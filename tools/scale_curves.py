@@ -837,7 +837,9 @@ def measure_split_big(spark, d: str) -> dict:
     try:
         # fabricate a 1-cell centroid root around the fixture graph:
         # shard 0 = the 100k single graph as committed generation 1
-        sdir = os.path.join(root, "shard=0", "gen=1")
+        from chromem_go_spark.operators.hnsw import _shard_dir
+
+        sdir = os.path.join(_shard_dir(root, 0), "gen=1")
         os.makedirs(sdir)
         for name in ("graph.npz", "meta.json"):
             shutil.copy(
@@ -845,7 +847,7 @@ def measure_split_big(spark, d: str) -> dict:
                 os.path.join(sdir, name),
             )
         with open(
-            os.path.join(root, "shard=0", "_live.json"), "w"
+            os.path.join(_shard_dir(root, 0), "_live.json"), "w"
         ) as f:
             _json.dump({"gen": 1, "last_batch": -1}, f)
         idx = HNSWIndex.load(sdir)  # centroid for the routing table
