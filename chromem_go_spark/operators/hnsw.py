@@ -91,6 +91,99 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 
+class _NpzArrays(dict):
+    """Minimal NpzFile stand-in for :func:`_npz_open_mmap` — the two
+    surfaces ``HNSWIndex.load`` touches (``[]`` and ``.files``)."""
+
+    @property
+    def files(self) -> list:
+        return list(self.keys())
+
+
+def _npz_open_mmap(npz_path: str) -> "_NpzArrays":
+    """Open a ``np.savez`` archive with the LARGE members
+    memory-mapped in place instead of streamed.
+
+    ``np.savez`` stores members UNCOMPRESSED, so each ``.npy`` sits
+    contiguous inside the zip at a computable offset — ``np.memmap``
+    there is a zero-copy open.  ``np.load``'s zipfile path instead
+    streams every byte through a python-level chunk+crc loop
+    (measured ~130 MB/s: the 1.2 GB serving fixture cold-loaded in
+    ~10 s, and every sharded-walk worker cache miss paid ~0.6 s per
+    77 MB shard).  mmap also shares the page cache ACROSS python
+    workers on one host — N workers serving the same snapshot map the
+    same physical pages instead of holding N private copies.
+
+    Members that cannot mmap (object dtype, compressed, under 1 MB —
+    header parsing overhead beats the win there) read normally, and
+    ANY structural surprise falls back to ``np.load`` for the whole
+    file: the on-disk format is unchanged and old snapshots keep
+    loading.  Read-only by contract (mode="r"): the graph never
+    mutates ``vectors`` in place (appends ``vstack`` a fresh array),
+    and an unlinked-but-mapped snapshot generation stays consistent
+    on POSIX (the inode outlives the dir entry, which is what the
+    save_snapshot GC relies on)."""
+    import struct
+    import zipfile
+
+    from numpy.lib import format as npfmt
+
+    try:
+        out = _NpzArrays()
+        with zipfile.ZipFile(npz_path) as zf, open(npz_path, "rb") as raw:
+            for info in zf.infolist():
+                name = info.filename
+                key = name[:-4] if name.endswith(".npy") else name
+                if (
+                    info.compress_type != zipfile.ZIP_STORED
+                    or info.file_size < (1 << 20)
+                ):
+                    with zf.open(info) as f:
+                        out[key] = npfmt.read_array(
+                            f, allow_pickle=False
+                        )
+                    continue
+                with zf.open(info) as f:
+                    version = npfmt.read_magic(f)
+                    if version == (1, 0):
+                        shape, fortran, dtype = (
+                            npfmt.read_array_header_1_0(f)
+                        )
+                    elif version == (2, 0):
+                        shape, fortran, dtype = (
+                            npfmt.read_array_header_2_0(f)
+                        )
+                    else:
+                        raise ValueError(f"npy version {version}")
+                    header_len = f.tell()
+                if dtype.hasobject:
+                    with zf.open(info) as f:
+                        out[key] = npfmt.read_array(
+                            f, allow_pickle=False
+                        )
+                    continue
+                # data offset inside the FILE: the zip local header's
+                # name/extra lengths can differ from the central
+                # directory's — parse the local header itself
+                raw.seek(info.header_offset)
+                lh = raw.read(30)
+                if lh[:4] != b"PK\x03\x04":
+                    raise ValueError("bad local header")
+                name_len, extra_len = struct.unpack("<HH", lh[26:30])
+                data_off = (
+                    info.header_offset + 30 + name_len + extra_len
+                    + header_len
+                )
+                out[key] = np.memmap(
+                    npz_path, dtype=dtype, mode="r", offset=data_off,
+                    shape=shape, order="F" if fortran else "C",
+                )
+        return out
+    except Exception:  # noqa: BLE001 — any surprise: the normal path
+        data = np.load(npz_path)
+        return _NpzArrays({k: data[k] for k in data.files})
+
+
 def _direct_filter_cells() -> int:
     """Threshold for the direct (brute-force-over-allowed) filter
     path: engage when ``len(allowed) * dim`` is at or under this many
@@ -430,7 +523,7 @@ class HNSWIndex:
         import json
         import os
 
-        data = np.load(os.path.join(path, "graph.npz"))
+        data = _npz_open_mmap(os.path.join(path, "graph.npz"))
         if "__meta_json" in data.files:
             # authoritative: rides in the same atomic file as the arrays
             meta = json.loads(str(data["__meta_json"]))
