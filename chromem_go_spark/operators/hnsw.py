@@ -618,11 +618,22 @@ class HNSWIndex:
             d, c = heapq.heappop(cands)
             if len(results) >= ef and d > -results[0][0]:
                 break
-            for nb in self.layers[layer].get(c, ()):
-                if nb in visited:
-                    continue
-                visited.add(nb)
-                dn = -float(self.vectors[nb] @ q)
+            nbrs = [
+                nb
+                for nb in self.layers[layer].get(c, ())
+                if nb not in visited
+            ]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            # ONE matvec for the hop's unvisited neighborhood instead
+            # of a BLAS call per neighbor (r14: the per-neighbor ddot
+            # overhead dominated the walk — ~1.2k calls/query at
+            # dim 1536 put layer-0 at ~8 ms/query; batching the hop
+            # cuts the call count by ~the out-degree)
+            sims = self.vectors[nbrs] @ q
+            for nb, s in zip(nbrs, sims):
+                dn = -float(s)
                 if len(results) < ef or dn < -results[0][0]:
                     heapq.heappush(cands, (dn, nb))
                     if eligible is None or eligible(nb):
