@@ -338,10 +338,23 @@ def isolated_graph_main() -> None:
         if i >= 1:
             wall = min(wall, time.time() - t0)
         assert n == n_q * k, n
+    # the walk ALONE (r14): wall_sec is dominated by the fixed
+    # createDataFrame/count overhead (~0.6 s for 640 rows), which
+    # would mask a real walk regression — walk_sec is the pure
+    # driver-side graph traversal the pin exists to watch
+    walk = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        for qv in qvecs:
+            idx.search(qv, k, ef=ef)
+        if i >= 1:
+            walk = min(walk, time.time() - t0)
     out["hnsw_serve_single_100k_q64"] = {
         "n_docs": n_docs, "dim": dim, "n_queries": n_q, "k": k,
-        "ef": ef, "wall_sec": round(wall, 3), "cold_load_sec": load_sec,
+        "ef": ef, "wall_sec": round(wall, 3),
+        "walk_sec": round(walk, 3), "cold_load_sec": load_sec,
         "queries_per_sec": int(n_q / wall),
+        "walk_ms_per_query": round(1000 * walk / n_q, 2),
     }
 
     root = os.path.join(GRAPH_PIN_FIXTURE, "sharded")
