@@ -2940,13 +2940,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     threshold mode stays oracle-wired in extras alongside its kernel
     twin knn_batch_negative).
 
-    r14: where_extended (the $and/$or extended filter DSL — the
-    reference's roadmap operator tree, a distinct recursive-predicate
-    shape that had never held a driver row) rotated IN;
-    where_not_contains rotated OUT (the $contains family stays
-    windowed through where_contains; the inverted predicate is one
-    NOT flag, and where_extended's tree exercises both polarities
-    under $and/$or), still value-checked in extras."""
+    r14 (optimization round): where_extended (the $and/$or extended
+    filter DSL — the reference's roadmap operator tree, a distinct
+    recursive-predicate shape that had never held a driver row) ADDED
+    to the window; where_not_contains KEPT (r14 is an optimization
+    round — no declared query may disappear, so the usual swap
+    rotation becomes a pure addition and the window holds 51 entries
+    this round)."""
     return {
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
@@ -2956,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_search": q_ivf_pq_search,
         "where_eq": q_where_eq,
         "where_contains": q_where_contains,
+        "where_not_contains": q_where_not_contains,
         "where_extended": q_where_extended,
         "get_by_id": q_get_by_id,
         "duplicate_spans": q_duplicate_spans,
@@ -3132,7 +3133,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles_approx": q_events_percentiles_approx,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
-        "where_not_contains": q_where_not_contains,
         "mix_corpus": q_mix_corpus,
         "unigram_logprob": q_unigram_logprob,
         "strip_duplicate_spans": q_strip_duplicate_spans,
@@ -4890,7 +4890,6 @@ _EXTRA_KEYS = frozenset(
         "events_percentiles_approx",  # no oracle (approx) — listed for symmetry
         "decontaminate",
         "pii_scrub",
-        "where_not_contains",  # r14: rotated out ($contains family stays windowed via where_contains; the inverted predicate is one NOT flag and where_extended's $or tree embeds both polarities)
         "mix_corpus",
         "unigram_logprob",
         "strip_duplicate_spans",
