@@ -336,7 +336,13 @@ def incremental_neardup_batch(
     spark = batch_docs.sparkSession
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    hsh = materialize(D.hashed_shingle_table(batch_docs, text_col, id_col, k))
+    # r14: checkpoint the per-doc hash ARRAYS (row-local, zero
+    # shuffles); the signature build explodes from them and the
+    # shingle-state write reads them directly (the old
+    # groupBy+collect_list rebuild paid a full shuffle of the batch's
+    # shingle stream).
+    arrs = materialize(D._hashed_shingle_arrays(batch_docs, text_col, id_col, k))
+    hsh = arrs.select(id_col, F.explode("hs").alias("h"))
     sig = D.minhash_signatures(
         batch_docs, text_col, id_col, k, num_hashes, seed, hashed_shingles=hsh
     )
@@ -356,15 +362,16 @@ def incremental_neardup_batch(
             id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
     )
-    # array_sort: collect_list order is nondeterministic, and the fold's
-    # crash healing dedups state rows byte-for-byte — an unsorted array
-    # would let a stale-staging duplicate of the same doc survive the
-    # dedup and inflate candidate pairs.  Sorting makes rows canonical
-    # (Jaccard via array_intersect is order-insensitive, so free).
+    # array_sort: the fold's crash healing dedups state rows
+    # byte-for-byte, so rows must be canonical (Jaccard via
+    # array_intersect is order-insensitive, so free).  The size()>0
+    # filter keeps state identical to the pre-r14 groupBy rebuild,
+    # which never emitted a row for a doc with zero shingles.
     new_shingles = materialize(
-        hsh.groupBy(id_col).agg(
-            F.array_sort(F.collect_list("h")).alias("hs"),
-            F.count(F.lit(1)).alias("sz"),
+        arrs.filter(F.size("hs") > 0).select(
+            id_col,
+            F.array_sort("hs").alias("hs"),
+            F.size("hs").cast("bigint").alias("sz"),
         )
     )
 
