@@ -49,6 +49,22 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_from_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """Cosine via PRECOMPUTED per-row L2 norms: ``dot(a,b) / (na*nb)``.
+
+    Bit-identical to :func:`cosine_similarity` when ``na``/``nb`` carry
+    ``norm(a)``/``norm(b)`` (same subexpressions, same operation order,
+    same doubles) — the point is to hoist the two O(d) norm aggregates
+    out of an O(pairs) join, where :func:`cosine_similarity` would
+    recompute each row's norm once per PARTNER (r14, guide §2.3:
+    compute per-row facts once per row, not once per pair)."""
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
+    return dot(a, b) / (na * nb)
+
+
 def normalize(v: Column | str) -> Column:
     """v / ||v||2 as an array<double> column (reference vector.go:28-41)."""
     n = norm(v)

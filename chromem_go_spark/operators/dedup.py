@@ -846,11 +846,14 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs (all-pairs). Correctness-grade;
     use :func:`embedding_neardup_pairs_lsh` at scale."""
+    # r14: norms hoisted out of the O(n^2) join (see cosine_from_norms)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    a = a.withColumn("__na", V.norm("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    b = b.withColumn("__nb", V.norm("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", V.cosine_similarity("va", "vb"))
+        .withColumn("cosine", V.cosine_from_norms("va", "vb", "__na", "__nb"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
@@ -939,12 +942,16 @@ def embedding_neardup_pairs_lsh(
         )
         .distinct()
     )
+    # r14: norms hoisted out of the per-candidate evaluation (see
+    # cosine_from_norms) — computed once per row at the vector attach
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    va = va.withColumn("__na", V.norm("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    vb = vb.withColumn("__nb", V.norm("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", V.cosine_similarity("va", "vb"))
+        .withColumn("cosine", V.cosine_from_norms("va", "vb", "__na", "__nb"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
@@ -1208,14 +1215,16 @@ def semantic_prune(
     cols = [id_col, cluster_col]
     if keep == "centroid_closest":
         cols.append("centroid_sim")
+    # r14: per-row norms hoisted out of the within-cluster join (see
+    # cosine_from_norms; bit-identical values)
     a = df.select(
         *[F.col(c).alias(f"{c}_a") for c in cols],
         F.col(vec_col).alias("__va"),
-    )
+    ).withColumn("__na", V.norm("__va"))
     b = df.select(
         *[F.col(c).alias(f"{c}_b") for c in cols],
         F.col(vec_col).alias("__vb"),
-    )
+    ).withColumn("__nb", V.norm("__vb"))
     if keep == "min_id":
         pref = F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
     else:
@@ -1226,7 +1235,10 @@ def semantic_prune(
     # a is the preferred side, so id_b is the loser of every near pair
     losers = (
         a.join(b, (F.col(f"{cluster_col}_a") == F.col(f"{cluster_col}_b")) & pref)
-        .filter(V.cosine_similarity("__va", "__vb") >= F.lit(float(threshold)))
+        .filter(
+            V.cosine_from_norms("__va", "__vb", "__na", "__nb")
+            >= F.lit(float(threshold))
+        )
         .select(F.col(f"{id_col}_b").alias(id_col))
         .distinct()
         .withColumn("__lost", F.lit(True))
@@ -1481,18 +1493,25 @@ def semantic_dedup_clusters(
         cluster_col = "cluster_id"
     else:
         assigned = df.select(id_col, cluster_col, vec_col)
+    # r14: per-row norms are computed ONCE per side before the
+    # within-cluster join (cosine_from_norms) — cosine_similarity would
+    # re-aggregate each row's norm once per PARTNER across O(pairs)
+    # rows; bit-identical values (same subexpressions, same op order).
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(cluster_col).alias("__c"),
         F.col(vec_col).alias("va"),
-    )
+    ).withColumn("__na", V.norm("va"))
     b = assigned.select(
         F.col(id_col).alias("id_b"), F.col(cluster_col).alias("__c"),
         F.col(vec_col).alias("vb"),
-    )
+    ).withColumn("__nb", V.norm("vb"))
     pairs = (
         a.join(b, "__c")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(V.cosine_similarity("va", "vb") >= F.lit(float(threshold)))
+        .filter(
+            V.cosine_from_norms("va", "vb", "__na", "__nb")
+            >= F.lit(float(threshold))
+        )
         .select("id_a", "id_b")
     )
     cc = (

@@ -73,8 +73,11 @@ def build_gram_index(
     n: int = DEFAULT_GRAM,
 ) -> DataFrame:
     """The posting-list table (gram, id), one row per distinct gram per
-    document.  One explode + distinct — a single shuffle, map-side
-    combined.  Persist it sorted by gram
+    document.  ZERO shuffles (r14): ``_gram_expr`` already emits each
+    doc's DISTINCT gram array, so the exploded (id, gram) rows are
+    globally distinct by construction — the old trailing
+    ``.distinct()`` paid a full shuffle of the posting stream to dedup
+    rows that had no duplicates.  Persist it sorted by gram
     (``.sortWithinPartitions("gram")`` after a repartition on gram) so
     the per-query gram filter becomes parquet row-group pruning."""
     if n < 2:
@@ -83,7 +86,6 @@ def build_gram_index(
         df.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("__g"))
         .select("id", F.explode("__g").alias("gram"))
         .filter(F.length("gram") == n)
-        .distinct()
     )
 
 

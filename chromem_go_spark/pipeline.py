@@ -397,18 +397,28 @@ def decontaminate(
     across the dedup stack."""
 
     def shingles(df: DataFrame) -> DataFrame:
-        w = T.word_tokens(text_col)
+        # r14: tokenize ONCE into a plain column before the gram
+        # transform — the old inline `w` expression was referenced from
+        # inside the transform lambda (slice(w, i, n)), where Catalyst
+        # re-evaluates the embedded tokenizer per ELEMENT (the repo's
+        # documented transform-lambda gotcha); and per-doc gram dedup
+        # is row-local array_distinct, not a shuffled .distinct() of
+        # the exploded gram stream (same move as hashed_shingle_table;
+        # explode_outer keeps the gramless-doc NULL row identical).
+        toks = df.select(id_col, T.word_tokens(text_col).alias("__w"))
         grams = F.when(
-            F.size(w) < n, F.array().cast("array<string>")
+            F.size("__w") < n, F.array().cast("array<string>")
         ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - n + 1),
-                lambda i: F.array_join(F.slice(w, i, n), " "),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - n + 1),
+                    lambda i: F.array_join(F.slice("__w", i, n), " "),
+                )
             )
         )
-        return df.select(
+        return toks.select(
             F.col(id_col), F.explode_outer(grams).alias("sh")
-        ).distinct()
+        )
 
     ev = shingles(eval_docs).select("sh").distinct()
     return (
@@ -1038,12 +1048,20 @@ def semantic_decontaminate(
     from .functions import vector as V
 
     eid = eval_id_col or id_col
+    # r14: per-row norms hoisted out of the corpus x eval broadcast
+    # join — cosine_similarity in the JOIN CONDITION re-aggregated both
+    # sides' norms once per (corpus row, eval row) probe; now each is
+    # computed once per row (bit-identical values, see
+    # vector.cosine_from_norms).
     ev = eval_vectors.select(
         F.col(eid).alias("__eid"), F.col(vec_col).alias("__ev")
+    ).withColumn("__en", V.norm("__ev"))
+    corpus = corpus_vectors.select(id_col, vec_col).withColumn(
+        "__cn", V.norm(vec_col)
     )
-    cos = V.cosine_similarity(vec_col, "__ev")
+    cos = V.cosine_from_norms(vec_col, "__ev", "__cn", "__en")
     return (
-        corpus_vectors.select(id_col, vec_col)
+        corpus
         .join(F.broadcast(ev), cos >= F.lit(float(threshold)))
         .withColumn("__cos", cos)
         .groupBy(id_col)

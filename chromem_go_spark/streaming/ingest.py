@@ -602,7 +602,11 @@ def incremental_semantic_dedup_batch(
         cand = cand.unionByName(c)
     pairs = (
         cand.dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", V.cosine_similarity("va", "vb"))
+        # r14: norms once per surviving candidate row, not re-aggregated
+        # inside the cosine twice (filter + project); bit-identical
+        .withColumn("__na", V.norm("va"))
+        .withColumn("__nb", V.norm("vb"))
+        .withColumn("cosine", V.cosine_from_norms("va", "vb", "__na", "__nb"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )

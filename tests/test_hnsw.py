@@ -2824,7 +2824,24 @@ def test_split_raced_by_append_aborts(spark, emb, tmp_path, monkeypatch):
         def kern(batches):
             out = list(inner(batches))
             # the race: an ingest commits a fresh generation to the
-            # source AFTER the split staged its rebuild
+            # source AFTER the split staged its rebuild.  The split
+            # kernel runs as TWO parallel tasks (one per sub-cell);
+            # inject the race from exactly ONE of them (atomic
+            # O_EXCL marker) — the single-maintenance-writer contract
+            # means two CONCURRENT appends to one shard are out of
+            # scope here, and letting both tasks append raced the
+            # injection against itself (flaky FileNotFoundError when
+            # one append's layout-converting commit removed the
+            # legacy graph.npz between the other's exists() check
+            # and load).
+            marker = os.path.join(staging, "__race_injected")
+            os.makedirs(staging, exist_ok=True)
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL)
+                os.close(fd)
+            except FileExistsError:
+                yield from out
+                return
             H.append_shard_batch(
                 H._shard_dir(root_, src_), 10_000, [987654],
                 [[0.5] * dim], M=M, ef_construction=efc, seed=seed,
