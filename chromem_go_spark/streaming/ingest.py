@@ -342,9 +342,8 @@ def incremental_neardup_batch(
     # groupBy+collect_list rebuild paid a full shuffle of the batch's
     # shingle stream).
     arrs = materialize(D._hashed_shingle_arrays(batch_docs, text_col, id_col, k))
-    hsh = arrs.select(id_col, F.explode("hs").alias("h"))
     sig = D.minhash_signatures(
-        batch_docs, text_col, id_col, k, num_hashes, seed, hashed_shingles=hsh
+        batch_docs, text_col, id_col, k, num_hashes, seed, hash_arrays=arrs
     )
     band_structs = F.array(
         *[
