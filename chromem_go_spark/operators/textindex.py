@@ -82,9 +82,16 @@ def build_gram_index(
     the per-query gram filter becomes parquet row-group pruning."""
     if n < 2:
         raise ValueError("gram index needs n >= 2")
+    # the gram expression is INLINED into explode: exploding a NAMED
+    # array column makes InferFiltersFromGenerate clone the whole
+    # build into an inferred size()>0 filter below the Project —
+    # computing every doc's gram array twice (see dedup.py's
+    # hashed_shingle_table for the pathological regex variant)
     return (
-        df.select(F.col(id_col).alias("id"), _gram_expr(text_col, n).alias("__g"))
-        .select("id", F.explode("__g").alias("gram"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_gram_expr(text_col, n)).alias("gram"),
+        )
         .filter(F.length("gram") == n)
     )
 
