@@ -71,12 +71,17 @@ def shingle_table(
 
 def _doc_token_arrays(
     df: DataFrame, text_col: str, id_col: str, k: int, unit: str = "char"
-) -> DataFrame:
+):
     """Per doc: shingles as (global_rarity_order, hash) structs, sorted
     rarest-first, plus the plain hash array for set intersection.
 
-    Columns: id, toks array<struct<dfq,h>> (sorted by global df then
-    hash), hs array<long> (the shingle hashes), sz.
+    Returns (grouped, arrs): ``grouped`` has id, toks
+    array<struct<dfq,h>> (sorted by global df then hash), sz;
+    ``arrs`` is the CHECKPOINTED (id, hs array<long>) per-doc distinct
+    hash sets the build started from — verify phases should read their
+    hash arrays from ``arrs`` instead of re-deriving them with
+    ``transform(toks, x -> x.h)`` (same set per doc, element order
+    differs, which array_intersect sizes are insensitive to).
     """
     # Hash shingles to longs FIRST: every downstream shuffle (frequency
     # count, doc groupBy, prefix join) keys on 8-byte longs, never on
@@ -95,10 +100,11 @@ def _doc_token_arrays(
     sh = arrs.select(id_col, F.explode("hs").alias("h"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfq"))
     withf = sh.join(dfreq, "h")
-    return withf.groupBy(id_col).agg(
+    grouped = withf.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("dfq", "h"))).alias("toks"),
         F.count(F.lit(1)).alias("sz"),
     )
+    return grouped, arrs
 
 
 def _prefix_table(
@@ -173,7 +179,8 @@ def ngram_jaccard_pairs(
     # intermediates.
     # ``unit='word'`` switches to word n-grams (the Gopher-style 13-gram
     # document dedup unit for LLM corpora) — same prefix-filter plan.
-    g = _doc_token_arrays(df, text_col, id_col, k, unit).transform(materialize)
+    g, arrs = _doc_token_arrays(df, text_col, id_col, k, unit)
+    g = materialize(g)
     # Extended prefix (`prefix_ext`): the minimal PPJoin prefix
     # (sz - ceil(t*sz) + 1) admits every pair sharing one rare shingle —
     # measured 2.95M candidate pairs funneling to 337k verify survivors
@@ -214,9 +221,12 @@ def ngram_jaccard_pairs(
         F.col("sz_a") - F.col("L_a"), F.col("sz_b") - F.col("L_b")
     )
     cand = cand_counts.filter(ubound >= alpha).select("id_a", "id_b", "sz_a", "sz_b")
-    hs = g.select(id_col, F.transform("toks", lambda x: x["h"]).alias("hs"))
-    ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
-    hb = hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    # Verify sides read the checkpointed per-doc hash arrays directly
+    # (8 bytes/elem, no per-row transform) instead of re-deriving them
+    # from the 16-byte (dfq,h) structs; array_intersect sizes are
+    # insensitive to the element-order difference.
+    ha = arrs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = arrs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
     return (
         cand.join(ha, "id_a")
         .join(hb, "id_b")
@@ -1164,7 +1174,8 @@ def containment_pairs(
     quadratic.
     """
     t = float(threshold)
-    g = _doc_token_arrays(df, text_col, id_col, k, unit).transform(materialize)
+    g, arrs = _doc_token_arrays(df, text_col, id_col, k, unit)
+    g = materialize(g)
     pref = _prefix_table(g, t, prefix_ext, id_col)
     full = g.select(id_col, "sz", F.explode("toks").alias("p")).select(
         id_col, "sz", F.col("p.h").alias("ph")
@@ -1190,9 +1201,10 @@ def containment_pairs(
         F.col("sz_a") - F.col("L_a"), F.lit(0)
     )
     strong = cand.filter(F.col("c") >= c_min)
-    hs = g.select(id_col, F.transform("toks", lambda x: x["h"]).alias("hs"))
-    ha = hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
-    hb = hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    # Verify sides read the checkpointed (id, hs) arrays — see
+    # ngram_jaccard_pairs.
+    ha = arrs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = arrs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
     return (
         strong.join(ha, "id_a")
         .join(hb, "id_b")
@@ -1358,7 +1370,8 @@ def cross_corpus_neardup_pairs(
         F.col(text_col),
     )
     keyed = tag(new_docs, "n:").unionByName(tag(ref_docs, "r:"))
-    g = _doc_token_arrays(keyed, text_col, "__key", k, unit).transform(materialize)
+    g, arrs = _doc_token_arrays(keyed, text_col, "__key", k, unit)
+    g = materialize(g)
     pref = _prefix_table(g, t, prefix_ext, "__key")
     a = pref.filter(F.col("__key").startswith("n:")).alias("a")
     b = pref.filter(F.col("__key").startswith("r:")).alias("b")
@@ -1386,9 +1399,10 @@ def cross_corpus_neardup_pairs(
     cand = cand_counts.filter(ubound >= alpha).select(
         "key_a", "key_b", "sz_a", "sz_b"
     )
-    hs = g.select("__key", F.transform("toks", lambda x: x["h"]).alias("hs"))
-    ha = hs.select(F.col("__key").alias("key_a"), F.col("hs").alias("hs_a"))
-    hb = hs.select(F.col("__key").alias("key_b"), F.col("hs").alias("hs_b"))
+    # Verify sides read the checkpointed (__key, hs) arrays — see
+    # ngram_jaccard_pairs.
+    ha = arrs.select(F.col("__key").alias("key_a"), F.col("hs").alias("hs_a"))
+    hb = arrs.select(F.col("__key").alias("key_b"), F.col("hs").alias("hs_b"))
     id_type = new_docs.schema[id_col].dataType.simpleString()
     strip = lambda c: F.expr(f"substring({c}, 3)").cast(id_type)  # noqa: E731
     return (

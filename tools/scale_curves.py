@@ -73,9 +73,7 @@ def measure(spark, d: str, sf_name: str) -> dict:
 
     # analytic raw candidate count of the prefix join (sum of
     # per-shingle C(df,2)) — the join's row volume without running it
-    g = _doc_token_arrays(docs, "text", "doc_id", 5, "char").transform(
-        materialize
-    )
+    g = materialize(_doc_token_arrays(docs, "text", "doc_id", 5, "char")[0])
     pref = _prefix_table(g, 0.5, 16, "doc_id")
     out["ngram_candidates"] = int(
         pref.groupBy("ph")
