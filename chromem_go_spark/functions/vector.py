@@ -44,6 +44,22 @@ def norm(v: Column | str) -> Column:
     return F.sqrt(dot(v, v))
 
 
+def hoisted_norm(v: Column | str) -> Column:
+    """:func:`norm` as a NON-NULLABLE column (null -> 0.0), for norms
+    hoisted into a per-row column ahead of a join.
+
+    A nullable norm column referenced by a join condition or post-join
+    cosine filter makes InferFiltersFromConstraints clone the whole O(d)
+    aggregate into an ``isnotnull(sqrt(aggregate(...)))`` scan filter —
+    one extra norm eval per row just to test nullness. ``coalesce(norm,
+    0.0)`` is non-nullable, so no isnotnull constraint is generated and
+    the clone disappears. Pair results are identical: a null norm means
+    a null vector (or null element), whose dot with any partner is null,
+    so every cosine comparison already drops the row; non-null rows see
+    the same doubles (coalesce only rewrites the null case)."""
+    return F.coalesce(norm(v), F.lit(0.0))
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two array columns (no normalization assumed)."""
     return dot(a, b) / (norm(a) * norm(b))

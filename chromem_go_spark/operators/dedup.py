@@ -890,9 +890,9 @@ def embedding_neardup_pairs(
     use :func:`embedding_neardup_pairs_lsh` at scale."""
     # r14: norms hoisted out of the O(n^2) join (see cosine_from_norms)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    a = a.withColumn("__na", V.norm("va"))
+    a = a.withColumn("__na", V.hoisted_norm("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    b = b.withColumn("__nb", V.norm("vb"))
+    b = b.withColumn("__nb", V.hoisted_norm("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", V.cosine_from_norms("va", "vb", "__na", "__nb"))
@@ -987,9 +987,9 @@ def embedding_neardup_pairs_lsh(
     # r14: norms hoisted out of the per-candidate evaluation (see
     # cosine_from_norms) — computed once per row at the vector attach
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    va = va.withColumn("__na", V.norm("va"))
+    va = va.withColumn("__na", V.hoisted_norm("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    vb = vb.withColumn("__nb", V.norm("vb"))
+    vb = vb.withColumn("__nb", V.hoisted_norm("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -1264,11 +1264,11 @@ def semantic_prune(
     a = df.select(
         *[F.col(c).alias(f"{c}_a") for c in cols],
         F.col(vec_col).alias("__va"),
-    ).withColumn("__na", V.norm("__va"))
+    ).withColumn("__na", V.hoisted_norm("__va"))
     b = df.select(
         *[F.col(c).alias(f"{c}_b") for c in cols],
         F.col(vec_col).alias("__vb"),
-    ).withColumn("__nb", V.norm("__vb"))
+    ).withColumn("__nb", V.hoisted_norm("__vb"))
     if keep == "min_id":
         pref = F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
     else:
@@ -1545,11 +1545,11 @@ def semantic_dedup_clusters(
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(cluster_col).alias("__c"),
         F.col(vec_col).alias("va"),
-    ).withColumn("__na", V.norm("va"))
+    ).withColumn("__na", V.hoisted_norm("va"))
     b = assigned.select(
         F.col(id_col).alias("id_b"), F.col(cluster_col).alias("__c"),
         F.col(vec_col).alias("vb"),
-    ).withColumn("__nb", V.norm("vb"))
+    ).withColumn("__nb", V.hoisted_norm("vb"))
     pairs = (
         a.join(b, "__c")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -1055,9 +1055,9 @@ def semantic_decontaminate(
     # vector.cosine_from_norms).
     ev = eval_vectors.select(
         F.col(eid).alias("__eid"), F.col(vec_col).alias("__ev")
-    ).withColumn("__en", V.norm("__ev"))
+    ).withColumn("__en", V.hoisted_norm("__ev"))
     corpus = corpus_vectors.select(id_col, vec_col).withColumn(
-        "__cn", V.norm(vec_col)
+        "__cn", V.hoisted_norm(vec_col)
     )
     cos = V.cosine_from_norms(vec_col, "__ev", "__cn", "__en")
     return (

@@ -603,8 +603,8 @@ def incremental_semantic_dedup_batch(
         cand.dropDuplicates(["id_a", "id_b"])
         # r14: norms once per surviving candidate row, not re-aggregated
         # inside the cosine twice (filter + project); bit-identical
-        .withColumn("__na", V.norm("va"))
-        .withColumn("__nb", V.norm("vb"))
+        .withColumn("__na", V.hoisted_norm("va"))
+        .withColumn("__nb", V.hoisted_norm("vb"))
         .withColumn("cosine", V.cosine_from_norms("va", "vb", "__na", "__nb"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")

@@ -61,3 +61,44 @@ def test_cosine_similarity(spark):
 def test_subtract_vec_mismatch():
     with pytest.raises(ValueError, match="vectors must have the same length"):
         V.subtract_vec([1.0], [1.0, 2.0])
+
+
+def test_hoisted_norm(spark):
+    # Bit-identical to norm() on non-null vectors, 0.0 (not null) on a
+    # null vector, and statically non-nullable — so a join referencing
+    # the hoisted column never grows an inferred isnotnull(sqrt(agg))
+    # clone of the O(d) aggregate at the scan.
+    df = spark.createDataFrame(
+        [("a", [3.0, 4.0]), ("nul", None)], "id string, v array<float>"
+    )
+    out = df.select("id", V.norm("v").alias("n"), V.hoisted_norm("v").alias("h"))
+    assert not out.schema["h"].nullable
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["h"] == rows["a"]["n"] == pytest.approx(5.0)
+    assert rows["nul"]["n"] is None and rows["nul"]["h"] == 0.0
+
+
+def test_hoisted_norm_pairs_match_cosine_similarity(spark):
+    # embedding_neardup_pairs-shaped check: the hoisted-norm join drops
+    # null-vector rows exactly like inline cosine_similarity would
+    # (null dot -> null cosine -> filtered), and keeps the same doubles.
+    from chromem_go_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_neardup_pairs(df, threshold=0.5).collect()
+    }
+    a = df.selectExpr("vec_id id_a", "embedding va")
+    b = df.selectExpr("vec_id id_b", "embedding vb")
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", V.cosine_similarity("va", "vb"))
+        .filter(F.col("cosine") >= 0.5)
+        .collect()
+    }
+    assert got == want and (1, 2) in got and all(3 not in k for k in got)
