@@ -56,17 +56,28 @@ def shingle_table(
     ``transform``: substr inside the lambda must reference a plain
     attribute, otherwise the normalize regexp is re-evaluated once per
     shingle position (measured 10x slowdown).
+
+    r14: per-doc dedup is row-local ``array_distinct`` on the in-row
+    shingle array, NOT ``.distinct()`` on the exploded stream —
+    (id, shingle) pairs are globally distinct iff each doc's shingle
+    set is, so the old global distinct paid a full shuffle of the
+    exploded string stream for a row-local fact (same fix as
+    :func:`hashed_shingle_table`; plan: 1 Exchange -> 0).  The array
+    expression stays INLINED in ``explode`` (see
+    :func:`hashed_shingle_table` on InferFiltersFromGenerate).
     """
     normed = df.select(id_col, T.normalized_text(text_col).alias("__t"))
     shingles = F.when(
         F.length("__t") < k, F.array().cast("array<string>")
     ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length("__t") - F.lit(k - 1)),
-            lambda i: F.col("__t").substr(i, F.lit(k)),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__t") - F.lit(k - 1)),
+                lambda i: F.col("__t").substr(i, F.lit(k)),
+            )
         )
     )
-    return normed.select(id_col, F.explode(shingles).alias("shingle")).distinct()
+    return normed.select(id_col, F.explode(shingles).alias("shingle"))
 
 
 def _doc_token_arrays(

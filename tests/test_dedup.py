@@ -29,6 +29,37 @@ def test_exact_dedup(docs):
     assert set(out) == {1, 3, 4}
 
 
+def test_shingle_table_per_doc_distinct_no_shuffle(docs):
+    """r14: shingle_table dedups per doc with row-local array_distinct —
+    the row set must equal the old exploded-stream .distinct() (the
+    pairs are globally distinct iff per-doc distinct) and the plan must
+    carry ZERO exchanges (the old shape shuffled the whole exploded
+    string stream)."""
+    from chromem_go_spark.functions import text as T
+    from chromem_go_spark.plans.explain import plan_flags
+
+    out = D.shingle_table(docs, k=5)
+    assert plan_flags(out)["n_exchanges"] == 0
+
+    normed = docs.select("doc_id", T.normalized_text("text").alias("__t"))
+    sh = F.when(
+        F.length("__t") < 5, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length("__t") - F.lit(4)),
+            lambda i: F.col("__t").substr(i, F.lit(5)),
+        )
+    )
+    old = normed.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    assert out.exceptAll(old).count() == 0
+    assert old.exceptAll(out).count() == 0
+    # the fixture really exercises the dedup: docs repeat shingles
+    # in-row ("again and again") and across docs (1, 2, 5 normalize
+    # identically)
+    raw = normed.select("doc_id", F.explode(sh).alias("shingle"))
+    assert out.count() < raw.count()
+
+
 def test_ngram_jaccard_pairs(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, 0.5).collect()}
     assert pairs[(1, 2)] == pytest.approx(1.0)
