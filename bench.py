@@ -143,6 +143,7 @@ BENCH_NAMES = [
     "tokenizer_fertility",
     "unimax_weights",
     "where_extended",  # r14: rotated into the window
+    "where_not_contains",  # r15: rotated to extras (window back to 50); benched from here on
 ]
 
 
