@@ -40,8 +40,18 @@ def reliable_checkpoint_dir() -> str | None:
     return _RELIABLE_DIR
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Compute ``df`` once and cut its lineage (always eager)."""
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Compute ``df`` once and cut its lineage.
+
+    ``eager=False`` (r15) defers the computation to the FIRST downstream
+    job instead of launching a dedicated one — the plan boundary (Scan
+    ExistingRDD) exists either way, so optimizer behavior is identical;
+    only the extra job barrier disappears.  Safe ONLY when the first
+    downstream consumer references the frame ONCE in its plan (a lazy
+    checkpoint referenced twice in one job computes its partitions in
+    racing tasks and may double-compute); later multi-branch consumers
+    are fine because the first job has already populated the blocks.
+    """
     if _RELIABLE_DIR is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -65,6 +65,11 @@ def shingle_table(
     :func:`hashed_shingle_table`; plan: 1 Exchange -> 0).  The array
     expression stays INLINED in ``explode`` (see
     :func:`hashed_shingle_table` on InferFiltersFromGenerate).
+
+    Assumes ``id_col`` values are unique per row (as every dedup
+    operator here does): with duplicate-id input rows the old global
+    distinct collapsed repeated (id, shingle) pairs ACROSS those rows,
+    while the row-local form emits them once per input row.
     """
     normed = df.select(id_col, T.normalized_text(text_col).alias("__t"))
     shingles = F.when(
@@ -104,10 +109,16 @@ def _doc_token_arrays(
     # this cut Catalyst computes the normalize+shingle+hash subtree
     # TWICE (measured at sf0.1: 4.87 s -> 2.31 s for this function,
     # identical output).
+    # r15: the checkpoint is LAZY — the plan boundary (Scan ExistingRDD)
+    # is identical to the eager form, but the dedicated warm-up job
+    # disappears: the blocks materialize inside the caller's g
+    # checkpoint job, whose plan references arrs exactly once (the
+    # multi-branch verify joins run later, against already-computed
+    # blocks).  One fewer job barrier per dedup-family query.
     builder = (
         _hashed_shingle_arrays if unit == "char" else _hashed_word_shingle_arrays
     )
-    arrs = materialize(builder(df, text_col, id_col, k))
+    arrs = materialize(builder(df, text_col, id_col, k), eager=False)
     sh = arrs.select(id_col, F.explode("hs").alias("h"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfq"))
     withf = sh.join(dfreq, "h")
@@ -124,8 +135,11 @@ def _prefix_table(
     """(id, sz, L, ph): each doc's rarest-first prefix exploded to bare
     8-byte shingle hashes.  ``L = min(sz - ceil(t*sz) + e, sz)`` — the
     extended PPJoin prefix shared by the Jaccard and containment joins.
-    ``e`` is clamped to >= 1: the minimal EXACT prefix needs one slot
-    past the suffix, and e=0 would silently drop true pairs."""
+    ``t`` is the prefix FRACTION, not necessarily the query threshold:
+    the r15 asymmetric Jaccard join passes ``2t/(1+t)`` for the
+    smaller-doc (index) side.  ``e`` is clamped to >= 1: the minimal
+    EXACT prefix needs one slot past the suffix, and e=0 would silently
+    drop true pairs."""
     e = max(1, int(prefix_ext))
     plen = F.least(
         (F.col("sz") - F.ceil(F.col("sz") * F.lit(t)) + F.lit(e)).cast("int"),
@@ -192,6 +206,15 @@ def ngram_jaccard_pairs(
     # document dedup unit for LLM corpora) — same prefix-filter plan.
     g, arrs = _doc_token_arrays(df, text_col, id_col, k, unit)
     g = materialize(g)
+    # The checkpoint comes back AQE-coalesced for ITS OWN byte size (11
+    # partitions of ~2 MB at sf0.1) — but the next stage explodes it
+    # ~100x and streams the prefix self-join's full candidate volume
+    # (93M rows measured at sf0.1/t=0.5) through those same partitions.
+    # _spread restores core-count parallelism for that known blow-up
+    # (guide §8: use what the optimizer cannot see) and is a no-op at
+    # scale.  Measured: the cand phase alone 6.8 -> 5.4 s at local[32],
+    # and the 8-vs-32-core probe stage actually scales afterwards.
+    gp = _spread(g)
     # Extended prefix (`prefix_ext`): the minimal PPJoin prefix
     # (sz - ceil(t*sz) + 1) admits every pair sharing one rare shingle —
     # measured 2.95M candidate pairs funneling to 337k verify survivors
@@ -203,15 +226,37 @@ def ngram_jaccard_pairs(
     # faster for a ~2% larger candidate join.  Join keys are the bare
     # 8-byte shingle hashes ((dfq, h) equality == h equality, dfq being
     # a function of h).
-    pref = _prefix_table(g, t, prefix_ext, id_col)
-    a = pref.alias("a")
-    b = pref.alias("b")
+    #
+    # r15 — ASYMMETRIC prefixes (PPJoin probe/index lengths, Xiao et
+    # al.): direct the pair (sz, id)-lexicographically and give the
+    # SMALLER doc y the shorter index prefix
+    # ``|y| - ceil(2t/(1+t)*|y|) + e`` (the larger doc x keeps
+    # ``|x| - ceil(t*|x|) + e``).  Exact: jaccard >= t forces overlap
+    # alpha = ceil(t/(1+t)(|x|+|y|)), and alpha >= ceil(2t/(1+t)|y|)
+    # (since |x| >= |y|) and alpha >= ceil(t|x|) (since |y| >= t|x| by
+    # the length filter), so both prefixes still cover the pigeonhole
+    # collision guarantee ``|x|-alpha+1 / |y|-alpha+1`` — any float
+    # slack in ceil() is absorbed by e >= 1.  The count bound below is
+    # exact for ANY per-side L (its one-suffix argument never uses how
+    # L was chosen).  Measured at sf0.1/t=0.5: candidate join rows
+    # 93.07M -> 61.66M, cand phase 6.8 -> 3.6 s, verify survivors
+    # 15,483 -> 41,544 (still trivial), final pairs bit-identical
+    # (exceptAll 0/0 both ways).
+    pshort = _prefix_table(gp, 2.0 * t / (1.0 + t), prefix_ext, id_col)
+    preg = _prefix_table(gp, t, prefix_ext, id_col)
+    a = pshort.alias("a")
+    b = preg.alias("b")
+    a_smaller = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
     cand_counts = (
         a.join(
             b,
             (F.col("a.ph") == F.col("b.ph"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("b.sz") >= F.col("a.sz") * F.lit(t))
+            & a_smaller
+            # one-sided length filter: a is the smaller doc, so only
+            # t*|b| <= |a| can bind (|a| <= |b| holds by direction)
             & (F.col("b.sz") * F.lit(t) <= F.col("a.sz")),
         )
         .groupBy(
@@ -247,7 +292,13 @@ def ngram_jaccard_pairs(
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= F.lit(t))
-        .select("id_a", "id_b", "jaccard")
+        # canonical (id_a < id_b) orientation: generation is
+        # size-directed, the contract (and the oracle) is id-directed
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
     )
 
 
@@ -283,11 +334,29 @@ def hashed_shingle_table(
     )
 
 
-def _normed_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, __t): normalized text, round-robin repartitioned to the
-    default parallelism ahead of the ~1000x shingle blow-up."""
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the default parallelism ONLY when the
+    input carries fewer partitions (guide §2.1 scale-adaptive sizing):
+
+    - at 100 TB the source scan / upstream shuffle already holds
+      hundreds-to-thousands of partitions, so this is a no-op — the old
+      unconditional ``repartition(defaultParallelism)`` there would
+      DOWNSIZE the stage and pay a full extra shuffle of the corpus;
+    - locally (single-file parquet scans, AQE-coalesced checkpoints) it
+      restores core-count parallelism ahead of a known blow-up (shingle
+      explode, prefix self-join) the optimizer cannot see coming.
+    """
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par).select(
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
+def _normed_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __t): normalized text, spread to the default parallelism
+    ahead of the ~1000x shingle blow-up (no-op when the source already
+    carries enough partitions — see :func:`_spread`)."""
+    return _spread(df).select(
         id_col, T.normalized_text(text_col).alias("__t")
     )
 
@@ -335,10 +404,9 @@ def hashed_word_shingle_table(
 
 
 def _word_tokens_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, __w): word-token arrays, round-robin repartitioned ahead of
-    the shingle blow-up."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par).select(
+    """(id, __w): word-token arrays, spread ahead of the shingle
+    blow-up (no-op at scale — see :func:`_spread`)."""
+    return _spread(df).select(
         id_col, T.word_tokens(text_col).alias("__w")
     )
 
@@ -460,7 +528,10 @@ def minhash_lsh_pairs(
     # verify side reads them directly, deleting the old
     # groupBy(id).collect_list rebuild (a full shuffle of the shingle
     # stream) outright.
-    arrs = materialize(_hashed_shingle_arrays(df, text_col, id_col, k))
+    # lazy checkpoint (r15): blocks materialize inside the buckets
+    # checkpoint job (sig references arrs once); the verify joins read
+    # the already-computed blocks — one fewer job barrier
+    arrs = materialize(_hashed_shingle_arrays(df, text_col, id_col, k), eager=False)
     sig = minhash_signatures(
         df, text_col, id_col, k, num_hashes, seed, hash_arrays=arrs
     )
@@ -1187,8 +1258,11 @@ def containment_pairs(
     t = float(threshold)
     g, arrs = _doc_token_arrays(df, text_col, id_col, k, unit)
     g = materialize(g)
-    pref = _prefix_table(g, t, prefix_ext, id_col)
-    full = g.select(id_col, "sz", F.explode("toks").alias("p")).select(
+    # spread ahead of the explode+join blow-up (no-op at scale) — same
+    # rationale as ngram_jaccard_pairs
+    gp = _spread(g)
+    pref = _prefix_table(gp, t, prefix_ext, id_col)
+    full = gp.select(id_col, "sz", F.explode("toks").alias("p")).select(
         id_col, "sz", F.col("p.h").alias("ph")
     )
     a = pref.alias("a")
@@ -1383,7 +1457,11 @@ def cross_corpus_neardup_pairs(
     keyed = tag(new_docs, "n:").unionByName(tag(ref_docs, "r:"))
     g, arrs = _doc_token_arrays(keyed, text_col, "__key", k, unit)
     g = materialize(g)
-    pref = _prefix_table(g, t, prefix_ext, "__key")
+    # spread ahead of the explode+join blow-up (no-op at scale).  The
+    # asymmetric short prefix does NOT apply here: direction is
+    # corpus-based (new x ref), not size-based, so neither side is
+    # provably the smaller doc of its pairs.
+    pref = _prefix_table(_spread(g), t, prefix_ext, "__key")
     a = pref.filter(F.col("__key").startswith("n:")).alias("a")
     b = pref.filter(F.col("__key").startswith("r:")).alias("b")
     cand_counts = (
@@ -1465,8 +1543,11 @@ def cross_corpus_minhash_pairs(
     keyed = tag(new_docs, "n:").unionByName(tag(ref_docs, "r:"))
     # r14: checkpoint the per-doc hash ARRAYS (row-local build, zero
     # shuffles) — the signature build explodes from them and the verify
-    # side reads them directly (see minhash_lsh_pairs).
-    arrs = materialize(_hashed_shingle_arrays(keyed, text_col, "__key", k))
+    # side reads them directly (see minhash_lsh_pairs).  r15: lazy —
+    # materializes inside the buckets checkpoint job (single reference).
+    arrs = materialize(
+        _hashed_shingle_arrays(keyed, text_col, "__key", k), eager=False
+    )
     sig = minhash_signatures(
         keyed, text_col, "__key", k, num_hashes, seed, hash_arrays=arrs
     )

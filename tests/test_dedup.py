@@ -157,6 +157,77 @@ def test_ngram_jaccard_exact_vs_bruteforce(spark):
         assert got == expected, f"threshold {thr}: {got ^ expected}"
 
 
+def test_ngram_jaccard_asym_direction_and_boundary(spark):
+    """r15 asymmetric (probe/index) prefixes: pair direction is
+    (sz, id)-lexicographic, so EQUAL-size docs ride the id tiebreak and
+    a doc exactly 1/t times larger sits on the length-filter boundary
+    (jaccard == t for a subset pair) — both must survive, and output
+    stays id-canonical (id_a < id_b). Verified against brute force."""
+    import itertools
+
+    # equal-size identical pair (10, 11); boundary subset pair (20, 21)
+    # with |B| = 2|A| and A ⊂ B so jaccard == 0.5 exactly; a decoy far
+    # below threshold; ids deliberately ordered AGAINST size once
+    # (id 31 smaller than id 30) to exercise the canonical re-emit.
+    a = "abcdefghijklmnopqrstuvwxyz0123"
+    b = a + "ABCDEFGHIJKLMNOPQRSTUVWXYZ!@#$"  # disjoint extra shingles
+    docs = [
+        (10, a),
+        (11, a),
+        (20, a),
+        (21, b),
+        (30, a[:12]),  # small
+        (31, b),       # large with SMALLER-than-30? no: id 31 > 30; pair (30,31) below threshold anyway
+        (40, "zzzz1zzzz2zzzz3zzzz4zzzz5zzzz6"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(t, k=5):
+        t = " ".join(t.lower().split())
+        return {t[i:i + k] for i in range(len(t) - k + 1)} if len(t) >= k else set()
+
+    sh = {i: shingles(t) for i, t in docs}
+    expected = set()
+    for (ia, _), (ib, _) in itertools.combinations(docs, 2):
+        A, B = sh[ia], sh[ib]
+        if not A or not B:
+            continue
+        j = len(A & B) / len(A | B)
+        if j >= 0.5:
+            expected.add((min(ia, ib), max(ia, ib), round(j, 6)))
+    rows = D.ngram_jaccard_pairs(df, threshold=0.5, k=5).collect()
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in rows}
+    assert got == expected, got ^ expected
+    # asymmetric-size superset pair survives; canonical orientation holds
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert any(p[:2] == (20, 21) for p in got)
+    # equal-size identical pair rode the id tiebreak
+    assert any(p[:2] == (10, 11) for p in got)
+
+
+def test_spread_is_scale_adaptive(spark):
+    """_spread repartitions only below the default parallelism: a
+    1-partition frame is spread to defaultParallelism; a frame already
+    at/above it is returned untouched (the at-scale no-op)."""
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(100).coalesce(1)
+    assert D._spread(one).rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(par + 2)
+    assert D._spread(wide) is wide
+
+
+def test_materialize_lazy_matches_eager(spark):
+    """materialize(eager=False) defers computation but yields the same
+    rows and the same plan boundary as the eager form."""
+    from chromem_go_spark.materialize import materialize
+
+    df = spark.range(50).withColumn("x", F.col("id") * 2)
+    lazy = materialize(df, eager=False)
+    eager = materialize(df)
+    assert sorted(lazy.collect()) == sorted(eager.collect())
+    assert "LogicalRDD" in lazy._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_connected_components_crafted_graph(spark):
     """Chain, triangle, isolated pair — min-label propagation must find
     the exact components (chain diameter forces multiple iterations)."""
