@@ -31,6 +31,13 @@ from ..functions import vector as V
 from . import knn as knn_ops
 
 
+# Max rows fed to each PQ subquantizer's k-means fit (r15): 100x the
+# default 256-code budget.  Every tested SF samples far fewer rows, so
+# results there are bit-identical; at scale the codebook fit stops
+# growing with sample_size.
+_PQ_FIT_CAP = 25_600
+
+
 class EmptyCorpusError(ValueError):
     """Raised when a quantizer trainer is asked to fit an EMPTY corpus
     frame.  A dedicated type (r11, ADVICE) so the router's demote-to-FLAT
@@ -269,9 +276,20 @@ class IVFPQIndex:
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         s = dim // m
+        # r15: the codebook fit is bounded by a deterministic even
+        # stride over the (already hash-spread) sample — 100x the
+        # default code count is ample for 256-cell subspace k-means,
+        # and the fit cost stops scaling with sample_size.  Below the
+        # cap (every test SF; sf0.1 samples 2,000 rows) the matrix is
+        # untouched, so codebooks — and the value-checked ivf_pq_search
+        # results — are bit-identical.
+        fit = sample
+        if fit.shape[0] > _PQ_FIT_CAP:
+            idx = np.linspace(0, fit.shape[0] - 1, _PQ_FIT_CAP).astype(np.int64)
+            fit = fit[idx]
         codebooks = np.stack(
             [
-                _kmeans_l2(sample[:, j * s : (j + 1) * s], n_codes, seed + j)
+                _kmeans_l2(fit[:, j * s : (j + 1) * s], n_codes, seed + j)
                 for j in range(m)
             ]
         )  # (m, k_j<=n_codes, s) — all k_j equal since same sample size

@@ -78,6 +78,32 @@ def pq_index(emb):
     )
 
 
+def test_pq_fit_cap_binds_and_stays_deterministic(emb, monkeypatch):
+    """r15: the per-subquantizer codebook fit subsamples the training
+    matrix with a deterministic even stride above _PQ_FIT_CAP. With the
+    cap forced below the sample size the build must (a) still produce
+    valid full-shape codebooks, (b) be run-to-run deterministic, and
+    (c) keep the exact full-probe + generous-rerank contract (ADC only
+    selects candidates; the re-rank is exact regardless of codebooks)."""
+    import numpy as np
+
+    monkeypatch.setattr(A, "_PQ_FIT_CAP", 64)
+    i1 = A.IVFPQIndex.build(emb, n_clusters=8, m=16, vec_col="embedding", id_col="vec_id")
+    i2 = A.IVFPQIndex.build(emb, n_clusters=8, m=16, vec_col="embedding", id_col="vec_id")
+    assert np.array_equal(i1.codebooks, i2.codebooks)
+    assert i1.codebooks.shape[0] == 16
+    q = _qvec(emb, 5)
+    exact = [
+        r["vec_id"]
+        for r in K.knn_single(emb, q, 10, vec_col="embedding", id_col="vec_id").collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in i1.search_batch(["q"], [q], 10, nprobe=8, rerank=200).collect()
+    ]
+    assert got == exact
+
+
 def test_pq_codes_are_m_bytes(pq_index):
     """The scan-side representation really is 16 bytes per vector (vs
     1024 for 256 float32s) — the whole point of PQ at 100 TB."""
